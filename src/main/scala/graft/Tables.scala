@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness star schema (see FIXTURES.md §2).
+  *
+  * Mirrors the reference's table registry (`/root/reference/odgovlt.py:149-158`,
+  * a namedtuple of reflected SQLAlchemy tables) — here each table is a
+  * DataFrame whose schema comes from the Parquet footer (self-describing,
+  * the analog of `meta.reflect()` at `/root/reference/odgovlt.py:147-148`).
+  *
+  * Scale notes: Parquet scans are vectorized and column-pruned by Catalyst;
+  * at 100 TB the same loaders work unchanged — partition discovery and
+  * predicate pushdown happen at the scan, and dimension tables stay
+  * broadcast-sized relative to facts.
+  */
+final case class Tables(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame)
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Load the whole star schema from a scale-factor directory. */
+  def apply(spark: SparkSession, sfDir: String): Tables = Tables(
+    region = table(spark, sfDir, "region"),
+    nation = table(spark, sfDir, "nation"),
+    customer = table(spark, sfDir, "customer"),
+    supplier = table(spark, sfDir, "supplier"),
+    part = table(spark, sfDir, "part"),
+    orders = table(spark, sfDir, "orders"),
+    lineitem = table(spark, sfDir, "lineitem"),
+    events = table(spark, sfDir, "events"),
+    documents = table(spark, sfDir, "documents"),
+    embeddings = table(spark, sfDir, "embeddings"))
+}

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2.1-2.7, declared as
+  * set-oriented DataFrame plans over the harness star schema
+  * (role mapping in FIXTURES.md §3: orders≈t_rinkmena datasets,
+  * customer≈t_user, nation/region≈t_istaiga + category levels,
+  * lineitem≈bridge-grained facts).
+  *
+  * Design rules applied throughout:
+  *  - dimension joins are broadcast (`broadcast()` hint) — no shuffle of the
+  *    fact side, which is what survives a 100 TB fact table;
+  *  - aggregates are hash aggregates with map-side partials (Catalyst
+  *    default) — one shuffle each;
+  *  - money sums go through integer cents (`BIGINT`) so results are exact
+  *    and order-independent — double summation would be nondeterministic
+  *    across partitionings and mismatch the DuckDB oracle;
+  *  - every query ends in an explicit ORDER BY on a unique key
+  *    (determinism contract, SURVEY.md §7.1).
+  */
+object CoreOps {
+  import graft.Tables.{table => t}
+
+  /** Exact money: double price → integer cents. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("bigint")
+
+  // ---- scans / filters -------------------------------------------------
+
+  /** S3/F1: filtered scan (`STATUSAS='U'` analog — only 'F' orders).
+    * Predicate + projection push into the parquet scan. */
+  def s3FilteredScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** S4/S7/F2/W2: point lookup by primary key. */
+  def s4PointLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") === 42L)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+  /** S9/W1: latest row by timestamp (`ORDER BY created DESC LIMIT 1`). */
+  def s9Latest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(1)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+
+  // ---- joins -------------------------------------------------------------
+
+  /** J1/P5: fact ⟕ user-dim with default row on miss
+    * (odgovlt.py:195-203 "Unknown User"). The dim is artificially halved so
+    * the default path actually fires; broadcast left-outer + coalesce.
+    */
+  def j1LeftDefaults(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val dim = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+    orders
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_name"), lit("Unknown User")).as("owner_name"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("owner_segment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J2: dimension chain customer → nation → region (org lookup analog),
+    * both hops broadcast. */
+  def j2DimChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("n_name"), lit("Unknown organization")).as("nation_name"),
+        coalesce(col("r_name"), lit("Unknown region")).as("region_name"))
+      .orderBy("c_custkey")
+
+  /** J3/J4/A2/A6: bridge traversal — per order, the distinct sorted set of
+    * part names reached through lineitem (dataset→bridge→category analog).
+    * One shuffle (the groupBy); part-dim join is broadcast.
+    */
+  def j3BridgeGroups(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("p_name"))), "|").as("groups"),
+        countDistinct(col("p_name")).as("n_groups"))
+      .orderBy("l_orderkey")
+
+  /** J6/SO3: left-semi (EXISTS) — customers having at least one order. */
+  def j6Semi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J7/SO3: left-anti (NOT EXISTS) — the create-set: entities missing from
+    * the target (odgovlt.py:249-255 show-then-create). Customers with no
+    * urgent order (non-empty at every scale factor). */
+  def j7Anti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // ---- aggregates ---------------------------------------------------------
+
+  /** A1: distinct set build (CKAN group-name set analog). */
+  def a1Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"))
+      .distinct()
+      .orderBy("segment")
+
+  /** A3/A4: group-by-parent → collected child list (category tree level). */
+  def a3GroupCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), "|").as("members"),
+        count(lit(1)).as("n_members"))
+      .orderBy("n_regionkey")
+
+  /** A8 + money-exact aggregation: counts and cent-exact sums per group. */
+  def a8GroupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("o_orderpriority")
+
+  /** A7: deep change detection (was_changed, odgovlt.py:112-124) as a
+    * set-oriented diff: `new` = source with a deterministic mutation on a
+    * subset of keys; changed-set = keys whose *new-side* fields differ
+    * (subset semantics: only fields present in `new` are compared).
+    */
+  def a7ChangeDetect(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    val neu = old
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 10 === 0, lit("0-CHANGED"))
+          .otherwise(col("o_orderpriority")))
+      .withColumnRenamed("o_orderstatus", "n_status")
+      .withColumnRenamed("o_orderpriority", "n_priority")
+      .withColumnRenamed("o_orderkey", "n_orderkey")
+    old.join(neu, col("o_orderkey") === col("n_orderkey"))
+      .filter(col("o_orderstatus") =!= col("n_status") ||
+        col("o_orderpriority") =!= col("n_priority"))
+      .select(col("o_orderkey"), col("n_priority").as("new_priority"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- set operations ------------------------------------------------------
+
+  /** SO1: set difference (stale-group delete set, odgovlt.py:312):
+    * customers owning a finished order but no urgent one. */
+  def so1Except(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      .except(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+  }
+
+  /** SO2: union + distinct (accumulated name set, odgovlt.py:301,307). */
+  def so2Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  // ---- windows ---------------------------------------------------------------
+
+  /** W1 (extended): top-k per group with deterministic tie-break. */
+  def w1TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_nationkey", "rk")
+  }
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB differential oracle.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers each harness table as a
+DuckDB view over <sfDir>/*.parquet, runs every oracle SQL, reads the
+corresponding Spark parquet dump, sorts columns by name on both sides, and
+compares row counts, dtypes (loosely) and values (exactly; NaN==NaN).
+
+NOT part of the Scala library — dev-only tooling on the container's
+driver-side python (duckdb/pandas/pyarrow).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return repr(v)
+
+
+def frame_rows(df):
+    df = df[sorted(df.columns)]
+    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    failures = 0
+    import glob
+    declared = sorted(set(
+        p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")))
+    for name in declared:
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            failures += 1
+            continue
+        got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
+        if name not in oracles:
+            print(f"WEAK {name}: no oracle (rows-only check) rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            failures += 1
+            continue
+        g, e = frame_rows(got), frame_rows(exp)
+        bad = [i for i, (a, b) in enumerate(zip(g, e)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first at {i}:")
+            print(f"  spark : {g[i]}")
+            print(f"  oracle: {e[i]}")
+            # dtype hint
+            print(f"  dtypes spark={dict(got.dtypes.astype(str))}")
+            print(f"  dtypes oracle={dict(exp.dtypes.astype(str))}")
+            failures += 1
+        else:
+            dt_note = ""
+            gd = dict(got[sorted(got.columns)].dtypes.astype(str))
+            ed = dict(exp[sorted(exp.columns)].dtypes.astype(str))
+            if gd != ed:
+                dt_note = f"  [dtype drift: {{k: (gd, ed) for differing}} {dict((k, (gd[k], ed[k])) for k in gd if gd[k] != ed[k])}]"
+            print(f"OK   {name}: {len(g)} rows{dt_note}")
+    print(f"=== {failures} failures / {len(declared)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
