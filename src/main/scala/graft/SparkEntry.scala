@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.CoreOps
+import graft.ops.{CoreOps, StringOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,16 @@ object SparkEntry {
     "q_so1_except" -> (CoreOps.so1Except _),
     "q_so2_union" -> (CoreOps.so2Union _),
     "q_w1_topk" -> (CoreOps.w1TopkPerGroup _),
+    "q_sf1_fixcase" -> (StringOps.sf1Fixcase _),
+    "q_sf2_slugify_norm" -> (StringOps.sf2SlugifyNorm _),
+    "q_sf3_slug_truncate" -> (StringOps.sf3SlugTruncate _),
+    "q_sf4_tagify" -> (StringOps.sf4Tagify _),
+    "q_sf5_package_tags" -> (StringOps.sf5PackageTags _),
+    "q_p1_user_projection" -> (StringOps.p1UserProjection _),
+    "q_sf8_date_format" -> (StringOps.sf8DateFormat _),
+    "q_sf9_json_roundtrip" -> (StringOps.sf9JsonRoundtrip _),
+    "q_sf10_json_extract" -> (StringOps.sf10JsonExtract _),
+    "q_sf11_extras_map" -> (StringOps.sf11ExtrasMap _),
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same result schema & order). */
@@ -120,5 +130,69 @@ object SparkEntry {
                                      ORDER BY c_acctbal DESC, c_custkey) AS rk
            FROM customer)
          WHERE rk <= 3 ORDER BY c_nationkey, rk""",
+    // q_sf3_slug_truncate: intentionally no oracle — the head/tail greedy
+    // word-packing cap (odgovlt.py:50-69) is not expressible in one SQL
+    // statement; pinned instead by the ScalaTest golden vector.
+    "q_sf1_fixcase" ->
+      """SELECT p_partkey,
+                CASE WHEN regexp_matches(ul, '^[A-Z][a-z]')
+                     THEN lower(substr(ul, 1, 1)) || substr(ul, 2) ELSE ul END AS fixed_title,
+                CASE WHEN regexp_matches(ut, '^[A-Z][a-z]')
+                     THEN lower(substr(ut, 1, 1)) || substr(ut, 2) ELSE ut END AS fixed_acronym
+         FROM (SELECT p_partkey,
+                      upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS ul,
+                      upper(p_type) AS ut
+               FROM part)
+         ORDER BY p_partkey""",
+    "q_sf2_slugify_norm" ->
+      """SELECT p_partkey,
+                regexp_replace(lower(trim(regexp_replace(
+                  concat_ws(' ', p_name, p_brand, p_partkey),
+                  '[^\w\s-]', '', 'g'))), '[-\s]+', '-', 'g') AS slug
+         FROM part ORDER BY p_partkey""",
+    "q_sf4_tagify" ->
+      """SELECT p_partkey,
+                trim(regexp_replace(p_name || '!!' || p_brand || '  ' || p_type,
+                                    '\W+', ' ', 'g')) AS tag
+         FROM part ORDER BY p_partkey""",
+    "q_sf5_package_tags" ->
+      """SELECT p_partkey,
+                array_to_string(
+                  list_filter(
+                    list_transform(
+                      list_filter(
+                        list_transform(
+                          string_split(replace(p_name || ';' || p_type || ',' || p_brand
+                                               || ', ,x,' || p_name, ';', ','), ','),
+                          t -> CASE WHEN regexp_matches(trim(t), '^[A-Z][a-z]')
+                                    THEN lower(substr(trim(t), 1, 1)) || substr(trim(t), 2)
+                                    ELSE trim(t) END),
+                        t -> t IS NOT NULL AND t <> ''),
+                      t -> lower(trim(regexp_replace(t, '\W+', ' ', 'g')))),
+                    t -> length(t) BETWEEN 2 AND 100),
+                  '|') AS tags
+         FROM part ORDER BY p_partkey""",
+    "q_p1_user_projection" ->
+      """SELECT c_custkey,
+                regexp_replace(lower(trim(regexp_replace(c_name, '[^\w\s-]', '', 'g'))),
+                               '[-\s]+', '-', 'g') AS name,
+                c_name || ' ' || c_mktsegment AS fullname
+         FROM customer ORDER BY c_custkey""",
+    "q_sf8_date_format" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_date
+         FROM orders ORDER BY o_orderkey""",
+    "q_sf9_json_roundtrip" ->
+      """SELECT n_nationkey AS key, n_name, n_regionkey
+         FROM nation ORDER BY key""",
+    "q_sf10_json_extract" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_sf11_extras_map" ->
+      """SELECT c_custkey,
+                CAST(c_custkey AS VARCHAR) AS kodas,
+                c_mktsegment AS adresas
+         FROM customer ORDER BY c_custkey""",
   )
 }

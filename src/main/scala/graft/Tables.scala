@@ -31,9 +31,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one table from a scale-factor directory.
+    *
+    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4 has
+    * no native type for — read it as nanos-since-epoch long (legacy conf)
+    * and surface a proper micros `TimestampType` column, so downstream
+    * window/stream operators see a real timestamp.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
 
   /** Load the whole star schema from a scale-factor directory. */
   def apply(spark: SparkSession, sfDir: String): Tables = Tables(

@@ -31,7 +31,7 @@ object TextFunctions {
     "ÀÁÂÃÄÅĀĂÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖØŌŎŐÙÚÛÜŨŪŬŮŰÇĆĈĊČĎĐÑŃŅŇĜĞĠĢĤĦĴĶĹĻĽĿŁŔŖŘŚŜŞŠŢŤŦŴŶÝŸŹŻŽ"
   private val translitTo =
     "aceeisuuzACEEISUUZ" +
-    "aaaaaaaaeeeeeeeeeiiiiiiiioooooooooouuuuuuuuucccccddnnnngggghhjklllllrrrsssstttwyyyzzz" +
+    "aaaaaaaaeeeeeeeeeiiiiiiiiooooooooouuuuuuuuucccccddnnnngggghhjklllllrrrsssstttwyyyzzz" +
     "AAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOOUUUUUUUUUCCCCCDDNNNNGGGGHHJKLLLLLRRRSSSSTTTWYYYZZZ"
   require(translitFrom.length == translitTo.length)
 
