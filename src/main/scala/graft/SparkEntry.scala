@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{CoreOps, StringOps}
+import graft.ops.{CoreOps, HierarchyOps, StringOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    CoreOps.j3BridgeGroups(spark, "/root/testdata/sf0.001")
+    SyncPipeline.packageFlat(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -44,7 +44,40 @@ object SparkEntry {
     "q_sf9_json_roundtrip" -> (StringOps.sf9JsonRoundtrip _),
     "q_sf10_json_extract" -> (StringOps.sf10JsonExtract _),
     "q_sf11_extras_map" -> (StringOps.sf11ExtrasMap _),
+    "q_s8_projection" -> (CoreOps.s8Projection _),
+    "q_f4_owned_filter" -> (CoreOps.f4OwnedFilter _),
+    "q_j5_tree" -> (HierarchyOps.j5Tree _),
+    "q_p4_package_flat" -> (SyncPipeline.packageFlat _),
+    "q_p4_package_doc" -> (SyncPipeline.packageDoc _),
+    "q_k3_merge_actions" -> (SyncPipeline.mergeActions _),
   )
+
+  /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
+    * arbitrary string expression — kept identical to TextFunctions.packageTags
+    * so flagship and standalone oracles share one definition.
+    */
+  // coalesce: DuckDB's array_to_string returns NULL for an empty list where
+  // Spark's array_join returns ''.
+  private def tagPipelineSql(expr: String): String =
+    s"""coalesce(array_to_string(
+          list_filter(
+            list_transform(
+              list_filter(
+                list_transform(string_split(replace($expr, ';', ','), ','),
+                  t -> CASE WHEN regexp_matches(trim(t), '^[A-Z][a-z]')
+                            THEN lower(substr(trim(t), 1, 1)) || substr(trim(t), 2)
+                            ELSE trim(t) END),
+                t -> t IS NOT NULL AND t <> ''),
+              t -> lower(trim(regexp_replace(t, '\\W+', ' ', 'g')))),
+            t -> length(t) BETWEEN 2 AND 100),
+          '|'), '')"""
+
+  /** DuckDB SQL macro for slug normalization (odgovlt.py:39-48) — ASCII
+    * inputs only (transliteration is a no-op for the harness columns).
+    */
+  private def slugSql(expr: String): String =
+    s"""regexp_replace(lower(trim(regexp_replace($expr, '[^\\w\\s-]', '', 'g'))),
+                       '[-\\s]+', '-', 'g')"""
 
   /** DuckDB-runnable ANSI SQL equivalents (same result schema & order). */
   def oracleSql: Map[String, String] = Map(
@@ -194,5 +227,75 @@ object SparkEntry {
                 CAST(c_custkey AS VARCHAR) AS kodas,
                 c_mktsegment AS adresas
          FROM customer ORDER BY c_custkey""",
+    "q_s8_projection" ->
+      """SELECT event_id, user_id, value
+         FROM events WHERE event_type = 'error' ORDER BY event_id""",
+    "q_f4_owned_filter" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey % 2 = 0 ORDER BY c_custkey""",
+    "q_j5_tree" ->
+      """WITH RECURSIVE nodes AS (
+           SELECT CAST(r_regionkey + 1 AS BIGINT) AS node_id,
+                  CAST(0 AS BIGINT) AS parent_id, r_name AS name FROM region
+           UNION ALL
+           SELECT CAST(n_nationkey + 100 AS BIGINT),
+                  CAST(n_regionkey + 1 AS BIGINT), n_name FROM nation
+           UNION ALL
+           SELECT CAST(s_suppkey + 10000 AS BIGINT),
+                  CAST(s_nationkey + 100 AS BIGINT), s_name FROM supplier),
+         tree AS (
+           SELECT node_id, name, 1 AS depth, name AS root_name, name AS path
+           FROM nodes WHERE parent_id = 0
+           UNION ALL
+           SELECT n.node_id, n.name, t.depth + 1, t.root_name,
+                  t.path || '/' || n.name
+           FROM nodes n JOIN tree t ON n.parent_id = t.node_id)
+         SELECT node_id, name, CAST(depth AS INT) AS depth, root_name, path
+         FROM tree ORDER BY node_id""",
+    "q_p4_package_flat" -> s"""
+         WITH og AS (
+           SELECT l_orderkey,
+                  array_to_string(list_sort(list(DISTINCT p_name)), '|') AS groups,
+                  CAST(count(DISTINCT p_name) AS INT) AS n_groups,
+                  array_to_string(list_sort(list(DISTINCT p_type)), ',') AS type_csv
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY l_orderkey)
+         SELECT o_orderkey,
+                ${slugSql("coalesce(c_name, 'Unknown User') || ' ' || o_orderkey")} AS name_slug,
+                coalesce(c_name, 'Unknown User') AS owner_name,
+                coalesce(n_name, 'Unknown organization') AS org_name,
+                coalesce(r_name, 'Unknown region') AS org_region,
+                coalesce(og.groups, '') AS groups,
+                coalesce(og.n_groups, 0) AS n_groups,
+                ${tagPipelineSql("coalesce(og.type_csv, '')")} AS tags,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS created_iso,
+                CAST(o_custkey AS VARCHAR) AS extras_kodas
+         FROM orders
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+           ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN og ON o_orderkey = og.l_orderkey
+         ORDER BY o_orderkey""",
+    // q_p4_package_doc: no oracle — nested JSON document assembly; DuckDB
+    // cannot reproduce Spark's to_json byte-for-byte. Structure pinned by
+    // SyncPipelineSpec; the flat projection above hash-matches field-wise.
+    "q_k3_merge_actions" ->
+      """SELECT key, action FROM (
+           SELECT coalesce(s_key, t_key) AS key,
+                  CASE WHEN t_key IS NULL THEN 'create'
+                       WHEN s_key IS NULL AND t_key % 2 = 0 THEN 'delete'
+                       WHEN s_key IS NULL THEN 'noop'
+                       WHEN s_priority <> t_priority THEN 'update'
+                       ELSE 'noop' END AS action
+           FROM (SELECT o_orderkey AS s_key, o_orderpriority AS s_priority
+                 FROM orders WHERE o_orderstatus = 'F') source
+           FULL OUTER JOIN
+                (SELECT o_orderkey AS t_key,
+                        CASE WHEN o_orderkey % 9 = 0 THEN '0-MUTATED'
+                             ELSE o_orderpriority END AS t_priority
+                 FROM orders WHERE o_orderkey % 3 = 0) target
+             ON s_key = t_key)
+         WHERE action <> 'noop' ORDER BY key""",
   )
 }

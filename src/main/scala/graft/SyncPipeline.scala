@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{table => t}
+
+/** The reference's end-to-end dataflow (`/root/reference/odgovlt.py:373-407`,
+  * import_stage) as one set-oriented Spark plan — the parity artifact of
+  * SURVEY.md §3.2 / §7.3.
+  *
+  * Reference shape (per dataset row, N+1): user lookup + default
+  * (odgovlt.py:183-215), org lookup + default (odgovlt.py:217-258), bridge →
+  * category collect (odgovlt.py:320-334), tag pipeline (odgovlt.py:79-94),
+  * nested package dict (odgovlt.py:383-406), upsert by guid (odgovlt.py:407).
+  *
+  * Spark shape (set-oriented, one pass):
+  *   fact ⟕ broadcast(dim) joins with coalesce defaults (no shuffle of the
+  *   fact side), one hash-aggregate shuffle for the bridge collect, row-local
+  *   codegen'd string pipeline, nested struct assembly in the projection.
+  * At 100 TB the only shuffle is the groupBy on the bridge fact — dims stay
+  * broadcast, everything else is scan-local.
+  */
+object SyncPipeline {
+
+  /** Per-order collected "groups" (bridge traversal J3/J4/A2/A6): distinct
+    * part names + a csv of distinct part types reached through lineitem.
+    */
+  def orderGroups(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_name", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_sort(collect_set(col("p_name"))).as("group_names"),
+        array_join(array_sort(collect_set(col("p_type"))), ",").as("type_csv"))
+
+  /** The flagship flat package projection: every field of the reference's
+    * package dict that is scalar/joinable, flattened for oracle comparison.
+    */
+  def packageFlat(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    // dim halved so the default path (odgovlt.py:195-203) actually fires
+    val users = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+    val nations = t(s, dir, "nation")
+    val regions = t(s, dir, "region")
+    orders
+      .join(broadcast(users), col("o_custkey") === col("c_custkey"), "left_outer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .join(broadcast(regions), col("n_regionkey") === col("r_regionkey"), "left_outer")
+      .join(orderGroups(s, dir), col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(
+        col("o_orderkey"),
+        TextFunctions.slugifyNorm(
+          concat_ws(" ", coalesce(col("c_name"), lit("Unknown User")), col("o_orderkey")))
+          .as("name_slug"),
+        coalesce(col("c_name"), lit("Unknown User")).as("owner_name"),
+        coalesce(col("n_name"), lit("Unknown organization")).as("org_name"),
+        coalesce(col("r_name"), lit("Unknown region")).as("org_region"),
+        coalesce(array_join(col("group_names"), "|"), lit("")).as("groups"),
+        coalesce(size(col("group_names")), lit(0)).cast("int").as("n_groups"),
+        array_join(TextFunctions.packageTags(coalesce(col("type_csv"), lit(""))), "|")
+          .as("tags"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("created_iso"),
+        col("o_custkey").cast("string").as("extras_kodas"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The nested package document (P4, odgovlt.py:383-406): arrays of structs
+    * for tags/groups/extras inside one document, serialized to JSON the way
+    * the reference round-trips rows (odgovlt.py:363). Field order in the
+    * struct fixes the JSON key order, so output is deterministic.
+    */
+  def packageDoc(s: SparkSession, dir: String): DataFrame = {
+    val flat = packageFlat(s, dir)
+    flat.select(
+      col("o_orderkey"),
+      to_json(struct(
+        col("name_slug").as("name"),
+        col("owner_name").as("maintainer"),
+        col("org_name").as("owner_org"),
+        when(col("tags") === "", array().cast("array<string>"))
+          .otherwise(split(col("tags"), "\\|")).as("tags"),
+        when(col("groups") === "", array().cast("array<string>"))
+          .otherwise(split(col("groups"), "\\|")).as("groups"),
+        array(
+          struct(lit("Šaltinis").as("key"), lit("IVPK IRS").as("value")),
+          struct(lit("Kodas").as("key"), col("extras_kodas").as("value"))).as("extras"),
+        col("created_iso").as("metadata_created"))).as("package_json"))
+      .orderBy("o_orderkey")
+  }
+
+  /** K3-K5 merge-set computation (the upsert/delete semantics of
+    * odgovlt.py:205-211,249-257,312-318,407) as a single full-outer diff:
+    * classify every key as create / update / delete / noop.
+    *
+    *  - source: current upstream state (published orders)
+    *  - target: previously-synced state — simulated as a deterministic
+    *    subset with a deterministic field mutation
+    *  - delete only fires for target rows "owned" by this source
+    *    (the F4 `Šaltinis == 'IVPK IRS'` guard) — here: even order keys.
+    * Change detection follows the reference's subset semantics
+    * (odgovlt.py:112-124): only fields present on the source side compare.
+    */
+  def mergeActions(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val source = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("s_key"), col("o_orderpriority").as("s_priority"))
+    val target = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(
+        col("o_orderkey").as("t_key"),
+        when(col("o_orderkey") % 9 === 0, lit("0-MUTATED"))
+          .otherwise(col("o_orderpriority")).as("t_priority"))
+    source.join(target, col("s_key") === col("t_key"), "full_outer")
+      .select(
+        coalesce(col("s_key"), col("t_key")).as("key"),
+        when(col("t_key").isNull, "create")
+          .when(col("s_key").isNull && col("t_key") % 2 === 0, "delete")
+          .when(col("s_key").isNull, "noop")
+          .when(col("s_priority") =!= col("t_priority"), "update")
+          .otherwise("noop").as("action"))
+      .filter(col("action") =!= "noop")
+      .orderBy("key")
+  }
+}

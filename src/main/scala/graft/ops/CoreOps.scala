@@ -52,6 +52,33 @@ object CoreOps {
       .limit(1)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
 
+  /** S8/F3: projection + filter scan of the target-state table
+    * (odgovlt.py:294-300 — group names where not an organization). */
+  def s8Projection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  /** F4/SF11: ownership filter through a kv-extras map
+    * (odgovlt.py:313-316 — delete only groups whose extras say
+    * `Šaltinis == 'IVPK IRS'`). The map is built row-local and probed with
+    * element_at; the predicate still prunes at the scan after Catalyst
+    * collapses the projection.
+    */
+  def f4OwnedFilter(s: SparkSession, dir: String): DataFrame = {
+    val extras = map_from_entries(array(
+      struct(lit("Šaltinis").as("key"),
+        when(col("c_custkey") % 2 === 0, lit("IVPK IRS")).otherwise(lit("kitas"))
+          .as("value")),
+      struct(lit("Kodas").as("key"), col("c_custkey").cast("string").as("value"))))
+    t(s, dir, "customer")
+      .withColumn("extras", extras)
+      .filter(element_at(col("extras"), "Šaltinis") === "IVPK IRS")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
   // ---- joins -------------------------------------------------------------
 
   /** J1/P5: fact ⟕ user-dim with default row on miss

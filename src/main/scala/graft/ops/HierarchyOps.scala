@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{table => t}
+
+/** J5: the reference's category-tree traversal
+  * (`/root/reference/odgovlt.py:260-287,302-307` — adjacency list in
+  * `t_kategorija` with parent pointer `KATEGORIJA_ID`, root = 0, materialized
+  * depth `LYGIS` ≤ 3 in fixtures), re-expressed as a bounded iterative
+  * self-join instead of driver-side recursion.
+  *
+  * Scale design: each level is one broadcast join of the (small) frontier
+  * against the full edge set — the edge DataFrame is scanned once per level
+  * and the loop is bounded by the actual tree depth (`maxDepth` guard stops
+  * cycles). For catalog-sized hierarchies (thousands of nodes) every join is
+  * a broadcast; nothing here shuffles the fact side. This is the standard
+  * Spark answer to WITH RECURSIVE (which Catalyst lacks).
+  */
+object HierarchyOps {
+
+  /** Walk an adjacency list `(node_id, parent_id, name)` from the roots
+    * (`parent_id == 0`) down, producing
+    * `(node_id, name, depth, root_name, path)` with `/`-joined paths.
+    */
+  def treeWalk(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val e = edges.select("node_id", "parent_id", "name").cache()
+    var frontier = e.filter(col("parent_id") === 0L)
+      .select(
+        col("node_id"), col("name"), lit(1).as("depth"),
+        col("name").as("root_name"), col("name").as("path"))
+    var out = frontier
+    var depth = 1
+    var done = false
+    while (!done && depth < maxDepth) {
+      val next = e.as("c")
+        .join(broadcast(frontier.as("p")), col("c.parent_id") === col("p.node_id"))
+        .select(
+          col("c.node_id"), col("c.name"), (col("p.depth") + 1).as("depth"),
+          col("p.root_name"),
+          concat(col("p.path"), lit("/"), col("c.name")).as("path"))
+      // one small action per level — the frontier is catalog-sized
+      if (next.isEmpty) done = true
+      else {
+        out = out.unionByName(next)
+        frontier = next
+        depth += 1
+      }
+    }
+    out
+  }
+
+  /** Build a 3-level tree from the harness tables (mirrors the reference's
+    * 3-level fixture tree, tests/test_odgovlt.py:180-220):
+    * region (roots) → nation → supplier. Ids are offset into disjoint ranges.
+    */
+  def harnessEdges(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").select(
+      (col("r_regionkey") + 1).cast("bigint").as("node_id"),
+      lit(0L).as("parent_id"),
+      col("r_name").as("name"))
+    val nation = t(s, dir, "nation").select(
+      (col("n_nationkey") + 100).cast("bigint").as("node_id"),
+      (col("n_regionkey") + 1).cast("bigint").as("parent_id"),
+      col("n_name").as("name"))
+    val supplier = t(s, dir, "supplier").select(
+      (col("s_suppkey") + 10000).cast("bigint").as("node_id"),
+      (col("s_nationkey") + 100).cast("bigint").as("parent_id"),
+      col("s_name").as("name"))
+    region.unionByName(nation).unionByName(supplier)
+  }
+
+  /** Declared query: full tree materialization with depth/root/path. */
+  def j5Tree(s: SparkSession, dir: String): DataFrame =
+    treeWalk(harnessEdges(s, dir))
+      .select(col("node_id"), col("name"), col("depth").cast("int").as("depth"),
+        col("root_name"), col("path"))
+      .orderBy("node_id")
+}
