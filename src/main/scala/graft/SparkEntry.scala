@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{CoreOps, HierarchyOps, StringOps}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,7 +51,50 @@ object SparkEntry {
     "q_p4_package_flat" -> (SyncPipeline.packageFlat _),
     "q_p4_package_doc" -> (SyncPipeline.packageDoc _),
     "q_k3_merge_actions" -> (SyncPipeline.mergeActions _),
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_dedup_simhash" -> (Dedup.simhashSketch _),
+    "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q_embed_topk" -> (Similarity.bruteForceTopK _),
+    "q_embed_ivf" -> (Similarity.ivfTopK _),
+    "q_text_stats" -> (TextAnalysis.stats _),
+    "q_text_langid" -> (TextAnalysis.langId _),
+    "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
   )
+
+  // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
+
+  /** 32-bit md5-prefix hash (mirrors TextHash.md5Long). */
+  private def hexIntSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** Tokenized + shingled documents CTE (mirrors TextHash.{tokens,shingles3}). */
+  private val shingledCte: String =
+    """tk AS (SELECT doc_id, lang, n_chars,
+                     string_split_regex(text, '\s+') AS toks
+              FROM documents),
+       sh AS (SELECT doc_id, lang, n_chars,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          ELSE [''] END AS grams
+              FROM tk)"""
+
+  /** Exact-int Jaccard between two gram lists (mirrors TextHash.jaccard). */
+  private def jaccardSql(a: String, b: String): String =
+    s"""len(list_intersect($a, $b))::DOUBLE /
+        len(list_distinct(list_concat($a, $b)))::DOUBLE"""
+
+  /** Left-fold dot product — list_reduce guarantees the same left-to-right
+    * double summation as Spark's aggregate() fold.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(${dotSql(a, b)} /
+         (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"""
 
   /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
     * arbitrary string expression — kept identical to TextFunctions.packageTags
@@ -297,5 +341,138 @@ object SparkEntry {
                  FROM orders WHERE o_orderkey % 3 = 0) target
              ON s_key = t_key)
          WHERE action <> 'noop' ORDER BY key""",
+    "q_dedup_exact" ->
+      """SELECT keep_id, n_copies FROM (
+           SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           FROM documents GROUP BY md5(text))
+         ORDER BY keep_id""",
+    "q_dedup_ngram" -> s"""
+         WITH $shingledCte
+         SELECT a_id, b_id, jac FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  ${jaccardSql("a.grams", "b.grams")} AS jac
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+                AND abs(a.n_chars - b.n_chars) <= 30)
+         WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+    "q_dedup_minhash" -> s"""
+         WITH $shingledCte,
+         sig AS (SELECT doc_id,
+                        list_transform(range(0, ${Dedup.MinhashK}),
+                          s -> list_min(list_transform(grams,
+                                 g -> ${hexIntSql("s::VARCHAR || ':' || g")}))) AS sig
+                 FROM sh),
+         bands AS (SELECT doc_id, b AS band_idx,
+                          md5(array_to_string(
+                            list_slice(sig, b*${Dedup.RowsPerBand} + 1,
+                                       b*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}),
+                            ',')) AS bkey
+                   FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bands x JOIN bands y
+                    ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, jac FROM (
+           SELECT a_id, b_id, ${jaccardSql("ga.grams", "gb.grams")} AS jac
+           FROM cand JOIN sh ga ON cand.a_id = ga.doc_id
+                     JOIN sh gb ON cand.b_id = gb.doc_id)
+         WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+    "q_dedup_simhash" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents)
+         SELECT doc_id,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(toks, w ->
+                         CASE WHEN (${hexIntSql("w")} >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+         FROM tk ORDER BY doc_id""",
+    "q_dedup_simhash_pairs" -> s"""
+         WITH tk AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         sk AS (SELECT doc_id, lang,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(toks, w ->
+                         CASE WHEN (${hexIntSql("w")} >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh
+                FROM tk)
+         SELECT a_id, b_id, hamming FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         WHERE hamming <= 6 ORDER BY a_id, b_id""",
+    "q_embed_topk" -> s"""
+         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < ${Similarity.NQueries}),
+         scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+                    FROM c, q WHERE vec_id <> q_id)
+         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_embed_ivf" -> s"""
+         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         px AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM c),
+         csum AS (SELECT label, pos,
+                         CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS cx
+                  FROM px GROUP BY label, pos),
+         cent AS (SELECT label AS c_label, list(cx ORDER BY pos) AS centroid
+                  FROM csum GROUP BY label),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < ${Similarity.NQueries}),
+         routed AS (SELECT q_id, qv, probe_label FROM (
+             SELECT q.q_id, q.qv, cent.c_label AS probe_label,
+                    row_number() OVER (PARTITION BY q.q_id ORDER BY
+                      ${cosSql("q.qv", "cent.centroid")} DESC, cent.c_label) AS crk
+             FROM q, cent)
+           WHERE crk = 1),
+         scored AS (SELECT q_id, probe_label, vec_id, ${cosSql("qv", "v")} AS cos
+                    FROM routed JOIN c
+                      ON c.label = routed.probe_label AND c.vec_id <> routed.q_id)
+         SELECT q_id, probe_label, CAST(rk AS INT) AS rk, vec_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "q_text_stats" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                     FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS INT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS INT) AS n_types,
+                CAST(list_sum(list_transform(toks, w -> (length(w)+3) // 4)) AS BIGINT)
+                  AS n_subwords,
+                round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS ttr,
+                round(len(list_filter(toks,
+                        w -> list_contains(['the','a','of','and'], w)))::DOUBLE
+                      / len(toks)::DOUBLE, 6) AS stop_ratio
+         FROM tk ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+                     FROM documents),
+         sc AS (SELECT doc_id, lang AS labeled_lang,
+                  len(list_filter(toks, w -> list_contains(['window','batch','group'], w))) AS s_de,
+                  len(list_filter(toks, w -> list_contains(['the','a','data'], w))) AS s_en,
+                  len(list_filter(toks, w -> list_contains(['query','row','filter'], w))) AS s_es,
+                  len(list_filter(toks, w -> list_contains(['table','line','merge'], w))) AS s_fr,
+                  len(list_filter(toks, w -> list_contains(['vector','stream','hash'], w))) AS s_zh
+                FROM tk)
+         SELECT doc_id, labeled_lang,
+                CASE WHEN s_de = smax THEN 'de' WHEN s_en = smax THEN 'en'
+                     WHEN s_es = smax THEN 'es' WHEN s_fr = smax THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                CAST(smax AS INT) AS score
+         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS smax FROM sc)
+         ORDER BY doc_id""",
+    "q_text_fingerprint" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents)
+         SELECT doc_id,
+                list_reduce(
+                  list_concat([0::BIGINT],
+                    list_transform(toks, w -> ${hexIntSql("w")})),
+                  (a, b) -> (a*31 + b) % 2147483647) AS fp
+         FROM tk ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Similarity, TextAnalysis, TextHash}
+
+/** Behavioral checks for the LLM-pipeline operators on the sf0.001 fixture
+  * (the DuckDB oracle pins exact values; these pin semantics: recall of
+  * planted near-dups, sketch locality, ranking sanity).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds every near-dup pair of the unblocked ground truth") {
+    // ground truth: unblocked all-pairs jaccard >= 0.5 (LSH is not
+    // lang-blocked, unlike ngramJaccard, so compare against the full set)
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), TextHash.shingles3(TextHash.tokens(col("text"))).as("grams"))
+    val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextHash.jaccard(col("a.grams"), col("b.grams")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dup pairs")
+    // exact-verified candidates can only be true near-dups...
+    assert(lsh.subsetOf(truth))
+    // ...and at jaccard>=0.5 with 8 bands x 4 rows each pair is caught with
+    // probability 1 - (1 - j^4)^8 ≈ 1 for the planted j≈0.96 pairs.
+    assert(lsh == truth)
+  }
+
+  test("simhash: near-identical docs collide within hamming<=6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "en", "completely different words about spark shuffles and broadcast joins")
+    ).toDF("doc_id", "lang", "text")
+    val sk = docs.select(col("doc_id"), TextHash.simhash32(TextHash.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sk(1L), sk(2L)) <= 6)
+    assert(ham(sk(1L), sk(3L)) > 6)
+  }
+
+  test("brute-force top-k: ranks are 1..5, self excluded, cosine in [-1,1]") {
+    val rows = Similarity.bruteForceTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toList == List(1, 2, 3, 4, 5))
+      assert(rs.forall(_.getLong(2) != q))
+      assert(rs.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+      // ranked by descending cosine
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivf top-k: results come from the probed cluster, ranked by cosine") {
+    val corpus = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val probe = rs.head.getInt(1)
+      // every result is a member of the probed cluster, never the query itself
+      assert(rs.forall(r => r.getInt(1) == probe))
+      assert(rs.forall(r => corpus(r.getLong(3)) == probe))
+      assert(rs.forall(_.getLong(3) != q))
+      assert(rs.map(_.getInt(2)).sorted.toList == List(1, 2, 3))
+      val cs = rs.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // NOTE: agreement with brute force depends on how well `label` clusters
+    // the space — the harness labels are arbitrary, so recall is ~1/n_labels
+    // by construction; the oracle pins exactness of the computation instead.
+  }
+
+  test("language ID is deterministic and scores are marker hit counts") {
+    import spark.implicits._
+    val one = Seq((1L, "xx", "the the a data vector")).toDF("doc_id", "lang", "text")
+      .createOrReplaceTempView("ignored") // not used; direct column test below
+    val toks = TextHash.tokens(lit("the the a data vector"))
+    val score = size(filter(toks, w => w.isin("the", "a", "data")))
+    val got = spark.range(1).select(score.as("s")).collect()(0).getInt(0)
+    assert(got == 4) // the,the,a,data — occurrences count, not distinct
+  }
+
+  test("fingerprint is order-sensitive") {
+    val a = spark.range(1).select(
+      TextHash.fingerprint(TextHash.tokens(lit("alpha beta gamma"))).as("fp"))
+      .collect()(0).getLong(0)
+    val b = spark.range(1).select(
+      TextHash.fingerprint(TextHash.tokens(lit("gamma beta alpha"))).as("fp"))
+      .collect()(0).getLong(0)
+    assert(a != b)
+  }
+}
