@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{CoreOps, HierarchyOps, StringOps}
+import graft.ops.{CoreOps, HierarchyOps, MultimodalOps, StringOps}
 import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +62,10 @@ object SparkEntry {
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
+    "q_w3_sessionize" -> (StreamOps.sessionizeBatch _),
+    "q_mm_features" -> (MultimodalOps.features _),
+    "q_mm_decode" -> (MultimodalOps.mmDecode _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -474,5 +479,43 @@ object SparkEntry {
                     list_transform(toks, w -> ${hexIntSql("w")})),
                   (a, b) -> (a*31 + b) % 2147483647) AS fp
          FROM tk ORDER BY doc_id""",
+    "q_w2_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2
+         ORDER BY window_start, event_type""",
+    "q_w3_sessionize" -> s"""
+         SELECT user_id, session_id, n_events, session_start, session_end FROM (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  min(ts) AS session_start, max(ts) AS session_end
+           FROM (
+             SELECT user_id, ts,
+                    CAST(sum(CASE WHEN date_diff('second', prev_ts, ts)
+                                       > ${StreamOps.SessionGapMinutes * 60} THEN 1
+                                  ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                      AS session_id
+             FROM (SELECT user_id, event_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_ts
+                   FROM events))
+           GROUP BY user_id, session_id)
+         ORDER BY user_id, session_id""",
+    "q_mm_features" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS digest,
+                CAST(n_chars % 640 AS INT) AS width,
+                CAST(n_chars % 480 AS INT) AS height,
+                'fake/rgb8' AS format
+         FROM documents ORDER BY doc_id""",
+    "q_mm_decode" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                round(list_sum(list_transform(string_split(text, ''),
+                        c -> unicode(c)))::DOUBLE
+                      / octet_length(encode(text))::DOUBLE, 6) AS mean_byte
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -41,10 +41,12 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer DIV, not `/`: double division loses the low microsecond on
+      // 19-digit nanos values
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

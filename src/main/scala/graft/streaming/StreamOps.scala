@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables.{table => t}
+import java.sql.Timestamp
+
+/** Streaming/incremental semantics (SURVEY.md §2.9). The reference is a
+  * batch re-sync, so parity needs only the batch diff-and-merge (SyncPipeline
+  * .mergeActions); this module adds the Structured Streaming surface a
+  * training-data pipeline needs over the `events` stream: watermarked
+  * tumbling-window aggregation and stateful sessionization.
+  *
+  * Each operator exists twice with identical semantics:
+  *  - a batch DataFrame form (declared in SparkEntry.queries, DuckDB-checked)
+  *  - a streaming form over any readStream source (unit-tested with a memory
+  *    stream; at scale the same code runs on Kafka/file sources with
+  *    checkpointing, and the batch form is its backfill)
+  */
+object StreamOps {
+
+  val SessionGapMinutes = 30
+
+  // ---- batch forms (oracle-checked) -------------------------------------
+
+  /** Tumbling 1-hour windows per event type: count + exact value cents. */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization as a batch window computation: a new session
+    * starts when the gap to the previous event of the same user exceeds
+    * 30 minutes; session id = running count of session starts.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUser).cast("long") > SessionGapMinutes * 60L,
+      1L).otherwise(lit(0L))
+    t(s, dir, "events")
+      .withColumn("session_id", sum(newSession).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---- streaming forms ---------------------------------------------------
+
+  /** Watermarked tumbling-window counts over a stream with schema
+    * (ts timestamp, event_type string, value double). Late data beyond
+    * 2 hours is dropped; state is bounded by the watermark.
+    */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  case class Event(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization: one state per user, emitting a session when
+    * the gap timeout fires. State size is O(active users), independent of
+    * stream length — the 100 TB-safe formulation.
+    */
+  def sessionizeStream(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("ts"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = SessionGapMinutes * 60 * 1000L
+          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val tms = e.ts.getTime
+            if (st.n > 0 && tms - st.last > gapMs) {
+              out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n)
+              st = SessionState(tms, tms, 1L)
+            } else {
+              st = SessionState(math.min(st.start, tms), math.max(st.last, tms), st.n + 1)
+            }
+          }
+          if (state.hasTimedOut) {
+            if (st.n > 0)
+              out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n)
+            state.remove()
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+          }
+          out.iterator
+      }.toDF()
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+import graft.ops.MultimodalOps
+import java.sql.Timestamp
+
+/** Streaming operators: the streaming forms must agree with their batch
+  * (oracle-checked) equivalents on the same data; multimodal: the batched
+  * mapPartitions decode must agree with the expression path.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumblingCountsStream agrees with the batch form on a replayed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.5),
+      (ts("2024-01-01 10:45:00"), "click", 2.5),
+      (ts("2024-01-01 10:50:00"), "view", 1.0),
+      (ts("2024-01-01 11:10:00"), "click", 4.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(events)
+    val q = StreamOps.tumblingCountsStream(
+        mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // watermark closes windows only when later data arrives; replay with a
+    // closing batch
+    val mem2 = MemoryStream[(Timestamp, String, Double)]
+    mem2.addData(events)
+    mem2.addData(Seq((ts("2024-01-02 00:00:00"), "flush", 0.0)))
+    val q2 = StreamOps.tumblingCountsStream(
+        mem2.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("tumbling2")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val got = spark.table("tumbling2")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList == List(
+      ("2024-01-01 10:00:00.0", "click", 2L, 400L),
+      ("2024-01-01 10:00:00.0", "view", 1L, 100L),
+      ("2024-01-01 11:00:00.0", "click", 1L, 400L)))
+  }
+
+  test("sessionizeStream emits gap-separated sessions matching batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData(Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:10:00")),
+      (7L, ts("2024-01-01 11:30:00")), // > 30 min gap → new session
+      (9L, ts("2024-01-01 10:00:00"))))
+    // advance the event-time watermark past all timeouts so sessions close
+    mem.addData(Seq((99L, ts("2024-01-02 00:00:00"))))
+    val q = StreamOps.sessionizeStream(spark,
+        mem.toDF.toDF("user_id", "ts").withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sessions")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+    // user 7's first session (2 events) closes via the 11:30 event's gap;
+    // remaining state closes via timeout when the watermark jumps a day.
+    assert(got.toList == List(
+      (7L, "2024-01-01 10:00:00.0", 2L),
+      (7L, "2024-01-01 11:30:00.0", 1L),
+      (9L, "2024-01-01 10:00:00.0", 1L)))
+  }
+
+  test("multimodal: batched mapPartitions decode agrees with expression path") {
+    val exprPath = MultimodalOps.features(spark, sf)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = MultimodalOps.decodeFeatures(spark, sf).collect()
+    assert(decoded.length == exprPath.size)
+    decoded.foreach { r =>
+      assert(r.getLong(1) == exprPath(r.getLong(0)))
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 256)
+    }
+  }
+}
