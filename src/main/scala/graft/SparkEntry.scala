@@ -365,7 +365,8 @@ object SparkEntry {
          sig AS (SELECT doc_id,
                         list_transform(range(0, ${Dedup.MinhashK}),
                           s -> list_min(list_transform(grams,
-                                 g -> ${hexIntSql("s::VARCHAR || ':' || g")}))) AS sig
+                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
+                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
                  FROM sh),
          bands AS (SELECT doc_id, b AS band_idx,
                           md5(array_to_string(

@@ -24,26 +24,53 @@ object TextHash {
 
   /** Distinct word 3-gram shingles; docs with <3 tokens get a single
     * empty-string shingle so the signature stays well-defined.
+    *
+    * Built by zipping three shifted slices (all length n-2) instead of
+    * indexed element_at over a sequence: when `toks` is an inlined
+    * expression (e.g. split(text)), every element_at re-evaluates it, which
+    * makes the indexed form O(n²) splits per row — the slice form evaluates
+    * the token array a constant number of times and is ~10× faster at the
+    * same semantics.
     */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+  def shingles3(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 3,
+      array_distinct(zip_with(
+        slice(toks, lit(1), n - 2),
+        zip_with(slice(toks, lit(2), n - 2), slice(toks, lit(3), n - 2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))))
       .otherwise(array(lit("")))
+  }
 
   /** Jaccard similarity of two string arrays (distinct semantics). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
-  /** MinHash signature: k seeded min-hashes over the shingle set.
-    * Row-local: k × |shingles| md5 calls inside codegen, no shuffle.
+  /** Prime modulus for the affine MinHash mixes (smallest prime > 2^32). */
+  val MinhashPrime = 4294967311L
+
+  /** MinHash signature: ONE md5 per shingle, then k cheap affine mixes
+    * h_s = (h·(2s+1) + s·12582917) mod p — the standard universal-hash
+    * family. This is k× cheaper than seeded re-hashing: at 100 TB the md5
+    * is the dominant cost and it is paid once per shingle, not once per
+    * (shingle, seed).
+    *
+    * Implementation note: the whole signature is ONE `aggregate` fold whose
+    * input array (the md5s) is evaluated exactly once — an outer
+    * transform-over-seeds would re-evaluate the md5 array per seed after
+    * Catalyst collapses the projections (lambda bodies are not hoisted as
+    * loop-invariant).
     */
   def minhashSig(grams: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(grams,
-        g => md5Long(concat(s.cast("string"), lit(":"), g)))))
+    aggregate(
+      transform(grams, g => md5Long(g)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)),
+          s => (h * (s * 2 + 1) + s * 12582917L) % MinhashPrime),
+        (a, b) => least(a, b)))
 
   /** LSH band key for band `b` of a signature with `r` rows per band:
     * md5 of the comma-joined band slice.
@@ -54,17 +81,23 @@ object TextHash {
 
   /** 32-bit SimHash over the (non-distinct) token multiset: per bit,
     * +1/-1 votes from each token's md5-derived hash; bit set iff the vote
-    * sum is positive. Row-local nested higher-order functions.
+    * sum is positive.
+    *
+    * Cost model: ONE md5 per token (the token hashes are materialized as an
+    * array first), then a single fold accumulating a 32-long vote vector
+    * with cheap shift arithmetic — not one token scan per bit. Row-local,
+    * no shuffle.
     */
   def simhash32(toks: Column): Column = {
     val hashes = transform(toks, w => md5Long(w))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(31)),
+          i => when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L)),
+        (a, b) => a + b))
     aggregate(
-      transform(sequence(lit(0), lit(31)), i =>
-        when(
-          aggregate(hashes, lit(0L),
-            (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
-            > 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))),
+      zip_with(votes, sequence(lit(0L), lit(31L)),
+        (v, i) => when(v > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 
