@@ -103,12 +103,16 @@ object TextFunctions {
     }
   }
 
-  private val truncateSlugUdf =
-    udf((slug: String, length: Int) => truncateSlug(slug, length))
-
-  /** Full slugify (normalize + length cap), default cap 90 as the reference. */
-  def slugify(c: Column, length: Int = 90): Column =
-    truncateSlugUdf(slugifyNorm(c), lit(length))
+  /** Full slugify (normalize + length cap), default cap 90 as the
+    * reference. The cap is a native Catalyst expression
+    * ([[graft.functions.SlugTruncate]]) with codegen — no UDF boxing.
+    */
+  def slugify(c: Column, length: Int = 90): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.SlugTruncate(
+      GraftBridge.expression(slugifyNorm(c)),
+      org.apache.spark.sql.catalyst.expressions.Literal(length)))
+  }
 
   /** Collapse all non-word runs (unicode-aware, matching Python re.UNICODE
     * at odgovlt.py:75) to single spaces and trim (odgovlt.py:74-76).
