@@ -59,6 +59,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
+    "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
@@ -441,6 +442,24 @@ object SparkEntry {
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+    "q_embed_neardup" -> s"""
+         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bk AS (SELECT vec_id, v,
+                  (SELECT CAST(sum(CASE WHEN
+                       list_reduce(list_transform(list_zip(v,
+                         list_transform(range(0, 64), d ->
+                           (${hexIntSql("p::VARCHAR || ':' || d::VARCHAR")}
+                            / 2147483648.0 - 1.0))),
+                         x -> x[1] * x[2]), (acc, y) -> acc + y) >= 0
+                       THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+                   FROM range(0, ${Similarity.HyperPlanes}) r(p)) AS bucket
+                FROM c)
+         SELECT a_id, b_id, cos FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${cosSql("a.v", "b.v")} AS cos
+           FROM bk a JOIN bk b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         WHERE cos >= 0.4 ORDER BY a_id, b_id""",
     "q_text_stats" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                      FROM documents)

@@ -71,6 +71,46 @@ object Similarity {
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cx")).as("centroid"))
 
+  val HyperPlanes = 8
+
+  /** Deterministic random hyperplanes: component (p,d) derives from the md5
+    * of "p:d" scaled to [-1, 1) — reproducible in any engine, like every
+    * other hash in this library.
+    */
+  def planeComponents(dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until HyperPlanes).map { p =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+      }
+    }
+  }
+
+  /** Embedding near-dup pairs via sign-bit (random hyperplane) LSH:
+    * bucket = sign pattern of 8 hyperplane dot products; only same-bucket
+    * pairs pay the exact cosine, kept at cosine ≥ 0.4.
+    *
+    * The scale path for embedding dedup: bucketing replaces the quadratic
+    * all-pairs with one groupBy-equal-bucket join; recall is tunable via
+    * bands of planes exactly like MinHash-LSH.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val planes = planeComponents(64)
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      when(dot(col("v"), typedLit(w)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = c.select(col("vec_id"), col("v"), bucket.as("bucket")).cache()
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(cosine(col("a.v"), col("b.v")), 9).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
   /** IVF-style ANN: route each query to its nearest centroid (10 clusters),
     * then exact top-3 within that cluster only — the corpus outside the
     * probed cluster is never scanned.
