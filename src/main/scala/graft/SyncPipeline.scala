@@ -35,10 +35,11 @@ object SyncPipeline {
         array_sort(collect_set(col("p_name"))).as("group_names"),
         array_join(array_sort(collect_set(col("p_type"))), ",").as("type_csv"))
 
-  /** The flagship flat package projection: every field of the reference's
-    * package dict that is scalar/joinable, flattened for oracle comparison.
+  /** Shared assembly: joins + derived columns with arrays kept as arrays —
+    * the flat (oracle) and document (JSON) projections both read this plan,
+    * so the tag pipeline and group collection run once, not twice.
     */
-  def packageFlat(s: SparkSession, dir: String): DataFrame = {
+  private def assembled(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     // dim halved so the default path (odgovlt.py:195-203) actually fires
     val users = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
@@ -57,37 +58,68 @@ object SyncPipeline {
         coalesce(col("c_name"), lit("Unknown User")).as("owner_name"),
         coalesce(col("n_name"), lit("Unknown organization")).as("org_name"),
         coalesce(col("r_name"), lit("Unknown region")).as("org_region"),
-        coalesce(array_join(col("group_names"), "|"), lit("")).as("groups"),
-        coalesce(size(col("group_names")), lit(0)).cast("int").as("n_groups"),
-        array_join(TextFunctions.packageTags(coalesce(col("type_csv"), lit(""))), "|")
-          .as("tags"),
+        coalesce(col("group_names"), array().cast("array<string>")).as("group_arr"),
+        TextFunctions.packageTags(coalesce(col("type_csv"), lit(""))).as("tag_arr"),
         date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("created_iso"),
         col("o_custkey").cast("string").as("extras_kodas"))
-      .orderBy("o_orderkey")
   }
+
+  /** The flagship flat package projection: every field of the reference's
+    * package dict that is scalar/joinable, flattened for oracle comparison.
+    */
+  def packageFlat(s: SparkSession, dir: String): DataFrame =
+    assembled(s, dir)
+      .select(
+        col("o_orderkey"), col("name_slug"), col("owner_name"),
+        col("org_name"), col("org_region"),
+        array_join(col("group_arr"), "|").as("groups"),
+        size(col("group_arr")).cast("int").as("n_groups"),
+        array_join(col("tag_arr"), "|").as("tags"),
+        col("created_iso"), col("extras_kodas"))
+      .orderBy("o_orderkey")
 
   /** The nested package document (P4, odgovlt.py:383-406): arrays of structs
     * for tags/groups/extras inside one document, serialized to JSON the way
     * the reference round-trips rows (odgovlt.py:363). Field order in the
     * struct fixes the JSON key order, so output is deterministic.
     */
-  def packageDoc(s: SparkSession, dir: String): DataFrame = {
-    val flat = packageFlat(s, dir)
-    flat.select(
-      col("o_orderkey"),
-      to_json(struct(
-        col("name_slug").as("name"),
-        col("owner_name").as("maintainer"),
-        col("org_name").as("owner_org"),
-        when(col("tags") === "", array().cast("array<string>"))
-          .otherwise(split(col("tags"), "\\|")).as("tags"),
-        when(col("groups") === "", array().cast("array<string>"))
-          .otherwise(split(col("groups"), "\\|")).as("groups"),
-        array(
-          struct(lit("Šaltinis").as("key"), lit("IVPK IRS").as("value")),
-          struct(lit("Kodas").as("key"), col("extras_kodas").as("value"))).as("extras"),
-        col("created_iso").as("metadata_created"))).as("package_json"))
+  def packageDoc(s: SparkSession, dir: String): DataFrame =
+    assembled(s, dir)
+      .select(
+        col("o_orderkey"),
+        to_json(struct(
+          col("name_slug").as("name"),
+          col("owner_name").as("maintainer"),
+          col("org_name").as("owner_org"),
+          col("tag_arr").as("tags"),
+          col("group_arr").as("groups"),
+          array(
+            struct(lit("Šaltinis").as("key"), lit("IVPK IRS").as("value")),
+            struct(lit("Kodas").as("key"), col("extras_kodas").as("value"))).as("extras"),
+          col("created_iso").as("metadata_created"))).as("package_json"))
       .orderBy("o_orderkey")
+
+  /** K1: the gather stage's queue sink (odgovlt.py:362-366) — each published
+    * source row serialized to a JSON work item in a staging location. The
+    * staging write is the exactly-once boundary between gather and import
+    * (SURVEY.md §2.9); Parquet stands in for the HarvestObject store.
+    */
+  def gatherToStaging(s: SparkSession, dir: String, stagingDir: String): Unit =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(
+        col("o_orderkey").as("guid"),
+        to_json(struct(col("*"))).as("content"))
+      .write.mode("overwrite").parquet(stagingDir)
+
+  /** K2: the import stage's queue source (odgovlt.py:378) — parse the JSON
+    * payloads back into typed records (schema from the source catalog).
+    */
+  def importFromStaging(s: SparkSession, dir: String, stagingDir: String): DataFrame = {
+    val schema = t(s, dir, "orders").schema
+    s.read.parquet(stagingDir)
+      .select(col("guid"), from_json(col("content"), schema).as("rec"))
+      .select((Seq(col("guid")) ++ schema.fieldNames.map(f => col(s"rec.$f"))): _*)
   }
 
   /** K3-K5 merge-set computation (the upsert/delete semantics of

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §4 scale notes). AQE's skew-join
+  * handling covers sort-merge joins at runtime; these cover the cases AQE
+  * does not: hash aggregations over hot keys and broadcast-averse joins
+  * where one key dominates.
+  *
+  * Both transformations preserve results exactly — they only change the
+  * partitioning of intermediate state.
+  */
+object SkewOps {
+
+  /** Salted equi-join: the probe side scatters each row to one of `salt`
+    * sub-keys; the build side replicates every row to all `salt` sub-keys.
+    * A single hot key then lands on `salt` reducers instead of one.
+    * The salt is `rand(seed)`-derived — deterministic per seed, and the
+    * join result is identical to the unsalted join regardless of salt.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, salt: Int, seed: Long = 42L): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      (F.rand(seed) * salt).cast("int"))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedProbe.join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) &&
+          saltedProbe("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation: partial aggregate on (key, salt), then
+    * final aggregate on key — bounds any single reducer's input to
+    * 1/salt of the hottest key. Catalyst's map-side partial aggregation
+    * already gives this within a task; the explicit salt handles the
+    * reducer-side hot spot that partials can't.
+    */
+  def saltedCount(df: DataFrame, key: String, salt: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SkewOps
+
+/** Salted join/aggregation preserve results exactly; the staging queue
+  * round-trip (K1/K2) is lossless.
+  */
+class SkewAndStagingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin equals the plain join") {
+    val orders = Tables.table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val customer = Tables.table(spark, sf, "customer").select("c_custkey", "c_name")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = SkewOps.saltedJoin(orders, customer, "o_custkey", "c_custkey", salt = 8)
+      .select("o_orderkey", "c_name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.toList == plain.toList)
+  }
+
+  test("saltedCount equals the plain groupBy count") {
+    val orders = Tables.table(spark, sf, "orders")
+    val plain = orders.groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SkewOps.saltedCount(orders, "o_custkey", salt = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("staging queue round-trip is lossless (K1 gather -> K2 import)") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    SyncPipeline.gatherToStaging(spark, sf, staging)
+    val back = SyncPipeline.importFromStaging(spark, sf, staging)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sorted
+    val orig = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sorted
+    assert(back.nonEmpty)
+    assert(back.toList == orig.toList)
+  }
+}
