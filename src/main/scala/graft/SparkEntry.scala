@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{CoreOps, HierarchyOps, MultimodalOps, StringOps}
+import graft.ops.{AsofOps, CoreOps, HierarchyOps, MultimodalOps, StringOps}
 import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
@@ -63,6 +63,9 @@ object SparkEntry {
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "q_a9_rollup" -> (CoreOps.a9Rollup _),
+    "q_j8_asof" -> (AsofOps.asofClick _),
+    "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
     "q_w3_sessionize" -> (StreamOps.sessionizeBatch _),
     "q_mm_features" -> (MultimodalOps.features _),
@@ -499,6 +502,37 @@ object SparkEntry {
                     list_transform(toks, w -> ${hexIntSql("w")})),
                   (a, b) -> (a*31 + b) % 2147483647) AS fp
          FROM tk ORDER BY doc_id""",
+    "q_a9_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_j8_asof" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_event_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         errors AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, e.ts,
+                coalesce(c.click_event_id, -1) AS click_event_id,
+                coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+         FROM errors e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
+    "q_w4_sliding" ->
+      """WITH w AS (
+           SELECT unnest([
+                    make_timestamp(CAST(floor(epoch(ts)/1800)*1800*1000000 AS BIGINT)),
+                    make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - 1800)*1000000 AS BIGINT))
+                  ]) AS window_start,
+                  event_type
+           FROM events)
+         SELECT window_start, event_type, count(*) AS n_events
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_w2_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events,

@@ -172,6 +172,19 @@ object CoreOps {
         countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy("o_orderpriority")
 
+  /** A9 (beyond reference): hierarchical rollup — per (status, priority),
+    * per status, and grand total in one pass (Expand + single shuffle).
+    */
+  def a9Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total_cents"))
+      .orderBy("status", "priority")
+
   /** A7: deep change detection (was_changed, odgovlt.py:112-124) as a
     * set-oriented diff: `new` = source with a deterministic mutation on a
     * subset of keys; changed-set = keys whose *new-side* fields differ

@@ -36,6 +36,17 @@ object StreamOps {
         sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
       .orderBy("window_start", "event_type")
 
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * windows (Spark's TimeWindow expand), counted per window and type.
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("window_start", "event_type")
+
   /** Gap-based sessionization as a batch window computation: a new session
     * starts when the gap to the previous event of the same user exceeds
     * 30 minutes; session id = running count of session starts.

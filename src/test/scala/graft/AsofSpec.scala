@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.AsofOps
+import java.sql.Timestamp
+
+/** As-of join edge semantics: inclusive equal-timestamp match, miss before
+  * first right row, latest-wins across multiple right rows, key isolation.
+  */
+class AsofSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive ties, misses, latest-wins, per-key isolation") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 09:00:00")), // before any right row → miss
+      (101L, 1L, ts("2024-01-01 10:00:00")), // equal ts → inclusive match
+      (102L, 1L, ts("2024-01-01 12:00:00")), // after two → latest wins
+      (103L, 2L, ts("2024-01-01 12:00:00"))  // other key → isolated miss
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),
+      (1L, ts("2024-01-01 11:00:00"), 8L)
+    ).toDF("user_id", "ts", "payload")
+    val got = AsofOps.asofJoin(left, right, "user_id", "ts", Seq("payload"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toList == List(
+      (100L, -1L), (101L, 7L), (102L, 8L), (103L, -1L)))
+  }
+}
