@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // harness tables are single small parquet files; without a lower
+      // split size every scan is one task and the cores idle until the
+      // first shuffle (a cluster run has many files and keeps the default)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen + parquet footer listing, so startup cost is not

@@ -122,9 +122,13 @@ object CoreOps {
       .join(broadcast(t(s, dir, "part").select("p_partkey", "p_name")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
-      .agg(
-        array_join(array_sort(collect_set(col("p_name"))), "|").as("groups"),
-        countDistinct(col("p_name")).as("n_groups"))
+      .agg(array_sort(collect_set(col("p_name"))).as("gset"))
+      // n_groups = |collect_set| — a second countDistinct agg would force
+      // an Expand + extra aggregation pass for the same answer
+      .select(
+        col("l_orderkey"),
+        array_join(col("gset"), "|").as("groups"),
+        size(col("gset")).cast("long").as("n_groups"))
       .orderBy("l_orderkey")
 
   /** J6/SO3: left-semi (EXISTS) — customers having at least one order. */
