@@ -70,6 +70,7 @@ object SparkEntry {
     "q_w3_sessionize" -> (StreamOps.sessionizeBatch _),
     "q_mm_features" -> (MultimodalOps.features _),
     "q_mm_decode" -> (MultimodalOps.mmDecode _),
+    "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -571,5 +572,19 @@ object SparkEntry {
                         c -> unicode(c)))::DOUBLE
                       / octet_length(encode(text))::DOUBLE, 6) AS mean_byte
          FROM documents ORDER BY doc_id""",
+    // text is ASCII, so byte-slicing the blob equals char-slicing the text
+    "q_mm_frames" -> s"""
+         WITH fr AS (
+           SELECT doc_id,
+                  CAST(ceil(octet_length(encode(text))::DOUBLE
+                            / ${MultimodalOps.FrameBytes}) AS INT) AS n_frames,
+                  unnest(range(0, ((octet_length(encode(text)) - 1)
+                                   // ${MultimodalOps.FrameBytes}) + 1)) AS frame_idx,
+                  text
+           FROM documents)
+         SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+                md5(substr(text, CAST(frame_idx * ${MultimodalOps.FrameBytes} + 1 AS INT),
+                           ${MultimodalOps.FrameBytes})) AS frame_digest
+         FROM fr WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""",
   )
 }

@@ -105,4 +105,27 @@ object MultimodalOps {
       .select(col("doc_id"), col("n_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"))
       .orderBy("doc_id")
+
+  val FrameBytes = 64
+
+  /** Frame sampling (the video-frame / audio-chunk analog): slice the blob
+    * into fixed-size frames row-locally, emit every 4th frame's digest —
+    * the access pattern a frame extractor uses, minus the codec. substring
+    * on binary stays inside codegen; no shuffle.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    blobTable(s, dir)
+      .select(
+        col("doc_id"),
+        ceil(length(col("blob")).cast("double") / FrameBytes).cast("int").as("n_frames"),
+        posexplode(
+          transform(
+            sequence(lit(0), ((length(col("blob")) - 1) / FrameBytes).cast("int")),
+            i => col("blob").substr((i * FrameBytes + 1).cast("int"), lit(FrameBytes)))))
+      .filter(col("pos") % 4 === 0)
+      .select(
+        col("doc_id"), col("n_frames"),
+        col("pos").cast("int").as("frame_idx"),
+        md5(col("col")).as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties .explain verified
+  * by hand (pushdown, pruning, broadcast strategy, rank-limit pushdown,
+  * shuffle counts) asserted so refactors can't silently lose them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filtered scan pushes the predicate and prunes columns") {
+    val p = plan("q_s3_filtered_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"))
+    assert(!p.contains("o_orderdate"), "unreferenced columns must not be read")
+  }
+
+  test("dimension joins are broadcast, never sort-merge") {
+    for (q <- Seq("q_j1_left_defaults", "q_j2_dim_chain", "q_j3_bridge_groups")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge a dim join")
+    }
+  }
+
+  test("row-local string pipelines have exactly one exchange (the final sort)") {
+    for (q <- Seq("q_sf5_package_tags", "q_sf2_slugify_norm", "q_mm_features")) {
+      val p = plan(q)
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q should shuffle only for the output sort, got $exchanges:\n$p")
+    }
+  }
+
+  test("top-k windows push the rank limit below the full sort") {
+    for (q <- Seq("q_w1_topk", "q_embed_topk")) {
+      assert(plan(q).contains("WindowGroupLimit"), s"$q should pre-limit per group")
+    }
+  }
+
+  test("semi/anti joins stay semi/anti (no row explosion)") {
+    assert(plan("q_j6_semi").contains("LeftSemi"))
+    assert(plan("q_j7_anti").contains("LeftAnti"))
+  }
+}
