@@ -39,8 +39,9 @@ object SyncPipeline {
     * the flat (oracle) and document (JSON) projections both read this plan,
     * so the tag pipeline and group collection run once, not twice.
     */
-  private def assembled(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
+  private[graft] def assembled(s: SparkSession, dir: String,
+      ordersOverride: Option[DataFrame] = None): DataFrame = {
+    val orders = ordersOverride.getOrElse(t(s, dir, "orders"))
     // dim halved so the default path (odgovlt.py:195-203) actually fires
     val users = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
     val nations = t(s, dir, "nation")

@@ -37,6 +37,21 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("SyncJob end-to-end: staged assembly equals direct assembly on published rows") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-syncjob").toString
+    val result = SyncJob.run(spark, sf, staging)
+    val viaJob = result.packages.select("o_orderkey", "name_slug", "owner_name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val direct = SyncPipeline.packageFlat(spark, sf)
+      .join(Tables.table(spark, sf, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "name_slug", "owner_name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(viaJob.nonEmpty)
+    assert(viaJob.toList == direct.toList)
+    assert(result.actions.count() > 0)
+  }
+
   test("staging queue round-trip is lossless (K1 gather -> K2 import)") {
     val staging = java.nio.file.Files.createTempDirectory("graft-staging").toString
     SyncPipeline.gatherToStaging(spark, sf, staging)
