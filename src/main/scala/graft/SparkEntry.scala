@@ -465,7 +465,7 @@ object SparkEntry {
              ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          WHERE cos >= 0.4 ORDER BY a_id, b_id""",
     "q_text_stats" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      """WITH tk AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
                      FROM documents)
          SELECT doc_id,
                 CAST(len(toks) AS INT) AS n_tokens,
@@ -475,25 +475,36 @@ object SparkEntry {
                 round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS ttr,
                 round(len(list_filter(toks,
                         w -> list_contains(['the','a','of','and'], w)))::DOUBLE
-                      / len(toks)::DOUBLE, 6) AS stop_ratio
+                      / len(toks)::DOUBLE, 6) AS stop_ratio,
+                CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
+                  AS n_regex_tokens
          FROM tk ORDER BY doc_id""",
-    "q_text_langid" ->
-      """WITH tk AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
-                     FROM documents),
-         sc AS (SELECT doc_id, lang AS labeled_lang,
-                  len(list_filter(toks, w -> list_contains(['window','batch','group'], w))) AS s_de,
-                  len(list_filter(toks, w -> list_contains(['the','a','data'], w))) AS s_en,
-                  len(list_filter(toks, w -> list_contains(['query','row','filter'], w))) AS s_es,
-                  len(list_filter(toks, w -> list_contains(['table','line','merge'], w))) AS s_fr,
-                  len(list_filter(toks, w -> list_contains(['vector','stream','hash'], w))) AS s_zh
-                FROM tk)
+    "q_text_langid" -> {
+      def profileSql(lang: String): String =
+        TextAnalysis.langProfile(lang).map(g => s"'$g'").mkString("[", ", ", "]")
+      s"""WITH cg AS (SELECT doc_id, lang, string_split(lower(text), '') AS cs
+                      FROM documents),
+         gr AS (SELECT doc_id, lang AS labeled_lang,
+                  CASE WHEN len(cs) >= 3
+                       THEN list_distinct(list_transform(range(1, len(cs) - 1),
+                              i -> cs[i] || cs[i+1] || cs[i+2]))
+                       ELSE [array_to_string(cs, '')] END AS grams
+                FROM cg),
+         sc AS (SELECT doc_id, labeled_lang,
+                  len(list_intersect(grams, ${profileSql("de")})) AS s_de,
+                  len(list_intersect(grams, ${profileSql("en")})) AS s_en,
+                  len(list_intersect(grams, ${profileSql("es")})) AS s_es,
+                  len(list_intersect(grams, ${profileSql("fr")})) AS s_fr,
+                  len(list_intersect(grams, ${profileSql("zh")})) AS s_zh
+                FROM gr)
          SELECT doc_id, labeled_lang,
                 CASE WHEN s_de = smax THEN 'de' WHEN s_en = smax THEN 'en'
                      WHEN s_es = smax THEN 'es' WHEN s_fr = smax THEN 'fr'
                      ELSE 'zh' END AS pred_lang,
                 CAST(smax AS INT) AS score
          FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS smax FROM sc)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""
+    },
     "q_text_fingerprint" -> s"""
          WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                      FROM documents)

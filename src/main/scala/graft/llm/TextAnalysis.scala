@@ -16,9 +16,9 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and")
 
-  /** Marker vocab per language for the n-gram-heuristic language ID
-    * (deterministic stand-in for a char-n-gram model; the harness corpus is
-    * a closed 31-word vocabulary).
+  /** Marker vocab per language, from which the char-trigram profiles are
+    * derived (the harness corpus is a closed 31-word vocabulary, so real
+    * language profiles would never fire; the MECHANISM is the point).
     */
   val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("window", "batch", "group"),
@@ -27,8 +27,28 @@ object TextAnalysis {
     "fr" -> Seq("table", "line", "merge"),
     "zh" -> Seq("vector", "stream", "hash"))
 
-  private def markerScore(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, w => w.isin(markers.map(x => x: Any): _*)))
+  /** Char-trigram profile of a language: the distinct trigrams of its
+    * marker text — ONE pure-Scala definition feeds both the Spark literals
+    * and the oracle SQL literals, so the two engines score identically.
+    */
+  def langProfile(lang: String): Seq[String] =
+    langMarkers(lang).mkString(" ").toLowerCase.sliding(3).toSeq.distinct
+
+  /** All distinct char trigrams of a document (the n-gram side of the
+    * n-gram-heuristic language ID). Built with the slice-zip form —
+    * constant number of evaluations of the char array per row.
+    */
+  def charTrigrams(text: Column): Column = {
+    val cs = split(lower(text), "")
+    val n = size(cs)
+    when(n >= 3,
+      array_distinct(zip_with(
+        slice(cs, lit(1), n - 2),
+        zip_with(slice(cs, lit(2), n - 2), slice(cs, lit(3), n - 2),
+          (b, c) => concat(b, c)),
+        (a, bc) => concat(a, bc))))
+      .otherwise(array(lower(text)))
+  }
 
   /** Quality/statistics profile per document. */
   def stats(s: SparkSession, dir: String): DataFrame = {
@@ -46,17 +66,23 @@ object TextAnalysis {
         round(size(array_distinct(col("toks"))).cast("double") /
           size(col("toks")).cast("double"), 6).as("ttr"),
         round(size(filter(col("toks"), w => w.isin(stopwords.map(x => x: Any): _*)))
-          .cast("double") / size(col("toks")).cast("double"), 6).as("stop_ratio"))
+          .cast("double") / size(col("toks")).cast("double"), 6).as("stop_ratio"),
+        // BPE-ish pre-tokenizer piece count: word runs + lone non-space symbols
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("int").as("n_regex_tokens"))
       .orderBy("doc_id")
   }
 
-  /** Language ID: argmax of marker-hit counts, ties broken alphabetically
-    * (first-match CASE over langs in sorted order — same rule in the oracle).
+  /** Language ID (char-n-gram heuristic): score each language by how many
+    * of its profile trigrams occur in the document's trigram set; argmax
+    * with alphabetical tie-break (first-match CASE over sorted langs —
+    * same rule in the oracle). Row-local: one trigram set per doc, five
+    * array intersections, zero shuffles.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> markerScore(col("toks"), markers)
+    val scores = langMarkers.keys.toSeq.sorted.map { lang =>
+      lang -> size(array_intersect(col("grams"),
+        array(langProfile(lang).map(lit): _*)))
     }
     val smax = greatest(scores.map(_._2): _*)
     val pred = scores.tail.foldLeft(
@@ -64,7 +90,7 @@ object TextAnalysis {
       case (acc, (lang, sc)) => acc.when(sc === smax, lang)
     }
     t(s, dir, "documents")
-      .withColumn("toks", toks)
+      .withColumn("grams", charTrigrams(col("text")))
       .select(
         col("doc_id"), col("lang").as("labeled_lang"),
         pred.as("pred_lang"), smax.cast("int").as("score"))
