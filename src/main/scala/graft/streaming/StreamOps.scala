@@ -84,6 +84,45 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same content digest
+    * inside the watermark horizon — the streaming form of Dedup.exact.
+    * State is bounded by the watermark (digests older than the horizon are
+    * evicted), which is what makes exact dedup feasible on an unbounded
+    * 100 TB/day stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("digest")
+
+  /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
+    * diff-and-merge upgraded to a stream): every micro-batch is merged into
+    * the Parquet target — new keys appended, existing keys rewritten with
+    * the latest value, all other rows carried over. Idempotent per batch,
+    * so replays converge to the same target state.
+    *
+    * (On a real deployment the target would be a transactional table
+    * format; the read-merge-overwrite here keeps the same observable
+    * semantics on plain Parquet.)
+    */
+  def incrementalSync(batch: DataFrame, targetDir: String, key: String): Unit = {
+    val s = batch.sparkSession
+    val existing =
+      try Some(s.read.parquet(targetDir)) catch { case _: Throwable => None }
+    val merged = existing match {
+      case Some(t) =>
+        t.join(batch.select(key), Seq(key), "left_anti").unionByName(batch)
+      case None => batch
+    }
+    val tmp = targetDir + "__staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(targetDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

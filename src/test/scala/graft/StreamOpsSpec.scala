@@ -91,6 +91,38 @@ class StreamOpsSpec extends AnyFunSuite {
       (9L, "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("dedupStream drops redelivered digests inside the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(Seq(
+      (ts("2024-01-01 10:00:00"), "d1"),
+      (ts("2024-01-01 10:05:00"), "d1"), // duplicate within watermark
+      (ts("2024-01-01 10:10:00"), "d2")))
+    val q = StreamOps.dedupStream(mem.toDF.toDF("ts", "digest"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup").select("digest").collect().map(_.getString(0)).sorted
+    assert(got.toList == List("d1", "d2"))
+  }
+
+  test("incrementalSync: batches converge to latest-value-per-key target state") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft-sync").toString + "/t"
+    val b1 = Seq((1L, "v1"), (2L, "v1")).toDF("k", "v")
+    val b2 = Seq((2L, "v2"), (3L, "v1")).toDF("k", "v")
+    StreamOps.incrementalSync(b1, target, "k")
+    StreamOps.incrementalSync(b2, target, "k")
+    // replay of batch 2 must be a no-op (idempotence)
+    StreamOps.incrementalSync(b2, target, "k")
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(got.toList == List(1L -> "v1", 2L -> "v2", 3L -> "v1"))
+  }
+
   test("multimodal: batched mapPartitions decode agrees with expression path") {
     val exprPath = MultimodalOps.features(spark, sf)
       .select("doc_id", "n_bytes").collect()
