@@ -63,6 +63,7 @@ object SparkEntry {
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a9_rollup" -> (CoreOps.a9Rollup _),
     "q_j8_asof" -> (AsofOps.asofClick _),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
@@ -514,6 +515,26 @@ object SparkEntry {
                     list_transform(toks, w -> ${hexIntSql("w")})),
                   (a, b) -> (a*31 + b) % 2147483647) AS fp
          FROM tk ORDER BY doc_id""",
+    "q_a7b_prefix_diff" ->
+      """WITH g AS (
+           SELECT l_orderkey, list_sort(list(DISTINCT p_name)) AS old_list
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY l_orderkey),
+         m AS (
+           SELECT l_orderkey AS n_orderkey,
+                  CASE WHEN l_orderkey % 7 = 0
+                       THEN list_concat(['MUTATED'], old_list[2:])
+                       ELSE old_list[1:greatest(len(old_list) - 1, 1)]
+                  END AS new_list
+           FROM g)
+         SELECT l_orderkey,
+                array_to_string(new_list, '|') AS new_groups
+         FROM g JOIN m ON l_orderkey = n_orderkey
+         WHERE len(list_filter(
+                 list_transform(range(1, least(len(old_list), len(new_list)) + 1),
+                   i -> old_list[i] <> new_list[i]),
+                 x -> x)) > 0
+         ORDER BY l_orderkey""",
     "q_a9_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
                 coalesce(o_orderpriority, '(all)') AS priority,

@@ -211,6 +211,39 @@ object CoreOps {
       .orderBy("o_orderkey")
   }
 
+  /** A7b: the reference's list-prefix diff semantics (odgovlt.py:116-119 —
+    * `was_changed` zips lists and compares only the COMMON PREFIX, so a
+    * target list that merely has extra trailing elements is "unchanged").
+    * Demonstrated over per-order collected part-name lists: the "new" side
+    * drops the last element and mutates every 7th order's first element;
+    * only the mutation fires the diff — the shorter list alone does not.
+    */
+  def a7bPrefixDiff(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_name"))).as("old_list"))
+    val mutated = groups.select(
+      col("l_orderkey").as("n_orderkey"),
+      when(col("l_orderkey") % 7 === 0,
+        concat(array(lit("MUTATED")), slice(col("old_list"), lit(2), lit(10000))))
+        .otherwise(slice(col("old_list"), lit(1), greatest(size(col("old_list")) - 1, lit(1))))
+        .as("new_list"))
+    groups.join(mutated, col("l_orderkey") === col("n_orderkey"))
+      .withColumn("prefix_len",
+        least(size(col("old_list")), size(col("new_list"))))
+      .filter(exists(
+        zip_with(
+          slice(col("old_list"), lit(1), col("prefix_len")),
+          slice(col("new_list"), lit(1), col("prefix_len")),
+          (a, b) => a =!= b),
+        x => x))
+      .select(col("l_orderkey"), array_join(col("new_list"), "|").as("new_groups"))
+      .orderBy("l_orderkey")
+  }
+
   // ---- set operations ------------------------------------------------------
 
   /** SO1: set difference (stale-group delete set, odgovlt.py:312):
