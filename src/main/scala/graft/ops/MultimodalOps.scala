@@ -106,6 +106,36 @@ object MultimodalOps {
         round(col("mean_byte"), 6).as("mean_byte"))
       .orderBy("doc_id")
 
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("blob", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Resize STUB: byte-stride downsampling standing in for a real image
+    * resize (nearest-neighbor over a byte plane). The batching/schema
+    * contract is the real part — a codec-backed resize drops into
+    * `resizeOne` unchanged. Partition-preserving, no shuffle.
+    */
+  def resize(s: SparkSession, dir: String, stride: Int): DataFrame = {
+    def resizeOne(blob: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte]((blob.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = blob(i * stride); i += 1 }
+      out
+    }
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizedSchema)
+    blobTable(s, dir).mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val meta = r.getAs[Row]("meta")
+          Row(r.getLong(0), resizeOne(r.getAs[Array[Byte]]("blob")),
+            meta.getInt(0) / stride, meta.getInt(1) / stride)
+        }
+      }
+    }(enc)
+  }
+
   val FrameBytes = 64
 
   /** Frame sampling (the video-frame / audio-chunk analog): slice the blob

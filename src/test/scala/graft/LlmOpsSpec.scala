@@ -89,14 +89,35 @@ class LlmOpsSpec extends AnyFunSuite {
     // by construction; the oracle pins exactness of the computation instead.
   }
 
-  test("language ID is deterministic and scores are marker hit counts") {
-    import spark.implicits._
-    val one = Seq((1L, "xx", "the the a data vector")).toDF("doc_id", "lang", "text")
-      .createOrReplaceTempView("ignored") // not used; direct column test below
-    val toks = TextHash.tokens(lit("the the a data vector"))
-    val score = size(filter(toks, w => w.isin("the", "a", "data")))
+  test("language ID: profile overlap scoring is deterministic") {
+    // a doc made only of 'en' marker text maximizes the en profile overlap
+    val enText = TextAnalysis.langMarkers("en").mkString(" ")
+    val score = size(array_intersect(
+      TextAnalysis.charTrigrams(lit(enText)),
+      array(TextAnalysis.langProfile("en").map(lit): _*)))
     val got = spark.range(1).select(score.as("s")).collect()(0).getInt(0)
-    assert(got == 4) // the,the,a,data — occurrences count, not distinct
+    assert(got == TextAnalysis.langProfile("en").size)
+  }
+
+  test("row-local minhashSig fold equals the explode+aggregate signature") {
+    // two formulations of the same signature must agree (the fold is the
+    // zero-shuffle variant; Dedup uses the codegen'd explode form)
+    val docs = Tables.table(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), TextHash.shingles3(TextHash.tokens(col("text"))).as("grams"))
+    val folded = docs
+      .select(col("doc_id"), TextHash.minhashSig(col("grams"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val exploded = docs
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), TextHash.md5Long(col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        (0 until 8).map(s =>
+          min((col("h") * (2 * s + 1) + s * 12582917L) % TextHash.MinhashPrime).as(s"m$s")).head,
+        (1 until 8).map(s =>
+          min((col("h") * (2 * s + 1) + s * 12582917L) % TextHash.MinhashPrime).as(s"m$s")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toList).toMap
+    assert(folded == exploded)
   }
 
   test("fingerprint is order-sensitive") {

@@ -123,6 +123,18 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toList == List(1L -> "v1", 2L -> "v2", 3L -> "v1"))
   }
 
+  test("multimodal: resize stub downsamples blob and metadata consistently") {
+    val rows = MultimodalOps.resize(spark, sf, stride = 4).collect()
+    val orig = MultimodalOps.blobTable(spark, sf)
+      .select(col("doc_id"), length(col("blob")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = (orig(r.getLong(0)) + 3) / 4
+      assert(r.getAs[Array[Byte]](1).length == expected)
+    }
+  }
+
   test("multimodal: batched mapPartitions decode agrees with expression path") {
     val exprPath = MultimodalOps.features(spark, sf)
       .select("doc_id", "n_bytes").collect()
