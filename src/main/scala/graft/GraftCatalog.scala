@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.SlugTruncate
+
+/** SQL-surface registration: mounts the star schema and the engine's derived
+  * relations as temp views and registers the native functions, so the whole
+  * library is reachable from `spark.sql(...)` — the switchover surface for a
+  * user of the reference (their five legacy tables become views the same
+  * way via [[graft.sources.JdbcTables]]).
+  */
+object GraftCatalog {
+
+  /** Register base tables, derived views, and functions on the session. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    Tables.names.foreach { n =>
+      Tables.table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+    SyncPipeline.packageFlat(spark, sfDir).createOrReplaceTempView("package_flat")
+    SyncPipeline.mergeActions(spark, sfDir).createOrReplaceTempView("merge_actions")
+    graft.ops.HierarchyOps.j5Tree(spark, sfDir).createOrReplaceTempView("category_tree")
+    registerFunctions(spark)
+  }
+
+  /** Register the native SQL functions only (idempotent). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(SlugTruncate.identifier))
+      reg.registerFunction(SlugTruncate.identifier, SlugTruncate.info,
+        SlugTruncate.builder)
+  }
+}

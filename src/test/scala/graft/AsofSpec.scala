@@ -18,6 +18,31 @@ class AsofSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("asofJoin matches a naive reference implementation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rights = (1 to 300).map { i =>
+      (rnd.nextInt(10).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(86400) * 1000L, i.toLong)
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, ts)
+    val lefts = (1 to 200).map { i =>
+      (1000L + i, rnd.nextInt(10).toLong,
+        ts("2024-01-01 00:00:00").getTime + rnd.nextInt(86400) * 1000L)
+    }
+    val leftDf = lefts.map { case (id, k, t) => (id, k, new Timestamp(t)) }
+      .toDF("event_id", "user_id", "ts")
+    val rightDf = rights.map { case (k, t, p) => (k, new Timestamp(t), p) }
+      .toDF("user_id", "ts", "payload")
+    val got = AsofOps.asofJoin(leftDf, rightDf, "user_id", "ts", Seq("payload"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // naive: per left row, scan all right rows
+    lefts.foreach { case (id, k, t) =>
+      val expected = rights.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) == expected, s"left $id key $k")
+    }
+  }
+
   test("asofJoin: inclusive ties, misses, latest-wins, per-key isolation") {
     import spark.implicits._
     val left = Seq(

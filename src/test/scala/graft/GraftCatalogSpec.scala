@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: base tables, derived views, and native functions are
+  * reachable from spark.sql after registration.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("registered views and functions answer SQL end to end") {
+    GraftCatalog.register(spark, "/root/testdata/sf0.001")
+    val joined = spark.sql("""
+      SELECT p.o_orderkey, p.owner_name, t.root_name,
+             slug_truncate(p.name_slug, 20) AS short_slug
+      FROM package_flat p
+      JOIN orders o ON p.o_orderkey = o.o_orderkey
+      LEFT JOIN category_tree t ON t.node_id = o.o_custkey % 5 + 1
+      WHERE p.n_groups > 0
+      ORDER BY p.o_orderkey LIMIT 10""").collect()
+    assert(joined.length == 10)
+    joined.foreach { r =>
+      assert(r.getString(3).length <= 20 || !r.getString(3).contains("--"))
+    }
+    val actions = spark.sql(
+      "SELECT action, count(*) FROM merge_actions GROUP BY action").collect()
+    assert(actions.map(_.getString(0)).toSet == Set("create", "update", "delete"))
+  }
+}
