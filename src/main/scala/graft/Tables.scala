@@ -41,12 +41,16 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integer DIV, not `/`: double division loses the low microsecond on
-      // 19-digit nanos values
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // only the harness layout needs conversion; an events table written
+      // with a real timestamp column passes through untouched
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        // integer DIV, not `/`: double division loses the low microsecond
+        // on 19-digit nanos values
+        df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      } else df
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

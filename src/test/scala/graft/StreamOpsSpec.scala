@@ -91,6 +91,37 @@ class StreamOpsSpec extends AnyFunSuite {
       (9L, "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("sessionizeBatch matches a naive reference on random event streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + rnd.nextInt(6 * 3600) * 1000L))
+    }
+    // write to a temp parquet dir shaped like the harness events table
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    events.toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("x")).withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(dir + "/events.parquet")
+    val got = StreamOps.sessionizeBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive: sort each user's events, split on >30min gaps
+    val expected = events.groupBy(_._2).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._1))
+      var session = 0L
+      var prev = Long.MinValue
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._3.getTime - prev > 30 * 60 * 1000L) session += 1
+        counts((uid, session)) = counts.getOrElse((uid, session), 0L) + 1
+        prev = e._3.getTime
+      }
+      counts
+    }.toMap
+    assert(got == expected)
+  }
+
   test("dedupStream drops redelivered digests inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
