@@ -33,9 +33,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // per-query caches must not leak memory pressure into later queries
+      // (cleanup runs OUTSIDE the timed window)
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

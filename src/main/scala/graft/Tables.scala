@@ -40,8 +40,18 @@ object Tables {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // scoped conf flip: needed only while the footer schema is inferred;
+      // restored so the session's behavior for OTHER nanos-parquet reads is
+      // not silently changed by this library
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val df =
+        try spark.read.parquet(s"$sfDir/$name.parquet")
+        finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       // only the harness layout needs conversion; an events table written
       // with a real timestamp column passes through untouched
       if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {

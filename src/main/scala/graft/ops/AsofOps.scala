@@ -24,24 +24,36 @@ object AsofOps {
 
   /** For each `left` row: the payload of the latest `right` row of the same
     * `key` with `right.ts <= left.ts` (nulls when none precede).
+    *
+    * The payload travels as ONE struct that is non-null for every right row
+    * (a struct of nullable fields is itself non-null), so
+    * `last(ignoreNulls)` skips exactly the left-row padding — a right row
+    * whose payload columns are genuinely NULL still wins the match and
+    * yields those NULLs, instead of leaking an older non-null value.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns
-    val l = payload.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
-    val r = leftCols.filterNot(c => c == key || c == ts).foldLeft(
-      right.withColumn("__side", lit(0))) {
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(
+            p, right.schema(p).dataType)))))
+    val r = left.columns.filterNot(c => c == key || c == ts).foldLeft(
+      right
+        .withColumn("__side", lit(0))
+        .withColumn("__payload", struct(payload.map(col): _*))
+        .drop(payload: _*)) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("__side") === 1)) {
+      (df, p) => df.withColumn(p, col(s"__payload.$p"))
+    }.drop("__side", "__payload")
   }
 
   /** Declared query: for every error event, the latest preceding (or

@@ -24,11 +24,16 @@ object HierarchyOps {
     * `(node_id, name, depth, root_name, path)` with `/`-joined paths.
     */
   def treeWalk(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
-    val e = edges.select("node_id", "parent_id", "name").cache()
+    val e = edges.select("node_id", "parent_id", "name")
+    // localCheckpoint each level: the per-level isEmpty action and the
+    // final union consumer would otherwise re-execute every level's join
+    // lineage (O(depth²) joins); checkpointing materializes each
+    // catalog-sized level once and truncates its lineage
     var frontier = e.filter(col("parent_id") === 0L)
       .select(
         col("node_id"), col("name"), lit(1).as("depth"),
         col("name").as("root_name"), col("name").as("path"))
+      .localCheckpoint()
     var out = frontier
     var depth = 1
     var done = false
@@ -39,7 +44,7 @@ object HierarchyOps {
           col("c.node_id"), col("c.name"), (col("p.depth") + 1).as("depth"),
           col("p.root_name"),
           concat(col("p.path"), lit("/"), col("c.name")).as("path"))
-      // one small action per level — the frontier is catalog-sized
+        .localCheckpoint()
       if (next.isEmpty) done = true
       else {
         out = out.unionByName(next)

@@ -149,9 +149,14 @@ object MultimodalOps {
         col("doc_id"),
         ceil(length(col("blob")).cast("double") / FrameBytes).cast("int").as("n_frames"),
         posexplode(
-          transform(
-            sequence(lit(0), ((length(col("blob")) - 1) / FrameBytes).cast("int")),
-            i => col("blob").substr((i * FrameBytes + 1).cast("int"), lit(FrameBytes)))))
+          // empty blob → no frames (sequence(0, -1) would count down and
+          // emit a bogus frame; the oracle's integer floor agrees with this
+          // guard, not with truncation toward zero)
+          when(length(col("blob")) > 0,
+            transform(
+              sequence(lit(0), ((length(col("blob")) - 1) / FrameBytes).cast("int")),
+              i => col("blob").substr((i * FrameBytes + 1).cast("int"), lit(FrameBytes))))
+            .otherwise(array().cast("array<binary>"))))
       .filter(col("pos") % 4 === 0)
       .select(
         col("doc_id"), col("n_frames"),

@@ -107,20 +107,27 @@ object StreamOps {
     */
   def incrementalSync(batch: DataFrame, targetDir: String, key: String): Unit = {
     val s = batch.sparkSession
-    val existing =
-      try Some(s.read.parquet(targetDir)) catch { case _: Throwable => None }
-    val merged = existing match {
-      case Some(t) =>
-        t.join(batch.select(key), Seq(key), "left_anti").unionByName(batch)
-      case None => batch
-    }
-    val tmp = targetDir + "__staged"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(targetDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // the TARGET's filesystem, not the default one (they differ on any
+    // mixed hdfs/s3a/file deployment)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // only a genuinely absent target means "first batch" — a read failure
+    // on an existing target must abort the sync, not silently drop history
+    val merged =
+      if (fs.exists(dst))
+        s.read.parquet(targetDir)
+          .join(batch.select(key), Seq(key), "left_anti")
+          .unionByName(batch)
+      else batch
+    val staged = new org.apache.hadoop.fs.Path(targetDir + "__staged")
+    val retired = new org.apache.hadoop.fs.Path(targetDir + "__retired")
+    merged.write.mode("overwrite").parquet(staged.toString)
+    // swap: retire old, promote staged, drop retired — a crash mid-swap
+    // leaves either the old target or both copies on disk, never neither
+    fs.delete(retired, true)
+    if (fs.exists(dst)) fs.rename(dst, retired)
+    fs.rename(staged, dst)
+    fs.delete(retired, true)
   }
 
   case class Event(user_id: Long, ts: Timestamp)
@@ -131,6 +138,14 @@ object StreamOps {
   /** Stateful sessionization: one state per user, emitting a session when
     * the gap timeout fires. State size is O(active users), independent of
     * stream length — the 100 TB-safe formulation.
+    *
+    * Agrees with sessionizeBatch for in-order streams (each micro-batch is
+    * sorted internally). Cross-batch late events: one that falls inside the
+    * gap window before the current session extends it backward; one that
+    * predates the session by more than the gap is emitted as its own
+    * session immediately (the batch form, seeing all data, might have
+    * merged it with other late events — exact late-data parity would
+    * require buffering to the watermark before sessionizing).
     */
   def sessionizeStream(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
@@ -148,6 +163,10 @@ object StreamOps {
             if (st.n > 0 && tms - st.last > gapMs) {
               out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n)
               st = SessionState(tms, tms, 1L)
+            } else if (st.n > 0 && st.start - tms > gapMs) {
+              // late event older than the session by more than the gap:
+              // it can never belong to it — emit as its own point session
+              out += Session(uid, e.ts, e.ts, 1L)
             } else {
               st = SessionState(math.min(st.start, tms), math.max(st.last, tms), st.n + 1)
             }

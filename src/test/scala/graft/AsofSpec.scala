@@ -43,6 +43,18 @@ class AsofSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: a matching right row with NULL payload yields NULL, not a stale value") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(7L)),
+      (1L, ts("2024-01-01 11:00:00"), None) // latest match, genuinely null
+    ).toDF("user_id", "ts", "payload")
+    val got = AsofOps.asofJoin(left, right, "user_id", "ts", Seq("payload")).collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(3), "the ts=11:00 NULL payload must win, not the older 7")
+  }
+
   test("asofJoin: inclusive ties, misses, latest-wins, per-key isolation") {
     import spark.implicits._
     val left = Seq(
