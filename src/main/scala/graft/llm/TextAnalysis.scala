@@ -76,23 +76,38 @@ object TextAnalysis {
   /** Language ID (char-n-gram heuristic): score each language by how many
     * of its profile trigrams occur in the document's trigram set; argmax
     * with alphabetical tie-break (first-match CASE over sorted langs —
-    * same rule in the oracle). Row-local: one trigram set per doc, five
-    * array intersections, zero shuffles.
+    * same rule in the oracle).
+    *
+    * Shape: trigram postings ⋈ broadcast(profile table) → pivot counts.
+    * The trigram expression evaluates once per doc (explode input), the
+    * join and counts are whole-stage codegen — versus five interpreted
+    * array_intersects re-evaluating the trigrams per language. This is
+    * also the formulation that scales to real profile sets (thousands of
+    * n-grams per language): the profile stays a broadcast table, not an
+    * inline literal per comparison.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val scores = langMarkers.keys.toSeq.sorted.map { lang =>
-      lang -> size(array_intersect(col("grams"),
-        array(langProfile(lang).map(lit): _*)))
-    }
-    val smax = greatest(scores.map(_._2): _*)
-    val pred = scores.tail.foldLeft(
-      when(scores.head._2 === smax, scores.head._1)) {
+    import s.implicits._
+    val langs = langMarkers.keys.toSeq.sorted
+    val profDf = broadcast(
+      langs.flatMap(l => langProfile(l).map(g => (l, g))).toDF("plang", "gram"))
+    val docs = t(s, dir, "documents")
+    val scores = docs
+      .select(col("doc_id"), explode(charTrigrams(col("text"))).as("gram"))
+      .join(profDf, "gram")
+      .groupBy(col("doc_id"))
+      .pivot("plang", langs)
+      .agg(count(lit(1)))
+    val sCols = langs.map(l => coalesce(col(s"`$l`"), lit(0L)))
+    val smax = greatest(sCols: _*)
+    val pred = langs.zip(sCols).tail.foldLeft(
+      when(sCols.head === smax, langs.head)) {
       case (acc, (lang, sc)) => acc.when(sc === smax, lang)
     }
-    t(s, dir, "documents")
-      .withColumn("grams", charTrigrams(col("text")))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(scores, Seq("doc_id"), "left_outer")
       .select(
-        col("doc_id"), col("lang").as("labeled_lang"),
+        col("doc_id"), col("labeled_lang"),
         pred.as("pred_lang"), smax.cast("int").as("score"))
       .orderBy("doc_id")
   }
