@@ -34,9 +34,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // per-query caches must not leak memory pressure into later queries
-      // (cleanup runs OUTSIDE the timed window)
+      // per-query caches must not leak memory pressure into later queries,
+      // and GC debt from unpersisted blocks must not land inside a later
+      // query's timed window (cleanup runs OUTSIDE the timing)
       spark.catalog.clearCache()
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
