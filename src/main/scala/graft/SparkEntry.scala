@@ -65,6 +65,8 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a9_rollup" -> (CoreOps.a9Rollup _),
+    "q_a10_quantiles" -> (CoreOps.a10Quantiles _),
+    "q_a11_pivot" -> (CoreOps.a11Pivot _),
     "q_j8_asof" -> (AsofOps.asofClick _),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
@@ -535,6 +537,20 @@ object SparkEntry {
                    i -> old_list[i] <> new_list[i]),
                  x -> x)) > 0
          ORDER BY l_orderkey""",
+    "q_a10_quantiles" ->
+      """SELECT o_orderpriority,
+                round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 4)
+                  AS median_cents,
+                round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9), 4)
+                  AS p90_cents
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_a11_pivot" -> s"""
+         SELECT o_orderstatus,
+                ${CoreOps.Priorities.map(p =>
+                  s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS "$p"""")
+                  .mkString(",\n                ")}
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_a9_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
                 coalesce(o_orderpriority, '(all)') AS priority,

@@ -244,6 +244,35 @@ object CoreOps {
       .orderBy("l_orderkey")
   }
 
+  /** A10 (beyond reference): exact interpolated percentiles per group, over
+    * integer cents so the interpolation inputs are identical in any engine;
+    * rounded to 4 dp to absorb last-ulp interpolation differences.
+    */
+  def a10Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(cents(col("o_totalprice")), lit(0.5)), 4).as("median_cents"),
+        round(percentile(cents(col("o_totalprice")), lit(0.9)), 4).as("p90_cents"))
+      .orderBy("o_orderpriority")
+
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** A11 (beyond reference): pivoted count matrix status × priority —
+    * Catalyst rewrites the pivot to one aggregate pass with CASE partials.
+    */
+  def a11Pivot(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    pivoted.select(
+      (Seq(col("o_orderstatus")) ++
+        Priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p))): _*)
+      .orderBy("o_orderstatus")
+  }
+
   // ---- set operations ------------------------------------------------------
 
   /** SO1: set difference (stale-group delete set, odgovlt.py:312):
