@@ -35,20 +35,11 @@ object TextAnalysis {
     langMarkers(lang).mkString(" ").toLowerCase.sliding(3).toSeq.distinct
 
   /** All distinct char trigrams of a document (the n-gram side of the
-    * n-gram-heuristic language ID). Built with the slice-zip form —
-    * constant number of evaluations of the char array per row.
+    * n-gram-heuristic language ID). Shares the slice-zip construction with
+    * the word shingles (TextHash.slidingTriples).
     */
-  def charTrigrams(text: Column): Column = {
-    val cs = split(lower(text), "")
-    val n = size(cs)
-    when(n >= 3,
-      array_distinct(zip_with(
-        slice(cs, lit(1), n - 2),
-        zip_with(slice(cs, lit(2), n - 2), slice(cs, lit(3), n - 2),
-          (b, c) => concat(b, c)),
-        (a, bc) => concat(a, bc))))
-      .otherwise(array(lower(text)))
-  }
+  def charTrigrams(text: Column): Column =
+    slidingTriples(split(lower(text), ""), "", array(lower(text)))
 
   /** Quality/statistics profile per document. */
   def stats(s: SparkSession, dir: String): DataFrame = {

@@ -22,26 +22,30 @@ object TextHash {
   /** Whitespace tokenization (documents are space-separated words). */
   def tokens(c: Column): Column = split(c, "\\s+")
 
-  /** Distinct word 3-gram shingles; docs with <3 tokens get a single
-    * empty-string shingle so the signature stays well-defined.
-    *
-    * Built by zipping three shifted slices (all length n-2) instead of
-    * indexed element_at over a sequence: when `toks` is an inlined
-    * expression (e.g. split(text)), every element_at re-evaluates it, which
-    * makes the indexed form O(n²) splits per row — the slice form evaluates
-    * the token array a constant number of times and is ~10× faster at the
-    * same semantics.
+  /** All distinct joined triples of consecutive elements, built by zipping
+    * three shifted slices (all length n-2) instead of indexed element_at
+    * over a sequence: when `arr` is an inlined expression (e.g.
+    * split(text)), every element_at re-evaluates it, making the indexed
+    * form O(n²) evaluations per row — the slice form evaluates the array a
+    * constant number of times (~10× faster at the same semantics).
+    * Arrays with <3 elements yield the caller-supplied fallback.
     */
-  def shingles3(toks: Column): Column = {
-    val n = size(toks)
+  def slidingTriples(arr: Column, sep: String, fallback: Column): Column = {
+    val n = size(arr)
     when(n >= 3,
       array_distinct(zip_with(
-        slice(toks, lit(1), n - 2),
-        zip_with(slice(toks, lit(2), n - 2), slice(toks, lit(3), n - 2),
-          (b, c) => concat(b, lit(" "), c)),
-        (a, bc) => concat(a, lit(" "), bc))))
-      .otherwise(array(lit("")))
+        slice(arr, lit(1), n - 2),
+        zip_with(slice(arr, lit(2), n - 2), slice(arr, lit(3), n - 2),
+          (b, c) => concat(b, lit(sep), c)),
+        (a, bc) => concat(a, lit(sep), bc))))
+      .otherwise(fallback)
   }
+
+  /** Distinct word 3-gram shingles; docs with <3 tokens get a single
+    * empty-string shingle so the signature stays well-defined.
+    */
+  def shingles3(toks: Column): Column =
+    slidingTriples(toks, " ", array(lit("")))
 
   /** Jaccard similarity of two string arrays (distinct semantics). */
   def jaccard(a: Column, b: Column): Column =

@@ -33,27 +33,30 @@ object AsofOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String]): DataFrame = {
-    val l = left
-      .withColumn("__side", lit(1))
-      .withColumn("__payload",
-        lit(null).cast(org.apache.spark.sql.types.StructType(
-          payload.map(p => org.apache.spark.sql.types.StructField(
-            p, right.schema(p).dataType)))))
-    val r = left.columns.filterNot(c => c == key || c == ts).foldLeft(
-      right
-        .withColumn("__side", lit(0))
-        .withColumn("__payload", struct(payload.map(col): _*))
-        .drop(payload: _*)) {
-      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(
+        p, right.schema(p).dataType)))
+    val l = left.select(
+      left.columns.map(col) ++ Seq(
+        lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__payload")): _*)
+    // SQL join semantics: a NULL key or NULL ts on the right can never
+    // match anything (NULL comparisons are not true) — filter them out so
+    // a NULL-ts row doesn't sort nulls-first and "match" every left row
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        Seq(col(key), col(ts), lit(0).as("__side"),
+          struct(payload.map(col): _*).as("__payload")) ++
+          left.columns.filterNot(c => c == key || c == ts)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r.select(l.columns.map(col): _*))
       .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
-    payload.foldLeft(carried.filter(col("__side") === 1)) {
-      (df, p) => df.withColumn(p, col(s"__payload.$p"))
-    }.drop("__side", "__payload")
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col(s"__payload.$p").as(p)): _*)
   }
 
   /** Declared query: for every error event, the latest preceding (or

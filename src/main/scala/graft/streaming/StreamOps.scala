@@ -111,22 +111,34 @@ object StreamOps {
     // the TARGET's filesystem, not the default one (they differ on any
     // mixed hdfs/s3a/file deployment)
     val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(targetDir + "__staged")
+    val retired = new org.apache.hadoop.fs.Path(targetDir + "__retired")
+    def renameOrFail(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      // HDFS rename signals failure by returning false, not by throwing
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"incrementalSync: rename $from -> $to failed")
+    // crash recovery: a previous run interrupted between the two swap
+    // renames leaves no dst but a retired copy — promote it back before
+    // deciding whether this is a first write
+    if (!fs.exists(dst) && fs.exists(retired)) renameOrFail(retired, dst)
     // only a genuinely absent target means "first batch" — a read failure
-    // on an existing target must abort the sync, not silently drop history
+    // on an existing target must abort the sync, not silently drop history.
+    // One row per key within the batch (arbitrary winner among in-batch
+    // duplicates — pre-aggregate upstream if "latest" needs an ordering).
+    val deduped = batch.dropDuplicates(key)
     val merged =
       if (fs.exists(dst))
         s.read.parquet(targetDir)
-          .join(batch.select(key), Seq(key), "left_anti")
-          .unionByName(batch)
-      else batch
-    val staged = new org.apache.hadoop.fs.Path(targetDir + "__staged")
-    val retired = new org.apache.hadoop.fs.Path(targetDir + "__retired")
+          .join(deduped.select(key), Seq(key), "left_anti")
+          .unionByName(deduped)
+      else deduped
     merged.write.mode("overwrite").parquet(staged.toString)
-    // swap: retire old, promote staged, drop retired — a crash mid-swap
-    // leaves either the old target or both copies on disk, never neither
+    // swap: retire old, promote staged, drop retired — every crash point
+    // leaves at least one full copy (dst, retired, or staged) on disk, and
+    // the recovery step above heals the dst-missing window
     fs.delete(retired, true)
-    if (fs.exists(dst)) fs.rename(dst, retired)
-    fs.rename(staged, dst)
+    if (fs.exists(dst)) renameOrFail(dst, retired)
+    renameOrFail(staged, dst)
     fs.delete(retired, true)
   }
 
@@ -139,13 +151,17 @@ object StreamOps {
     * the gap timeout fires. State size is O(active users), independent of
     * stream length — the 100 TB-safe formulation.
     *
+    * PRECONDITION: the input stream must carry a watermark on `ts`
+    * (`df.withWatermark("ts", ...)`) — event-time timeouts require one and
+    * the query fails at start without it.
+    *
     * Agrees with sessionizeBatch for in-order streams (each micro-batch is
-    * sorted internally). Cross-batch late events: one that falls inside the
-    * gap window before the current session extends it backward; one that
-    * predates the session by more than the gap is emitted as its own
-    * session immediately (the batch form, seeing all data, might have
-    * merged it with other late events — exact late-data parity would
-    * require buffering to the watermark before sessionizing).
+    * sorted internally). Cross-batch late events that predate the open
+    * session by more than the gap are gap-split among themselves and
+    * emitted as their own sessions; ones inside the gap window extend the
+    * session backward. (The batch form, seeing all data at once, could
+    * additionally merge late events with events from even earlier batches —
+    * exact late-data parity would require buffering to the watermark.)
     */
   def sessionizeStream(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
@@ -158,15 +174,32 @@ object StreamOps {
           val gapMs = SessionGapMinutes * 60 * 1000L
           var st = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // events older than the open session by more than the gap can
+          // never join it — gap-split them among THEMSELVES and emit
+          val (late, current) =
+            if (st.n > 0) sorted.partition(_.ts.getTime < st.start - gapMs)
+            else (Nil, sorted)
+          var lateSt: Option[SessionState] = None
+          late.foreach { e =>
+            val tms = e.ts.getTime
+            lateSt match {
+              case Some(ls) if tms - ls.last > gapMs =>
+                out += Session(uid, new Timestamp(ls.start), new Timestamp(ls.last), ls.n)
+                lateSt = Some(SessionState(tms, tms, 1L))
+              case Some(ls) =>
+                lateSt = Some(SessionState(ls.start, tms, ls.n + 1))
+              case None =>
+                lateSt = Some(SessionState(tms, tms, 1L))
+            }
+          }
+          lateSt.foreach(ls =>
+            out += Session(uid, new Timestamp(ls.start), new Timestamp(ls.last), ls.n))
+          current.foreach { e =>
             val tms = e.ts.getTime
             if (st.n > 0 && tms - st.last > gapMs) {
               out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n)
               st = SessionState(tms, tms, 1L)
-            } else if (st.n > 0 && st.start - tms > gapMs) {
-              // late event older than the session by more than the gap:
-              // it can never belong to it — emit as its own point session
-              out += Session(uid, e.ts, e.ts, 1L)
             } else {
               st = SessionState(math.min(st.start, tms), math.max(st.last, tms), st.n + 1)
             }

@@ -154,6 +154,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toList == List(1L -> "v1", 2L -> "v2", 3L -> "v1"))
   }
 
+  test("incrementalSync collapses duplicate keys within one batch") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft-sync-dup").toString + "/t"
+    val batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    StreamOps.incrementalSync(batch, target, "k")
+    val got = spark.read.parquet(target).groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), "one row per key, never duplicates")
+  }
+
+  test("sessionizeStream gap-splits late events among themselves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionizeStream(spark,
+        mem.toDF.toDF("user_id", "ts").withWatermark("ts", "4 hours"))
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((7L, ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      // two late events, each >30min before the open session but within
+      // 30min of each other → ONE late session, not two point sessions
+      mem.addData(Seq((7L, ts("2024-01-01 08:30:00")), (7L, ts("2024-01-01 08:40:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts("2024-01-02 00:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_sessions")
+      .filter(col("user_id") === 7L)
+      .orderBy("session_start")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    assert(got.toList == List(
+      ("2024-01-01 08:30:00.0", "2024-01-01 08:40:00.0", 2L),
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L)))
+  }
+
   test("multimodal: resize stub downsamples blob and metadata consistently") {
     val rows = MultimodalOps.resize(spark, sf, stride = 4).collect()
     val orig = MultimodalOps.blobTable(spark, sf)
