@@ -52,6 +52,7 @@ object SparkEntry {
     "q_p4_package_flat" -> (SyncPipeline.packageFlat _),
     "q_p4_package_doc" -> (SyncPipeline.packageDoc _),
     "q_k3_merge_actions" -> (SyncPipeline.mergeActions _),
+    "q_member_edges" -> (SyncPipeline.memberEdges _),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -354,6 +355,16 @@ object SparkEntry {
                  FROM orders WHERE o_orderkey % 3 = 0) target
              ON s_key = t_key)
          WHERE action <> 'noop' ORDER BY key""",
+    "q_member_edges" ->
+      """SELECT DISTINCT
+                coalesce(c_name, 'Unknown User') AS owner_name,
+                coalesce(n_name, 'Unknown organization') AS org_name,
+                'editor' AS role
+         FROM orders
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+           ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY owner_name, org_name""",
     "q_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (
            SELECT min(doc_id) AS keep_id, count(*) AS n_copies

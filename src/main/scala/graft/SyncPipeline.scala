@@ -100,6 +100,31 @@ object SyncPipeline {
           col("created_iso").as("metadata_created"))).as("package_json"))
       .orderBy("o_orderkey")
 
+  /** The membership edge set the reference emits per imported dataset
+    * (`organization_member_create`, odgovlt.py:381): each package's owner is
+    * granted the 'editor' role on the owning organization. Set-oriented form:
+    * the DISTINCT (owner, org) pairs over the assembled packages — the
+    * reference issues one idempotent API call per dataset; the distinct set
+    * is the state those calls converge to.
+    *
+    * Built without the bridge/groups aggregation (memberships don't depend
+    * on it), so the plan is two broadcast joins + one distinct shuffle of
+    * two small string columns.
+    */
+  def memberEdges(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+    t(s, dir, "orders")
+      .join(broadcast(users), col("o_custkey") === col("c_custkey"), "left_outer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"), "left_outer")
+      .select(
+        coalesce(col("c_name"), lit("Unknown User")).as("owner_name"),
+        coalesce(col("n_name"), lit("Unknown organization")).as("org_name"),
+        lit("editor").as("role"))
+      .distinct()
+      .orderBy("owner_name", "org_name")
+  }
+
   /** K1: the gather stage's queue sink (odgovlt.py:362-366) — each published
     * source row serialized to a JSON work item in a staging location. The
     * staging write is the exactly-once boundary between gather and import
