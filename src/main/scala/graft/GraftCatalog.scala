@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.SlugTruncate
+import graft.functions.{JsonProject, SlugTruncate}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -28,5 +28,8 @@ object GraftCatalog {
     if (!reg.functionExists(SlugTruncate.identifier))
       reg.registerFunction(SlugTruncate.identifier, SlugTruncate.info,
         SlugTruncate.builder)
+    if (!reg.functionExists(JsonProject.identifier))
+      reg.registerFunction(JsonProject.identifier, JsonProject.info,
+        JsonProject.builder)
   }
 }

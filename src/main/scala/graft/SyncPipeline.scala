@@ -83,12 +83,17 @@ object SyncPipeline {
     * for tags/groups/extras inside one document, serialized to JSON the way
     * the reference round-trips rows (odgovlt.py:363). Field order in the
     * struct fixes the JSON key order, so output is deterministic.
+    *
+    * Serialized with the native [[graft.functions.JsonProject]] expression
+    * (byte-identical to `to_json`, pinned by JsonProjectSpec): `to_json` is
+    * CodegenFallback, which dragged the whole inlined slug/tag pipeline out
+    * of codegen — 14.1s vs 3.7s for the flat twin in round-1 bench.
     */
   def packageDoc(s: SparkSession, dir: String): DataFrame =
     assembled(s, dir)
       .select(
         col("o_orderkey"),
-        to_json(struct(
+        graft.functions.JsonProject(struct(
           col("name_slug").as("name"),
           col("owner_name").as("maintainer"),
           col("org_name").as("owner_org"),

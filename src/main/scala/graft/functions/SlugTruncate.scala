@@ -43,10 +43,12 @@ object SlugTruncate {
   val identifier: FunctionIdentifier = FunctionIdentifier("slug_truncate")
 }
 
-/** Session extension registering `slug_truncate` as a SQL function:
+/** Session extension registering the native SQL functions:
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((SlugTruncate.identifier, SlugTruncate.info, SlugTruncate.builder))
+    ext.injectFunction((JsonProject.identifier, JsonProject.info, JsonProject.builder))
+  }
 }
