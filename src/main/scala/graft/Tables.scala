@@ -38,20 +38,30 @@ object Tables {
     * and surface a proper micros `TimestampType` column, so downstream
     * window/stream operators see a real timestamp.
     */
+  /** Guards the scoped nanosAsLong conf flip below: the session conf is
+    * shared, so two concurrent `table(_, _, "events")` calls (parallel test
+    * suites, streaming+batch on one session) could otherwise race the
+    * restore and leave the flag flipped for unrelated reads.
+    */
+  private val nanosConfLock = new Object
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // scoped conf flip: needed only while the footer schema is inferred;
-      // restored so the session's behavior for OTHER nanos-parquet reads is
-      // not silently changed by this library
+      // scoped conf flip: needed only while the footer schema is inferred
+      // (eager inside read.parquet); restored so the session's behavior for
+      // OTHER nanos-parquet reads is not silently changed by this library.
+      // Serialized via the lock — concurrent graft readers see a consistent
+      // conf; readers outside this object are documented to not touch it.
       val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      val df =
+      val df = nanosConfLock.synchronized {
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
         try spark.read.parquet(s"$sfDir/$name.parquet")
         finally prior match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)
         }
+      }
       // only the harness layout needs conversion; an events table written
       // with a real timestamp column passes through untouched
       if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {

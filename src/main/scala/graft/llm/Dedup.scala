@@ -11,16 +11,25 @@ import TextHash._
   * Scale design, in order of cost:
   *  - exact: one hash-aggregate shuffle on md5(text) — the canonical
   *    100 TB dedup; only digests move through the shuffle, never text.
-  *  - n-gram Jaccard: all-pairs is quadratic, so pairs are blocked on
-  *    (lang, |len diff| ≤ 30): the self-join is an equi-join on lang with a
-  *    residual length predicate; at scale the blocking key keeps bucket
-  *    sizes bounded.
+  *  - n-gram Jaccard: prefix-filtered inverted-index join — postings only
+  *    for each document's rarest-first shingle prefix (recall-lossless for
+  *    the threshold), candidates verified exactly; lang + length-diff
+  *    residuals prune further.
   *  - MinHash+LSH: the scale path — signatures are computed row-local
   *    (k·|shingles| md5s inside codegen, no shuffle), then one shuffle on
   *    (band, key) generates candidates; only candidates pay the exact
   *    Jaccard verification. Candidate count ≈ near-dup count, not n².
-  *  - SimHash: one 64→32-bit row-local sketch; pairs blocked on lang and
-  *    filtered by Hamming distance via bit_count(xor).
+  *  - SimHash: one 32-bit row-local sketch; pairs found by Hamming
+  *    pigeonhole banding (7 chunk equi-joins — exact for distance ≤ 6),
+  *    verified with bit_count(xor).
+  *
+  * Cache lifecycle: the near-dup operators `.cache()` a small derived table
+  * (shingles / sketches) that both sides of a candidate self-join read —
+  * without it the whole upstream aggregation executes twice. The returned
+  * plans are lazy, so the operator cannot unpersist for you: a long-lived
+  * session should call `spark.catalog.clearCache()` (or unpersist the
+  * specific tables) after consuming each result, as `graft.Bench` and
+  * `graft.Verify` do between queries.
   */
 object Dedup {
 
@@ -40,39 +49,53 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         shingles3(tokens(col("text"))).as("grams"))
 
+  /** Jaccard threshold for the n-gram near-dup join. */
+  val JaccardThreshold = 0.5
+
   /** N-gram Jaccard near-dup pairs (Jaccard ≥ 0.5, same lang, length diff
-    * ≤ 30) via an inverted-index set-similarity join: explode shingles to
-    * postings, equi-join postings on the shingle to count |A∩B| per pair,
-    * then Jaccard from |A∩B|/(|A|+|B|−|A∩B|).
+    * ≤ 30) via a PREFIX-FILTERED inverted-index set-similarity join
+    * (Chaudhuri/Bayardo AllPairs): order every document's shingles by
+    * ascending global document frequency (rarest first, ties by value) and
+    * emit postings only for the first |x| − ⌈t·|x|⌉ + 1 of them. Two sets
+    * with Jaccard ≥ t MUST share a prefix element under any global order —
+    * if all shared elements sat outside A's prefix, the overlap would be at
+    * most ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B| — so the filter is recall-lossless;
+    * candidates are then verified with the exact Jaccard on the full gram
+    * sets.
     *
-    * Same result set as the naive blocked all-pairs (pairs sharing zero
-    * shingles have Jaccard 0 and can never pass the threshold), but the
-    * cost is Σ_g c_g² over shingle frequencies instead of Σ_block n² full
-    * array intersections — the formulation that survives a 100× corpus,
-    * and every step is an equi-join/hash-agg that shuffles only small
-    * (doc_id, doc_id) pairs, never documents.
+    * Why not the plain posting join (round 1): its cost is Σ_g c_g² over
+    * ALL shingle frequencies, and hot shingles (stop-word trigrams) make
+    * c_g² explode at scale. Under the DF-ascending order those hot shingles
+    * sit LAST in every document, i.e. outside almost every prefix — the
+    * quadratic term now ranges only over rare shingles. Every step remains
+    * an equi-join/hash-agg shuffling (doc_id, gram) or (doc_id, doc_id)
+    * rows, never documents.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingled(s, dir).cache()
-    val sizes = sh.select(col("doc_id"), col("lang"), col("n_chars"),
-      size(col("grams")).as("sz"))
-    val posts = sh.select(col("doc_id").as("p_id"), explode(col("grams")).as("gram"))
-    val shared = posts.as("x").join(posts.as("y"),
-        col("x.gram") === col("y.gram") && col("x.p_id") < col("y.p_id"))
-      .groupBy(col("x.p_id").as("a_id"), col("y.p_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id"), col("lang").as("a_lang"),
-        col("n_chars").as("a_chars"), col("sz").as("a_sz")), col("a_id") === col("doc_id"))
+    val posts = sh.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val gramDf = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val order = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val prefix = posts.join(gramDf, "gram")
+      .withColumn("rn", row_number().over(order))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * JaccardThreshold) + 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("gram"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.lang") === col("y.lang") &&
+          abs(col("x.n_chars") - col("y.n_chars")) <= 30)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("grams").as("a_grams")), col("a_id") === col("doc_id"))
       .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("lang").as("b_lang"),
-        col("n_chars").as("b_chars"), col("sz").as("b_sz")), col("b_id") === col("doc_id"))
-      .filter(col("a_lang") === col("b_lang") &&
-        abs(col("a_chars") - col("b_chars")) <= 30)
+      .join(sh.select(col("doc_id"), col("grams").as("b_grams")), col("b_id") === col("doc_id"))
       .select(col("a_id"), col("b_id"),
-        (col("shared").cast("double") /
-          (col("a_sz") + col("b_sz") - col("shared")).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.5)
+        jaccard(col("a_grams"), col("b_grams")).as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
       .orderBy("a_id", "b_id")
   }
 
@@ -149,19 +172,55 @@ object Dedup {
       .select(col("doc_id"), col("lang"), value.as("sh"))
   }
 
-  /** SimHash near-dup pairs: 32-bit sketch per doc, pairs blocked on lang,
-    * kept when Hamming distance ≤ 6.
+  /** Max Hamming distance for a SimHash near-dup pair. */
+  val SimhashMaxHamming = 6
+
+  /** Pigeonhole band layout for Hamming ≤ 6 over 32 bits: 7 disjoint chunks
+    * (widths 5,5,5,5,4,4,4 — one more chunk than the distance bound). Two
+    * sketches within distance 6 differ in at most 6 chunks, so they AGREE on
+    * at least one — every qualifying pair is found by some band equi-join
+    * (recall 1.0, no approximation).
+    */
+  private val SimhashBands: Seq[(Int, Int, Int)] = {
+    val widths = Seq(5, 5, 5, 5, 4, 4, 4)
+    require(widths.length == SimhashMaxHamming + 1 && widths.sum == 32)
+    widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex
+      .map { case ((off, w), i) => (i, off, w) }
+  }
+
+  /** SimHash near-dup pairs: 32-bit sketch per doc, kept when Hamming
+    * distance ≤ 6 within a language.
+    *
+    * Candidate generation is Hamming-pigeonhole banding, NOT an all-pairs
+    * join within the language (which is O(n²/|langs|) — the one quadratic
+    * scale-killer in the round-1 dedup family): each sketch explodes into 7
+    * (band, chunk-bits) keys and candidates come from band equi-joins, so
+    * the join cost is Σ_bucket c² over 16/32-way chunk buckets instead of
+    * n² over languages. Exact — a pair within distance 6 must agree on one
+    * of 7 chunks — and every step shuffles only (doc_id, lang, sh) rows.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // cache: the sketch is the expensive part; the self-join must read it,
-    // not recompute it per side
+    // cache: the sketch aggregation is the expensive part; both sides of
+    // the band self-join must read it, not recompute it
     val sk = simhashTable(s, dir).cache()
-    sk.as("a").join(sk.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    val bands = sk.select(col("doc_id"), col("lang"), col("sh"),
+      explode(array(SimhashBands.map { case (i, off, w) =>
+        struct(lit(i).as("band_idx"),
+          shiftright(col("sh"), off).bitwiseAND(lit((1 << w) - 1)).as("key"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("lang"), col("sh"),
+        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.key") === col("b.key") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimhashMaxHamming)
+      // a pair can agree on several chunks → several bands emit it
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

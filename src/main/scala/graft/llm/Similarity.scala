@@ -21,6 +21,11 @@ import graft.Tables.{table => t}
   * ranking; centroid components are exact DECIMAL(38,10) sums (addition of
   * decimals is associative, so the result is independent of partitioning and
   * reproducible in any engine — double sums would be order-dependent).
+  *
+  * Cache lifecycle: `embedNearDup` caches the bucketed corpus its self-join
+  * reads twice; the returned plan is lazy, so callers with long-lived
+  * sessions should `spark.catalog.clearCache()` after consuming results
+  * (see the note on [[Dedup]]).
   */
 object Similarity {
 

@@ -33,30 +33,43 @@ object AsofOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String]): DataFrame = {
+    // the payload columns become output columns next to left's — a name
+    // collision would make the final projection ambiguous or silently wrong
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asofJoin: payload column(s) ${clash.mkString(", ")} collide with left columns " +
+        s"— rename them on the right side first")
+    // internal tag/payload columns must not collide with user columns either
+    val taken = (left.columns ++ payload).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val sideCol = fresh("__side")
+    val payloadCol = fresh("__payload")
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(p => org.apache.spark.sql.types.StructField(
         p, right.schema(p).dataType)))
     val l = left.select(
       left.columns.map(col) ++ Seq(
-        lit(1).as("__side"),
-        lit(null).cast(payloadType).as("__payload")): _*)
+        lit(1).as(sideCol),
+        lit(null).cast(payloadType).as(payloadCol)): _*)
     // SQL join semantics: a NULL key or NULL ts on the right can never
     // match anything (NULL comparisons are not true) — filter them out so
     // a NULL-ts row doesn't sort nulls-first and "match" every left row
     val r = right
       .filter(col(key).isNotNull && col(ts).isNotNull)
       .select(
-        Seq(col(key), col(ts), lit(0).as("__side"),
-          struct(payload.map(col): _*).as("__payload")) ++
+        Seq(col(key), col(ts), lit(0).as(sideCol),
+          struct(payload.map(col): _*).as(payloadCol)) ++
           left.columns.filterNot(c => c == key || c == ts)
             .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ payload.map(p => col(s"__payload.$p").as(p)): _*)
+      .withColumn(payloadCol, last(col(payloadCol), ignoreNulls = true).over(w))
+    carried.filter(col(sideCol) === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(payloadCol).getField(p).as(p)): _*)
   }
 
   /** Declared query: for every error event, the latest preceding (or

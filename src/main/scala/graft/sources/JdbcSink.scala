@@ -23,6 +23,17 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
   */
 object JdbcSink {
 
+  /** MySQL-dialect identifier quoting: schema-derived column names (and the
+    * caller's table name) may be reserved words (`key`, `order`) or carry
+    * non-plain characters — always quote, doubling embedded backticks.
+    */
+  private def q(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
+
+  /** Table names may be schema-qualified — quote each dotted part. */
+  private def qTable(ident: String): String =
+    ident.split('.').map(q).mkString(".")
+
   /** Plain append through the built-in connector (create-set application). */
   def append(df: DataFrame, url: String, table: String): Unit =
     df.write.mode("append").format("jdbc")
@@ -37,9 +48,9 @@ object JdbcSink {
       batchSize: Int = 500): Unit = {
     val cols = df.schema.fieldNames.toSeq
     val updateCols = cols.filterNot(keyCols.contains)
-    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+    val sql = s"INSERT INTO ${qTable(table)} (${cols.map(q).mkString(", ")}) VALUES " +
       s"(${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON DUPLICATE KEY UPDATE ${updateCols.map(c => s"$c = VALUES($c)").mkString(", ")}"
+      s"ON DUPLICATE KEY UPDATE ${updateCols.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")}"
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)
@@ -67,7 +78,7 @@ object JdbcSink {
   /** Delete-set application (K5): one DELETE per key batch. */
   def deleteByKey(df: DataFrame, url: String, table: String, keyCol: String,
       batchSize: Int = 500): Unit = {
-    val sql = s"DELETE FROM $table WHERE $keyCol = ?"
+    val sql = s"DELETE FROM ${qTable(table)} WHERE ${q(keyCol)} = ?"
     df.select(keyCol).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)

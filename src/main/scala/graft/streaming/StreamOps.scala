@@ -111,8 +111,11 @@ object StreamOps {
     // the TARGET's filesystem, not the default one (they differ on any
     // mixed hdfs/s3a/file deployment)
     val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(targetDir + "__staged")
-    val retired = new org.apache.hadoop.fs.Path(targetDir + "__retired")
+    // siblings derived from the NORMALIZED path (Path strips trailing
+    // slashes) — string concat on "dir/" would nest them inside the target
+    // and the swap rename would try to move the dir into its own child
+    val staged = dst.suffix("__staged")
+    val retired = dst.suffix("__retired")
     def renameOrFail(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
       // HDFS rename signals failure by returning false, not by throwing
       if (!fs.rename(from, to))
@@ -128,7 +131,7 @@ object StreamOps {
     val deduped = batch.dropDuplicates(key)
     val merged =
       if (fs.exists(dst))
-        s.read.parquet(targetDir)
+        s.read.parquet(dst.toString)
           .join(deduped.select(key), Seq(key), "left_anti")
           .unionByName(deduped)
       else deduped
