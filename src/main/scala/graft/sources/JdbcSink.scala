@@ -12,45 +12,99 @@ import java.sql.{Connection, DriverManager, PreparedStatement}
   *  1. compute the create/update/delete sets in Spark
   *     ([[graft.SyncPipeline.mergeActions]]) and apply each with a plain
   *     append/delete — pure connector writes, fully parallel;
-  *  2. `upsert` below — INSERT .. ON DUPLICATE KEY UPDATE batched per
-  *     partition for targets where the merge must be atomic per row;
+  *  2. `upsert` below — a row-atomic upsert statement batched per partition
+  *     for targets where the merge must be atomic per row; the statement
+  *     shape is dialect-specific (see [[JdbcSink.Dialect]]);
   *  3. stage-and-MERGE: `df.write.jdbc` to a staging table + one server-side
-  *     MERGE statement (best for targets with real MERGE support).
+  *     MERGE statement (best for targets with real set-oriented MERGE).
   *
-  * Untestable in this container (no database); compile-checked code path
-  * documenting the production contract. Partition-parallel: every executor
-  * holds one connection and writes its partition in `batchSize` chunks.
+  * Partition-parallel: every executor holds one connection and writes its
+  * partition in `batchSize` chunks. Exercised end-to-end against embedded
+  * Derby in JdbcSpec; the MySQL dialect is compile-checked only (no MySQL
+  * server in the harness).
   */
 object JdbcSink {
 
-  /** MySQL-dialect identifier quoting: schema-derived column names (and the
-    * caller's table name) may be reserved words (`key`, `order`) or carry
-    * non-plain characters — always quote, doubling embedded backticks.
+  /** Target-dialect specifics: identifier quoting and the row-atomic upsert
+    * statement. Row values are always bound as parameters — the dialect only
+    * shapes identifiers and statement structure.
     */
-  private def q(ident: String): String =
-    "`" + ident.replace("`", "``") + "`"
+  sealed trait Dialect {
+    /** Quote one identifier. */
+    def quote(ident: String): String
 
-  /** Table names may be schema-qualified — quote each dotted part. */
-  private def qTable(ident: String): String =
-    ident.split('.').map(q).mkString(".")
+    /** Quote a possibly schema-qualified table name part-by-part. */
+    final def qualify(table: String): String =
+      table.split('.').map(quote).mkString(".")
+
+    /** The upsert statement and the bind order: for each `?` in the SQL,
+      * the index of the row column to bind.
+      */
+    def upsertStatement(table: String, cols: Seq[String],
+        keyCols: Seq[String]): (String, Seq[Int])
+  }
+
+  /** MySQL / MariaDB: INSERT ... ON DUPLICATE KEY UPDATE; backtick quoting
+    * (identifiers from DataFrame schemas may be reserved words).
+    */
+  case object MySqlDialect extends Dialect {
+    override def quote(ident: String): String =
+      "`" + ident.replace("`", "``") + "`"
+
+    override def upsertStatement(table: String, cols: Seq[String],
+        keyCols: Seq[String]): (String, Seq[Int]) = {
+      val updateCols = cols.filterNot(keyCols.contains)
+      val sql = s"INSERT INTO ${qualify(table)} (${cols.map(quote).mkString(", ")}) VALUES " +
+        s"(${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON DUPLICATE KEY UPDATE ${updateCols.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")}"
+      (sql, cols.indices)
+    }
+  }
+
+  /** Derby / DB2 family: ANSI MERGE keyed off the one-row SYSIBM.SYSDUMMY1
+    * dummy table (Derby's MERGE source must be a base table or table
+    * function, so the per-row values ride in as parameters of the ON /
+    * UPDATE / INSERT clauses). Unquoted Derby DDL folds identifiers to
+    * uppercase, so quoting here uppercases to match — tables created with
+    * quoted mixed-case names need their exact case passed in.
+    */
+  case object DerbyDialect extends Dialect {
+    override def quote(ident: String): String =
+      "\"" + ident.toUpperCase.replace("\"", "\"\"") + "\""
+
+    override def upsertStatement(table: String, cols: Seq[String],
+        keyCols: Seq[String]): (String, Seq[Int]) = {
+      val updateCols = cols.filterNot(keyCols.contains)
+      val matched =
+        if (updateCols.isEmpty) ""
+        else " WHEN MATCHED THEN UPDATE SET " +
+          updateCols.map(c => s"${quote(c)} = ?").mkString(", ")
+      val sql = s"MERGE INTO ${qualify(table)} t USING SYSIBM.SYSDUMMY1 ON " +
+        keyCols.map(k => s"t.${quote(k)} = ?").mkString("(", " AND ", ")") +
+        matched +
+        s" WHEN NOT MATCHED THEN INSERT (${cols.map(quote).mkString(", ")})" +
+        s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+      val order = keyCols.map(cols.indexOf) ++ updateCols.map(cols.indexOf) ++ cols.indices
+      (sql, order)
+    }
+  }
 
   /** Plain append through the built-in connector (create-set application). */
   def append(df: DataFrame, url: String, table: String): Unit =
     df.write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table).save()
 
-  /** Row-atomic upsert (MySQL dialect): INSERT ... ON DUPLICATE KEY UPDATE,
-    * batched per partition. Key columns participate in the insert; update
-    * applies to the non-key columns only, mirroring the reference's
-    * patch-if-exists semantics.
+  /** Row-atomic upsert batched per partition. Key columns participate in
+    * the insert; update applies to the non-key columns only, mirroring the
+    * reference's patch-if-exists semantics.
     */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      batchSize: Int = 500): Unit = {
+      batchSize: Int = 500, dialect: Dialect = MySqlDialect): Unit = {
     val cols = df.schema.fieldNames.toSeq
-    val updateCols = cols.filterNot(keyCols.contains)
-    val sql = s"INSERT INTO ${qTable(table)} (${cols.map(q).mkString(", ")}) VALUES " +
-      s"(${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON DUPLICATE KEY UPDATE ${updateCols.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")}"
+    val missing = keyCols.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"upsert: key column(s) ${missing.mkString(", ")} not in DataFrame schema")
+    val (sql, bindOrder) = dialect.upsertStatement(table, cols, keyCols)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)
@@ -60,8 +114,8 @@ object JdbcSink {
           try {
             var n = 0
             rows.foreach { r =>
-              cols.zipWithIndex.foreach { case (_, i) =>
-                st.setObject(i + 1, r.get(i))
+              bindOrder.zipWithIndex.foreach { case (colIdx, paramIdx) =>
+                st.setObject(paramIdx + 1, r.get(colIdx))
               }
               st.addBatch()
               n += 1
@@ -77,8 +131,8 @@ object JdbcSink {
 
   /** Delete-set application (K5): one DELETE per key batch. */
   def deleteByKey(df: DataFrame, url: String, table: String, keyCol: String,
-      batchSize: Int = 500): Unit = {
-    val sql = s"DELETE FROM ${qTable(table)} WHERE ${q(keyCol)} = ?"
+      batchSize: Int = 500, dialect: Dialect = MySqlDialect): Unit = {
+    val sql = s"DELETE FROM ${dialect.qualify(table)} WHERE ${dialect.quote(keyCol)} = ?"
     df.select(keyCol).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)

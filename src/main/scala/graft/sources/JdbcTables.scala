@@ -20,17 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - MySQL zero-dates (`0000-00-00 00:00:00`) must surface as NULL —
   *    the reference special-cases them (`/root/reference/odgovlt.py:137-138`);
   *    with Connector/J that is the `zeroDateTimeBehavior=convertToNull`
-  *    URL parameter, appended here if absent.
+  *    URL parameter, appended to MySQL/MariaDB URLs if absent (other
+  *    drivers reject unknown attributes and have no zero-date concept).
   *
-  * Untestable in this container (no database, no driver jar) — the Parquet
-  * loaders in [[graft.Tables]] are the harness path; this class carries the
-  * production-source semantics.
+  * Reflection, partitioned-read, and pushdown semantics are exercised
+  * end-to-end against embedded Derby in JdbcSpec; the MySQL-specific
+  * zero-date guard is pin-tested on the URL builder (no MySQL server in
+  * the harness).
   */
 final class JdbcTables(spark: SparkSession, url: String) {
 
-  private val fixedUrl =
-    if (url.contains("zeroDateTimeBehavior")) url
-    else url + (if (url.contains("?")) "&" else "?") + "zeroDateTimeBehavior=convertToNull"
+  private val fixedUrl = JdbcTables.withZeroDateGuard(url)
 
   /** Reflected read of one table (dimension-sized: single partition). */
   def table(name: String): DataFrame =
@@ -60,4 +60,14 @@ final class JdbcTables(spark: SparkSession, url: String) {
   /** The dataset fact table, partitioned on ID for parallel extraction. */
   def rinkmena(numPartitions: Int = 32, maxId: Long = 1L << 20): DataFrame =
     partitionedTable("t_rinkmena", "ID", 0L, maxId, numPartitions)
+}
+
+object JdbcTables {
+  /** Append `zeroDateTimeBehavior=convertToNull` to MySQL-family URLs only
+    * (the reference's zero-date → NULL contract, odgovlt.py:137-138).
+    */
+  def withZeroDateGuard(url: String): String =
+    if (!url.startsWith("jdbc:mysql:") && !url.startsWith("jdbc:mariadb:")) url
+    else if (url.contains("zeroDateTimeBehavior")) url
+    else url + (if (url.contains("?")) "&" else "?") + "zeroDateTimeBehavior=convertToNull"
 }
