@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsofOps, CoreOps, HierarchyOps, MultimodalOps, StringOps}
+import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, MultimodalOps, StringOps}
 import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
@@ -65,6 +65,7 @@ object SparkEntry {
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
+    "q_a7c_nested_diff" -> (ChangeOps.a7cNestedDiff _),
     "q_a9_rollup" -> (CoreOps.a9Rollup _),
     "q_a10_quantiles" -> (CoreOps.a10Quantiles _),
     "q_a11_pivot" -> (CoreOps.a11Pivot _),
@@ -548,6 +549,23 @@ object SparkEntry {
                    i -> old_list[i] <> new_list[i]),
                  x -> x)) > 0
          ORDER BY l_orderkey""",
+    "q_a7c_nested_diff" ->
+      """WITH docs AS (
+           SELECT o_orderkey,
+                  CAST(o_custkey AS VARCHAR) AS old_seg,
+                  o_orderpriority AS old_tag0, o_orderstatus AS old_tag1,
+                  CASE WHEN o_orderkey % 11 = 0 THEN 'SEG-MUTATED'
+                       ELSE CAST(o_custkey AS VARCHAR) END AS new_seg,
+                  CASE WHEN o_orderkey % 13 = 0 THEN 'TAG-MUTATED'
+                       ELSE o_orderpriority END AS new_tag0,
+                  o_orderstatus AS new_tag1
+           FROM orders)
+         SELECT o_orderkey, new_seg
+         FROM docs
+         WHERE new_seg IS DISTINCT FROM old_seg
+            OR new_tag0 IS DISTINCT FROM old_tag0
+            OR new_tag1 IS DISTINCT FROM old_tag1
+         ORDER BY o_orderkey""",
     "q_a10_quantiles" ->
       """SELECT o_orderpriority,
                 round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 4)

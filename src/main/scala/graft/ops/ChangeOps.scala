@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import graft.Tables.{table => t}
+
+/** Recursive change detection over nested documents — the reference's
+  * `was_changed` (`/root/reference/odgovlt.py:112-124`), which walks the NEW
+  * document's keys, recurses into nested dicts, zips lists (comparing only
+  * the common prefix), and ignores fields absent from the new side (subset
+  * semantics: the sync never un-sets a field it isn't sending).
+  *
+  * Here the recursion happens at PLAN TIME over the new side's schema: the
+  * builder emits one flat boolean expression tree (null-safe comparisons,
+  * OR-reduced), so at runtime the diff is a single codegen'd predicate — no
+  * per-row recursion, no UDF, row-local at scan speed on 100 TB.
+  */
+object ChangeOps {
+
+  /** TRUE iff any field present in the NEW side's type differs from the
+    * corresponding old field:
+    *  - structs: recurse per field of `dt` (fields only on the old side are
+    *    ignored — subset semantics);
+    *  - arrays: compare the common prefix element-wise, recursing into
+    *    element types (a longer/shorter tail alone is NOT a change —
+    *    odgovlt.py:116-119 zips);
+    *  - a null-vs-null array/struct is unchanged, null-vs-value is a change;
+    *  - leaves: null-safe inequality (`<=>` negated).
+    *
+    * `dt` is the NEW side's data type (from `df.schema(...)` — the Columns
+    * themselves are unresolved at build time).
+    */
+  def subsetChanged(old: Column, neu: Column, dt: DataType): Column = dt match {
+    case st: StructType =>
+      st.fields.map { f =>
+        subsetChanged(old.getField(f.name), neu.getField(f.name), f.dataType)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+    case ArrayType(et, _) =>
+      val n = least(size(old), size(neu))
+      when(old.isNull && neu.isNull, lit(false))
+        .when(old.isNull || neu.isNull, lit(true))
+        .otherwise(
+          exists(
+            zip_with(slice(old, lit(1), n), slice(neu, lit(1), n),
+              (a, b) => subsetChanged(a, b, et)),
+            x => x))
+    case _ => not(old <=> neu)
+  }
+
+  /** Declared query (A7c): depth-2 recursive diff over assembled document
+    * payloads. The new side is a SUBSET of the old (no `status`, no
+    * `meta.priority`) with a shorter tag list — so the only changes that
+    * fire are the genuine mutations: `meta.clerk` every 11th key and
+    * `tags[0]` every 13th.
+    */
+  def a7cNestedDiff(s: SparkSession, dir: String): DataFrame = {
+    val seg = col("o_custkey").cast("string")
+    val oldDoc = struct(
+      col("o_orderstatus").as("status"),
+      struct(col("o_orderpriority").as("priority"), seg.as("seg")).as("meta"),
+      array(col("o_orderpriority"), col("o_orderstatus"), lit("tail")).as("tags"))
+    val newDoc = struct(
+      struct(
+        when(col("o_orderkey") % 11 === 0, lit("SEG-MUTATED"))
+          .otherwise(seg).as("seg")).as("meta"),
+      array(
+        when(col("o_orderkey") % 13 === 0, lit("TAG-MUTATED"))
+          .otherwise(col("o_orderpriority")),
+        col("o_orderstatus")).as("tags"))
+    val docs = t(s, dir, "orders")
+      .select(col("o_orderkey"), oldDoc.as("old_doc"), newDoc.as("new_doc"))
+    docs
+      .filter(subsetChanged(col("old_doc"), col("new_doc"),
+        docs.schema("new_doc").dataType))
+      .select(col("o_orderkey"), col("new_doc.meta.seg").as("new_seg"))
+      .orderBy("o_orderkey")
+  }
+}
