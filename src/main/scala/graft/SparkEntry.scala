@@ -60,6 +60,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
+    "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
@@ -110,6 +111,29 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"""round(${dotSql(a, b)} /
          (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"""
+
+  /** One k-means assignment CTE: nearest centroid from `cents` per corpus
+    * vector (cosine rounded to 9dp before the argmax, ties to smallest cid
+    * — mirrors Similarity.assign).
+    */
+  private def kmAssignCte(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, v, cid FROM (
+          SELECT c.vec_id, c.v, s.cid,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY ${cosSql("c.v", "s.centroid")} DESC, s.cid) AS ark
+          FROM c, $cents s)
+        WHERE ark = 1)"""
+
+  /** One k-means update CTE: per-cluster exact-decimal component sums
+    * (mirrors Similarity.kmeansCentroids' update step).
+    */
+  private def kmUpdateCte(name: String, assigned: String): String =
+    s"""$name AS (SELECT cid, list(cx ORDER BY pos) AS centroid FROM (
+          SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS cx
+          FROM (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+                FROM $assigned)
+          GROUP BY cid, pos)
+        GROUP BY cid)"""
 
   /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
     * arbitrary string expression — kept identical to TextFunctions.packageTags
@@ -457,6 +481,31 @@ object SparkEntry {
                     FROM routed JOIN c
                       ON c.label = routed.probe_label AND c.vec_id <> routed.q_id)
          SELECT q_id, probe_label, CAST(rk AS INT) AS rk, vec_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+    "q_embed_ivf2" -> s"""
+         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
+                WHERE vec_id < ${Similarity.KmeansK}),
+         ${kmAssignCte("a1", "s0")},
+         ${kmUpdateCte("s1", "a1")},
+         ${kmAssignCte("a2", "s1")},
+         ${kmUpdateCte("s2", "a2")},
+         ${kmAssignCte("members", "s2")},
+         q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < ${Similarity.NQueries}),
+         routed AS (SELECT q_id, qv, cid AS probe_cid FROM (
+             SELECT q.q_id, q.qv, s2.cid,
+                    row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY ${cosSql("q.qv", "s2.centroid")} DESC, s2.cid) AS crk
+             FROM q, s2)
+           WHERE crk <= ${Similarity.Probes}),
+         scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+                    FROM routed JOIN members
+                      ON members.cid = routed.probe_cid
+                         AND members.vec_id <> routed.q_id)
+         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)

@@ -116,9 +116,90 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  /** IVF-style ANN: route each query to its nearest centroid (10 clusters),
-    * then exact top-3 within that cluster only — the corpus outside the
-    * probed cluster is never scanned.
+  // ---- learned-centroid IVF (k-means + multi-probe) ----------------------
+
+  val KmeansK = 8
+  val KmeansIters = 2
+  val Probes = 2
+
+  /** Assign every corpus vector to its nearest centroid by cosine (rounded
+    * to 9 dp BEFORE the argmax, ties to the smallest cid — deterministic in
+    * any engine). Centroids ride in broadcast: the corpus never shuffles.
+    */
+  private def assign(c: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    c.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("centroid")), 9).as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** K-means centroid directions learned by Lloyd iterations with
+    * deterministic seeding (the first KmeansK vec_ids): assignment by
+    * rounded cosine, update as exact DECIMAL(38,10) component sums (cosine
+    * is scale-invariant, so the sum direction IS the mean direction and no
+    * order-sensitive division happens). Fully reproducible: the DuckDB
+    * oracle replays the same iterations.
+    *
+    * Scale shape per iteration: one broadcast join + one window over
+    * vec_id-partitions (the assignment) and one hash aggregation over
+    * (cid, pos) — the corpus is scanned, never shuffled whole.
+    */
+  def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    var cents = c.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"))
+    for (_ <- 0 until KmeansIters) {
+      cents = assign(c, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,10)")).as("sx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("sx").cast("double").as("cx"))))
+          .as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("centroid"))
+    }
+    cents
+  }
+
+  /** IVF with learned centroids and multi-probe routing: queries route to
+    * their `probes` nearest centroids and scan only those clusters' members
+    * — the recall knob without any extra corpus cost (clusters are
+    * disjoint, so multi-probe scans `probes/k` of the corpus).
+    */
+  def ivfKmeansTopK(s: SparkSession, dir: String, probes: Int = Probes): DataFrame = {
+    val c = corpus(s, dir)
+    // consumed twice (membership + routing); cache per the class cache note
+    val cents = kmeansCentroids(s, dir).cache()
+    val members = assign(c, cents)
+    val queries = c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val routed = queries.join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cid"),
+        round(cosine(col("qv"), col("centroid")), 9).as("ccos"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probes)
+      .select(col("q_id"), col("qv"), col("cid").as("probe_cid"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(routed).join(members,
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 9).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF-style ANN with GIVEN labels as clusters: route each query to its
+    * nearest label centroid, then exact top-3 within that cluster only —
+    * the corpus outside the probed cluster is never scanned. (The learned
+    * variant above replaces the label shortcut with k-means + multi-probe.)
     */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
