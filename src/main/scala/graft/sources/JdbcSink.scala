@@ -42,6 +42,13 @@ object JdbcSink {
       */
     def upsertStatement(table: String, cols: Seq[String],
         keyCols: Seq[String]): (String, Seq[Int])
+
+    /** Insert-if-absent (get-or-create): existing rows are left UNTOUCHED —
+      * unlike upsert, no field is overwritten. Same (sql, bind order)
+      * contract as [[upsertStatement]].
+      */
+    def insertIfAbsentStatement(table: String, cols: Seq[String],
+        keyCols: Seq[String]): (String, Seq[Int])
   }
 
   /** MySQL / MariaDB: INSERT ... ON DUPLICATE KEY UPDATE; backtick quoting
@@ -57,6 +64,15 @@ object JdbcSink {
       val sql = s"INSERT INTO ${qualify(table)} (${cols.map(quote).mkString(", ")}) VALUES " +
         s"(${cols.map(_ => "?").mkString(", ")}) " +
         s"ON DUPLICATE KEY UPDATE ${updateCols.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")}"
+      (sql, cols.indices)
+    }
+
+    override def insertIfAbsentStatement(table: String, cols: Seq[String],
+        keyCols: Seq[String]): (String, Seq[Int]) = {
+      // INSERT IGNORE: duplicate-key rows are skipped, existing data kept
+      val sql = s"INSERT IGNORE INTO ${qualify(table)} " +
+        s"(${cols.map(quote).mkString(", ")}) VALUES " +
+        s"(${cols.map(_ => "?").mkString(", ")})"
       (sql, cols.indices)
     }
   }
@@ -86,6 +102,15 @@ object JdbcSink {
         s" VALUES (${cols.map(_ => "?").mkString(", ")})"
       val order = keyCols.map(cols.indexOf) ++ updateCols.map(cols.indexOf) ++ cols.indices
       (sql, order)
+    }
+
+    override def insertIfAbsentStatement(table: String, cols: Seq[String],
+        keyCols: Seq[String]): (String, Seq[Int]) = {
+      val sql = s"MERGE INTO ${qualify(table)} t USING SYSIBM.SYSDUMMY1 ON " +
+        keyCols.map(k => s"t.${quote(k)} = ?").mkString("(", " AND ", ")") +
+        s" WHEN NOT MATCHED THEN INSERT (${cols.map(quote).mkString(", ")})" +
+        s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+      (sql, keyCols.map(cols.indexOf) ++ cols.indices)
     }
   }
 
@@ -127,6 +152,33 @@ object JdbcSink {
         } finally conn.close()
       }
     }
+  }
+
+  /** K6: the harvest-user bootstrap (`/root/reference/odgovlt.py:160-181`)
+    * — get-or-create a single configuration row before the sync runs. A
+    * driver-side, idempotent side effect (one connection, one statement):
+    * the row is inserted only if its key is absent; an existing row is
+    * never modified, matching the reference's lookup-then-create.
+    */
+  def ensureRow(url: String, table: String, cols: Seq[String],
+      keyCols: Seq[String], row: Seq[Any],
+      dialect: Dialect = MySqlDialect): Unit = {
+    require(cols.length == row.length,
+      s"ensureRow: ${cols.length} columns but ${row.length} values")
+    val missing = keyCols.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"ensureRow: key column(s) ${missing.mkString(", ")} not in $cols")
+    val (sql, bindOrder) = dialect.insertIfAbsentStatement(table, cols, keyCols)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(sql)
+      try {
+        bindOrder.zipWithIndex.foreach { case (colIdx, paramIdx) =>
+          st.setObject(paramIdx + 1, row(colIdx).asInstanceOf[AnyRef])
+        }
+        st.executeUpdate()
+      } finally st.close()
+    } finally conn.close()
   }
 
   /** Delete-set application (K5): one DELETE per key batch. */

@@ -130,6 +130,19 @@ class JdbcSpec extends AnyFunSuite {
     assert(got === Seq(10 -> "app-10", 11 -> "app-11"))
   }
 
+  test("K6 ensureRow bootstrap: creates once, never overwrites (idempotent)") {
+    exec(
+      "CREATE TABLE t_boot (id INT PRIMARY KEY, login VARCHAR(40), role VARCHAR(20))")
+    val row = Seq(1, "harvest", "sysadmin")
+    JdbcSink.ensureRow(url, "t_boot", Seq("id", "login", "role"), Seq("id"),
+      row, JdbcSink.DerbyDialect)
+    // second bootstrap with DIFFERENT field values must be a no-op
+    JdbcSink.ensureRow(url, "t_boot", Seq("id", "login", "role"), Seq("id"),
+      Seq(1, "intruder", "other"), JdbcSink.DerbyDialect)
+    val got = queryPairs("SELECT id, login FROM t_boot ORDER BY id")
+    assert(got === Seq(1 -> "harvest"))
+  }
+
   test("MySQL dialect: upsert statement shape and zero-date URL guard") {
     val (sql, order) = JdbcSink.MySqlDialect.upsertStatement(
       "db.t_user", Seq("id", "key", "name"), Seq("id"))

@@ -52,4 +52,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_j6_semi").contains("LeftSemi"))
     assert(plan("q_j7_anti").contains("LeftAnti"))
   }
+
+  // ---- round-2 guards ------------------------------------------------------
+
+  test("package doc serializes via json_project, not CodegenFallback to_json") {
+    val p = plan("q_p4_package_doc")
+    assert(p.contains("json_project"), p.take(2000))
+    assert(!p.contains("to_json"), "to_json would drag the pipeline out of codegen")
+  }
+
+  test("a7b prefix diff runs one aggregation, no self-join") {
+    val p = plan("q_a7b_prefix_diff")
+    assert(!p.contains("SortMergeJoin"), "the old self-join shape is back")
+    val aggPasses = "ObjectHashAggregate\\(keys=\\[l_orderkey".r.findAllIn(p).length
+    assert(aggPasses == 2, s"expected one partial+final aggregation pair, got $aggPasses")
+  }
+
+  test("simhash pairs join on pigeonhole bands, not language blocks") {
+    val p = plan("q_dedup_simhash_pairs")
+    assert(p.contains("band_idx"), "candidates must come from band equi-joins")
+  }
+
+  test("ngram join is prefix-filtered (DF-ranked postings feed the self-join)") {
+    val p = plan("q_dedup_ngram")
+    assert(p.contains("row_number"), "prefix ranking missing")
+  }
+
+  test("ivf2 centroids broadcast; assignment and rank windows pre-limit") {
+    val p = plan("q_embed_ivf2")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
 }
