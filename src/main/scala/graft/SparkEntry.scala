@@ -139,21 +139,23 @@ object SparkEntry {
     * arbitrary string expression — kept identical to TextFunctions.packageTags
     * so flagship and standalone oracles share one definition.
     */
+  /** The tag pipeline as a LIST (for document assembly oracles). */
+  private def tagPipelineListSql(expr: String): String =
+    s"""list_filter(
+          list_transform(
+            list_filter(
+              list_transform(string_split(replace($expr, ';', ','), ','),
+                t -> CASE WHEN regexp_matches(trim(t), '^[A-Z][a-z]')
+                          THEN lower(substr(trim(t), 1, 1)) || substr(trim(t), 2)
+                          ELSE trim(t) END),
+              t -> t IS NOT NULL AND t <> ''),
+            t -> lower(trim(regexp_replace(t, '\\W+', ' ', 'g')))),
+          t -> length(t) BETWEEN 2 AND 100)"""
+
   // coalesce: DuckDB's array_to_string returns NULL for an empty list where
   // Spark's array_join returns ''.
   private def tagPipelineSql(expr: String): String =
-    s"""coalesce(array_to_string(
-          list_filter(
-            list_transform(
-              list_filter(
-                list_transform(string_split(replace($expr, ';', ','), ','),
-                  t -> CASE WHEN regexp_matches(trim(t), '^[A-Z][a-z]')
-                            THEN lower(substr(trim(t), 1, 1)) || substr(trim(t), 2)
-                            ELSE trim(t) END),
-                t -> t IS NOT NULL AND t <> ''),
-              t -> lower(trim(regexp_replace(t, '\\W+', ' ', 'g')))),
-            t -> length(t) BETWEEN 2 AND 100),
-          '|'), '')"""
+    s"""coalesce(array_to_string(${tagPipelineListSql(expr)}, '|'), '')"""
 
   /** DuckDB SQL macro for slug normalization (odgovlt.py:39-48) — ASCII
     * inputs only (transliteration is a no-op for the harness columns).
@@ -360,9 +362,35 @@ object SparkEntry {
          LEFT JOIN region ON n_regionkey = r_regionkey
          LEFT JOIN og ON o_orderkey = og.l_orderkey
          ORDER BY o_orderkey""",
-    // q_p4_package_doc: no oracle — nested JSON document assembly; DuckDB
-    // cannot reproduce Spark's to_json byte-for-byte. Structure pinned by
-    // SyncPipelineSpec; the flat projection above hash-matches field-wise.
+    // q_p4_package_doc: DuckDB's compact to_json matches json_project /
+    // Spark's to_json byte-for-byte on this document shape (same member
+    // order via struct_pack, same escaping; every field non-null, so the
+    // engines' null-member disagreement never fires).
+    "q_p4_package_doc" -> s"""
+         WITH og AS (
+           SELECT l_orderkey,
+                  list_sort(list(DISTINCT p_name)) AS group_list,
+                  array_to_string(list_sort(list(DISTINCT p_type)), ',') AS type_csv
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY l_orderkey)
+         SELECT o_orderkey,
+                to_json(struct_pack(
+                  name := ${slugSql("coalesce(c_name, 'Unknown User') || ' ' || o_orderkey")},
+                  maintainer := coalesce(c_name, 'Unknown User'),
+                  owner_org := coalesce(n_name, 'Unknown organization'),
+                  tags := ${tagPipelineListSql("coalesce(og.type_csv, '')")},
+                  groups := coalesce(og.group_list, CAST([] AS VARCHAR[])),
+                  extras := [
+                    struct_pack(key := 'Šaltinis', value := 'IVPK IRS'),
+                    struct_pack(key := 'Kodas', value := CAST(o_custkey AS VARCHAR))],
+                  metadata_created := strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+                )) AS package_json
+         FROM orders
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+           ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN og ON o_orderkey = og.l_orderkey
+         ORDER BY o_orderkey""",
     "q_k3_merge_actions" ->
       """SELECT key, action FROM (
            SELECT coalesce(s_key, t_key) AS key,
