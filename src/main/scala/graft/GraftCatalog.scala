@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{JsonProject, SlugTruncate}
+import graft.functions.{JsonProject, SlugTruncate, TagPipeline}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -31,5 +31,8 @@ object GraftCatalog {
     if (!reg.functionExists(JsonProject.identifier))
       reg.registerFunction(JsonProject.identifier, JsonProject.info,
         JsonProject.builder)
+    if (!reg.functionExists(TagPipeline.identifier))
+      reg.registerFunction(TagPipeline.identifier, TagPipeline.info,
+        TagPipeline.builder)
   }
 }

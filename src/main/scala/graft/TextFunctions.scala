@@ -122,10 +122,19 @@ object TextFunctions {
 
   /** The tag pipeline (odgovlt.py:79-94): `;`→`,`, split on `,`, trim,
     * fixcase, drop empties, tagify+lower, keep 2 ≤ len ≤ 100. Preserves
-    * input order. Built entirely from higher-order array functions — no
-    * explode/shuffle, runs row-local at scan speed.
+    * input order. Runs as ONE native codegen'd expression
+    * ([[graft.functions.TagPipeline]]): the declarative chain below is four
+    * stacked higher-order functions whose lambdas are CodegenFallback —
+    * interpreted per element, with an intermediate array per layer — on the
+    * package-assembly hot path. TagPipelineSpec pins the two forms equal.
     */
-  def packageTags(c: Column): Column = {
+  def packageTags(c: Column): Column = graft.functions.TagPipeline(c)
+
+  /** The same pipeline as declarative higher-order functions — kept as the
+    * executable specification the native expression is tested against, and
+    * as the form to prefer when a step needs to vary per call site.
+    */
+  def packageTagsHof(c: Column): Column = {
     val parts = split(regexp_replace(c, ";", ","), ",")
     val stripped = transform(parts, t => fixcase(trim(t)))
     val nonEmpty = filter(stripped, t => t =!= "" && t.isNotNull)

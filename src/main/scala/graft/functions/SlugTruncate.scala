@@ -50,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((SlugTruncate.identifier, SlugTruncate.info, SlugTruncate.builder))
     ext.injectFunction((JsonProject.identifier, JsonProject.info, JsonProject.builder))
+    ext.injectFunction((TagPipeline.identifier, TagPipeline.info, TagPipeline.builder))
   }
 }

@@ -38,9 +38,25 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Euclidean norm, precomputed once per vector: the higher-order fold is
+    * interpreted (CodegenFallback), so evaluating `sqrt(dot(v,v))` once per
+    * row instead of once per scored PAIR removes the dominant redundant work
+    * from every cosine below. `norm(a)*norm(b)` multiplies the exact same
+    * doubles the inlined form did — the scores stay bit-identical to the
+    * oracle's `cosine`.
+    */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from a precomputed pair dot and precomputed norms (same value,
+    * same operation order as [[cosine]]).
+    */
+  private def cosPre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
 
   val NQueries = 20
 
@@ -50,10 +66,11 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val queries = broadcast(
-      c.filter(col("vec_id") < NQueries).select(col("vec_id").as("q_id"), col("v").as("qv")))
+      c.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq")))
     val scored = c.join(queries, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 9).as("cos"))
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -75,6 +92,7 @@ object Similarity {
         .as("ps"))
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cx")).as("centroid"))
+      .withColumn("cnorm", norm(col("centroid")))
 
   val HyperPlanes = 8
 
@@ -107,11 +125,12 @@ object Similarity {
     val bucket = planes.zipWithIndex.map { case (w, p) =>
       when(dot(col("v"), typedLit(w)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val bucketed = c.select(col("vec_id"), col("v"), bucket.as("bucket")).cache()
+    val bucketed =
+      c.select(col("vec_id"), col("v"), col("nv"), bucket.as("bucket")).cache()
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(cosine(col("a.v"), col("b.v")), 9).as("cos"))
+        round(cosPre(dot(col("a.v"), col("b.v")), col("a.nv"), col("b.nv")), 9).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("a_id", "b_id")
   }
@@ -125,17 +144,24 @@ object Similarity {
   /** Assign every corpus vector to its nearest centroid by cosine (rounded
     * to 9 dp BEFORE the argmax, ties to the smallest cid — deterministic in
     * any engine). Centroids ride in broadcast: the corpus never shuffles.
+    *
+    * The argmax is a codegen'd hash aggregation over a lexicographic struct
+    * (max ccos, then smallest cid via the negated tiebreak field) — the same
+    * winner a `row_number` window over (ccos DESC, cid) picks, but map-side
+    * partials shrink the shuffle to one row per vector and nothing sorts.
+    * Expects `nv`/`cnorm` precomputed on the inputs (see [[norm]]).
     */
-  private def assign(c: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
+  private def assign(c: DataFrame, cents: DataFrame): DataFrame =
     c.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(cosine(col("v"), col("centroid")), 9).as("ccos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-  }
+      .select(col("vec_id"),
+        struct(
+          round(cosPre(dot(col("v"), col("centroid")), col("nv"), col("cnorm")), 9)
+            .as("ccos"),
+          (-col("cid")).as("ncid"), col("cid"), col("v"), col("nv")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nv").as("nv"),
+        col("best.cid").as("cid"))
 
   /** K-means centroid directions learned by Lloyd iterations with
     * deterministic seeding (the first KmeansK vec_ids): assignment by
@@ -151,7 +177,8 @@ object Similarity {
   def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     var cents = c.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"))
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"),
+        col("nv").as("cnorm"))
     for (_ <- 0 until KmeansIters) {
       cents = assign(c, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -161,6 +188,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("sx").cast("double").as("cx"))))
           .as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("centroid"))
+        .withColumn("cnorm", norm(col("centroid")))
     }
     cents
   }
@@ -176,20 +204,21 @@ object Similarity {
     val cents = kmeansCentroids(s, dir).cache()
     val members = assign(c, cents)
     val queries = c.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val routed = queries.join(broadcast(cents))
-      .select(col("q_id"), col("qv"), col("cid"),
-        round(cosine(col("qv"), col("centroid")), 9).as("ccos"))
+      .select(col("q_id"), col("qv"), col("nq"), col("cid"),
+        round(cosPre(dot(col("qv"), col("centroid")), col("nq"), col("cnorm")), 9)
+          .as("ccos"))
       .withColumn("crk", row_number().over(wq))
       .filter(col("crk") <= probes)
-      .select(col("q_id"), col("qv"), col("cid").as("probe_cid"))
+      .select(col("q_id"), col("qv"), col("nq"), col("cid").as("probe_cid"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(routed).join(members,
         col("cid") === col("probe_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 9).as("cos"))
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"), col("cos"))
@@ -204,21 +233,22 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val queries = c.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val cents = broadcast(centroids(s, dir))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("c_label"))
     val routed = queries.join(cents)
-      .select(col("q_id"), col("qv"), col("c_label"),
-        round(cosine(col("qv"), col("centroid")), 9).as("ccos"))
+      .select(col("q_id"), col("qv"), col("nq"), col("c_label"),
+        round(cosPre(dot(col("qv"), col("centroid")), col("nq"), col("cnorm")), 9)
+          .as("ccos"))
       .withColumn("crk", row_number().over(wq))
       .filter(col("crk") === 1)
-      .select(col("q_id"), col("qv"), col("c_label").as("probe_label"))
+      .select(col("q_id"), col("qv"), col("nq"), col("c_label").as("probe_label"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(routed).join(c,
         col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("probe_label"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 9).as("cos"))
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("q_id"), col("probe_label"), col("rk").cast("int").as("rk"),
