@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{JsonProject, SlugTruncate, TagPipeline}
+import graft.functions.{CharTrigrams, JsonProject, SlugTruncate, TagPipeline}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -34,5 +34,8 @@ object GraftCatalog {
     if (!reg.functionExists(TagPipeline.identifier))
       reg.registerFunction(TagPipeline.identifier, TagPipeline.info,
         TagPipeline.builder)
+    if (!reg.functionExists(CharTrigrams.identifier))
+      reg.registerFunction(CharTrigrams.identifier, CharTrigrams.info,
+        CharTrigrams.builder)
   }
 }

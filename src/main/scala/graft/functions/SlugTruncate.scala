@@ -51,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((SlugTruncate.identifier, SlugTruncate.info, SlugTruncate.builder))
     ext.injectFunction((JsonProject.identifier, JsonProject.info, JsonProject.builder))
     ext.injectFunction((TagPipeline.identifier, TagPipeline.info, TagPipeline.builder))
+    ext.injectFunction((CharTrigrams.identifier, CharTrigrams.info, CharTrigrams.builder))
   }
 }

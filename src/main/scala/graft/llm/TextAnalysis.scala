@@ -39,6 +39,14 @@ object TextAnalysis {
     * the word shingles (TextHash.slidingTriples).
     */
   def charTrigrams(text: Column): Column =
+    graft.functions.CharTrigrams(text)
+
+  /** The declarative form of [[charTrigrams]] — kept as the executable
+    * specification the native expression is pinned against
+    * (CharTrigramsSpec): per-character split + three zipped slices, all
+    * interpreted lambdas, per document.
+    */
+  def charTrigramsHof(text: Column): Column =
     slidingTriples(split(lower(text), ""), "", array(lower(text)))
 
   /** Quality/statistics profile per document. */
