@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CharTrigrams, JsonProject, SlugTruncate, TagPipeline}
+import graft.functions.{CharTrigrams, DotProduct, JsonProject, SlugTruncate, TagPipeline}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -37,5 +37,8 @@ object GraftCatalog {
     if (!reg.functionExists(CharTrigrams.identifier))
       reg.registerFunction(CharTrigrams.identifier, CharTrigrams.info,
         CharTrigrams.builder)
+    if (!reg.functionExists(DotProduct.identifier))
+      reg.registerFunction(DotProduct.identifier, DotProduct.info,
+        DotProduct.builder)
   }
 }

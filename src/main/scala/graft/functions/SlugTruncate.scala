@@ -52,5 +52,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((JsonProject.identifier, JsonProject.info, JsonProject.builder))
     ext.injectFunction((TagPipeline.identifier, TagPipeline.info, TagPipeline.builder))
     ext.injectFunction((CharTrigrams.identifier, CharTrigrams.info, CharTrigrams.builder))
+    ext.injectFunction((DotProduct.identifier, DotProduct.info, DotProduct.builder))
   }
 }

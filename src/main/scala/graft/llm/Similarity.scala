@@ -30,9 +30,17 @@ import graft.Tables.{table => t}
 object Similarity {
 
   /** Left-to-right dot product of two double arrays (sequential fold —
-    * matches any engine that folds a list in order).
+    * matches any engine that folds a list in order). Native codegen'd
+    * expression ([[graft.functions.DotProduct]]); the declarative fold it
+    * replaced is kept as [[dotHof]] and pinned bit-identical by
+    * DotProductSpec.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** The same fold as declarative higher-order functions — the executable
+    * specification for the native expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
