@@ -83,4 +83,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("nativized hot paths carry no interpreted lambdas") {
+    // each of these replaced a CodegenFallback higher-order-function chain
+    // with a native expression; `lambdafunction` reappearing means the
+    // interpreted form leaked back into the plan
+    val nativized = Map(
+      "q_sf5_package_tags" -> "tag_pipeline",
+      "q_text_langid" -> "char_trigrams",
+      "q_embed_topk" -> "dot_product",
+      "q_embed_ivf2" -> "dot_product",
+      "q_p4_package_doc" -> "json_project")
+    for ((q, fn) <- nativized) {
+      val p = plan(q)
+      assert(p.contains(fn), s"$q lost its native $fn expression")
+      assert(!p.contains("lambdafunction"),
+        s"$q has an interpreted lambda back on the hot path")
+    }
+  }
+
+  test("k-means assignment is a hash-agg argmax, not a sorted window") {
+    val p = plan("q_embed_ivf2")
+    // the corpus-side argmax must aggregate (map-side partials), not sort
+    // k x corpus rows under a row_number window; the only windows left are
+    // over the tiny query set
+    assert(p.contains("max(cand"), s"struct argmax missing:\n${p.take(1200)}")
+  }
 }
