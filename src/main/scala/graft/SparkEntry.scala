@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, MultimodalOps, StringOps}
+import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, IntervalOps, MultimodalOps, StringOps}
 import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
@@ -71,6 +71,7 @@ object SparkEntry {
     "q_a10_quantiles" -> (CoreOps.a10Quantiles _),
     "q_a11_pivot" -> (CoreOps.a11Pivot _),
     "q_j8_asof" -> (AsofOps.asofClick _),
+    "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
     "q_w3_sessionize" -> (StreamOps.sessionizeBatch _),
@@ -678,6 +679,19 @@ object SparkEntry {
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY e.event_id""",
+    // epoch_us on both sides: Spark truncates the nanosecond source to
+    // microseconds, DuckDB keeps nanos — comparing in shared-precision
+    // micros makes the window-boundary semantics engine-exact
+    "q_j9_interval" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user, epoch_us(ts) AS c_us
+               FROM events WHERE event_type = 'click')
+         SELECT view_id, click_id, user_id,
+                (c_us - v_us) // 1000000 AS delay_s
+         FROM v JOIN c
+           ON user_id = c_user AND c_us > v_us AND c_us <= v_us + 600000000
+         ORDER BY view_id, click_id""",
     "q_w4_sliding" ->
       """WITH w AS (
            SELECT unnest([

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{table => t}
+
+/** Event-time interval (range) join — the adjunct to [[AsofOps]]: every
+  * right row within a bounded window AFTER the left row, not just the
+  * latest-before match. The view→click attribution shape of a training-data
+  * event pipeline.
+  *
+  * Scale design: an equi-join on the entity key with the time range as a
+  * residual predicate, so it hash-partitions by key like any other join —
+  * never a cross or range-only join; the window bound keeps per-key match
+  * counts O(activity in the window). Time comparisons happen in epoch
+  * MICROSECONDS — the precision Spark holds after truncating the
+  * nanosecond parquet source — computed identically by any engine reading
+  * the same file, so boundary semantics are exact, not
+  * truncation-dependent.
+  */
+object IntervalOps {
+
+  /** Every click by the same user strictly after a view and within
+    * `windowSeconds` of it, with the floor-second delay.
+    */
+  def viewClickAttribution(s: SparkSession, dir: String,
+      windowSeconds: Long = 600L): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_us") > col("v_us") &&
+          col("c_us") <= col("v_us") + lit(windowSeconds * 1000000L))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        floor((col("c_us") - col("v_us")) / lit(1000000L)).as("delay_s"))
+      .orderBy("view_id", "click_id")
+  }
+}

@@ -95,6 +95,31 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Stream-stream interval join (the streaming form of
+    * [[graft.ops.IntervalOps.viewClickAttribution]]): clicks join views of
+    * the same user arriving strictly after the view and within `window` of
+    * it. Watermarks on BOTH sides plus the event-time range in the join
+    * condition are what make this runnable on unbounded streams: Spark can
+    * prove a buffered view can no longer match once the click watermark
+    * passes `view_ts + window`, and evicts it — state stays O(activity in
+    * the window), never O(stream).
+    *
+    * Input schemas: views (view_id, user_id, view_ts), clicks
+    * (click_id, c_user, click_ts).
+    */
+  def attributionStream(views: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("view_ts", window)
+    val c = clicks.withWatermark("click_ts", window)
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        floor((unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) /
+          lit(1000000L)).as("delay_s"))
+  }
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

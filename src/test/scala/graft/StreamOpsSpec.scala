@@ -91,6 +91,39 @@ class StreamOpsSpec extends AnyFunSuite {
       (9L, "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("attributionStream matches the batch interval join on a replayed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // views/clicks for two users; one click outside the 10-minute window,
+    // one click exactly ON the boundary (inclusive), one before the view
+    val views = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 2L, ts("2024-01-01 10:00:00")))
+    val clicks = Seq(
+      (200L, 1L, ts("2024-01-01 10:03:00")),   // in window
+      (201L, 1L, ts("2024-01-01 10:10:00")),   // boundary: kept (<=)
+      (202L, 1L, ts("2024-01-01 10:11:00")),   // outside
+      (203L, 2L, ts("2024-01-01 09:59:00")),   // before the view
+      (204L, 2L, ts("2024-01-01 10:09:59")))   // in window
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    vMem.addData(views)
+    cMem.addData(clicks)
+    val q = StreamOps.attributionStream(
+        vMem.toDF.toDF("view_id", "user_id", "view_ts"),
+        cMem.toDF.toDF("click_id", "c_user", "click_ts"))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("attribution")
+      .orderBy("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toList == List(
+      (100L, 200L, 180L), (100L, 201L, 600L), (101L, 204L, 599L)))
+  }
+
   test("sessionizeBatch matches a naive reference on random event streams") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
