@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CharTrigrams, DotProduct, JsonProject, SlugTruncate, TagPipeline}
+import graft.functions.{CharTrigrams, DotProduct, JsonProject, SlugTruncate, TagPipeline, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -40,5 +40,8 @@ object GraftCatalog {
     if (!reg.functionExists(DotProduct.identifier))
       reg.registerFunction(DotProduct.identifier, DotProduct.info,
         DotProduct.builder)
+    if (!reg.functionExists(WordShingles.identifier))
+      reg.registerFunction(WordShingles.identifier, WordShingles.info,
+        WordShingles.builder)
   }
 }

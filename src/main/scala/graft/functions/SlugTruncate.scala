@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((TagPipeline.identifier, TagPipeline.info, TagPipeline.builder))
     ext.injectFunction((CharTrigrams.identifier, CharTrigrams.info, CharTrigrams.builder))
     ext.injectFunction((DotProduct.identifier, DotProduct.info, DotProduct.builder))
+    ext.injectFunction((WordShingles.identifier, WordShingles.info, WordShingles.builder))
   }
 }

@@ -42,9 +42,18 @@ object TextHash {
   }
 
   /** Distinct word 3-gram shingles; docs with <3 tokens get a single
-    * empty-string shingle so the signature stays well-defined.
+    * empty-string shingle so the signature stays well-defined. Native
+    * codegen'd expression ([[graft.functions.WordShingles]]); the
+    * declarative form stays as [[shingles3Hof]], pinned equal by
+    * WordShinglesSpec.
     */
   def shingles3(toks: Column): Column =
+    graft.functions.WordShingles(toks)
+
+  /** The declarative (zipped-slices) form — the executable specification
+    * for the native expression.
+    */
+  def shingles3Hof(toks: Column): Column =
     slidingTriples(toks, " ", array(lit("")))
 
   /** Jaccard similarity of two string arrays (distinct semantics). */

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.TextHash
+
+/** The native word_shingles expression must be element-for-element identical
+  * (including distinct order, fallback, and null propagation) to the
+  * zipped-slices chain it replaced — that chain feeds the oracle-verified
+  * n-gram Jaccard and MinHash dedup queries.
+  */
+class WordShinglesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("word-shingles-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native matches the HOF chain on adversarial token arrays") {
+    import spark.implicits._
+    val inputs: Seq[Seq[String]] = Seq(
+      Seq(), Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "b", "c", "d"), Seq("a", "a", "a", "a", "a"),
+      Seq("a", "b", "a", "b", "a", "b"),            // repeated shingles
+      Seq("", "", "", ""),                          // empty tokens
+      Seq("žodis", "kitas", "žodis", "dar"),        // unicode
+      Seq("x y", "z", "w", "v"))                    // token containing the sep
+    val rows = inputs.toDF("toks")
+      .select(
+        TextHash.shingles3(col("toks")).as("native"),
+        TextHash.shingles3Hof(col("toks")).as("hof"))
+      .as[(Seq[String], Seq[String])]
+      .collect()
+    rows.zip(inputs).foreach { case ((native, hof), in) =>
+      assert(native == hof, s"mismatch for input $in")
+    }
+  }
+
+  test("null tokens propagate like concat + array_distinct") {
+    import spark.implicits._
+    val df = spark.sql(
+      "SELECT array('a', cast(NULL AS STRING), 'c', 'd', 'e') AS toks")
+    val r = df.select(
+      TextHash.shingles3(col("toks")).as("native"),
+      TextHash.shingles3Hof(col("toks")).as("hof"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(r._1 == r._2, s"null propagation mismatch: ${r._1} vs ${r._2}")
+  }
+
+  test("native matches the HOF chain over the documents corpus") {
+    val mismatches = Tables.table(spark, dir, "documents")
+      .select(TextHash.tokens(col("text")).as("toks"))
+      .select(
+        TextHash.shingles3(col("toks")).as("native"),
+        TextHash.shingles3Hof(col("toks")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(mismatches == 0)
+  }
+}
