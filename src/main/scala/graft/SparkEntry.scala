@@ -137,10 +137,10 @@ object SparkEntry {
         GROUP BY cid)"""
 
   /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
-    * arbitrary string expression — kept identical to TextFunctions.packageTags
-    * so flagship and standalone oracles share one definition.
+    * arbitrary string expression, returning the tag LIST (for document
+    * assembly oracles) — kept identical to TextFunctions.packageTags so
+    * flagship and standalone oracles share one definition.
     */
-  /** The tag pipeline as a LIST (for document assembly oracles). */
   private def tagPipelineListSql(expr: String): String =
     s"""list_filter(
           list_transform(

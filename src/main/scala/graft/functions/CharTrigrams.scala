@@ -24,7 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class CharTrigrams(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // NULL input falls through the declarative chain's when/otherwise into the
+  // array(lower(text)) fallback, i.e. [NULL] — NOT a null result, so this
+  // expression must not null-propagate (and its elements are nullable)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "char_trigrams"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -33,11 +37,23 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
       s"char_trigrams requires a string input, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(value: Any): Any =
-    CharTrigramsOps.run(value.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    CharTrigramsOps.run(child.eval(input).asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharTrigramsOps.run($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("trigrams")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.functions.CharTrigramsOps.run(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -59,6 +75,9 @@ object CharTrigrams {
 object CharTrigramsOps {
 
   def run(input: UTF8String): ArrayData = {
+    // the declarative chain's fallback on NULL text is array(lower(NULL)),
+    // i.e. a one-element [NULL] array — not a null result
+    if (input == null) return new GenericArrayData(Array[AnyRef](null))
     val lowered = input.toLowerCase
     val s = lowered.toString
     val len = s.length

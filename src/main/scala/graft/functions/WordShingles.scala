@@ -25,7 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WordShingles(child: Expression) extends UnaryExpression {
 
+  // NULL input falls through the declarative chain's when/otherwise into
+  // the array('') fallback (size(NULL) = -1 under legacy sizeOfNull) — so
+  // this expression must not null-propagate
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "word_shingles"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -34,11 +38,23 @@ case class WordShingles(child: Expression) extends UnaryExpression {
       s"word_shingles requires an array<string> input, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(value: Any): Any =
-    WordShinglesOps.run(value.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    WordShinglesOps.run(child.eval(input).asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShinglesOps.run($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("shingles")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.functions.WordShinglesOps.run(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -63,6 +79,9 @@ object WordShinglesOps {
   private val Space = UTF8String.fromString(" ")
 
   def run(toks: ArrayData): ArrayData = {
+    // NULL token array: size(NULL) = -1 in the declarative chain, which
+    // takes the same [""] fallback as a short array — not a null result
+    if (toks == null) return new GenericArrayData(Array[AnyRef](Empty))
     val n = toks.numElements()
     if (n < 3) return new GenericArrayData(Array[AnyRef](Empty))
     val words = new Array[UTF8String](n)

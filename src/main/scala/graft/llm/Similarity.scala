@@ -43,6 +43,11 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Cosine with inlined norms — the executable DEFINITION the operators'
+    * split form ([[norm]] once per vector + [[cosPre]] per pair) must equal,
+    * and what the oracles' `cosSql` mirrors. Not used on hot paths: per-pair
+    * norm recomputation is exactly the cost the split form eliminates.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -153,11 +158,14 @@ object Similarity {
     * to 9 dp BEFORE the argmax, ties to the smallest cid — deterministic in
     * any engine). Centroids ride in broadcast: the corpus never shuffles.
     *
-    * The argmax is a codegen'd hash aggregation over a lexicographic struct
-    * (max ccos, then smallest cid via the negated tiebreak field) — the same
-    * winner a `row_number` window over (ccos DESC, cid) picks, but map-side
-    * partials shrink the shuffle to one row per vector and nothing sorts.
-    * Expects `nv`/`cnorm` precomputed on the inputs (see [[norm]]).
+    * The argmax is a `max` over a lexicographic struct (max ccos, then
+    * smallest cid via the negated tiebreak field) — the same winner a
+    * `row_number` window over (ccos DESC, cid) picks. Spark plans a
+    * SortAggregate for complex-typed max, but with MAP-SIDE PARTIALS: the
+    * local sort runs over each partition's k-per-vector candidates and the
+    * shuffle carries ONE row per vector — versus the window's global
+    * shuffle-and-sort of all k × corpus rows. PlanSpec pins the
+    * `partial_max` shape.
     */
   private def assign(c: DataFrame, cents: DataFrame): DataFrame =
     c.join(broadcast(cents))

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
 object PartitionedStore {
 
   /** `events` with the derived daily partition column the layouts below
-    * key on (UTC date of `ts`).
+    * key on: the UTC date of `ts`, computed zone-free from epoch micros so
+    * two environments with different session time zones agree on which
+    * directory a row lives in (`to_date` would use the session zone).
     */
   def eventsWithDay(df: DataFrame): DataFrame =
-    df.withColumn("dt", to_date(col("ts")))
+    df.withColumn("dt", date_from_unix_date(
+      floor(unix_micros(col("ts")) / lit(86400000000L)).cast("int")))
 
   /** Full (re)write of a partitioned layout. */
   def write(df: DataFrame, path: String, cols: Seq[String]): Unit =

@@ -41,12 +41,24 @@ class CharTrigramsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NULL text takes the [NULL] fallback on both forms") {
+    import spark.implicits._
+    val r = spark.sql("SELECT cast(NULL AS STRING) AS s")
+      .select(
+        TextAnalysis.charTrigrams(col("s")).as("native"),
+        TextAnalysis.charTrigramsHof(col("s")).as("hof"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].head()
+    assert(r._1 == r._2, s"NULL-input mismatch: ${r._1} vs ${r._2}")
+    assert(r._1.contains(Seq(null)), s"expected the [NULL] fallback, got ${r._1}")
+  }
+
   test("native matches the HOF chain over the documents corpus") {
+    // null-safe inequality so NULL-valued rows can't hide a divergence
     val mismatches = Tables.table(spark, dir, "documents")
       .select(
         TextAnalysis.charTrigrams(col("text")).as("native"),
         TextAnalysis.charTrigramsHof(col("text")).as("hof"))
-      .filter(not(col("native") === col("hof")))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     assert(mismatches == 0)
   }

@@ -51,11 +51,18 @@ class PartitionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scanNode = scan.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.head
-    val nDays = events.select(col("dt")).distinct().count()
     val filesRead = scanNode.metrics("numFiles").value
-    assert(nDays > 1, "test data must span multiple days")
-    assert(filesRead < nDays,
-      s"scan read $filesRead files for 1 of $nDays partitions — no pruning")
+    def parquetFiles(d: java.io.File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val inTarget = parquetFiles(new java.io.File(s"$path/dt=$day"))
+    val total = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("dt="))
+      .map(parquetFiles).sum
+    assert(total > inTarget, "test data must span multiple partitions")
+    assert(filesRead == inTarget,
+      s"scan read $filesRead files; the dt=$day directory holds $inTarget — pruning must touch exactly that partition")
 
     val expected = events.filter(col("dt") === lit(day)).count()
     assert(rows.length.toLong == expected)

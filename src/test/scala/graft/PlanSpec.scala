@@ -102,11 +102,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("k-means assignment is a hash-agg argmax, not a sorted window") {
+  test("k-means assignment aggregates with map-side partials, not a window") {
     val p = plan("q_embed_ivf2")
-    // the corpus-side argmax must aggregate (map-side partials), not sort
-    // k x corpus rows under a row_number window; the only windows left are
-    // over the tiny query set
-    assert(p.contains("max(cand"), s"struct argmax missing:\n${p.take(1200)}")
+    // the corpus-side argmax must be an aggregation with partial_max (the
+    // shuffle carries one row per vector), never a row_number window over
+    // k x corpus rows; the only windows left rank the tiny query set
+    assert(p.contains("partial_max(cand"),
+      s"map-side partial argmax missing:\n${p.take(1200)}")
   }
 }

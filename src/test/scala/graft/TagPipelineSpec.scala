@@ -49,13 +49,24 @@ class TagPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NULL input is NULL on both forms") {
+    import spark.implicits._
+    val r = spark.sql("SELECT cast(NULL AS STRING) AS s")
+      .select(
+        TextFunctions.packageTags(col("s")).as("native"),
+        TextFunctions.packageTagsHof(col("s")).as("hof"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].head()
+    assert(r._1.isEmpty && r._2.isEmpty, s"expected NULL on both forms: $r")
+  }
+
   test("native matches the HOF chain over the documents corpus text") {
     import spark.implicits._
+    // null-safe inequality so NULL-valued rows can't hide a divergence
     val mismatches = Tables.table(spark, dir, "documents")
       .select(
         TextFunctions.packageTags(col("text")).as("native"),
         TextFunctions.packageTagsHof(col("text")).as("hof"))
-      .filter(not(col("native") === col("hof")))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     assert(mismatches == 0)
   }

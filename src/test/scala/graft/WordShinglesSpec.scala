@@ -55,13 +55,26 @@ class WordShinglesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r._1 == r._2, s"null propagation mismatch: ${r._1} vs ${r._2}")
   }
 
+  test("a NULL token array takes the [''] fallback on both forms") {
+    import spark.implicits._
+    val r = spark.sql("SELECT cast(NULL AS ARRAY<STRING>) AS toks")
+      .select(
+        TextHash.shingles3(col("toks")).as("native"),
+        TextHash.shingles3Hof(col("toks")).as("hof"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].head()
+    assert(r._1 == r._2, s"NULL-input mismatch: ${r._1} vs ${r._2}")
+    assert(r._1.contains(Seq("")), s"expected the [''] fallback, got ${r._1}")
+  }
+
   test("native matches the HOF chain over the documents corpus") {
+    // null-safe inequality: a plain =!= would silently DROP rows where
+    // either side is NULL — exactly where the forms could diverge
     val mismatches = Tables.table(spark, dir, "documents")
       .select(TextHash.tokens(col("text")).as("toks"))
       .select(
         TextHash.shingles3(col("toks")).as("native"),
         TextHash.shingles3Hof(col("toks")).as("hof"))
-      .filter(not(col("native") === col("hof")))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     assert(mismatches == 0)
   }
