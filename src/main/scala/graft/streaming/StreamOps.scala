@@ -130,6 +130,19 @@ object StreamOps {
     * format; the read-merge-overwrite here keeps the same observable
     * semantics on plain Parquet.)
     */
+  /** Partitioned incremental sync — the FACT-TABLE form of
+    * [[incrementalSync]]: each micro-batch carries the refreshed rows for
+    * whatever days it touches, and dynamic partition overwrite
+    * ([[graft.sources.PartitionedStore.overwritePartitions]]) swaps exactly
+    * those `dt=` directories. Cost is per changed day, never per table —
+    * the whole-directory swap below stays for dimension-sized targets.
+    * Use from `writeStream.foreachBatch((b, _) =>
+    * incrementalSyncPartitioned(b, dir))`.
+    */
+  def incrementalSyncPartitioned(batch: DataFrame, targetDir: String): Unit =
+    graft.sources.PartitionedStore.overwritePartitions(
+      graft.sources.PartitionedStore.eventsWithDay(batch), targetDir, Seq("dt"))
+
   def incrementalSync(batch: DataFrame, targetDir: String, key: String): Unit = {
     val s = batch.sparkSession
     val dst = new org.apache.hadoop.fs.Path(targetDir)

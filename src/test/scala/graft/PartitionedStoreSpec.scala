@@ -68,6 +68,43 @@ class PartitionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length.toLong == expected)
   }
 
+  test("streamed micro-batches rewrite only the day partitions they touch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = s"$tmp/events_stream"
+    def row(id: Long, day: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, "view", v, "{}")
+    // a fresh un-checkpointed stream per import job, as a scheduled
+    // re-import would be — replaying the first stream would put both
+    // versions of an event in one batch
+    def runJob(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      mem.addData(rows)
+      val q = mem.toDF
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.StreamOps.incrementalSyncPartitioned(b, path))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runJob(Seq(row(1, 1, 1.0), row(2, 2, 2.0)))
+    val day1File = new java.io.File(s"$path/dt=2024-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtimeBefore = day1File.lastModified()
+    // second job touches only day 2 (refreshed value)
+    runJob(Seq(row(2, 2, -2.0), row(3, 2, 3.0)))
+    val after = spark.read.parquet(path)
+    assert(after.count() == 3, "day-1 row must survive the day-2 rewrite")
+    assert(after.filter(col("event_id") === 2).head().getDouble(4) == -2.0,
+      "day-2 partition must carry the refreshed value")
+    assert(day1File.exists() && day1File.lastModified() == mtimeBefore,
+      "day-1 files must be physically untouched")
+  }
+
   test("dynamic overwrite replaces present partitions and only those") {
     val path = s"$tmp/events_dyn"
     PartitionedStore.write(events, path, Seq("dt"))
