@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashSketch _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q_dedup_components" -> (Dedup.nearDupComponents _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
@@ -85,6 +86,20 @@ object SparkEntry {
   /** 32-bit md5-prefix hash (mirrors TextHash.md5Long). */
   private def hexIntSql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** Tokenize + SimHash sketch CTEs (mirrors Dedup.simhashTable's bit-vote
+    * arithmetic) — shared by the pair and component oracles.
+    */
+  private lazy val simhashSkCtes: String = s"""
+         tk2 AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+                 FROM documents),
+         sk AS (SELECT doc_id, lang,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(toks, w ->
+                         CASE WHEN (${hexIntSql("w")} >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh
+                FROM tk2)"""
 
   /** Tokenized + shingled documents CTE (mirrors TextHash.{tokens,shingles3}). */
   private val shingledCte: String =
@@ -467,20 +482,30 @@ object SparkEntry {
                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
          FROM tk ORDER BY doc_id""",
     "q_dedup_simhash_pairs" -> s"""
-         WITH tk AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
-                     FROM documents),
-         sk AS (SELECT doc_id, lang,
-                CAST(list_sum(list_transform(range(0, 32), i ->
-                  CASE WHEN list_sum(list_transform(toks, w ->
-                         CASE WHEN (${hexIntSql("w")} >> i) & 1 = 1
-                              THEN 1 ELSE -1 END)) > 0
-                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh
-                FROM tk)
+         WITH $simhashSkCtes
          SELECT a_id, b_id, hamming FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          WHERE hamming <= 6 ORDER BY a_id, b_id""",
+    // components = min reachable doc_id over the (symmetrized) near-dup
+    // pair graph; the oracle takes the full recursive closure, the Spark
+    // side iterates min-label propagation to convergence — both are the
+    // exact component minimum, so they agree regardless of method
+    "q_dedup_components" -> s"""
+         WITH RECURSIVE $simhashSkCtes,
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         SELECT a AS doc_id, min(b) AS component
+         FROM reach GROUP BY a ORDER BY doc_id""",
     "q_embed_topk" -> s"""
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < ${Similarity.NQueries}),

@@ -231,4 +231,62 @@ object Dedup {
     simhashTable(s, dir)
       .select(col("doc_id"), col("sh").as("simhash"))
       .orderBy("doc_id")
+
+  /** Near-dup CLUSTERS: connected components over the SimHash pair graph —
+    * the completion step of dedup at scale (pairs alone don't dedupe; the
+    * canonical representative per component does). Every document gets a
+    * `component` label = the smallest doc_id reachable through near-dup
+    * pairs; singletons label themselves.
+    *
+    * Iterative min-label propagation WITH pointer jumping: each round (a)
+    * takes the min label over self and neighbors (join to the symmetrized,
+    * cached edge list + hash agg) and (b) path-halves by adopting the label
+    * of one's current label — labels are doc_ids, so `label(label(d))` is
+    * one self-equi-join. Neighbor propagation alone needs O(diameter)
+    * rounds and a long chain of near-dups makes that a scale hazard; the
+    * jump makes label depth halve per round, i.e. O(log diameter) rounds —
+    * the same convergence mechanism as the large-star/small-star
+    * formulation. `localCheckpoint` per round keeps the loop's lineage
+    * (and the convergence action) from re-executing prior rounds.
+    */
+  def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(s, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    // labels only ever DECREASE under min-propagation, so the label sum is
+    // strictly monotone until the fixpoint — equal consecutive sums IS
+    // convergence, and the probe is a single cheap aggregation, no join
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("component"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val merged = labels.select(col("doc_id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
+      // pointer jump: component values are doc_ids, so every l.component
+      // has a row in merged — the inner self-join keeps all docs, and
+      // m.component <= m.doc_id = l.component makes it the tighter label
+      val next = merged.as("l")
+        .join(merged.as("m"), col("l.component") === col("m.doc_id"))
+        .select(col("l.doc_id").as("doc_id"),
+          col("m.component").as("component"))
+        .localCheckpoint()
+      val s2 = labelSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
 }
