@@ -66,6 +66,8 @@ object SparkEntry {
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
+    "q_text_tfidf" -> (TextAnalysis.tfidfTopTerms _),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a7c_nested_diff" -> (ChangeOps.a7cNestedDiff _),
     "q_a9_rollup" -> (CoreOps.a9Rollup _),
@@ -632,6 +634,28 @@ object SparkEntry {
                     list_transform(toks, w -> ${hexIntSql("w")})),
                   (a, b) -> (a*31 + b) % 2147483647) AS fp
          FROM tk ORDER BY doc_id""",
+    "q_sample_split" -> s"""
+         SELECT doc_id, lang,
+                CASE WHEN ${hexIntSql("'split:' || CAST(doc_id AS VARCHAR)")}
+                          % 100 < 90
+                     THEN 'train' ELSE 'val' END AS split
+         FROM documents ORDER BY doc_id""",
+    // score = tf * N / df as a double division of exact integers — no
+    // log-based idf, whose libm can differ by an ulp between engines
+    "q_text_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                     FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+         SELECT doc_id, CAST(rk AS INT) AS rk, term, score FROM (
+           SELECT tf.doc_id, tf.term,
+                  CAST(tf.tf * n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+                  row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+                    CAST(tf.tf * n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+                    tf.term) AS rk
+           FROM tf JOIN dfreq USING (term), n)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q_a7b_prefix_diff" ->
       """WITH g AS (
            SELECT l_orderkey, list_sort(list(DISTINCT p_name)) AS old_list

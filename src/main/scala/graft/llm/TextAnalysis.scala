@@ -111,6 +111,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val split: assignment derives from the md5 of the
+    * salted doc_id, never from RNG state — reproducible across engines,
+    * runs, and partitionings (the property a training pipeline needs so a
+    * re-run or a different cluster layout cannot leak val docs into
+    * train). Row-local, zero shuffle; ~`pctTrain`% land in train.
+    */
+  def trainValSplit(s: SparkSession, dir: String, pctTrain: Int = 90): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(md5Long(concat(lit("split:"), col("doc_id").cast("string")))
+          % 100 < pctTrain, "train").otherwise("val").as("split"))
+      .orderBy("doc_id")
+
+  /** Top-3 terms per document by TF-IDF. The score is `tf * N / df` as a
+    * DOUBLE DIVISION OF EXACT INTEGERS — correctly rounded and identical
+    * in any engine, unlike a log-based idf where libm implementations can
+    * differ by an ulp and flip rankings. Shape: one explode + two hash
+    * aggregations + a rank window with `WindowGroupLimit`; the df table
+    * joins per-term, never per-document.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nDocs = broadcast(docs.agg(countDistinct(col("doc_id")).as("n")))
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(nDocs)
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n")).cast("double") / col("df").cast("double"))
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"),
+        col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
