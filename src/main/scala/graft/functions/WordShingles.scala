@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SURVEY.md §2.11) build their inverted indexes from, as one native
   * codegen'd pass.
   *
-  * The declarative form ([[graft.llm.TextHash.slidingTriplesHof]]) zips
+  * The declarative form ([[graft.llm.TextHash.shingles3Hof]]) zips
   * three shifted slices of the token array under interpreted
   * (CodegenFallback) lambdas, allocating two intermediate arrays per row.
   * This expression walks the tokens once. Semantics pinned by

@@ -261,8 +261,12 @@ object Dedup {
     // labels only ever DECREASE under min-propagation, so the label sum is
     // strictly monotone until the fixpoint — equal consecutive sums IS
     // convergence, and the probe is a single cheap aggregation, no join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("component"))).head().getLong(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+      // sum over an empty frame is NULL — an empty documents table must
+      // degrade to an empty result, not a NullPointerException
+      val row = df.agg(sum(col("component"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -127,20 +127,23 @@ object TextAnalysis {
   /** Top-3 terms per document by TF-IDF. The score is `tf * N / df` as a
     * DOUBLE DIVISION OF EXACT INTEGERS — correctly rounded and identical
     * in any engine, unlike a log-based idf where libm implementations can
-    * differ by an ulp and flip rankings. Shape: one explode + two hash
-    * aggregations + a rank window with `WindowGroupLimit`; the df table
-    * joins per-term, never per-document.
+    * differ by an ulp and flip rankings. Shape: ONE explode + one
+    * aggregation into the cached tf table, from which df derives (tf holds
+    * exactly one row per (doc, term), so df = count per term) — the scan
+    * and explode run once, and the df table joins per-term, never
+    * per-document. Cache lifecycle as on [[Dedup]]: callers clearCache
+    * after consuming.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val nDocs = broadcast(docs.agg(countDistinct(col("doc_id")).as("n")))
-    val terms = docs
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .cache()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(df, "term")

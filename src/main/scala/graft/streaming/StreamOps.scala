@@ -130,19 +130,6 @@ object StreamOps {
     * format; the read-merge-overwrite here keeps the same observable
     * semantics on plain Parquet.)
     */
-  /** Partitioned incremental sync — the FACT-TABLE form of
-    * [[incrementalSync]]: each micro-batch carries the refreshed rows for
-    * whatever days it touches, and dynamic partition overwrite
-    * ([[graft.sources.PartitionedStore.overwritePartitions]]) swaps exactly
-    * those `dt=` directories. Cost is per changed day, never per table —
-    * the whole-directory swap below stays for dimension-sized targets.
-    * Use from `writeStream.foreachBatch((b, _) =>
-    * incrementalSyncPartitioned(b, dir))`.
-    */
-  def incrementalSyncPartitioned(batch: DataFrame, targetDir: String): Unit =
-    graft.sources.PartitionedStore.overwritePartitions(
-      graft.sources.PartitionedStore.eventsWithDay(batch), targetDir, Seq("dt"))
-
   def incrementalSync(batch: DataFrame, targetDir: String, key: String): Unit = {
     val s = batch.sparkSession
     val dst = new org.apache.hadoop.fs.Path(targetDir)
@@ -182,6 +169,19 @@ object StreamOps {
     renameOrFail(staged, dst)
     fs.delete(retired, true)
   }
+
+  /** Partitioned incremental sync — the FACT-TABLE form of
+    * [[incrementalSync]]: each micro-batch carries the refreshed rows for
+    * whatever days it touches, and dynamic partition overwrite
+    * ([[graft.sources.PartitionedStore.overwritePartitions]]) swaps exactly
+    * those `dt=` directories. Cost is per changed day, never per table —
+    * the whole-directory swap above stays for dimension-sized targets.
+    * Use from `writeStream.foreachBatch((b, _) =>
+    * incrementalSyncPartitioned(b, dir))`.
+    */
+  def incrementalSyncPartitioned(batch: DataFrame, targetDir: String): Unit =
+    graft.sources.PartitionedStore.overwritePartitions(
+      graft.sources.PartitionedStore.eventsWithDay(batch), targetDir, Seq("dt"))
 
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)

@@ -74,8 +74,12 @@ class PartitionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val path = s"$tmp/events_stream"
+    // epoch-exact construction: Timestamp.valueOf would use the JVM default
+    // zone, while eventsWithDay derives dt from UTC epoch micros — on a
+    // far-offset JVM zone the row would land on a different dt directory
     def row(id: Long, day: Int, v: Double) =
-      (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, "view", v, "{}")
+      (id, Timestamp.from(java.time.Instant.parse(f"2024-01-$day%02dT12:00:00Z")),
+        1L, "view", v, "{}")
     // a fresh un-checkpointed stream per import job, as a scheduled
     // re-import would be — replaying the first stream would put both
     // versions of an event in one batch
