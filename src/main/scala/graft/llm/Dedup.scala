@@ -251,19 +251,34 @@ object Dedup {
     */
   def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairs(s, dir).select(col("a_id"), col("b_id"))
+    val nodes = t(s, dir, "documents").select(col("doc_id"))
+    connectedComponents(nodes, pairs).orderBy("doc_id")
+  }
+
+  /** Generic connected components: every node gets the smallest `doc_id`
+    * reachable through the undirected `pairs` graph. The iterative core of
+    * [[nearDupComponents]], reusable for any near-dup pair source (and
+    * property-pinned against a reference union-find in ComponentsProps).
+    *
+    * Input: `nodes` with a `doc_id` column; `pairs` with (a_id, b_id),
+    * both endpoints drawn from `nodes` (ids outside the node set would
+    * join the propagation but carry no initial self-label).
+    * Output: (doc_id, component), unordered.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .cache()
-    var labels = t(s, dir, "documents")
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     // labels only ever DECREASE under min-propagation, so the label sum is
     // strictly monotone until the fixpoint — equal consecutive sums IS
     // convergence, and the probe is a single cheap aggregation, no join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
-      // sum over an empty frame is NULL — an empty documents table must
-      // degrade to an empty result, not a NullPointerException
+    def labelSum(df: DataFrame): Long = {
+      // sum over an empty frame is NULL — an empty node set must degrade
+      // to an empty result, not a NullPointerException
       val row = df.agg(sum(col("component"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
@@ -277,13 +292,16 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"))
-      // pointer jump: component values are doc_ids, so every l.component
-      // has a row in merged — the inner self-join keeps all docs, and
-      // m.component <= m.doc_id = l.component makes it the tighter label
-      val next = merged.as("l")
-        .join(merged.as("m"), col("l.component") === col("m.doc_id"))
-        .select(col("l.doc_id").as("doc_id"),
-          col("m.component").as("component"))
+      // pointer jump: component values are doc_ids, so every component has
+      // a row in merged — the inner self-join keeps all docs, and the
+      // jumped label is tighter (m_comp <= m_doc = component). The jump
+      // side renames its columns EXPLICITLY: dataset-alias resolution
+      // (`as("l")`/`as("m")`) over a union+aggregate self-join can fail
+      // attribute dedup on some plan shapes (found by ComponentsProps)
+      val jump = merged.select(col("doc_id").as("m_doc"),
+        col("component").as("m_comp"))
+      val next = merged.join(jump, col("component") === col("m_doc"))
+        .select(col("doc_id"), col("m_comp").as("component"))
         .localCheckpoint()
       val s2 = labelSum(next)
       converged = s2 == prevSum
@@ -291,6 +309,6 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels.orderBy("doc_id")
+    labels
   }
 }
