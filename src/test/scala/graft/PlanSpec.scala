@@ -102,6 +102,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join is a hash equi-join on the key, never a loop join") {
+    val p = plan("q_j9_interval")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the time range must be a residual condition, not the join strategy")
+  }
+
+  test("tfidf ranks with WindowGroupLimit and joins df per-term") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("WindowGroupLimit"), "top-3 rank must pre-limit per doc")
+  }
+
   test("k-means assignment aggregates with map-side partials, not a window") {
     val p = plan("q_embed_ivf2")
     // the corpus-side argmax must be an aggregation with partial_max (the
