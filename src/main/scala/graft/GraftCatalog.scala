@@ -19,6 +19,13 @@ object GraftCatalog {
     SyncPipeline.packageFlat(spark, sfDir).createOrReplaceTempView("package_flat")
     SyncPipeline.mergeActions(spark, sfDir).createOrReplaceTempView("merge_actions")
     graft.ops.HierarchyOps.j5Tree(spark, sfDir).createOrReplaceTempView("category_tree")
+    // lazy plans only: nearDupComponents is deliberately NOT mounted — its
+    // iterative loop runs Spark jobs eagerly, which a view registration
+    // must not do; call it directly when needed
+    graft.llm.TextAnalysis.tfidfTopTerms(spark, sfDir)
+      .createOrReplaceTempView("tfidf_top_terms")
+    graft.llm.TextAnalysis.trainValSplit(spark, sfDir)
+      .createOrReplaceTempView("sample_split")
     registerFunctions(spark)
   }
 

@@ -31,5 +31,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     val actions = spark.sql(
       "SELECT action, count(*) FROM merge_actions GROUP BY action").collect()
     assert(actions.map(_.getString(0)).toSet == Set("create", "update", "delete"))
+    val splits = spark.sql(
+      "SELECT split, count(*) AS n FROM sample_split GROUP BY split").collect()
+    assert(splits.map(_.getString(0)).toSet == Set("train", "val"))
+    val topTerm = spark.sql(
+      "SELECT term FROM tfidf_top_terms WHERE rk = 1 ORDER BY doc_id LIMIT 1")
+      .collect()
+    assert(topTerm.nonEmpty && topTerm.head.getString(0).nonEmpty)
   }
 }
