@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CharTrigrams, DotProduct, JsonProject, SlugTruncate, TagPipeline, WordShingles}
+import graft.functions.{CharTrigrams, DotProduct, JsonProject, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -50,5 +50,8 @@ object GraftCatalog {
     if (!reg.functionExists(WordShingles.identifier))
       reg.registerFunction(WordShingles.identifier, WordShingles.info,
         WordShingles.builder)
+    if (!reg.functionExists(QuantizeInt8.identifier))
+      reg.registerFunction(QuantizeInt8.identifier, QuantizeInt8.info,
+        QuantizeInt8.builder)
   }
 }

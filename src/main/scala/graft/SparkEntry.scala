@@ -62,6 +62,7 @@ object SparkEntry {
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
+    "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_langid" -> (TextAnalysis.langId _),
@@ -566,6 +567,28 @@ object SparkEntry {
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+    // every step is engine-exact double arithmetic: order-insensitive max,
+    // floor on identical doubles, left-fold error from a 0.0 seed
+    "q_embed_quantize" -> s"""
+         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+                 coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS maxabs
+               FROM c),
+         s AS (SELECT vec_id, v,
+                 CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale
+               FROM m),
+         qz AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(floor(x * scale) AS INT) END) AS qv
+                FROM s)
+         SELECT vec_id, qv,
+                round(list_reduce(list_concat([0.0],
+                  list_transform(list_zip(v, qv), p ->
+                    CASE WHEN scale = 0 THEN p[1] * p[1]
+                         ELSE (p[1] - CAST(p[2] AS DOUBLE) / scale)
+                            * (p[1] - CAST(p[2] AS DOUBLE) / scale) END)),
+                  (a, b) -> a + b), 9) AS err
+         FROM qz ORDER BY vec_id""",
     "q_embed_neardup" -> s"""
          WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          bk AS (SELECT vec_id, v,

@@ -241,6 +241,20 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Int8-quantized corpus with per-vector reconstruction error — the
+    * storage path for embeddings at scale (4× smaller before ANN
+    * indexing). One native pass per row ([[graft.functions.QuantizeInt8]]);
+    * row-local, zero shuffle.
+    */
+  def quantizedCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.QuantizeInt8(
+          col("embedding").cast("array<double>")).as("qz"))
+      .select(col("vec_id"), col("qz.q").as("qv"),
+        round(col("qz.err"), 9).as("err"))
+      .orderBy("vec_id")
+
   /** IVF-style ANN with GIVEN labels as clusters: route each query to its
     * nearest label centroid, then exact top-3 within that cluster only —
     * the corpus outside the probed cluster is never scanned. (The learned

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.Similarity
+
+/** Int8 quantization invariants (the DuckDB oracle pins exact values; this
+  * pins the properties that make the codes a usable compressed corpus).
+  */
+class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("quantize-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("codes stay in int8 range and reconstruction error is small") {
+    val qz = Similarity.quantizedCorpus(spark, dir).cache()
+    val outOfRange = qz.filter(
+      exists(col("qv"), q => q < -128 || q > 127)).count()
+    assert(outOfRange == 0, "every code must fit int8")
+    assert(qz.filter(col("err") < 0).count() == 0)
+    // per-component quantization step is maxabs/127, so the squared error
+    // is bounded by dims * (maxabs/127)^2; with unit-ish vectors err stays
+    // far below the raw norm — sanity-bound it loosely
+    val worst = qz.agg(max(col("err"))).head().getDouble(0)
+    assert(worst < 1.0, s"reconstruction error suspiciously large: $worst")
+    spark.catalog.clearCache()
+  }
+
+  test("quantize_int8 is SQL-registered; all-zero vectors take zero codes") {
+    GraftCatalog.registerFunctions(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT quantize_int8(array(0.0d, 0.0d)) AS qz,
+                quantize_int8(array(1.0d, -0.5d)) AS qz2""")
+      .select(col("qz.q"), col("qz.err"), col("qz2.q"), col("qz2.err"))
+      .as[(Seq[Int], Double, Seq[Int], Double)].head()
+    assert(r._1 == Seq(0, 0) && r._2 == 0.0)
+    assert(r._3.head == 127, s"max component must map to 127, got ${r._3}")
+  }
+}
