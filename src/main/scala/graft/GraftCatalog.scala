@@ -21,8 +21,10 @@ object GraftCatalog {
     graft.ops.HierarchyOps.j5Tree(spark, sfDir).createOrReplaceTempView("category_tree")
     // lazy plans only: nearDupComponents is deliberately NOT mounted — its
     // iterative loop runs Spark jobs eagerly, which a view registration
-    // must not do; call it directly when needed
-    graft.llm.TextAnalysis.tfidfTopTerms(spark, sfDir)
+    // must not do; call it directly when needed. tfidf mounts WITHOUT its
+    // tf cache — a cache pinned inside a session-lifetime view is never
+    // unpersisted
+    graft.llm.TextAnalysis.tfidfTopTerms(spark, sfDir, cacheTf = false)
       .createOrReplaceTempView("tfidf_top_terms")
     graft.llm.TextAnalysis.trainValSplit(spark, sfDir)
       .createOrReplaceTempView("sample_split")

@@ -68,7 +68,7 @@ object SparkEntry {
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
-    "q_text_tfidf" -> (TextAnalysis.tfidfTopTerms _),
+    "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a7c_nested_diff" -> (ChangeOps.a7cNestedDiff _),
     "q_a9_rollup" -> (CoreOps.a9Rollup _),

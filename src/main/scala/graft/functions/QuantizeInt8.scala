@@ -32,6 +32,9 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("err", DoubleType, nullable = false)))
+  // a null ELEMENT yields a NULL result (run returns null), independent of
+  // the child's own nullability — so this must always be nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "quantize_int8"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -44,7 +47,17 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     QuantizeInt8Ops.run(value.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeInt8Ops.run($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("qz")
+      // typed local + explicit isNull: defineCodeGen would assign the
+      // method result into an InternalRow variable via the boxed return
+      // type and never propagate the null-element case
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.functions.QuantizeInt8Ops.run($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -65,7 +78,7 @@ object QuantizeInt8 {
 /** Standalone object so generated code calls a plain static forwarder. */
 object QuantizeInt8Ops {
 
-  def run(v: ArrayData): Any = {
+  def run(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = v.numElements()
     val xs = new Array[Double](n)
     var maxAbs = 0.0
@@ -91,7 +104,7 @@ object QuantizeInt8Ops {
       err += d * d
       i += 1
     }
-    new GenericInternalRow(Array[Any](
-      new GenericArrayData(q.map(Int.box(_): AnyRef)), err))
+    // primitive-array constructor — no per-element boxing on the hot path
+    new GenericInternalRow(Array[Any](new GenericArrayData(q), err))
   }
 }

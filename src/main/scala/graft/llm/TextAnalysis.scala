@@ -134,15 +134,19 @@ object TextAnalysis {
     * per-document. Cache lifecycle as on [[Dedup]]: callers clearCache
     * after consuming.
     */
-  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+  def tfidfTopTerms(s: SparkSession, dir: String,
+      cacheTf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val nDocs = broadcast(docs.agg(countDistinct(col("doc_id")).as("n")))
-    val tf = docs
+    val tfPlan = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
+    // cacheTf = false for long-lived mounts (GraftCatalog views): a cached
+    // tf pinned inside a session-lifetime view would never be unpersisted;
+    // the view then recomputes tf per consumer instead of holding memory
+    val tf = if (cacheTf) tfPlan.cache() else tfPlan
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))

@@ -109,9 +109,14 @@ class PlanSpec extends AnyFunSuite {
       "the time range must be a residual condition, not the join strategy")
   }
 
-  test("tfidf ranks with WindowGroupLimit and joins df per-term") {
+  test("tfidf ranks with WindowGroupLimit and derives df from the cached tf") {
     val p = plan("q_text_tfidf")
     assert(p.contains("WindowGroupLimit"), "top-3 rank must pre-limit per doc")
+    // df must come from the shared cached tf table, not a second
+    // scan+explode of documents (the per-term-vs-per-document shape the
+    // operator's doc promises)
+    assert(p.contains("InMemoryTableScan"),
+      "df should reuse the cached tf, not re-derive from documents")
   }
 
   test("k-means assignment aggregates with map-side partials, not a window") {

@@ -18,6 +18,10 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("quantize-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // hard-fail if the expression's generated code does not compile —
+    // silent CodegenFallback would keep results green while voiding the
+    // native-pass claim (exactly the bug a review pass caught here)
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -46,5 +50,13 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Seq[Int], Double, Seq[Int], Double)].head()
     assert(r._1 == Seq(0, 0) && r._2 == 0.0)
     assert(r._3.head == 127, s"max component must map to 127, got ${r._3}")
+  }
+
+  test("a null element poisons the result to NULL on both eval paths") {
+    GraftCatalog.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT quantize_int8(array(1.0d, CAST(NULL AS DOUBLE))) AS qz")
+      .collect()
+    assert(r.head.isNullAt(0), "null element must yield NULL, not crash")
   }
 }
