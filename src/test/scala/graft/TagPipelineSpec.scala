@@ -18,6 +18,9 @@ class TagPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("tag-pipeline-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // hard-fail if the native expression's generated code does not compile
+    // (silent CodegenFallback keeps results green while voiding the point)
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
