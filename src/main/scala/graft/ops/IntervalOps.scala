@@ -20,6 +20,21 @@ import graft.Tables.{table => t}
   */
 object IntervalOps {
 
+  /** Generic core: views (view_id, user_id, v_us) ⋈ clicks (click_id,
+    * c_user, c_us) on the user key, click strictly after the view and
+    * within `windowMicros` of it (inclusive upper bound), with the
+    * floor-second delay. Property-pinned against a naive all-pairs
+    * reference on boundary-dense inputs (IntervalProps).
+    */
+  def intervalJoinMicros(views: DataFrame, clicks: DataFrame,
+      windowMicros: Long): DataFrame =
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_us") > col("v_us") &&
+          col("c_us") <= col("v_us") + lit(windowMicros))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        floor((col("c_us") - col("v_us")) / lit(1000000L)).as("delay_s"))
+
   /** Every click by the same user strictly after a view and within
     * `windowSeconds` of it, with the floor-second delay.
     */
@@ -32,12 +47,7 @@ object IntervalOps {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         unix_micros(col("ts")).as("c_us"))
-    views.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_us") > col("v_us") &&
-          col("c_us") <= col("v_us") + lit(windowSeconds * 1000000L))
-      .select(col("view_id"), col("click_id"), col("user_id"),
-        floor((col("c_us") - col("v_us")) / lit(1000000L)).as("delay_s"))
+    intervalJoinMicros(views, clicks, windowSeconds * 1000000L)
       .orderBy("view_id", "click_id")
   }
 }
