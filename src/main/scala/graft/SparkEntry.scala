@@ -68,6 +68,7 @@ object SparkEntry {
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
+    "q_text_quality" -> (TextAnalysis.qualityFilter _),
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a7c_nested_diff" -> (ChangeOps.a7cNestedDiff _),
@@ -663,6 +664,32 @@ object SparkEntry {
                           % 100 < 90
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                     FROM documents),
+         st AS (SELECT doc_id,
+                  CAST(len(toks) AS INT) AS n_tokens,
+                  round(len(list_distinct(toks))::DOUBLE
+                        / len(toks)::DOUBLE, 6) AS ttr,
+                  round(len(list_filter(toks,
+                          w -> list_contains(['the','a','of','and'], w)))::DOUBLE
+                        / len(toks)::DOUBLE, 6) AS stop_ratio,
+                  round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                        / len(toks)::DOUBLE, 6) AS mean_tok_len
+                FROM tk),
+         v AS (SELECT *,
+                 CASE WHEN n_tokens < 10 THEN 'too_short'
+                      WHEN n_tokens > 100000 THEN 'too_long'
+                      WHEN ttr < 0.1 THEN 'repetitive'
+                      WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                      WHEN stop_ratio > 0.6 THEN 'filler'
+                      WHEN mean_tok_len < 2.0 THEN 'fragmented'
+                      WHEN mean_tok_len > 12.0 THEN 'unnatural_tokens'
+                      ELSE 'kept' END AS verdict
+               FROM st)
+         SELECT doc_id, n_tokens, ttr, stop_ratio, mean_tok_len, verdict,
+                verdict = 'kept' AS keep
+         FROM v ORDER BY doc_id""",
     // score = tf * N / df as a double division of exact integers — no
     // log-based idf, whose libm can differ by an ulp between engines
     "q_text_tfidf" ->

@@ -72,6 +72,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Quality FILTER (the Gopher-rule shape): each document gets a
+    * keep/drop decision and the FIRST failing rule as the drop reason —
+    * token-count bounds, type-token-ratio floor (boilerplate/repetition),
+    * stopword-ratio band (gibberish below, filler above), mean token
+    * length band. Thresholds are integer/exact-ratio comparisons on the
+    * same arithmetic [[stats]] proves engine-exact; row-local, zero
+    * shuffle — the first pass a 100 TB corpus takes before anything else
+    * runs.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = t(s, dir, "documents")
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 6).as("ttr"),
+        round(size(filter(col("toks"), w => w.isin(stopwords.map(x => x: Any): _*)))
+          .cast("double") / size(col("toks")).cast("double"), 6).as("stop_ratio"),
+        round(aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / size(col("toks")).cast("double"), 6).as("mean_tok_len"))
+    val reason = when(col("n_tokens") < 10, "too_short")
+      .when(col("n_tokens") > 100000, "too_long")
+      .when(col("ttr") < 0.1, "repetitive")
+      .when(col("stop_ratio") < 0.01, "no_stopwords")
+      .when(col("stop_ratio") > 0.6, "filler")
+      .when(col("mean_tok_len") < 2.0, "fragmented")
+      .when(col("mean_tok_len") > 12.0, "unnatural_tokens")
+      .otherwise("kept")
+    base.select(col("doc_id"), col("n_tokens"), col("ttr"),
+        col("stop_ratio"), col("mean_tok_len"), reason.as("verdict"),
+        (reason === "kept").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID (char-n-gram heuristic): score each language by how many
     * of its profile trigrams occur in the document's trigram set; argmax
     * with alphabetical tie-break (first-match CASE over sorted langs —
