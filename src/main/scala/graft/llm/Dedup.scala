@@ -284,7 +284,6 @@ object Dedup {
     }
     var prevSum = labelSum(labels)
     var converged = false
-    var round = 0
     while (!converged) {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("doc_id"))
@@ -295,26 +294,23 @@ object Dedup {
         .agg(min(col("component")).as("component"))
       // pointer jump: component values are doc_ids, so every component has
       // a row in merged — the inner self-join keeps all docs, and the
-      // jumped label is tighter (m_comp <= m_doc = component). Skipped on
-      // the first round, where labels are still the identity and the jump
-      // is a no-op self-join. The jump side renames its columns
-      // EXPLICITLY: dataset-alias resolution (`as("l")`/`as("m")`) over a
+      // jumped label is tighter (m_comp <= m_doc = component). It runs on
+      // the POST-merge labels, so it is useful from the very first round
+      // (on a chain 1-2-3, round 0's merge gives 3->2 and the jump
+      // resolves 3->1 immediately — skipping it costs a whole extra
+      // round). The jump side renames its columns EXPLICITLY:
+      // dataset-alias resolution (`as("l")`/`as("m")`) over a
       // union+aggregate self-join can fail attribute dedup on some plan
       // shapes (found by ComponentsProps)
-      val jumped =
-        if (round == 0) merged
-        else {
-          val jump = merged.select(col("doc_id").as("m_doc"),
-            col("component").as("m_comp"))
-          merged.join(jump, col("component") === col("m_doc"))
-            .select(col("doc_id"), col("m_comp").as("component"))
-        }
-      val next = jumped.localCheckpoint()
+      val jump = merged.select(col("doc_id").as("m_doc"),
+        col("component").as("m_comp"))
+      val next = merged.join(jump, col("component") === col("m_doc"))
+        .select(col("doc_id"), col("m_comp").as("component"))
+        .localCheckpoint()
       val s2 = labelSum(next)
       converged = s2 == prevSum
       prevSum = s2
       labels = next
-      round += 1
     }
     edges.unpersist()
     labels

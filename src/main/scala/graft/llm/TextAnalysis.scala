@@ -50,22 +50,32 @@ object TextAnalysis {
     slidingTriples(split(lower(text), ""), "", array(lower(text)))
 
   /** Quality/statistics profile per document. */
+  // shared per-document metric expressions over a tokenized `toks` column —
+  // ONE definition feeds stats() and qualityFilter() (and their oracles
+  // mirror the same arithmetic), so a tokenizer or stopword change has one
+  // update site per engine
+  private def nTokensCol: Column = size(col("toks")).cast("int")
+  private def ttrCol: Column =
+    round(size(array_distinct(col("toks"))).cast("double") /
+      size(col("toks")).cast("double"), 6)
+  private def stopRatioCol: Column =
+    round(size(filter(col("toks"), w => w.isin(stopwords.map(x => x: Any): _*)))
+      .cast("double") / size(col("toks")).cast("double"), 6)
+
   def stats(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     t(s, dir, "documents")
       .withColumn("toks", toks)
       .select(
         col("doc_id"),
-        size(col("toks")).cast("int").as("n_tokens"),
+        nTokensCol.as("n_tokens"),
         size(array_distinct(col("toks"))).cast("int").as("n_types"),
         // BPE-ish subword estimate: ceil(len/4) pieces per word
         aggregate(col("toks"), lit(0L),
           (acc, w) => acc + ((length(w) + 3) / 4).cast("long"))
           .cast("bigint").as("n_subwords"),
-        round(size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double"), 6).as("ttr"),
-        round(size(filter(col("toks"), w => w.isin(stopwords.map(x => x: Any): _*)))
-          .cast("double") / size(col("toks")).cast("double"), 6).as("stop_ratio"),
+        ttrCol.as("ttr"),
+        stopRatioCol.as("stop_ratio"),
         // BPE-ish pre-tokenizer piece count: word runs + lone non-space symbols
         size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
           .cast("int").as("n_regex_tokens"))
@@ -87,11 +97,9 @@ object TextAnalysis {
       .withColumn("toks", toks)
       .select(
         col("doc_id"),
-        size(col("toks")).cast("int").as("n_tokens"),
-        round(size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double"), 6).as("ttr"),
-        round(size(filter(col("toks"), w => w.isin(stopwords.map(x => x: Any): _*)))
-          .cast("double") / size(col("toks")).cast("double"), 6).as("stop_ratio"),
+        nTokensCol.as("n_tokens"),
+        ttrCol.as("ttr"),
+        stopRatioCol.as("stop_ratio"),
         round(aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
           .cast("double") / size(col("toks")).cast("double"), 6).as("mean_tok_len"))
     val reason = when(col("n_tokens") < 10, "too_short")

@@ -55,8 +55,11 @@ object IntervalProps extends Properties("intervalJoin") {
       import spark.implicits._
       val v = views.toDF("view_id", "user_id", "v_us")
       val c = clicks.toDF("click_id", "c_user", "c_us")
+      // sorted Seq, not Set: a Set compare would mask duplicate emission
+      // of a matching pair (multiplicity is part of the join contract)
       val got = graft.ops.IntervalOps.intervalJoinMicros(v, c, WindowUs)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
-      got == naive(views, clicks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSeq.sorted
+      got == naive(views, clicks).toSeq.sorted
     }
 }

@@ -14,6 +14,9 @@ class SlugTruncateSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // hard-fail if the native expression's generated code does not compile
+    // (silent CodegenFallback keeps results green while voiding the point)
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 
   test("native expression matches the reference algorithm on a column of rows") {
