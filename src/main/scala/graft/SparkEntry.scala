@@ -69,6 +69,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
     "q_text_quality" -> (TextAnalysis.qualityFilter _),
+    "q_pipeline_preprocess" -> (TextAnalysis.preprocessCorpus _),
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a7c_nested_diff" -> (ChangeOps.a7cNestedDiff _),
@@ -104,6 +105,34 @@ object SparkEntry {
                               THEN 1 ELSE -1 END)) > 0
                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh
                 FROM tk2)"""
+
+  /** Quality-filter CTEs ending in `qv` (doc stats + first-failing-rule
+    * verdict) — shared by the standalone quality oracle and the composed
+    * preprocessing-pipeline oracle; mirrors TextAnalysis.qualityFilter.
+    */
+  private val qualityCtes: String =
+    """tkq AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+         stq AS (SELECT doc_id,
+                  CAST(len(toks) AS INT) AS n_tokens,
+                  round(len(list_distinct(toks))::DOUBLE
+                        / len(toks)::DOUBLE, 6) AS ttr,
+                  round(len(list_filter(toks,
+                          w -> list_contains(['the','a','of','and'], w)))::DOUBLE
+                        / len(toks)::DOUBLE, 6) AS stop_ratio,
+                  round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                        / len(toks)::DOUBLE, 6) AS mean_tok_len
+                FROM tkq),
+         qv AS (SELECT *,
+                 CASE WHEN n_tokens < 10 THEN 'too_short'
+                      WHEN n_tokens > 100000 THEN 'too_long'
+                      WHEN ttr < 0.1 THEN 'repetitive'
+                      WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                      WHEN stop_ratio > 0.6 THEN 'filler'
+                      WHEN mean_tok_len < 2.0 THEN 'fragmented'
+                      WHEN mean_tok_len > 12.0 THEN 'unnatural_tokens'
+                      ELSE 'kept' END AS verdict
+               FROM stq)"""
 
   /** Tokenized + shingled documents CTE (mirrors TextHash.{tokens,shingles3}). */
   private val shingledCte: String =
@@ -664,32 +693,40 @@ object SparkEntry {
                           % 100 < 90
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
-    "q_text_quality" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-                     FROM documents),
-         st AS (SELECT doc_id,
-                  CAST(len(toks) AS INT) AS n_tokens,
-                  round(len(list_distinct(toks))::DOUBLE
-                        / len(toks)::DOUBLE, 6) AS ttr,
-                  round(len(list_filter(toks,
-                          w -> list_contains(['the','a','of','and'], w)))::DOUBLE
-                        / len(toks)::DOUBLE, 6) AS stop_ratio,
-                  round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE
-                        / len(toks)::DOUBLE, 6) AS mean_tok_len
-                FROM tk),
-         v AS (SELECT *,
-                 CASE WHEN n_tokens < 10 THEN 'too_short'
-                      WHEN n_tokens > 100000 THEN 'too_long'
-                      WHEN ttr < 0.1 THEN 'repetitive'
-                      WHEN stop_ratio < 0.01 THEN 'no_stopwords'
-                      WHEN stop_ratio > 0.6 THEN 'filler'
-                      WHEN mean_tok_len < 2.0 THEN 'fragmented'
-                      WHEN mean_tok_len > 12.0 THEN 'unnatural_tokens'
-                      ELSE 'kept' END AS verdict
-               FROM st)
+    "q_text_quality" -> s"""
+         WITH $qualityCtes
          SELECT doc_id, n_tokens, ttr, stop_ratio, mean_tok_len, verdict,
                 verdict = 'kept' AS keep
-         FROM v ORDER BY doc_id""",
+         FROM qv ORDER BY doc_id""",
+    // the full preprocessing chain composed: quality-kept docs → near-dup
+    // components → smallest KEPT doc per cluster (the canonical
+    // representative survives even when the cluster minimum was dropped by
+    // quality) → deterministic split assignment
+    "q_pipeline_preprocess" -> s"""
+         WITH RECURSIVE $simhashSkCtes,
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, min(b) AS component
+                  FROM reach GROUP BY a),
+         $qualityCtes,
+         kept AS (SELECT doc_id FROM qv WHERE verdict = 'kept'),
+         reps AS (SELECT min(k.doc_id) AS doc_id
+                  FROM kept k JOIN comp ON k.doc_id = comp.doc_id
+                  GROUP BY comp.component)
+         SELECT r.doc_id, d.lang,
+                CASE WHEN ${hexIntSql("'split:' || CAST(r.doc_id AS VARCHAR)")}
+                          % 100 < 90
+                     THEN 'train' ELSE 'val' END AS split
+         FROM reps r JOIN documents d ON r.doc_id = d.doc_id
+         ORDER BY r.doc_id""",
     // score = tf * N / df as a double division of exact integers — no
     // log-based idf, whose libm can differ by an ulp between engines
     "q_text_tfidf" ->

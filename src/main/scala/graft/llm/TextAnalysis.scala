@@ -206,6 +206,26 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** The whole preprocessing chain composed — what a training-data run
+    * actually executes, as one plan: quality-kept documents → near-dup
+    * connected components → the smallest KEPT doc per cluster as the
+    * canonical representative (so a cluster survives even when its global
+    * minimum was dropped by quality) → deterministic train/val assignment.
+    * Demonstrates the operators compose: each stage is the already-oracled
+    * operator, and the composition is itself oracled end-to-end.
+    */
+  def preprocessCorpus(s: SparkSession, dir: String): DataFrame = {
+    val kept = qualityFilter(s, dir).filter(col("keep")).select("doc_id")
+    val comps = Dedup.nearDupComponents(s, dir)
+    val reps = kept.join(comps, "doc_id")
+      .groupBy(col("component"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    reps.join(trainValSplit(s, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
