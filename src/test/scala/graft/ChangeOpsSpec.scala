@@ -7,7 +7,8 @@ import graft.ops.ChangeOps
 
 /** The recursive subset-diff must reproduce the reference's was_changed
   * semantics (odgovlt.py:112-124): new-side keys only, dict recursion,
-  * list comparison over the common prefix.
+  * list comparison over the NEW list's indices — an appended element is a
+  * change, a dropped tail is not.
   */
 class ChangeOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -52,6 +53,18 @@ class ChangeOpsSpec extends AnyFunSuite {
     val mutated = struct(array(lit("a"), lit("X")).as("tags"))
     assert(!changed(oldD, shorter))
     assert(changed(oldD, mutated))
+  }
+
+  test("a LONGER new list is a change even when the prefix matches") {
+    // odgovlt.py:118: `if i >= len(old) or ...` — the appended index alone
+    // fires, with identical common-prefix elements
+    val oldD = struct(array(lit("a"), lit("b")).as("tags"))
+    val longer = struct(array(lit("a"), lit("b"), lit("c")).as("tags"))
+    assert(changed(oldD, longer))
+    // empty old vs non-empty new is the degenerate longer case
+    val emptyOld = struct(array().cast("array<string>").as("tags"))
+    assert(changed(emptyOld, longer))
+    assert(!changed(emptyOld, struct(array().cast("array<string>").as("tags"))))
   }
 
   test("arrays of structs recurse per element") {

@@ -28,8 +28,11 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("codes stay in int8 range and reconstruction error is small") {
     val qz = Similarity.quantizedCorpus(spark, dir).cache()
+    // qv is serialized as a comma-joined string (harness compare cannot
+    // hash array cells) — split it back for the range property
     val outOfRange = qz.filter(
-      exists(col("qv"), q => q < -128 || q > 127)).count()
+      exists(split(col("qv"), ","),
+        q => q.cast("int") < -128 || q.cast("int") > 127)).count()
     assert(outOfRange == 0, "every code must fit int8")
     assert(qz.filter(col("err") < 0).count() == 0)
     // per-component quantization step is maxabs/127, so the squared error
