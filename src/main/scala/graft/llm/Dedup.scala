@@ -217,17 +217,28 @@ object Dedup {
       }: _*)).as("bd"))
       .select(col("doc_id"), col("lang"), col("sh"),
         col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+    // a pair can agree on several chunks → several bands would emit it.
+    // Dedup WITHOUT a distinct shuffle over the whole candidate set: both
+    // sketches ride in the joined row, so "this is the FIRST agreeing
+    // band" is a row-local bitwise predicate — each qualifying pair
+    // survives exactly once, at the lowest agreeing band index
+    val chunkEq = SimhashBands.map { case (i, off, w) =>
+      (i, shiftright(col("a.sh"), off).bitwiseAND(lit((1 << w) - 1)) ===
+        shiftright(col("b.sh"), off).bitwiseAND(lit((1 << w) - 1)))
+    }
+    val firstAgreeingBand = chunkEq.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((i, eq), rest) => when(eq, lit(i)).otherwise(rest)
+    }
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.key") === col("b.key") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band_idx") === firstAgreeingBand)
       .select(
         col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
-      // a pair can agree on several chunks → several bands emit it
-      .distinct()
   }
 
   /** Per-doc SimHash sketch (the sketch itself, for oracle-pinning the
