@@ -310,15 +310,29 @@ object Dedup {
       (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
     }
     var prevSum = labelSum(labels)
+    // checkpointed tables carry no size stats, so AQE can never pick a
+    // broadcast join inside the loop on its own — but the convergence
+    // probe already counts the label table every round, so the loop KNOWS
+    // when the labels fit an executor and can hint the broadcast itself.
+    // ~16 bytes/row: 4M rows ≈ 64 MB build side. Past the cutoff (the
+    // 100 TB regime) every join below degrades to the partitioned path.
+    val broadcastableRows = 4L * 1000 * 1000
+    def maybeSmall(df: DataFrame): DataFrame =
+      if (prevSum._2 <= broadcastableRows) broadcast(df) else df
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
-        .join(labels, edges("src") === labels("doc_id"))
+        .join(maybeSmall(labels), edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("component"))
+      // checkpoint the merge BEFORE the jump: the jump is a self-join, and
+      // an uncached union+aggregate would execute the whole edge join and
+      // aggregation twice (no exchange reuse across the renamed subtree —
+      // the double execution showed up directly in round profiles)
       val merged = labels.select(col("doc_id"), col("component"))
         .union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"))
+        .localCheckpoint()
       // pointer jump: component values are doc_ids, so every component has
       // a row in merged — the inner self-join keeps all docs, and the
       // jumped label is tighter (m_comp <= m_doc = component). It runs on
@@ -331,7 +345,7 @@ object Dedup {
       // shapes (found by ComponentsProps)
       val jump = merged.select(col("doc_id").as("m_doc"),
         col("component").as("m_comp"))
-      val next = merged.join(jump, col("component") === col("m_doc"))
+      val next = merged.join(maybeSmall(jump), col("component") === col("m_doc"))
         .select(col("doc_id"), col("m_comp").as("component"))
         .localCheckpoint()
       val s2 = labelSum(next)
