@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, IntervalOps, MultimodalOps, StringOps}
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -84,6 +84,9 @@ object SparkEntry {
     "q_mm_features" -> (MultimodalOps.features _),
     "q_mm_decode" -> (MultimodalOps.mmDecode _),
     "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
+    "q_decontaminate" -> (Curation.decontaminate _),
+    "q_pii_redact" -> (Curation.piiRedact _),
+    "q_source_mix" -> (Curation.sourceMix _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -890,5 +893,43 @@ object SparkEntry {
                 md5(substr(text, CAST(frame_idx * ${MultimodalOps.FrameBytes} + 1 AS INT),
                            ${MultimodalOps.FrameBytes})) AS frame_digest
          FROM fr WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""",
+    "q_decontaminate" -> s"""
+         WITH $shingledCte,
+         bench AS (SELECT DISTINCT gram
+                   FROM (SELECT unnest(grams) AS gram FROM sh
+                         WHERE doc_id % ${Curation.BenchmarkModulus} = 0)
+                   WHERE gram <> ''),
+         corpus AS (SELECT doc_id, grams FROM sh
+                    WHERE doc_id % ${Curation.BenchmarkModulus} <> 0),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+                  JOIN bench USING (gram)
+                  WHERE gram <> ''
+                  GROUP BY doc_id)
+         SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) = 0 AS keep
+         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         ORDER BY c.doc_id""",
+    "q_pii_redact" -> s"""
+         WITH raw AS (
+           SELECT c_custkey,
+                  c_name || ' <' || lower(replace(c_name, '#', '.'))
+                    || '@example.com> tel +3706' || lpad(c_custkey::VARCHAR, 7, '0')
+                    || ' segment ' || c_mktsegment AS raw
+           FROM customer)
+         SELECT c_custkey, raw,
+                regexp_replace(
+                  regexp_replace(raw, '${Curation.EmailPattern}', '<EMAIL>', 'g'),
+                  '\\+[0-9]{6,}', '<PHONE>', 'g') AS redacted
+         FROM raw ORDER BY c_custkey""",
+    "q_source_mix" -> s"""
+         SELECT doc_id, source,
+                CAST(${hexIntSql("'mix:' || doc_id")} % 100 AS INT) AS bucket,
+                (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) * 5
+                  AS rate_pct
+         FROM documents
+         WHERE ${hexIntSql("'mix:' || doc_id")} % 100
+               < (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) * 5
+         ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{table => t}
+import TextHash._
+
+/** Corpus-curation operators — the steps a training-data pipeline runs
+  * between raw ingestion and tokenization that are neither dedup nor
+  * quality scoring: benchmark decontamination, PII redaction, and
+  * source-mixture resampling.
+  *
+  * Scale design:
+  *  - decontamination joins corpus shingle postings against the BENCHMARK
+  *    shingle set — the benchmark suite is tiny relative to the corpus
+  *    (thousands of eval documents vs 100 TB), so it broadcasts and the
+  *    corpus is streamed once, never shuffled on text;
+  *  - PII redaction is row-local regexp rewriting at scan speed;
+  *  - mixture resampling is a row-local keep/drop on an md5-derived
+  *    uniform, so a resample is reproducible across runs and machines —
+  *    no RNG state, no sampling shuffle.
+  */
+object Curation {
+
+  /** Every 97th doc_id plays the held-out benchmark set in the declared
+    * queries (deterministic, so the DuckDB oracle can reproduce it).
+    */
+  val BenchmarkModulus = 97
+
+  /** Benchmark decontamination (the n-gram-overlap rule used for training
+    * corpora): a corpus document is contaminated when it shares ANY word
+    * 3-gram shingle with a benchmark document. Returns every non-benchmark
+    * document with its contaminated-shingle count and the keep verdict.
+    *
+    * The single-token fallback shingle `""` is excluded on both sides:
+    * it would mark every short document as overlapping every short
+    * benchmark doc without any shared content.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
+    val bench = sh.filter(col("doc_id") % BenchmarkModulus === 0)
+      .select(explode(col("grams")).as("gram"))
+      .filter(col("gram") =!= "")
+      .distinct()
+    val corpus = sh.filter(col("doc_id") % BenchmarkModulus =!= 0)
+    // grams are distinct within a document (shingles3 dedupes), so a plain
+    // count after the posting join IS the distinct overlap count
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .filter(col("gram") =!= "")
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns redacted from text before training. RE2-compatible (no
+    * backreferences / lookaround) so the Spark and DuckDB engines agree.
+    */
+  val EmailPattern = "[a-z0-9.#_-]+@[a-z0-9.-]+"
+  val PhonePattern = "\\+[0-9]{6,}"
+
+  /** PII redaction: mask email addresses and international phone numbers.
+    * The corpus tables carry no real PII, so the declared query plants
+    * synthetic PII derived from customer rows (name-based email, key-based
+    * phone) and then strips it — the assertion is the rewrite, not the
+    * detector's recall. Row-local, zero shuffle.
+    */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Declared query: synthesize a PII-bearing contact line per customer,
+    * redact it, and return both (the planted raw line makes the oracle
+    * self-documenting).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = concat(lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@example.com"))
+    val phone = concat(lit("+3706"), lpad(col("c_custkey").cast("string"), 7, "0"))
+    val raw = concat(
+      col("c_name"), lit(" <"), email, lit("> tel "), phone,
+      lit(" segment "), col("c_mktsegment"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(col("c_custkey"), col("raw"), redactPii(col("raw")).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  /** Source-mixture resampling: each source keeps a deterministic fraction
+    * of its documents — the domain-reweighting step that turns raw corpus
+    * proportions into a target training mixture. The keep/drop decision is
+    * a salted-md5 percentile bucket of the doc_id (the train/val splitter's
+    * mechanism — integer arithmetic, identical in any engine), so a
+    * resample is reproducible from the key alone: no RNG state, no
+    * sampling shuffle, row-local at scan speed.
+    *
+    * Here the per-source rate ramps linearly with the source index
+    * ((idx+1)·5%, so src0 keeps 5% and src19 keeps all), exercising 20
+    * distinct rates; a production run would broadcast-join the rates from
+    * a mixture table instead.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val idx = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+    val ratePct = (idx + 1) * 5
+    val bucket = md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        bucket.cast("int").as("bucket"), ratePct.as("rate_pct"))
+      .filter(col("bucket") < col("rate_pct"))
+      .orderBy("doc_id")
+  }
+}

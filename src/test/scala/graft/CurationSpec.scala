@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.Curation
+
+/** Corpus-curation invariants (the DuckDB oracles pin exact values; these
+  * pin the semantic properties that make the operators usable).
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("decontaminate excludes benchmark docs and flags genuine overlap") {
+    val out = Curation.decontaminate(spark, dir).cache()
+    // benchmark rows never appear in the output
+    assert(out.filter(col("doc_id") % Curation.BenchmarkModulus === 0).count() == 0)
+    // verdict is consistent with the hit count
+    assert(out.filter(col("keep") === (col("n_hits") > 0)).count() == 0)
+    // cross-check one contaminated doc against a brute-force intersect
+    val contaminated = out.filter(!col("keep")).limit(1).collect()
+    contaminated.foreach { r =>
+      val id = r.getLong(0)
+      val docs = Tables.table(spark, dir, "documents")
+      val grams = graft.llm.TextHash.shingles3(
+        graft.llm.TextHash.tokens(col("text")))
+      val benchGrams = docs
+        .filter(col("doc_id") % Curation.BenchmarkModulus === 0)
+        .select(explode(grams).as("g")).filter(col("g") =!= "")
+        .distinct().collect().map(_.getString(0)).toSet
+      val mine = docs.filter(col("doc_id") === id)
+        .select(explode(grams).as("g")).collect().map(_.getString(0)).toSet
+      assert(mine.intersect(benchGrams).nonEmpty,
+        s"doc $id flagged contaminated but shares no benchmark shingle")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("pii redaction leaves no email or international phone behind") {
+    val out = Curation.piiRedact(spark, dir).cache()
+    // the planted raw line always carries both PII kinds
+    assert(out.filter(!col("raw").contains("@example.com")).count() == 0)
+    val leaked = out.filter(
+      col("redacted").rlike(Curation.EmailPattern) ||
+        col("redacted").rlike(Curation.PhonePattern)).count()
+    assert(leaked == 0, "redacted text still matches a PII pattern")
+    assert(out.filter(!col("redacted").contains("<EMAIL>")).count() == 0)
+    assert(out.filter(!col("redacted").contains("<PHONE>")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("source mix keeps deterministic per-source fractions") {
+    val out = Curation.sourceMix(spark, dir).cache()
+    // every surviving row respects its own rate
+    assert(out.filter(col("bucket") >= col("rate_pct")).count() == 0)
+    // src19 keeps everything (rate 100)
+    val total19 = Tables.table(spark, dir, "documents")
+      .filter(col("source") === "src19").count()
+    assert(out.filter(col("source") === "src19").count() == total19)
+    // determinism: two runs agree exactly
+    val again = Curation.sourceMix(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    spark.catalog.clearCache()
+  }
+}
