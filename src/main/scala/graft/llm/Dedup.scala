@@ -345,9 +345,20 @@ object Dedup {
       // shapes (found by ComponentsProps)
       val jump = merged.select(col("doc_id").as("m_doc"),
         col("component").as("m_comp"))
-      val next = merged.join(maybeSmall(jump), col("component") === col("m_doc"))
+      val hop1 = merged.join(maybeSmall(jump), col("component") === col("m_doc"))
         .select(col("doc_id"), col("m_comp").as("component"))
-        .localCheckpoint()
+      // in the broadcast regime a second hop is nearly free (another
+      // broadcast join over the checkpointed merge) and deep label chains
+      // collapse a round earlier; past the cutoff it would re-execute a
+      // partitioned self-join, so the single-hop shape is kept there
+      val hopped =
+        if (prevSum._2 <= broadcastableRows) {
+          val jump2 = hop1.select(col("doc_id").as("m_doc2"),
+            col("component").as("m_comp2"))
+          hop1.join(broadcast(jump2), col("component") === col("m_doc2"))
+            .select(col("doc_id"), col("m_comp2").as("component"))
+        } else hop1
+      val next = hopped.localCheckpoint()
       val s2 = labelSum(next)
       converged = s2 == prevSum
       prevSum = s2

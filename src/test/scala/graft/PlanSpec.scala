@@ -127,4 +127,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max(cand"),
       s"map-side partial argmax missing:\n${p.take(1200)}")
   }
+
+  // ---- round-3 guards ------------------------------------------------------
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark side must broadcast — the corpus is the 100 TB side")
+    assert(!p.contains("SortMergeJoin"),
+      s"posting join must not shuffle the corpus against the benchmark:\n${p.take(1500)}")
+  }
+
+  test("row-local curation ops shuffle only for the output sort") {
+    for (q <- Seq("q_pii_redact", "q_source_mix")) {
+      val p = plan(q)
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q should shuffle only for the final sort, got $exchanges")
+    }
+  }
+
+  test("simhash pair dedup is the first-band predicate, not a distinct") {
+    val p = plan("q_dedup_simhash_pairs")
+    // the candidate set must not pass through a dedup aggregation: the
+    // first-agreeing-band filter makes every pair unique by construction
+    assert(!p.toLowerCase.contains("hashaggregate(keys=[a_id"),
+      s"pair dedup regressed to a distinct over the candidate set:\n${p.take(1500)}")
+  }
 }
