@@ -920,7 +920,7 @@ object SparkEntry {
          SELECT c_custkey, raw,
                 regexp_replace(
                   regexp_replace(raw, '${Curation.EmailPattern}', '<EMAIL>', 'g'),
-                  '\\+[0-9]{6,}', '<PHONE>', 'g') AS redacted
+                  '${Curation.PhonePattern}', '<PHONE>', 'g') AS redacted
          FROM raw ORDER BY c_custkey""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,

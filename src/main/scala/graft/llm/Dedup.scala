@@ -283,16 +283,9 @@ object Dedup {
     * Output: (doc_id, component), unordered.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    // pre-partition the (large) edge side by the join key ONCE: the cached
-    // layout keeps its HashPartitioning, so every propagation round only
-    // shuffles the label side — at 100 TB the edge list is the dominant
-    // relation and re-shuffling it per round would multiply the job's
-    // shuffle volume by the round count
-    val edges = pairs
+    val symmetrized = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
-      .repartition(col("src"))
-      .cache()
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
@@ -319,6 +312,17 @@ object Dedup {
     val broadcastableRows = 4L * 1000 * 1000
     def maybeSmall(df: DataFrame): DataFrame =
       if (prevSum._2 <= broadcastableRows) broadcast(df) else df
+    // past the cutoff, pre-partition the (large) edge side by the join key
+    // ONCE: the cached layout keeps its HashPartitioning, so every
+    // propagation round only shuffles the label side — at 100 TB the edge
+    // list is the dominant relation and re-shuffling it per round would
+    // multiply the job's shuffle volume by the round count. In the
+    // broadcast regime that layout is never consulted (the label side
+    // broadcasts), so the up-front shuffle would be pure waste.
+    val edges = (
+      if (prevSum._2 <= broadcastableRows) symmetrized
+      else symmetrized.repartition(col("src"))
+    ).cache()
     var converged = false
     while (!converged) {
       val viaNeighbors = edges

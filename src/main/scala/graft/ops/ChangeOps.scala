@@ -7,8 +7,9 @@ import graft.Tables.{table => t}
 
 /** Recursive change detection over nested documents — the reference's
   * `was_changed` (`/root/reference/odgovlt.py:112-124`), which walks the NEW
-  * document's keys, recurses into nested dicts, zips lists (comparing only
-  * the common prefix), and ignores fields absent from the new side (subset
+  * document's keys, recurses into nested dicts, walks the NEW list's
+  * indices (an index past the old list's end is a change; a dropped old
+  * tail is not), and ignores fields absent from the new side (subset
   * semantics: the sync never un-sets a field it isn't sending).
   *
   * Here the recursion happens at PLAN TIME over the new side's schema: the

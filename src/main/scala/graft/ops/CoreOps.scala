@@ -211,9 +211,12 @@ object CoreOps {
       .orderBy("o_orderkey")
   }
 
-  /** A7b: the reference's list-prefix diff semantics (odgovlt.py:116-119 —
-    * `was_changed` zips lists and compares only the COMMON PREFIX, so a
-    * target list that merely has extra trailing elements is "unchanged").
+  /** A7b: the reference's list diff over a SHORTER new side
+    * (odgovlt.py:117-119 — `was_changed` iterates `range(len(new))`, so
+    * when the new list is no longer than the old one, only the common
+    * prefix is compared and a dropped old tail alone is "unchanged"; a
+    * LONGER new side would fire at `i >= len(old)`, the case
+    * [[graft.ops.ChangeOps.subsetChanged]] covers generically).
     * Demonstrated over per-order collected part-name lists: the "new" side
     * drops the last element and mutates every 7th order's first element;
     * only the mutation fires the diff — the shorter list alone does not.

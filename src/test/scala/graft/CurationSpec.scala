@@ -29,8 +29,11 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("doc_id") % Curation.BenchmarkModulus === 0).count() == 0)
     // verdict is consistent with the hit count
     assert(out.filter(col("keep") === (col("n_hits") > 0)).count() == 0)
-    // cross-check one contaminated doc against a brute-force intersect
+    // cross-check one contaminated doc against a brute-force intersect —
+    // and require one to exist, or the cross-check is vacuous
     val contaminated = out.filter(!col("keep")).limit(1).collect()
+    assert(contaminated.nonEmpty,
+      "fixture has no contaminated doc; the overlap cross-check never ran")
     contaminated.foreach { r =>
       val id = r.getLong(0)
       val docs = Tables.table(spark, dir, "documents")
