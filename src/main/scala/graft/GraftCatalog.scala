@@ -28,6 +28,10 @@ object GraftCatalog {
       .createOrReplaceTempView("tfidf_top_terms")
     graft.llm.TextAnalysis.trainValSplit(spark, sfDir)
       .createOrReplaceTempView("sample_split")
+    graft.llm.Curation.decontaminate(spark, sfDir)
+      .createOrReplaceTempView("decontaminated")
+    graft.llm.Curation.sourceMix(spark, sfDir)
+      .createOrReplaceTempView("source_mix")
     registerFunctions(spark)
   }
 

@@ -38,5 +38,9 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT term FROM tfidf_top_terms WHERE rk = 1 ORDER BY doc_id LIMIT 1")
       .collect()
     assert(topTerm.nonEmpty && topTerm.head.getString(0).nonEmpty)
+    val curated = spark.sql(
+      """SELECT (SELECT count(*) FROM decontaminated WHERE keep) AS kept,
+                (SELECT count(*) FROM source_mix) AS mixed""").head()
+    assert(curated.getLong(0) > 0 && curated.getLong(1) > 0)
   }
 }
