@@ -928,7 +928,8 @@ object SparkEntry {
                 (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) * 5
                   AS rate_pct
          FROM documents
-         WHERE ${hexIntSql("'mix:' || doc_id")} % 100
+         WHERE regexp_matches(source, 'src[0-9]+')
+           AND ${hexIntSql("'mix:' || doc_id")} % 100
                < (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) * 5
          ORDER BY doc_id""",
   )

@@ -59,9 +59,11 @@ object Curation {
   }
 
   /** PII patterns redacted from text before training. RE2-compatible (no
-    * backreferences / lookaround) so the Spark and DuckDB engines agree.
+    * backreferences / lookaround) so the Spark and DuckDB engines agree;
+    * `(?i)` (also RE2-portable) keeps mixed-case addresses from slipping
+    * through the generic primitive unredacted.
     */
-  val EmailPattern = "[a-z0-9.#_-]+@[a-z0-9.-]+"
+  val EmailPattern = "(?i)[a-z0-9.#_-]+@[a-z0-9.-]+"
   val PhonePattern = "\\+[0-9]{6,}"
 
   /** PII redaction: mask email addresses and international phone numbers.
@@ -110,6 +112,10 @@ object Curation {
     val ratePct = (idx + 1) * 5
     val bucket = md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
     t(s, dir, "documents")
+      // sources outside the src<N> naming get an explicit drop on BOTH
+      // engines — without it Spark's '' → NULL cast silently filters while
+      // DuckDB's CAST('' AS INT) errors, a confusing parity break
+      .filter(col("source").rlike("src[0-9]+"))
       .select(col("doc_id"), col("source"),
         bucket.cast("int").as("bucket"), ratePct.as("rate_pct"))
       .filter(col("bucket") < col("rate_pct"))

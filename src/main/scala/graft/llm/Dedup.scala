@@ -307,9 +307,15 @@ object Dedup {
     // broadcast join inside the loop on its own — but the convergence
     // probe already counts the label table every round, so the loop KNOWS
     // when the labels fit an executor and can hint the broadcast itself.
-    // ~16 bytes/row: 4M rows ≈ 64 MB build side. Past the cutoff (the
-    // 100 TB regime) every join below degrades to the partitioned path.
-    val broadcastableRows = 4L * 1000 * 1000
+    // The cutoff derives from the session's own broadcast budget rather
+    // than a hardcoded row count: a two-long UnsafeRow plus HashedRelation
+    // overhead lands near 64 bytes/row in practice, so rows =
+    // threshold / 64 keeps the build side inside the memory the operator
+    // is configured to spend (threshold <= 0 = broadcast disabled =
+    // always the partitioned path, same as everywhere else in Spark).
+    val threshold =
+      nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val broadcastableRows = if (threshold <= 0) -1L else threshold / 64
     def maybeSmall(df: DataFrame): DataFrame =
       if (prevSum._2 <= broadcastableRows) broadcast(df) else df
     // past the cutoff, pre-partition the (large) edge side by the join key

@@ -74,6 +74,8 @@ object JdbcSink {
       // failed bootstrap insert would silently no-op. ON DUPLICATE KEY
       // UPDATE key=key no-ops ONLY on the duplicate-key case and still
       // raises everything else.
+      require(keyCols.nonEmpty,
+        "insertIfAbsentStatement: at least one key column required")
       val k = quote(keyCols.head)
       val sql = s"INSERT INTO ${qualify(table)} " +
         s"(${cols.map(quote).mkString(", ")}) VALUES " +
@@ -112,6 +114,8 @@ object JdbcSink {
 
     override def insertIfAbsentStatement(table: String, cols: Seq[String],
         keyCols: Seq[String]): (String, Seq[Int]) = {
+      require(keyCols.nonEmpty,
+        "insertIfAbsentStatement: at least one key column required")
       val sql = s"MERGE INTO ${qualify(table)} t USING SYSIBM.SYSDUMMY1 ON " +
         keyCols.map(k => s"t.${quote(k)} = ?").mkString("(", " AND ", ")") +
         s" WHEN NOT MATCHED THEN INSERT (${cols.map(quote).mkString(", ")})" +
