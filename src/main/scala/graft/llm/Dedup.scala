@@ -283,6 +283,27 @@ object Dedup {
     * Output: (doc_id, component), unordered.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // every stage in this loop is trivial per row (longs in, longs out),
+    // so AQE's size-based partition coalescing is pure win here: it
+    // collapses sub-advisory shuffles to a handful of reducers, cutting
+    // the per-task overhead that dominates an iterative fixpoint on a
+    // sparse label table. The flip is SCOPED to this call — globally,
+    // parallelism-first coalescing is the right default because CPU-dense
+    // per-row pipelines (string normalization, JSON projection) must keep
+    // their cores even when the shuffled bytes are small.
+    val conf = nodes.sparkSession.conf
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val pfSaved = conf.getOption(pfKey)
+    conf.set(pfKey, "false")
+    try connectedComponentsImpl(nodes, pairs)
+    finally pfSaved match {
+      case Some(v) => conf.set(pfKey, v)
+      case None => conf.unset(pfKey)
+    }
+  }
+
+  private def connectedComponentsImpl(
+      nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val symmetrized = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
@@ -343,36 +364,47 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      // pointer jump: component values are doc_ids, so every component has
-      // a row in merged — the inner self-join keeps all docs, and the
-      // jumped label is tighter (m_comp <= m_doc = component). It runs on
-      // the POST-merge labels, so it is useful from the very first round
-      // (on a chain 1-2-3, round 0's merge gives 3->2 and the jump
-      // resolves 3->1 immediately — skipping it costs a whole extra
-      // round). The jump side renames its columns EXPLICITLY:
-      // dataset-alias resolution (`as("l")`/`as("m")`) over a
-      // union+aggregate self-join can fail attribute dedup on some plan
-      // shapes (found by ComponentsProps)
-      val jump = merged.select(col("doc_id").as("m_doc"),
-        col("component").as("m_comp"))
-      val hop1 = merged.join(maybeSmall(jump), col("component") === col("m_doc"))
-        .select(col("doc_id"), col("m_comp").as("component"))
-      // in the broadcast regime a second hop is nearly free (another
-      // broadcast join over the checkpointed merge) and deep label chains
-      // collapse a round earlier; past the cutoff it would re-execute a
-      // partitioned self-join, so the single-hop shape is kept there
-      val hopped =
-        if (prevSum._2 <= broadcastableRows) {
-          val jump2 = hop1.select(col("doc_id").as("m_doc2"),
-            col("component").as("m_comp2"))
-          hop1.join(broadcast(jump2), col("component") === col("m_doc2"))
-            .select(col("doc_id"), col("m_comp2").as("component"))
-        } else hop1
-      val next = hopped.localCheckpoint()
-      val s2 = labelSum(next)
-      converged = s2 == prevSum
-      prevSum = s2
-      labels = next
+      // convergence is probed on the MERGE, not the post-jump labels:
+      // merged == labels means no neighbor improved anyone, i.e. both
+      // endpoints of every edge already agree — labels are constant per
+      // component, and since labels only ever decrease from the self-label
+      // toward reachable doc_ids, that constant is the component minimum.
+      // Probing here lets the final (no-op) round skip the jump machinery
+      // entirely: its merge is the proof, the hops would be dead work.
+      val mergedSum = labelSum(merged)
+      if (mergedSum == prevSum) {
+        converged = true
+        labels = merged
+      } else {
+        // pointer jump: component values are doc_ids, so every component
+        // has a row in merged — the inner self-join keeps all docs, and
+        // the jumped label is tighter (m_comp <= m_doc = component). It
+        // runs on the POST-merge labels, so it is useful from the very
+        // first round (on a chain 1-2-3, round 0's merge gives 3->2 and
+        // the jump resolves 3->1 immediately — skipping it costs a whole
+        // extra round). The jump side renames its columns EXPLICITLY:
+        // dataset-alias resolution (`as("l")`/`as("m")`) over a
+        // union+aggregate self-join can fail attribute dedup on some plan
+        // shapes (found by ComponentsProps)
+        val jump = merged.select(col("doc_id").as("m_doc"),
+          col("component").as("m_comp"))
+        val hop1 = merged.join(maybeSmall(jump), col("component") === col("m_doc"))
+          .select(col("doc_id"), col("m_comp").as("component"))
+        // in the broadcast regime a second hop is nearly free (another
+        // broadcast join over the checkpointed merge) and deep label chains
+        // collapse a round earlier; past the cutoff it would re-execute a
+        // partitioned self-join, so the single-hop shape is kept there
+        val hopped =
+          if (prevSum._2 <= broadcastableRows) {
+            val jump2 = hop1.select(col("doc_id").as("m_doc2"),
+              col("component").as("m_comp2"))
+            hop1.join(broadcast(jump2), col("component") === col("m_doc2"))
+              .select(col("doc_id"), col("m_comp2").as("component"))
+          } else hop1
+        val next = hopped.localCheckpoint()
+        prevSum = labelSum(next)
+        labels = next
+      }
     }
     edges.unpersist()
     labels
