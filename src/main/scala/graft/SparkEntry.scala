@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, IntervalOps, MultimodalOps, StringOps}
-import graft.llm.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Similarity, Sketches, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -87,6 +87,9 @@ object SparkEntry {
     "q_decontaminate" -> (Curation.decontaminate _),
     "q_pii_redact" -> (Curation.piiRedact _),
     "q_source_mix" -> (Curation.sourceMix _),
+    "q_dedup_spans" -> (Dedup.spanDedup _),
+    "q_sketch_distinct" -> (Sketches.kmvDistinct _),
+    "q_pack_sequences" -> (Curation.packSequences _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -931,6 +934,65 @@ object SparkEntry {
          WHERE regexp_matches(source, 'src[0-9]+')
            AND ${hexIntSql("'mix:' || doc_id")} % 100
                < (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) * 5
+         ORDER BY doc_id""",
+    // C4-style repeated-span removal: global first occurrence per span,
+    // reassembly in original span order (mirrors Dedup.spanDedup)
+    "q_dedup_spans" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         sp AS (SELECT doc_id,
+                       list_transform(
+                         range(0, greatest(CAST(ceil(len(toks) / ${Dedup.SpanTokens}.0) AS INT), 1)),
+                         i -> array_to_string(
+                           toks[i * ${Dedup.SpanTokens} + 1 : i * ${Dedup.SpanTokens} + ${Dedup.SpanTokens}], ' ')) AS spans
+                FROM tk),
+         ex AS (SELECT doc_id, unnest(spans) AS span,
+                       unnest(range(0, len(spans))) AS idx
+                FROM sp),
+         kept AS (SELECT doc_id, idx, span,
+                         row_number() OVER (PARTITION BY span
+                                            ORDER BY doc_id, idx) AS rn
+                  FROM ex),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(span, ' ' ORDER BY idx) AS clean_text
+                 FROM kept WHERE rn = 1 GROUP BY doc_id)
+         SELECT t.doc_id, CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM tk t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         ORDER BY t.doc_id""",
+    // KMV sketch reproduced value-for-value: k smallest distinct 32-bit
+    // md5 hashes per group + the estimate they imply (mirrors
+    // Sketches.kmvDistinct / functions.KMinValues)
+    "q_sketch_distinct" -> s"""
+         WITH hs AS (SELECT l_returnflag,
+                            ${hexIntSql("'kmv:' || l_orderkey")} AS h,
+                            l_orderkey
+                     FROM lineitem),
+         g AS (SELECT l_returnflag,
+                      list_sort(list(DISTINCT h))[1 : ${Sketches.KmvK}] AS kmv,
+                      count(DISTINCT l_orderkey) AS exact_distinct
+               FROM hs GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                CAST(len(kmv) AS INT) AS n_hashes,
+                kmv[len(kmv)] AS max_hash,
+                CASE WHEN len(kmv) < ${Sketches.KmvK} THEN CAST(len(kmv) AS DOUBLE)
+                     ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
+                                / CAST(kmv[${Sketches.KmvK}] AS DOUBLE), 4)
+                END AS est_distinct,
+                exact_distinct
+         FROM g ORDER BY l_returnflag""",
+    // sequence packing: exclusive per-lang prefix sum of token counts →
+    // (bin, offset) arithmetic (mirrors Curation.packSequences)
+    "q_pack_sequences" -> s"""
+         SELECT doc_id, lang, n_tokens,
+                CAST(floor(start_tok / ${Curation.PackBudget}) AS BIGINT) AS bin,
+                start_tok % ${Curation.PackBudget} AS bin_offset
+         FROM (SELECT doc_id, lang,
+                      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+                      CAST(coalesce(sum(len(string_split_regex(text, '\\s+')))
+                        OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+               FROM documents)
          ORDER BY doc_id""",
   )
 }

@@ -107,6 +107,39 @@ object Curation {
     * distinct rates; a production run would broadcast-join the rates from
     * a mixture table instead.
     */
+  /** Tokens per packed training sequence. */
+  val PackBudget = 512
+
+  /** Sequence packing: the tokenizer-adjacent step that concatenates the
+    * document stream per language and cuts fixed [[PackBudget]]-token
+    * training sequences — each document learns which sequence (bin) it
+    * starts in and at which token offset. Pure window arithmetic over the
+    * running token total: the exclusive prefix sum IS the document's global
+    * token position, so bin = position div budget and offset = position mod
+    * budget — no iteration, no driver state, reproducible from (lang,
+    * doc_id) order alone.
+    *
+    * Scale shape: one window per language stream. A single global stream
+    * would serialize on one reducer; per-lang streams parallelize across
+    * languages, and a real run shards further (pack per (lang, doc_id
+    * range) with per-shard bin namespaces) so no reducer sees more than a
+    * shard — same arithmetic, narrower windows.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(stream), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("start_tok") / PackBudget).cast("long").as("bin"),
+        (col("start_tok") % PackBudget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
     val idx = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
     val ratePct = (idx + 1) * 5

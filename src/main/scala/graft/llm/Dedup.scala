@@ -409,4 +409,60 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /** Tokens per dedup span (the "line" granularity on a corpus whose
+    * documents carry no newlines).
+    */
+  val SpanTokens = 8
+
+  /** Sub-document exact dedup (the C4 "repeated line" rule, at span
+    * granularity): split every document into consecutive [[SpanTokens]]-token
+    * spans, keep only the GLOBALLY FIRST occurrence of each distinct span
+    * (first by (doc_id, position)), and reassemble each document from its
+    * surviving spans — boilerplate that recurs across documents disappears
+    * everywhere but its first sighting.
+    *
+    * Scale shape: span construction is row-local; the first-occurrence
+    * rule is one row_number window partitioned by span text (the same
+    * shuffle exact line-dedup pays in any engine — only spans move, and a
+    * hot boilerplate span lands on one reducer: at real scale the
+    * candidate fix is a pre-aggregation that drops all-but-min per
+    * (span, partition) before the global window, a map-side combine the
+    * plan below leaves to AQE skew handling); reassembly is one
+    * groupBy(doc_id) with an ordered struct sort, shuffling each kept span
+    * once.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nSpans = greatest(
+      ceil(size(col("toks")).cast("double") / SpanTokens).cast("int"), lit(1))
+    // the slice lambda references `toks` per span, so Catalyst's project
+    // collapse re-evaluates the split O(n_spans) times per row — fine at
+    // span counts this size; the 100 TB upgrade is a native expression
+    // walking the token array once (WordShingles pattern)
+    val spans = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nSpans - 1),
+          i => array_join(
+            slice(col("toks"), i * SpanTokens + 1, lit(SpanTokens)), " "))))
+      .toDF("doc_id", "idx", "span")
+    val firstSeen = Window.partitionBy(col("span"))
+      .orderBy(col("doc_id"), col("idx"))
+    val kept = spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+            x => x("span")), " ").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{table => t}
+import graft.functions.KMinValues
+import TextHash._
+
+/** Bounded-state sketch operators — the aggregations a 100 TB profile run
+  * uses where the exact form would shuffle every distinct value.
+  */
+object Sketches {
+
+  /** Sketch size: 64 hashes ≈ 12% standard error (1/√(k-2)) — a profiling
+    * sketch, not a billing counter.
+    */
+  val KmvK = 64
+
+  /** Hash-space size for [[TextHash.md5Long]] (first 8 md5 hex digits):
+    * 2^32, as a double (exact).
+    */
+  val KmvHashSpace = 4294967296.0
+
+  /** Distinct order count per return flag, three ways on one pass:
+    * the KMV sketch array (engine-portable, value-for-value), the estimate
+    * it implies, and the exact distinct count it approximates. At 100 TB
+    * the exact column is the one you delete: the KMV partial state is ≤ k
+    * longs per (partition, group) through the shuffle, while exact
+    * count(DISTINCT) reshuffles every distinct key. The estimate is pure
+    * post-aggregation arithmetic: exact below k (the sketch holds the whole
+    * distinct hash set), `(k-1)·M/h_(k)` at capacity — identical doubles in
+    * any engine since both sides divide the same integers.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = md5Long(concat(lit("kmv:"), col("l_orderkey").cast("string")))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), h.as("h"), col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        KMinValues(col("h"), KmvK).as("kmv"),
+        countDistinct(col("l_orderkey")).as("exact_distinct"))
+      .select(
+        col("l_returnflag"),
+        size(col("kmv")).as("n_hashes"),
+        element_at(col("kmv"), size(col("kmv"))).as("max_hash"),
+        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble) * lit(KmvHashSpace) /
+              element_at(col("kmv"), KmvK).cast("double"), 4))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("l_returnflag")
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.KMinValues
+import graft.llm.{Curation, Dedup, Sketches}
+
+/** Invariants for the round-4 operators: the KMV sketch aggregate, span
+  * dedup, and sequence packing (the DuckDB oracles pin exact values; these
+  * pin the semantics that make them usable).
+  */
+class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("sketch-pack-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("kmin_values keeps the k smallest distinct hashes, merged across partitions") {
+    import spark.implicits._
+    // values with duplicates, shuffled across many partitions so the
+    // partial-state merge path genuinely runs
+    val vals = (1L to 1000L).flatMap(v => Seq(v, v)) // every value twice
+    val df = spark.createDataset(scala.util.Random.shuffle(vals))
+      .repartition(7).toDF("v")
+    val got = df.agg(KMinValues(col("v"), 16).as("kmv"))
+      .head().getSeq[Long](0)
+    assert(got == (1L to 16L), s"expected [1..16], got $got")
+  }
+
+  test("kmin_values below capacity returns the whole distinct set, ascending") {
+    import spark.implicits._
+    val df = Seq(5L, 3L, 3L, 9L).toDF("v").repartition(3)
+    val got = df.agg(KMinValues(col("v"), 64).as("kmv"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(3L, 5L, 9L))
+  }
+
+  test("kmin_values skips nulls and survives an all-null group") {
+    import spark.implicits._
+    val df = Seq[(Int, Option[Long])]((1, Some(7L)), (1, None), (2, None))
+      .toDF("g", "v")
+    val rows = df.groupBy("g").agg(KMinValues(col("v"), 8).as("kmv"))
+      .orderBy("g").collect()
+    assert(rows(0).getSeq[Long](1) == Seq(7L))
+    assert(rows(1).getSeq[Long](1).isEmpty)
+  }
+
+  test("kmv estimate tracks exact distinct within sketch error") {
+    val out = Sketches.kmvDistinct(spark, dir).cache()
+    out.collect().foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct")
+      // 1/sqrt(k-2) ~ 12.7% standard error; allow 4 sigma
+      assert(math.abs(est - exact) <= math.max(4 * exact / math.sqrt(Sketches.KmvK - 2), 2.0),
+        s"estimate $est too far from exact $exact")
+    }
+    out.unpersist()
+  }
+
+  test("kmv partial aggregation ships bounded state (partial_kmin_values in plan)") {
+    val plan = Sketches.kmvDistinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kmin_values") || plan.contains("partial kmin_values")
+      || plan.toLowerCase.contains("kmin_values"),
+      s"kmin_values missing from plan:\n$plan")
+  }
+
+  test("span dedup keeps first occurrence only and reassembles in order") {
+    val out = Dedup.spanDedup(spark, dir).cache()
+    val docs = Tables.table(spark, dir, "documents").count()
+    assert(out.count() == docs)
+    // re-splitting every cleaned doc into spans must yield globally
+    // distinct spans (the defining property of the operator)
+    val reSpans = out.filter(col("clean_text") =!= "")
+      .select(explode(split(col("clean_text"), " ")).as("tok")) // sanity: tokens survive
+    assert(reSpans.count() > 0)
+    val spanCounts = out.agg(sum(col("n_kept"))).head().getLong(0)
+    // total kept spans == distinct spans across the corpus
+    val distinctSpans = {
+      val toks = graft.llm.TextHash.tokens(col("text"))
+      val n = greatest(ceil(size(col("toks")).cast("double") / Dedup.SpanTokens).cast("int"), lit(1))
+      Tables.table(spark, dir, "documents")
+        .withColumn("toks", toks)
+        .select(explode(transform(sequence(lit(0), n - 1),
+          i => array_join(slice(col("toks"), i * Dedup.SpanTokens + 1, lit(Dedup.SpanTokens)), " "))).as("span"))
+        .distinct().count()
+    }
+    assert(spanCounts == distinctSpans,
+      s"kept $spanCounts spans but corpus has $distinctSpans distinct spans")
+    out.unpersist()
+  }
+
+  test("sequence packing: offsets advance by token count within a language stream") {
+    val out = Curation.packSequences(spark, dir).cache()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val bad = out
+      .withColumn("prev_global",
+        lag(col("bin") * Curation.PackBudget + col("bin_offset") + col("n_tokens"), 1)
+          .over(w))
+      .filter(col("prev_global").isNotNull &&
+        col("prev_global") =!= col("bin") * Curation.PackBudget + col("bin_offset"))
+    assert(bad.count() == 0, "global token positions must be contiguous per lang")
+    // offsets stay inside the budget
+    assert(out.filter(col("bin_offset") < 0 ||
+      col("bin_offset") >= Curation.PackBudget).count() == 0)
+    out.unpersist()
+  }
+}
