@@ -423,12 +423,11 @@ object Dedup {
     * everywhere but its first sighting.
     *
     * Scale shape: span construction is row-local; the first-occurrence
-    * rule is one row_number window partitioned by span text (the same
-    * shuffle exact line-dedup pays in any engine — only spans move, and a
-    * hot boilerplate span lands on one reducer: at real scale the
-    * candidate fix is a pre-aggregation that drops all-but-min per
-    * (span, partition) before the global window, a map-side combine the
-    * plan below leaves to AQE skew handling); reassembly is one
+    * rule is one row_number window partitioned by span text — and Spark
+    * plans it with a PARTIAL WindowGroupLimit below the exchange, so each
+    * map task forwards at most one candidate per span it sees: a hot
+    * boilerplate span costs its reducer one row per upstream partition,
+    * not one per occurrence (plan-asserted in PlanSpec). Reassembly is one
     * groupBy(doc_id) with an ordered struct sort, shuffling each kept span
     * once.
     */
@@ -437,10 +436,11 @@ object Dedup {
     val docs = t(s, dir, "documents")
     val nSpans = greatest(
       ceil(size(col("toks")).cast("double") / SpanTokens).cast("int"), lit(1))
-    // the slice lambda references `toks` per span, so Catalyst's project
-    // collapse re-evaluates the split O(n_spans) times per row — fine at
-    // span counts this size; the 100 TB upgrade is a native expression
-    // walking the token array once (WordShingles pattern)
+    // the Generate (posexplode) is a projection barrier, so `toks` stays a
+    // materialized child projection and the split evaluates ONCE per row —
+    // the slice lambdas reference the array, they don't re-split (verified
+    // in the executed plan; contrast the CollapseProject trap the shingle
+    // builders had to design around, TextHash.slidingTriples)
     val spans = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), posexplode(

@@ -153,4 +153,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("hashaggregate(keys=[a_id"),
       s"pair dedup regressed to a distinct over the candidate set:\n${p.take(1500)}")
   }
+
+  // ---- round-4 guards ------------------------------------------------------
+
+  test("span dedup pre-limits hot spans map-side (partial WindowGroupLimit)") {
+    val p = plan("q_dedup_spans")
+    // a boilerplate span must cost its reducer one row per upstream
+    // partition, not one per occurrence
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"partial window-group-limit missing — hot spans would flood one reducer:\n${p.take(1500)}")
+    // the split must evaluate once below the Generate, not inside the
+    // slice lambdas
+    assert("split\\(text".r.findAllIn(p).length == 1,
+      "split(text) should appear exactly once (materialized below the explode)")
+  }
+
+  test("kmv sketch aggregates with map-side partial state") {
+    val p = plan("q_sketch_distinct")
+    assert(p.contains("partial_kmin_values"),
+      s"kmin_values must combine map-side (bounded state through the shuffle):\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "typed-imperative sketch should plan as ObjectHashAggregate, not SortAggregate")
+  }
+
+  test("sequence packing is one window shuffle plus the output sort") {
+    val p = plan("q_pack_sequences")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected lang-window shuffle + final sort, got $exchanges:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "packing must not join")
+  }
 }
