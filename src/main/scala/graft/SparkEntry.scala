@@ -90,6 +90,7 @@ object SparkEntry {
     "q_dedup_spans" -> (Dedup.spanDedup _),
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_pack_sequences" -> (Curation.packSequences _),
+    "q_sample_stratified" -> (Curation.stratifiedSample _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -993,6 +994,16 @@ object SparkEntry {
                         OVER (PARTITION BY lang ORDER BY doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
                FROM documents)
+         ORDER BY doc_id""",
+    // stratified exact-quota sample: lowest salted-md5 ranks per language
+    // (mirrors Curation.stratifiedSample)
+    "q_sample_stratified" -> s"""
+         SELECT doc_id, lang, CAST(rk AS INT) AS rk
+         FROM (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY ${hexIntSql("'strat:' || doc_id")}, doc_id) AS rk
+               FROM documents)
+         WHERE rk <= ${Curation.StratumQuota}
          ORDER BY doc_id""",
   )
 }

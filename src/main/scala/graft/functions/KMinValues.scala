@@ -3,9 +3,10 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -118,4 +119,22 @@ object KMinValues {
   def apply(c: Column, k: Int): Column =
     GraftBridge.column(
       new KMinValues(GraftBridge.expression(c), k).toAggregateExpression())
+
+  // SQL registration (GraftCatalog): the analyzer wraps a bare
+  // AggregateFunction returned by a registry builder in an
+  // AggregateExpression itself, same as the built-in aggregates
+  val info = new ExpressionInfo(classOf[KMinValues].getName, "kmin_values")
+  val builder: Seq[Expression] => Expression = {
+    case Seq(child, IntegerLiteral(k)) => new KMinValues(child, k)
+    case other => throw new IllegalArgumentException(
+      s"kmin_values(hash BIGINT, k INT literal) expects 2 arguments, got ${other.size}")
+  }
+  val identifier: FunctionIdentifier = FunctionIdentifier("kmin_values")
+
+  private object IntegerLiteral {
+    def unapply(e: Expression): Option[Int] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v)
+      case _ => None
+    }
+  }
 }

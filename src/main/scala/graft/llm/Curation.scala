@@ -107,6 +107,32 @@ object Curation {
     * distinct rates; a production run would broadcast-join the rates from
     * a mixture table instead.
     */
+  /** Documents drawn per language by [[stratifiedSample]]. */
+  val StratumQuota = 40
+
+  /** Stratified EXACT-quota sampling: the [[StratumQuota]] documents per
+    * language that rank lowest by salted md5 — fixed per-stratum sample
+    * sizes (balanced eval sets, per-domain audits), where the Bernoulli
+    * splitter ([[TextAnalysis.trainValSplit]]) only hits quotas in
+    * expectation. Determinism is the same anti-leak property: rank derives
+    * from the key alone, so the sample survives re-runs, engine swaps, and
+    * repartitioning. Scale shape: rank-per-stratum plans a partial
+    * WindowGroupLimit — each map task forwards at most `quota` rows per
+    * stratum, so the shuffle carries O(partitions · quota), not the corpus.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rankHash = md5Long(concat(lit("strat:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rank_hash"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), rankHash.as("rank_hash"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumQuota)
+      .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
+      .orderBy("doc_id")
+  }
+
   /** Tokens per packed training sequence. */
   val PackBudget = 512
 

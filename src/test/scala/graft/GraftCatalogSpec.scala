@@ -42,5 +42,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       """SELECT (SELECT count(*) FROM decontaminated WHERE keep) AS kept,
                 (SELECT count(*) FROM source_mix) AS mixed""").head()
     assert(curated.getLong(0) > 0 && curated.getLong(1) > 0)
+    // the KMV aggregate resolves from SQL and matches exact distinct when
+    // the group has fewer distinct hashes than k
+    val kmv = spark.sql("""
+      SELECT lang, size(kmin_values(doc_id, 1000)) AS n,
+             count(DISTINCT doc_id) AS exact
+      FROM documents GROUP BY lang ORDER BY lang""").collect()
+    assert(kmv.nonEmpty)
+    kmv.foreach(r => assert(r.getInt(1).toLong == r.getLong(2),
+      s"kmin_values under capacity must equal exact distinct: $r"))
   }
 }
