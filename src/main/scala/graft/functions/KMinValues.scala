@@ -126,8 +126,10 @@ object KMinValues {
   val info = new ExpressionInfo(classOf[KMinValues].getName, "kmin_values")
   val builder: Seq[Expression] => Expression = {
     case Seq(child, IntegerLiteral(k)) => new KMinValues(child, k)
-    case other => throw new IllegalArgumentException(
+    case other if other.size != 2 => throw new IllegalArgumentException(
       s"kmin_values(hash BIGINT, k INT literal) expects 2 arguments, got ${other.size}")
+    case other => throw new IllegalArgumentException(
+      s"kmin_values: k must be an INT literal, got ${other(1).sql}")
   }
   val identifier: FunctionIdentifier = FunctionIdentifier("kmin_values")
 

@@ -94,19 +94,6 @@ object Curation {
       .orderBy("c_custkey")
   }
 
-  /** Source-mixture resampling: each source keeps a deterministic fraction
-    * of its documents — the domain-reweighting step that turns raw corpus
-    * proportions into a target training mixture. The keep/drop decision is
-    * a salted-md5 percentile bucket of the doc_id (the train/val splitter's
-    * mechanism — integer arithmetic, identical in any engine), so a
-    * resample is reproducible from the key alone: no RNG state, no
-    * sampling shuffle, row-local at scan speed.
-    *
-    * Here the per-source rate ramps linearly with the source index
-    * ((idx+1)·5%, so src0 keeps 5% and src19 keeps all), exercising 20
-    * distinct rates; a production run would broadcast-join the rates from
-    * a mixture table instead.
-    */
   /** Documents drawn per language by [[stratifiedSample]]. */
   val StratumQuota = 40
 
@@ -166,6 +153,19 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Source-mixture resampling: each source keeps a deterministic fraction
+    * of its documents — the domain-reweighting step that turns raw corpus
+    * proportions into a target training mixture. The keep/drop decision is
+    * a salted-md5 percentile bucket of the doc_id (the train/val splitter's
+    * mechanism — integer arithmetic, identical in any engine), so a
+    * resample is reproducible from the key alone: no RNG state, no
+    * sampling shuffle, row-local at scan speed.
+    *
+    * Here the per-source rate ramps linearly with the source index
+    * ((idx+1)·5%, so src0 keeps 5% and src19 keeps all), exercising 20
+    * distinct rates; a production run would broadcast-join the rates from
+    * a mixture table instead.
+    */
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
     val idx = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
     val ratePct = (idx + 1) * 5

@@ -287,19 +287,26 @@ object Dedup {
     // so AQE's size-based partition coalescing is pure win here: it
     // collapses sub-advisory shuffles to a handful of reducers, cutting
     // the per-task overhead that dominates an iterative fixpoint on a
-    // sparse label table. The flip is SCOPED to this call — globally,
-    // parallelism-first coalescing is the right default because CPU-dense
-    // per-row pipelines (string normalization, JSON projection) must keep
-    // their cores even when the shuffled bytes are small.
-    val conf = nodes.sparkSession.conf
-    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    val pfSaved = conf.getOption(pfKey)
-    conf.set(pfKey, "false")
-    try connectedComponentsImpl(nodes, pairs)
-    finally pfSaved match {
-      case Some(v) => conf.set(pfKey, v)
-      case None => conf.unset(pfKey)
-    }
+    // sparse label table. Globally, parallelism-first coalescing is the
+    // right default (CPU-dense per-row pipelines must keep their cores
+    // even when the shuffled bytes are small), so the flip runs on a
+    // PRIVATE session clone — `newSession()` shares the SparkContext and
+    // cached data but owns its SQLConf, which makes the scoping
+    // concurrency-safe: concurrent queries on the caller's session never
+    // see the flipped conf, and overlapping component runs each get their
+    // own clone (builder-time configs like shuffle.partitions live in the
+    // shared SparkConf and survive the clone; the checkpointed result is
+    // re-bound to the caller's session so downstream consumption runs
+    // under the caller's conf).
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val caller = nodes.sparkSession
+    val loopSession = caller.newSession()
+    loopSession.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    val out = connectedComponentsImpl(
+      GraftBridge.rebind(loopSession, nodes),
+      GraftBridge.rebind(loopSession, pairs))
+    GraftBridge.rebind(caller, out)
   }
 
   private def connectedComponentsImpl(

@@ -176,6 +176,12 @@ class PlanSpec extends AnyFunSuite {
       "typed-imperative sketch should plan as ObjectHashAggregate, not SortAggregate")
   }
 
+  test("stratified sample pre-limits per stratum map-side") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank <= quota must push a partial group limit below the exchange:\n${p.take(1500)}")
+  }
+
   test("sequence packing is one window shuffle plus the output sort") {
     val p = plan("q_pack_sequences")
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length

@@ -70,9 +70,8 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("kmv partial aggregation ships bounded state (partial_kmin_values in plan)") {
     val plan = Sketches.kmvDistinct(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_kmin_values") || plan.contains("partial kmin_values")
-      || plan.toLowerCase.contains("kmin_values"),
-      s"kmin_values missing from plan:\n$plan")
+    assert(plan.contains("partial_kmin_values"),
+      s"map-side partial kmin_values missing from plan:\n$plan")
   }
 
   test("span dedup keeps first occurrence only and reassembles in order") {
