@@ -91,6 +91,8 @@ object SparkEntry {
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
+    "q_text_repetition" -> (TextAnalysis.repetition _),
+    "q_vocab_top" -> (TextAnalysis.vocabulary _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1005,5 +1007,44 @@ object SparkEntry {
                FROM documents)
          WHERE rk <= ${Curation.StratumQuota}
          ORDER BY doc_id""",
+    // within-document n-gram repetition fractions (mirrors
+    // TextAnalysis.repetition)
+    "q_text_repetition" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         gr AS (SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END AS bi,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE [] END AS tri
+                FROM tk)
+         SELECT doc_id, n_tokens,
+                CASE WHEN len(bi) > 0
+                     THEN round((len(bi) - len(list_distinct(bi)))::DOUBLE
+                                / len(bi)::DOUBLE, 6)
+                     ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(tri) > 0
+                     THEN round((len(tri) - len(list_distinct(tri)))::DOUBLE
+                                / len(tri)::DOUBLE, 6)
+                     ELSE 0.0 END AS dup_trigram_frac,
+                CASE WHEN len(tri) > 0
+                     THEN round((len(tri) - len(list_distinct(tri)))::DOUBLE
+                                / len(tri)::DOUBLE, 6)
+                     ELSE 0.0 END <= ${TextAnalysis.DupTrigramMax} AS keep
+         FROM gr ORDER BY doc_id""",
+    // corpus vocabulary: top terms by global frequency, alphabetical
+    // tie-break (mirrors TextAnalysis.vocabulary)
+    "q_vocab_top" -> s"""
+         SELECT term, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+               FROM documents)
+         GROUP BY term
+         ORDER BY freq DESC, term
+         LIMIT ${TextAnalysis.VocabTopN}""",
   )
 }

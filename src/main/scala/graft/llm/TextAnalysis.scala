@@ -231,4 +231,61 @@ object TextAnalysis {
     t(s, dir, "documents")
       .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
+
+  /** Duplicate-trigram ceiling for the [[repetition]] keep verdict. */
+  val DupTrigramMax = 0.3
+
+  /** Within-document repetition profile (the Gopher repetition rules that
+    * [[qualityFilter]]'s TTR floor doesn't see): the fraction of word
+    * 2-grams and 3-grams that are repeats of an earlier n-gram in the SAME
+    * document — boilerplate loops and copy-paste stutter score high while
+    * keeping a healthy token mix. `dup_frac = (|grams| - |distinct|) /
+    * |grams|`, n-grams built from zipped shifted slices (the array
+    * evaluates a constant number of times — the element_at-over-sequence
+    * form re-splits per access, TextHash.slidingTriples). Row-local, zero
+    * shuffle; ratios are exact integer divisions in double.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    val emptyS = slice(col("toks"), lit(1), lit(0)) // empty array<string>
+    val bigrams = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(emptyS)
+    val trigrams = when(n >= 3,
+      zip_with(slice(col("toks"), lit(1), n - 2),
+        zip_with(slice(col("toks"), lit(2), n - 2),
+          slice(col("toks"), lit(3), n - 2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).otherwise(emptyS)
+    def dupFrac(g: org.apache.spark.sql.Column) = when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") /
+        size(g).cast("double"), 6)).otherwise(lit(0.0))
+    t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), n.cast("int").as("n_tokens"),
+        dupFrac(bigrams).as("dup_bigram_frac"),
+        dupFrac(trigrams).as("dup_trigram_frac"))
+      .withColumn("keep", col("dup_trigram_frac") <= DupTrigramMax)
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary size cap for [[vocabulary]]. */
+  val VocabTopN = 100
+
+  /** Corpus vocabulary building: global token frequencies, top
+    * [[VocabTopN]] by count with deterministic alphabetical tie-break —
+    * the first step of tokenizer training. The canonical scale shape:
+    * map-side partial counts mean the shuffle carries one row per
+    * (partition, term), and the ordered limit plans as
+    * TakeOrderedAndProject (per-partition top-N, never a global sort of
+    * the vocabulary).
+    */
+  def vocabulary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(VocabTopN)
 }
