@@ -93,6 +93,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_text_repetition" -> (TextAnalysis.repetition _),
     "q_vocab_top" -> (TextAnalysis.vocabulary _),
+    "q_w5_distinct" -> (StreamOps.distinctPerWindow _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1046,5 +1047,26 @@ object SparkEntry {
          GROUP BY term
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
+    // KMV distinct users per tumbling window (mirrors
+    // StreamOps.distinctPerWindow; same estimate arithmetic as
+    // q_sketch_distinct)
+    "q_w5_distinct" -> s"""
+         WITH hs AS (SELECT date_trunc('hour', ts) AS window_start,
+                            ${hexIntSql("'kmv:' || user_id")} AS h,
+                            user_id
+                     FROM events),
+         g AS (SELECT window_start,
+                      list_sort(list(DISTINCT h))[1 : ${graft.llm.Sketches.KmvK}] AS kmv,
+                      count(DISTINCT user_id) AS exact_users
+               FROM hs GROUP BY window_start)
+         SELECT window_start,
+                CAST(len(kmv) AS INT) AS n_hashes,
+                CASE WHEN len(kmv) < ${graft.llm.Sketches.KmvK}
+                     THEN CAST(len(kmv) AS DOUBLE)
+                     ELSE round(${graft.llm.Sketches.KmvK - 1} * ${graft.llm.Sketches.KmvHashSpace}
+                                / CAST(kmv[${graft.llm.Sketches.KmvK}] AS DOUBLE), 4)
+                END AS est_users,
+                exact_users
+         FROM g ORDER BY window_start""",
   )
 }

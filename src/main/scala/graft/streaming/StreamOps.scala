@@ -47,6 +47,65 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("window_start", "event_type")
 
+  /** Tumbling 1-hour windows: approximate distinct users per window via
+    * the KMV sketch ([[graft.functions.KMinValues]]) next to the exact
+    * count it approximates — the streaming-friendly distinct: the sketch's
+    * bounded O(k) state is exactly what an unbounded stream's state store
+    * needs, where exact count(DISTINCT) state grows with the key space.
+    * The hash is the engine-portable md5 ([[TextHash.md5Long]] shape), so
+    * the oracle pins sketch size, kth hash, and estimate per window.
+    */
+  def distinctPerWindow(s: SparkSession, dir: String): DataFrame = {
+    val k = graft.llm.Sketches.KmvK
+    val h = conv(substring(md5(concat(lit("kmv:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val windowed = t(s, dir, "events")
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        h.as("h"), col("user_id"))
+    // sketch and exact aggregate SEPARATELY (the fused form triggers
+    // Spark's distinct-rewrite, building sketch state per distinct key —
+    // see Sketches.kmvDistinct) and join over the handful of window rows
+    val sketch = windowed.groupBy(col("window_start"))
+      .agg(graft.functions.KMinValues(col("h"), k).as("kmv"))
+    val exact = windowed.groupBy(col("window_start"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sketch.join(broadcast(exact), Seq("window_start"))
+      .select(col("window_start"),
+        size(col("kmv")).as("n_hashes"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) *
+            lit(graft.llm.Sketches.KmvHashSpace) /
+            element_at(col("kmv"), k).cast("double"), 4))
+          .as("est_users"),
+        col("exact_users"))
+      .orderBy("window_start")
+  }
+
+  /** The streaming form of [[distinctPerWindow]]: watermarked tumbling
+    * windows, KMV sketch per window — per-window state is ≤ k longs
+    * regardless of stream cardinality, and windows older than the
+    * watermark are evicted. (The exact column is deliberately absent
+    * here: count(DISTINCT) is unsupported in streaming precisely because
+    * its state is unbounded — the sketch is the streaming answer.)
+    */
+  def distinctPerWindowStream(events: DataFrame): DataFrame = {
+    val k = graft.llm.Sketches.KmvK
+    val h = conv(substring(md5(concat(lit("kmv:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), h.as("h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.KMinValues(col("h"), k).as("kmv"))
+      .select(col("window.start").as("window_start"),
+        size(col("kmv")).as("n_hashes"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) *
+            lit(graft.llm.Sketches.KmvHashSpace) /
+            element_at(col("kmv"), k).cast("double"), 4))
+          .as("est_users"))
+  }
+
   /** Gap-based sessionization as a batch window computation: a new session
     * starts when the gap to the previous event of the same user exceeds
     * 30 minutes; session id = running count of session starts.

@@ -248,4 +248,35 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(r.getDouble(2) > 0 && r.getDouble(2) < 256)
     }
   }
+
+  test("distinctPerWindowStream sketches match the batch KMV per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 windows; one has > KmvK distinct users so the capacity path runs
+    val events = (
+      (1 to 200).map(u => (ts("2024-01-01 10:05:00"), u.toLong)) ++
+      Seq((ts("2024-01-01 11:10:00"), 7L), (ts("2024-01-01 11:20:00"), 7L),
+        (ts("2024-01-01 11:30:00"), 9L),
+        (ts("2024-01-01 12:15:00"), 1L))).toList
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(events)
+    mem.addData(Seq((ts("2024-01-02 00:00:00"), 0L))) // watermark flush
+    val q = StreamOps.distinctPerWindowStream(mem.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("kmvwin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("kmvwin")
+      .filter(col("window_start") < ts("2024-01-02 00:00:00"))
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getDouble(2)))
+    assert(got.length == 3)
+    // window 1: 200 distinct users -> sketch at capacity, estimate within
+    // 4 sigma of 200; windows 2/3 under capacity -> estimate is exact
+    assert(got(0)._2 == graft.llm.Sketches.KmvK)
+    assert(math.abs(got(0)._3 - 200.0) <= 4 * 200.0 / math.sqrt(graft.llm.Sketches.KmvK - 2))
+    assert(got(1)._2 == 2 && got(1)._3 == 2.0)
+    assert(got(2)._2 == 1 && got(2)._3 == 1.0)
+  }
 }
