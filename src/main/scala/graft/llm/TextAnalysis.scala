@@ -245,29 +245,41 @@ object TextAnalysis {
     * form re-splits per access, TextHash.slidingTriples). Row-local, zero
     * shuffle; ratios are exact integer divisions in double.
     */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
-    val n = size(col("toks"))
-    val emptyS = slice(col("toks"), lit(1), lit(0)) // empty array<string>
-    val bigrams = when(n >= 2,
-      zip_with(slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b))).otherwise(emptyS)
-    val trigrams = when(n >= 3,
-      zip_with(slice(col("toks"), lit(1), n - 2),
-        zip_with(slice(col("toks"), lit(2), n - 2),
-          slice(col("toks"), lit(3), n - 2),
-          (b, c) => concat(b, lit(" "), c)),
-        (a, bc) => concat(a, lit(" "), bc))).otherwise(emptyS)
-    def dupFrac(g: org.apache.spark.sql.Column) = when(size(g) > 0,
-      round((size(g) - size(array_distinct(g))).cast("double") /
-        size(g).cast("double"), 6)).otherwise(lit(0.0))
+  def repetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), n.cast("int").as("n_tokens"),
-        dupFrac(bigrams).as("dup_bigram_frac"),
-        dupFrac(trigrams).as("dup_trigram_frac"))
+      .withColumn("st", graft.functions.NgramDupStats(tokens(col("text"))))
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.dup_bigram_frac").as("dup_bigram_frac"),
+        col("st.dup_trigram_frac").as("dup_trigram_frac"))
       .withColumn("keep", col("dup_trigram_frac") <= DupTrigramMax)
       .orderBy("doc_id")
+
+  /** The declarative (zipped-slices) form of the repetition profile — the
+    * executable specification [[graft.functions.NgramDupStats]] is pinned
+    * against (NgramDupStatsSpec). Every reference to the gram arrays
+    * re-evaluates the interpreted chain after CollapseProject inlines it,
+    * which is why the query runs the native expression.
+    */
+  def ngramDupStatsHof(toks: Column): Column = {
+    val n = size(toks)
+    val emptyS = slice(toks, lit(1), lit(0)) // empty array<string>
+    val bigrams = when(n >= 2,
+      zip_with(slice(toks, lit(1), n - 1),
+        slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(emptyS)
+    val trigrams = when(n >= 3,
+      zip_with(slice(toks, lit(1), n - 2),
+        zip_with(slice(toks, lit(2), n - 2),
+          slice(toks, lit(3), n - 2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).otherwise(emptyS)
+    def dupFrac(g: Column) = when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") /
+        size(g).cast("double"), 6)).otherwise(lit(0.0))
+    struct(n.cast("int").as("n_tokens"),
+      dupFrac(bigrams).as("dup_bigram_frac"),
+      dupFrac(trigrams).as("dup_trigram_frac"))
   }
 
   /** Vocabulary size cap for [[vocabulary]]. */
