@@ -94,6 +94,7 @@ object SparkEntry {
     "q_text_repetition" -> (TextAnalysis.repetition _),
     "q_vocab_top" -> (TextAnalysis.vocabulary _),
     "q_w5_distinct" -> (StreamOps.distinctPerWindow _),
+    "q_chunk_overlap" -> (Curation.chunkDocuments _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1068,5 +1069,25 @@ object SparkEntry {
                 END AS est_users,
                 exact_users
          FROM g ORDER BY window_start""",
+    // overlapping token-window chunking (mirrors Curation.chunkDocuments)
+    "q_chunk_overlap" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         nc AS (SELECT doc_id, toks,
+                       greatest(CAST(ceil((len(toks) - ${Curation.ChunkTokens})
+                                     / ${Curation.ChunkStride}.0) AS INT) + 1,
+                                1) AS nch
+                FROM tk)
+         SELECT doc_id,
+                CAST(unnest(range(0, nch)) AS INT) AS chunk_id,
+                CAST(unnest(list_transform(range(0, nch),
+                       i -> i * ${Curation.ChunkStride} + 1)) AS INT) AS start_tok,
+                unnest(list_transform(range(0, nch),
+                  i -> array_to_string(
+                         toks[i * ${Curation.ChunkStride} + 1 :
+                              i * ${Curation.ChunkStride} + ${Curation.ChunkTokens}], ' ')))
+                  AS chunk
+         FROM nc
+         ORDER BY doc_id, chunk_id""",
   )
 }

@@ -120,6 +120,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Token window / stride for [[chunkDocuments]]. */
+  val ChunkTokens = 24
+  val ChunkStride = 16
+
+  /** Overlapping token-window chunking — the embedding/RAG preparation
+    * step ([[packSequences]] is its non-overlapping training twin): each
+    * document yields windows of [[ChunkTokens]] tokens every
+    * [[ChunkStride]], the final partial window kept iff it adds tokens
+    * beyond the previous one (start < n). Row-local construction (the
+    * explode is the row multiplier a chunker IS — at 100 TB the output is
+    * deliberately ~1.5x the corpus and flows straight to the embedder,
+    * never re-shuffled here).
+    */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = size(col("toks"))
+    val nChunks = greatest(
+      ceil((n - ChunkTokens).cast("double") / ChunkStride).cast("int") + 1,
+      lit(1))
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => struct(
+            (i * ChunkStride + 1).as("start_tok"),
+            array_join(slice(col("toks"), i * ChunkStride + 1, lit(ChunkTokens)), " ")
+              .as("chunk")))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col.start_tok").as("start_tok"), col("col.chunk").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Tokens per packed training sequence. */
   val PackBudget = 512
 
