@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CharTrigrams, DotProduct, JsonProject, KMinValues, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
+import graft.functions.{CharTrigrams, DotProduct, JsonProject, KMinValues, NgramDupStats, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -62,5 +62,8 @@ object GraftCatalog {
     if (!reg.functionExists(KMinValues.identifier))
       reg.registerFunction(KMinValues.identifier, KMinValues.info,
         KMinValues.builder)
+    if (!reg.functionExists(NgramDupStats.identifier))
+      reg.registerFunction(NgramDupStats.identifier, NgramDupStats.info,
+        NgramDupStats.builder)
   }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `struct(n_tokens, dup_bigram_frac, dup_trigram_frac)` over a token
   * array, where `dup_frac = (|grams| - |distinct grams|) / |grams|`.
   *
-  * The declarative form ([[graft.llm.TextAnalysis.repetitionHof]]) builds
+  * The declarative form ([[graft.llm.TextAnalysis.ngramDupStatsHof]]) builds
   * each gram array from zipped shifted slices under interpreted
   * (CodegenFallback) lambdas — and every REFERENCE to those arrays
   * (size, array_distinct, the guard) re-evaluates the whole chain after
@@ -78,7 +78,11 @@ object NgramDupStats {
   }
 
   val info = new ExpressionInfo(classOf[NgramDupStats].getName, "ngram_dup_stats")
-  val builder: Seq[Expression] => Expression = ch => NgramDupStats(ch.head)
+  val builder: Seq[Expression] => Expression = {
+    case Seq(child) => NgramDupStats(child)
+    case other => throw new IllegalArgumentException(
+      s"ngram_dup_stats(tokens ARRAY<STRING>) expects 1 argument, got ${other.size}")
+  }
   val identifier: FunctionIdentifier = FunctionIdentifier("ngram_dup_stats")
 }
 

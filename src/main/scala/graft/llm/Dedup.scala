@@ -301,6 +301,13 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.GraftBridge
     val caller = nodes.sparkSession
     val loopSession = caller.newSession()
+    // newSession() seeds its SQLConf from the shared SparkConf, NOT the
+    // caller's runtime conf — copy the caller's modifiable entries across
+    // so runtime choices (a disabled broadcast threshold, AQE toggles)
+    // keep holding inside the loop; only then apply the one scoped flip
+    caller.conf.getAll.foreach { case (k, v) =>
+      if (loopSession.conf.isModifiable(k)) loopSession.conf.set(k, v)
+    }
     loopSession.conf.set(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     val out = connectedComponentsImpl(

@@ -21,6 +21,23 @@ object Sketches {
     */
   val KmvHashSpace = 4294967296.0
 
+  /** Engine-portable KMV input hash of a (NOT NULL) key — the ONE
+    * definition the oracles mirror via `hexIntSql("'kmv:' || key")`.
+    */
+  def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5Long(concat(lit("kmv:"), key.cast("string")))
+
+  /** The distinct-count estimate a KMV sketch array implies: exact below
+    * capacity (the sketch IS the distinct hash set), `(k-1)·M/h_(k)` at
+    * capacity — identical doubles in any engine (same integer divisions).
+    * ONE definition for every consumer; a rounding or k change has a
+    * single update site per engine.
+    */
+  def kmvEstimate(kmv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(kmv) < KmvK, size(kmv).cast("double"))
+      .otherwise(round(lit((KmvK - 1).toDouble) * lit(KmvHashSpace) /
+        element_at(kmv, KmvK).cast("double"), 4))
+
   /** Distinct order count per return flag, three ways on one pass:
     * the KMV sketch array (engine-portable, value-for-value), the estimate
     * it implies, and the exact distinct count it approximates. At 100 TB
@@ -32,7 +49,7 @@ object Sketches {
     * any engine since both sides divide the same integers.
     */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val h = md5Long(concat(lit("kmv:"), col("l_orderkey").cast("string")))
+    val h = kmvHash(col("l_orderkey"))
     val li = t(s, dir, "lineitem")
     // the sketch and the exact count aggregate SEPARATELY: fused into one
     // agg, Spark's distinct-rewrite expands the grouping to
@@ -54,11 +71,7 @@ object Sketches {
         col("l_returnflag"),
         size(col("kmv")).as("n_hashes"),
         element_at(col("kmv"), size(col("kmv"))).as("max_hash"),
-        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
-          .otherwise(round(
-            lit((KmvK - 1).toDouble) * lit(KmvHashSpace) /
-              element_at(col("kmv"), KmvK).cast("double"), 4))
-          .as("est_distinct"),
+        kmvEstimate(col("kmv")).as("est_distinct"),
         col("exact_distinct"))
       .orderBy("l_returnflag")
   }

@@ -57,8 +57,7 @@ object StreamOps {
     */
   def distinctPerWindow(s: SparkSession, dir: String): DataFrame = {
     val k = graft.llm.Sketches.KmvK
-    val h = conv(substring(md5(concat(lit("kmv:"),
-      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val h = graft.llm.Sketches.kmvHash(col("user_id"))
     val windowed = t(s, dir, "events")
       .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
         h.as("h"), col("user_id"))
@@ -72,11 +71,7 @@ object StreamOps {
     sketch.join(broadcast(exact), Seq("window_start"))
       .select(col("window_start"),
         size(col("kmv")).as("n_hashes"),
-        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) *
-            lit(graft.llm.Sketches.KmvHashSpace) /
-            element_at(col("kmv"), k).cast("double"), 4))
-          .as("est_users"),
+        graft.llm.Sketches.kmvEstimate(col("kmv")).as("est_users"),
         col("exact_users"))
       .orderBy("window_start")
   }
@@ -90,8 +85,7 @@ object StreamOps {
     */
   def distinctPerWindowStream(events: DataFrame): DataFrame = {
     val k = graft.llm.Sketches.KmvK
-    val h = conv(substring(md5(concat(lit("kmv:"),
-      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val h = graft.llm.Sketches.kmvHash(col("user_id"))
     events
       .withWatermark("ts", "2 hours")
       .select(col("ts"), h.as("h"))
@@ -99,11 +93,7 @@ object StreamOps {
       .agg(graft.functions.KMinValues(col("h"), k).as("kmv"))
       .select(col("window.start").as("window_start"),
         size(col("kmv")).as("n_hashes"),
-        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) *
-            lit(graft.llm.Sketches.KmvHashSpace) /
-            element_at(col("kmv"), k).cast("double"), 4))
-          .as("est_users"))
+        graft.llm.Sketches.kmvEstimate(col("kmv")).as("est_users"))
   }
 
   /** Gap-based sessionization as a batch window computation: a new session

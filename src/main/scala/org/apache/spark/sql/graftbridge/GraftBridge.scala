@@ -14,15 +14,17 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Re-bind a DataFrame's logical plan to another session of the SAME
+  /** Re-bind a DataFrame's plan to another session of the SAME
     * SparkContext — the supported way to run a plan under a private SQLConf
-    * (`spark.newSession()`) without mutating the caller's session. The
-    * analyzed plan is session-independent; execution picks up the target
-    * session's conf.
+    * (`spark.newSession()`) without mutating the caller's session. Uses the
+    * ANALYZED plan: temp views and other catalog references are already
+    * resolved in it, so re-binding cannot re-resolve them against the
+    * target session's (empty) temp-view catalog; execution picks up the
+    * target session's conf.
     */
   def rebind(spark: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      df.queryExecution.logical)
+      df.queryExecution.analyzed)
 }
