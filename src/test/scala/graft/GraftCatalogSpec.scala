@@ -51,5 +51,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(kmv.nonEmpty)
     kmv.foreach(r => assert(r.getInt(1).toLong == r.getLong(2),
       s"kmin_values under capacity must equal exact distinct: $r"))
+    // the repetition-stats expression resolves from SQL
+    val rep = spark.sql("""
+      SELECT ngram_dup_stats(split(text, '\\s+')) AS st
+      FROM documents ORDER BY doc_id LIMIT 1""").head().getStruct(0)
+    assert(rep.getInt(0) > 0 && rep.getDouble(1) >= 0.0 && rep.getDouble(2) >= 0.0)
   }
 }
