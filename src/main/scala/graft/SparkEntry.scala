@@ -95,6 +95,7 @@ object SparkEntry {
     "q_vocab_top" -> (TextAnalysis.vocabulary _),
     "q_w5_distinct" -> (StreamOps.distinctPerWindow _),
     "q_chunk_overlap" -> (Curation.chunkDocuments _),
+    "q_profile_hist" -> (TextAnalysis.lengthHistogram _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1089,5 +1090,21 @@ object SparkEntry {
                   AS chunk
          FROM nc
          ORDER BY doc_id, chunk_id""",
+    // per-language token-count histogram over global fixed-width buckets
+    // (mirrors TextAnalysis.lengthHistogram)
+    "q_profile_hist" -> s"""
+         WITH d AS (SELECT lang,
+                           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+                    FROM documents),
+         b AS (SELECT min(n) AS lo, max(n) + 1 AS hi FROM d)
+         SELECT lang,
+                CAST(floor((n - lo) * ${TextAnalysis.HistBuckets} / (hi - lo))
+                     + 1 AS INT) AS bucket,
+                count(*) AS n_docs,
+                min(n) AS min_tokens,
+                max(n) AS max_tokens
+         FROM d CROSS JOIN b
+         GROUP BY lang, bucket
+         ORDER BY lang, bucket""",
   )
 }

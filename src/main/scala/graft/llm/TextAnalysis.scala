@@ -282,6 +282,35 @@ object TextAnalysis {
       dupFrac(trigrams).as("dup_trigram_frac"))
   }
 
+  /** Histogram bucket count for [[lengthHistogram]]. */
+  val HistBuckets = 10
+
+  /** Corpus length profiling: fixed-width histogram of document token
+    * counts per language — the distribution check a pipeline runs before
+    * choosing packing budgets and length filters. Bucket bounds come from
+    * the GLOBAL [min, max+1) (one tiny pre-aggregation, broadcast), the
+    * bucket index is `floor((n-lo)·k/(hi-lo)) + 1` — an exact-integer
+    * numerator over one correctly-rounded double division, identical in
+    * any engine (`width_bucket` builtins differ subtly across engines, so
+    * the arithmetic is spelled out on both sides). Two scans, a 1-row
+    * shuffle, one (lang, bucket) shuffle; nothing collects.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+    val bounds = broadcast(docs.agg(
+      min(col("n")).as("lo"), (max(col("n")) + 1).as("hi")))
+    val bucket = (floor(
+      (col("n") - col("lo")) * HistBuckets /
+        (col("hi") - col("lo"))) + 1).cast("int")
+    docs.crossJoin(bounds)
+      .groupBy(col("lang"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Vocabulary size cap for [[vocabulary]]. */
   val VocabTopN = 100
 
