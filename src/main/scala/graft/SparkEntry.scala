@@ -96,6 +96,7 @@ object SparkEntry {
     "q_w5_distinct" -> (StreamOps.distinctPerWindow _),
     "q_chunk_overlap" -> (Curation.chunkDocuments _),
     "q_profile_hist" -> (TextAnalysis.lengthHistogram _),
+    "q_bpe_pairs" -> (TextAnalysis.bpePairs _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1049,6 +1050,25 @@ object SparkEntry {
          GROUP BY term
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
+    // BPE merge-candidate counts: adjacent char pairs over the distinct
+    // vocabulary, weighted by word frequency (mirrors TextAnalysis.bpePairs)
+    "q_bpe_pairs" -> s"""
+         WITH vocab AS (
+           SELECT term, count(*) AS freq
+           FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                 FROM documents)
+           GROUP BY term),
+         pr AS (
+           SELECT unnest(CASE WHEN length(term) >= 2
+                              THEN list_transform(range(1, length(term)),
+                                     i -> substr(term, i, 2))
+                              ELSE [] END) AS pair,
+                  freq
+           FROM vocab)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+         FROM pr GROUP BY pair
+         ORDER BY weight DESC, pair
+         LIMIT ${TextAnalysis.BpeTopN}""",
     // KMV distinct users per tumbling window (mirrors
     // StreamOps.distinctPerWindow; same estimate arithmetic as
     // q_sketch_distinct)

@@ -329,4 +329,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
+
+  /** Merge candidates returned by [[bpePairs]]. */
+  val BpeTopN = 100
+
+  /** BPE merge-candidate counting — the inner loop of byte-pair-encoding
+    * tokenizer training: the corpus-weighted frequency of every adjacent
+    * CHARACTER pair, whose argmax is the next merge. Top [[BpeTopN]] by
+    * weight with deterministic (pair) tie-break.
+    *
+    * The scale trick is the classic BPE one: pairs are counted over the
+    * DISTINCT VOCABULARY weighted by word frequency, not over the corpus —
+    * the corpus touches one aggregation (term → count, map-side partial
+    * combine, one row per distinct term through the shuffle) and the
+    * character-pair explode runs over the vocabulary table, which is orders
+    * of magnitude smaller than 100 TB of text and independent of corpus
+    * growth once the vocabulary saturates. A real trainer iterates
+    * (re-segment, re-count) on that same vocabulary table without ever
+    * rescanning the corpus.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+    // adjacent char pairs of a term: substr windows over 1..len-1 (terms
+    // shorter than 2 chars contribute none). sequence(1, len-1) would step
+    // DOWNWARD for a 1-char term (Spark defaults to step -1 when start >
+    // stop), so the <2 case is guarded explicitly rather than left to the
+    // sequence bounds.
+    val pairs = when(length(col("term")) >= 2,
+      transform(sequence(lit(1), length(col("term")) - 1),
+        i => col("term").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    vocab
+      .select(explode(pairs).as("pair"), col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(BpeTopN)
+  }
 }

@@ -115,4 +115,26 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("bin_offset") >= Curation.PackBudget).count() == 0)
     out.unpersist()
   }
+
+  test("bpe pairs: vocabulary-weighted counts equal the naive corpus-level count") {
+    import graft.llm.{TextAnalysis, TextHash}
+    val got = TextAnalysis.bpePairs(spark, dir).cache()
+    // the whole point of counting over the vocabulary is that it must be
+    // EXACTLY the corpus-level count — recompute it the naive way (explode
+    // every corpus token, then its char pairs) and compare the full top-N
+    val naive = Tables.table(spark, dir, "documents")
+      .select(explode(TextHash.tokens(col("text"))).as("term"))
+      .select(explode(when(length(col("term")) >= 2,
+        transform(sequence(lit(1), length(col("term")) - 1),
+          i => col("term").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(TextAnalysis.BpeTopN)
+    assert(got.collect().toSeq == naive.collect().toSeq,
+      "vocab-weighted BPE pair counts must equal the corpus-level count")
+    // every candidate is a genuine 2-char window
+    assert(got.filter(length(col("pair")) =!= 2).count() == 0)
+    got.unpersist()
+  }
 }
