@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CharTrigrams, DotProduct, JsonProject, KMinValues, NgramDupStats, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
+import graft.functions.{BloomBuild, BloomContains, CharTrigrams, DotProduct, JsonProject, KMinValues, NgramDupStats, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -65,5 +65,11 @@ object GraftCatalog {
     if (!reg.functionExists(NgramDupStats.identifier))
       reg.registerFunction(NgramDupStats.identifier, NgramDupStats.info,
         NgramDupStats.builder)
+    if (!reg.functionExists(BloomBuild.identifier))
+      reg.registerFunction(BloomBuild.identifier, BloomBuild.info,
+        BloomBuild.builder)
+    if (!reg.functionExists(BloomContains.identifier))
+      reg.registerFunction(BloomContains.identifier, BloomContains.info,
+        BloomContains.builder)
   }
 }

@@ -97,6 +97,7 @@ object SparkEntry {
     "q_chunk_overlap" -> (Curation.chunkDocuments _),
     "q_profile_hist" -> (TextAnalysis.lengthHistogram _),
     "q_bpe_pairs" -> (TextAnalysis.bpePairs _),
+    "q_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -904,6 +905,27 @@ object SparkEntry {
                            ${MultimodalOps.FrameBytes})) AS frame_digest
          FROM fr WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""",
     "q_decontaminate" -> s"""
+         WITH $shingledCte,
+         bench AS (SELECT DISTINCT gram
+                   FROM (SELECT unnest(grams) AS gram FROM sh
+                         WHERE doc_id % ${Curation.BenchmarkModulus} = 0)
+                   WHERE gram <> ''),
+         corpus AS (SELECT doc_id, grams FROM sh
+                    WHERE doc_id % ${Curation.BenchmarkModulus} <> 0),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+                  JOIN bench USING (gram)
+                  WHERE gram <> ''
+                  GROUP BY doc_id)
+         SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) = 0 AS keep
+         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         ORDER BY c.doc_id""",
+    // the bloom pre-filter is exact end-to-end (no false negatives by
+    // construction, false positives killed by the verify join), so its
+    // oracle IS decontaminate's — the differential harness proves the
+    // accelerated plan computes the same relation
+    "q_bloom_decontaminate" -> s"""
          WITH $shingledCte,
          bench AS (SELECT DISTINCT gram
                    FROM (SELECT unnest(grams) AS gram FROM sh

@@ -58,6 +58,65 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bloom sizing for [[bloomDecontaminate]]: 2^17 bits (16 KB) at 5
+    * probes holds the harness benchmark shingle set (~10^3-10^4 grams) at a
+    * false-positive rate well under 10^-3; a production run sizes bits to
+    * ~1.44·k·|benchmark shingles| the same way.
+    */
+  val BloomBits = 1 << 17
+  val BloomHashes = 5
+
+  /** [[decontaminate]] with a Bloom-filter pre-filter — same output, built
+    * for the regime where even the DISTINCT benchmark shingle set is
+    * broadcast-unfriendly: the corpus-side posting join input is first cut
+    * to the shingles the bloom suspects, at scan speed, inside codegen.
+    *
+    * Three stages, all broadcast-light:
+    *  1. BUILD: one [[graft.functions.BloomBuild]] aggregation over the
+    *     benchmark shingle hashes — constant `BloomBits/64`-long state per
+    *     partition through the shuffle, one fixed-size bitset out (16 KB
+    *     here, sized up front; the distinct gram SET grows with the
+    *     benchmark, the bitset doesn't).
+    *  2. PRE-FILTER: the bitset cross-joins (single row, broadcast) onto
+    *     the exploded corpus grams, and [[graft.functions.BloomContains]]
+    *     drops every gram the filter cannot contain — row-local, no false
+    *     negatives (build and probe share position arithmetic by
+    *     construction), so nothing contaminated is lost.
+    *  3. VERIFY: only the surviving suspects join the true benchmark set —
+    *     false positives die here, making the bloom LOSSLESS end to end;
+    *     the join input is ~|contaminated grams| instead of |corpus grams|.
+    *
+    * The oracle is decontaminate's own SQL, unchanged — the differential
+    * harness proves the accelerated plan IS the exact semantics.
+    */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomBuild, BloomContains}
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
+    val bench = sh.filter(col("doc_id") % BenchmarkModulus === 0)
+      .select(explode(col("grams")).as("gram"))
+      .filter(col("gram") =!= "")
+    // the bloom dedupes by construction — no distinct() before the build
+    val bloom = bench
+      .select(md5Long(col("gram")).as("h"))
+      .agg(BloomBuild(col("h"), BloomBits, BloomHashes).as("bits"))
+    val corpus = sh.filter(col("doc_id") % BenchmarkModulus =!= 0)
+    val suspects = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .filter(col("gram") =!= "")
+      .crossJoin(broadcast(bloom))
+      .filter(BloomContains(col("bits"), md5Long(col("gram")), BloomHashes))
+    val hits = suspects
+      .join(broadcast(bench.distinct()), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns redacted from text before training. RE2-compatible (no
     * backreferences / lookaround) so the Spark and DuckDB engines agree;
     * `(?i)` (also RE2-portable) keeps mixed-case addresses from slipping

@@ -188,4 +188,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected lang-window shuffle + final sort, got $exchanges:\n${p.take(1500)}")
     assert(!p.contains("Join"), "packing must not join")
   }
+
+  test("bloom decontamination probes in codegen and never sort-merges") {
+    val p = plan("q_bloom_decontaminate")
+    assert(p.contains("bloom_contains"),
+      s"the bloom probe must gate the corpus grams:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "both the bitset and the verify set must broadcast — the corpus side never shuffles on text")
+    assert(p.contains("partial_bloom_build"),
+      "the bitset must build with map-side partial state (one fixed-size buffer per partition)")
+  }
+
+  test("bpe pair counting aggregates the corpus once, map-side combined") {
+    val p = plan("q_bpe_pairs")
+    // corpus tokens are aggregated to the vocabulary before the pair
+    // explode: the Generate over char pairs must sit ABOVE the first
+    // HashAggregate, so the explode runs on distinct terms only
+    val genAt = p.indexOf("Generate explode")
+    val aggs = "HashAggregate".r.findAllIn(p).matchData.map(_.start).toSeq
+    assert(genAt >= 0 && aggs.exists(_ > genAt),
+      s"pair explode must run over the aggregated vocabulary, not the corpus:\n${p.take(1500)}")
+  }
 }
