@@ -98,6 +98,7 @@ object SparkEntry {
     "q_profile_hist" -> (TextAnalysis.lengthHistogram _),
     "q_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "q_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
+    "q_quality_model" -> (TextAnalysis.modelQualityScore _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1072,6 +1073,23 @@ object SparkEntry {
          GROUP BY term
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
+    // hashed-feature linear quality scoring: the md5-derived stand-in
+    // weight vector is inlined as a literal on BOTH engines from the ONE
+    // Scala definition (mirrors TextAnalysis.modelQualityScore)
+    "q_quality_model" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         sc AS (SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       CAST(list_sum(list_transform(toks, t ->
+                         ([${TextAnalysis.modelWeights.mkString(", ")}])[
+                           CAST(${hexIntSql("'feat:' || t")} % ${TextAnalysis.ModelBuckets} AS INT) + 1]))
+                         AS BIGINT) AS raw_score
+                FROM tk)
+         SELECT doc_id, n_tokens, raw_score,
+                round(raw_score::DOUBLE / n_tokens, 6) AS score,
+                raw_score > 0 AS keep
+         FROM sc ORDER BY doc_id""",
     // BPE merge-candidate counts: adjacent char pairs over the distinct
     // vocabulary, weighted by word frequency (mirrors TextAnalysis.bpePairs)
     "q_bpe_pairs" -> s"""

@@ -330,6 +330,53 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
 
+  /** Feature buckets / weight range for [[modelQualityScore]]. */
+  val ModelBuckets = 64
+
+  /** The stand-in "trained" weight vector: one deterministic integer in
+    * [-8, 8] per feature bucket, derived from md5 so BOTH engines (and the
+    * reader) can reproduce it — this is the model-boundary stub, same
+    * honesty contract as MultimodalOps.fakeDecode: a real pipeline drops in
+    * actual trained weights here and NOTHING else changes. Everything
+    * around it (hashed bag-of-words featurization, the weight vector
+    * broadcast as a literal, row-local scoring at scan speed) is the real,
+    * tested plumbing of a fastText-style quality classifier.
+    */
+  lazy val modelWeights: Seq[Long] = (0 until ModelBuckets).map { b =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w:$b".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 17 - 8
+  }
+
+  /** Model-based quality scoring: hash every token into one of
+    * [[ModelBuckets]] feature buckets, look its weight up in the
+    * [[modelWeights]] vector, and average — the application shape of a
+    * linear text classifier (fastText / logistic quality filter) over a
+    * corpus. The weight vector rides along as a LITERAL array (a real
+    * model's coefficients broadcast the same way — model size is KBs
+    * against TBs of text); scoring is one row-local fold at scan speed,
+    * zero shuffle. Score arithmetic is an exact integer sum divided once,
+    * so the oracle reproduces it bit-for-bit.
+    */
+  def modelQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val weightsLit = array(modelWeights.map(w => lit(w)): _*)
+    val bucket = (tok: Column) =>
+      md5Long(concat(lit("feat:"), tok)) % ModelBuckets
+    t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, tk) => acc + element_at(weightsLit, (bucket(tk) + 1).cast("int")))
+          .as("raw_score"))
+      .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+        round(col("raw_score").cast("double") / col("n_tokens"), 6).as("score"),
+        (col("raw_score") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Merge candidates returned by [[bpePairs]]. */
   val BpeTopN = 100
 

@@ -116,6 +116,31 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("model weights: the driver-side MD5 derivation matches Spark's md5Long") {
+    import graft.llm.{TextAnalysis, TextHash}
+    // the weight vector is computed with java.security MD5 on the driver
+    // and inlined as a literal; the BUCKETS are hashed with the md5Long
+    // column at runtime — this pins the two derivations to the same family
+    val sparkSide = spark.range(TextAnalysis.ModelBuckets)
+      .select((TextHash.md5Long(
+        concat(lit("w:"), col("id").cast("string"))) % 17 - 8).as("w"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sparkSide == TextAnalysis.modelWeights,
+      "driver-side weight derivation diverged from the engine hash")
+  }
+
+  test("model quality score: raw score is the exact sum of bucket weights") {
+    import graft.llm.TextAnalysis
+    val out = TextAnalysis.modelQualityScore(spark, dir).cache()
+    // keep verdict is exactly raw_score > 0, score is raw/n at 6 digits
+    assert(out.filter((col("raw_score") > 0) =!= col("keep")).count() == 0)
+    assert(out.filter(
+      abs(col("score") - round(col("raw_score").cast("double") / col("n_tokens"), 6)) > 0).count() == 0)
+    // scores are bounded by the weight range
+    assert(out.filter(col("score") > 8.0 || col("score") < -8.0).count() == 0)
+    out.unpersist()
+  }
+
   test("bpe pairs: vocabulary-weighted counts equal the naive corpus-level count") {
     import graft.llm.{TextAnalysis, TextHash}
     val got = TextAnalysis.bpePairs(spark, dir).cache()
