@@ -99,6 +99,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "q_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
     "q_quality_model" -> (TextAnalysis.modelQualityScore _),
+    "q_minhash_est" -> (Dedup.minhashEstimate _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -519,6 +520,41 @@ object SparkEntry {
            FROM cand JOIN sh ga ON cand.a_id = ga.doc_id
                      JOIN sh gb ON cand.b_id = gb.doc_id)
          WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+    // MinHash-estimated Jaccard over the LSH candidates, scored against the
+    // exact value (mirrors Dedup.minhashEstimate; signature/band CTEs are
+    // q_dedup_minhash's own)
+    "q_minhash_est" -> s"""
+         WITH $shingledCte,
+         sig AS (SELECT doc_id,
+                        list_transform(range(0, ${Dedup.MinhashK}),
+                          s -> list_min(list_transform(grams,
+                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
+                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
+                 FROM sh),
+         bands AS (SELECT doc_id, b AS band_idx,
+                          md5(array_to_string(
+                            list_slice(sig, b*${Dedup.RowsPerBand} + 1,
+                                       b*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}),
+                            ',')) AS bkey
+                   FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bands x JOIN bands y
+                    ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id),
+         est AS (SELECT a_id, b_id,
+                        list_sum(list_transform(range(1, ${Dedup.MinhashK + 1}),
+                          i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                                    THEN 1 ELSE 0 END))::DOUBLE
+                          / ${Dedup.MinhashK} AS est_jac
+                 FROM cand JOIN sig sa ON cand.a_id = sa.doc_id
+                           JOIN sig sb ON cand.b_id = sb.doc_id)
+         SELECT e.a_id, e.b_id, e.est_jac,
+                ${jaccardSql("ga.grams", "gb.grams")} AS jac,
+                round(abs(e.est_jac - (${jaccardSql("ga.grams", "gb.grams")})), 6)
+                  AS abs_err
+         FROM est e JOIN sh ga ON e.a_id = ga.doc_id
+                    JOIN sh gb ON e.b_id = gb.doc_id
+         ORDER BY e.a_id, e.b_id""",
     "q_dedup_simhash" -> s"""
          WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                      FROM documents)

@@ -148,6 +148,62 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** MinHash-ESTIMATED Jaccard over the LSH candidates, scored against the
+    * exact value: est = (agreeing signature components)/k, the unbiased
+    * MinHash estimator (σ = √(j(1-j)/k) ≈ 0.09 at k=32, j=0.5).
+    *
+    * This is the verification path [[minhashLsh]] DROPS at 100 TB: exact
+    * verification joins candidates back to the full shingle arrays —
+    * document content moves through the join twice — while the estimate
+    * needs only the (doc_id, k longs) signature table, O(k) per candidate
+    * and independent of document length. The exact column rides along here
+    * precisely so the differential harness pins the estimator's
+    * calibration; a production run deletes it. Both scores are
+    * engine-exact: matches/k has a power-of-two denominator and the exact
+    * Jaccard divides two ints.
+    */
+  def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val mixes = (0 until MinhashK).map { s =>
+      min((col("h") * (2 * s + 1) + s * 12582917L) % TextHash.MinhashPrime).as(s"m$s")
+    }
+    val sig = sh
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(mixes.head, mixes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      .cache()
+    val bands = sig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band_idx"), bandKey(col("sig"), b, RowsPerBand).as("key"))))
+        .as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val matches = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+    cand
+      .join(sig.select(col("doc_id"), col("sig").as("a_sig")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(sig.select(col("doc_id"), col("sig").as("b_sig")), col("b_id") === col("doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (matches.cast("double") / MinhashK).as("est_jac"))
+      .join(sh.select(col("doc_id"), col("grams").as("a_grams")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("grams").as("b_grams")), col("b_id") === col("doc_id"))
+      .select(col("a_id"), col("b_id"), col("est_jac"),
+        jaccard(col("a_grams"), col("b_grams")).as("jac"))
+      .withColumn("abs_err", round(abs(col("est_jac") - col("jac")), 6))
+      .orderBy("a_id", "b_id")
+  }
+
   /** SimHash sketch table (doc_id, lang, sh) via explode + 32 codegen'd
     * vote-sum aggregates. Semantically identical to the row-local
     * TextHash.simhash32 fold, but higher-order functions are interpreted

@@ -39,6 +39,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh == truth)
   }
 
+  test("minhash estimator: bounded in [0,1] and calibrated on planted near-dups") {
+    val est = Dedup.minhashEstimate(spark, sf).cache()
+    assert(est.filter(col("est_jac") < 0 || col("est_jac") > 1).count() == 0)
+    // every exact near-dup candidate (jac >= 0.5) must be estimated within
+    // the k=32 estimator's tail: 4σ ≈ 0.36 at j=0.5 — a loose bound whose
+    // violation means broken arithmetic, not bad luck
+    assert(est.filter(col("jac") >= 0.5 && col("abs_err") > 0.36).count() == 0,
+      "estimator diverged from exact Jaccard beyond the k=32 error bound")
+    est.unpersist()
+  }
+
   test("simhash: near-identical docs collide within hamming<=6") {
     import spark.implicits._
     val docs = Seq(
