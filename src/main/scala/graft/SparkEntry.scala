@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, IntervalOps, MultimodalOps, StringOps}
+import graft.ops.{AsofOps, ChangeOps, CoreOps, HierarchyOps, IntervalOps, MultimodalOps, StringOps, ZOrderOps}
 import graft.llm.{Curation, Dedup, Similarity, Sketches, TextAnalysis}
 import graft.streaming.StreamOps
 
@@ -100,6 +100,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
     "q_quality_model" -> (TextAnalysis.modelQualityScore _),
     "q_minhash_est" -> (Dedup.minhashEstimate _),
+    "q_zorder_key" -> (ZOrderOps.zorderKey _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1109,6 +1110,17 @@ object SparkEntry {
          GROUP BY term
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
+    // Morton z-key over (customer, order day): the oracle replays the same
+    // literal mask chain via ZOrderOps.zvalueSql — one definition site
+    "q_zorder_key" -> s"""
+         SELECT o_orderkey, x, y,
+                ${ZOrderOps.zvalueSql("x", "y")} AS z
+         FROM (SELECT o_orderkey,
+                      o_custkey % ${1L << ZOrderOps.DimBits} AS x,
+                      CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                           % ${1 << ZOrderOps.DimBits} AS BIGINT) AS y
+               FROM orders)
+         ORDER BY o_orderkey""",
     // hashed-feature linear quality scoring: the md5-derived stand-in
     // weight vector is inlined as a literal on BOTH engines from the ONE
     // Scala definition (mirrors TextAnalysis.modelQualityScore)

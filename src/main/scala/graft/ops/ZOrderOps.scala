@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{table => t}
+
+/** Z-order (Morton) data layout — the multidimensional clustering lever for
+  * 100 TB scans: a fact table range-partitioned and sorted by the
+  * bit-interleave of two filter dimensions gives every file a TIGHT min/max
+  * envelope on BOTH dimensions at once, so a 2-D box predicate skips most
+  * files at planning/row-group level. A single-column sort gives that
+  * property on one dimension only — the second dimension's min/max spans
+  * the whole domain in every file and prunes nothing.
+  *
+  * The z-value is pure literal-shift bit spreading (the standard Morton
+  * magic-mask chain) — whole-stage-codegen'd builtins, no UDF, and the
+  * identical expression runs on any engine, which is how the oracle pins it
+  * bit-for-bit.
+  */
+object ZOrderOps {
+
+  /** Bits kept per dimension: 16-bit coordinates interleave into a 32-bit
+    * z-value — non-negative in a signed 64-bit lane on every engine (no
+    * overflow-behavior edge to align), and 2^16 buckets per dimension is
+    * already far finer than file granularity at any realistic file count.
+    */
+  val DimBits = 16
+  val DimMask = (1L << DimBits) - 1
+
+  // Morton spread masks for 16 -> 32 bit even-position spreading
+  private val M8 = 0x00FF00FF00FF00FFL
+  private val M4 = 0x0F0F0F0F0F0F0F0FL
+  private val M2 = 0x3333333333333333L
+  private val M1 = 0x5555555555555555L
+
+  /** Spread the low 16 bits of `v` onto even bit positions 0,2,..,30. */
+  private def spread(v: Column): Column = {
+    val v0 = v.bitwiseAND(lit(DimMask))
+    val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(M8))
+    val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(M4))
+    val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(M2))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(M1))
+  }
+
+  /** Morton interleave of two coordinates (low [[DimBits]] bits each):
+    * x on even bit positions, y on odd.
+    */
+  def zvalue(x: Column, y: Column): Column =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  /** Declared query: the z-key of every order over the two dimensions a
+    * box-query workload filters on — customer and order day. The oracle
+    * replays the identical mask chain, pinning the interleave bit-for-bit.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey") % (1L << DimBits)
+    val y = datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % (1 << DimBits)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        x.as("x"),
+        y.cast("long").as("y"))
+      .select(col("o_orderkey"), col("x"), col("y"),
+        zvalue(col("x"), col("y")).as("z"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The identical mask chain as ANSI SQL (engine-neutral 64-bit integer
+    * ops) — generated HERE so the Spark expression and the oracle share one
+    * definition site. The nesting duplicates subterms; inputs are simple
+    * column references, so the expansion stays small.
+    */
+  def spreadSql(e: String): String = {
+    val v0 = s"(($e) & $DimMask)"
+    val v1 = s"(($v0 | ($v0 << 8)) & $M8)"
+    val v2 = s"(($v1 | ($v1 << 4)) & $M4)"
+    val v3 = s"(($v2 | ($v2 << 2)) & $M2)"
+    s"(($v3 | ($v3 << 1)) & $M1)"
+  }
+
+  def zvalueSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
+  /** Cluster `df` for 2-D box skipping: range-partition by the z-value of
+    * the two dimensions, sort within partitions, and hand back the frame
+    * ready to write — each output file then owns one contiguous z-range,
+    * i.e. a bounded envelope in BOTH dimensions. `numFiles` maps to range
+    * partitions (one file each on write).
+    *
+    * At 100 TB this replaces "sort by the leading filter column": the range
+    * exchange samples the z-distribution, so skew in either raw dimension
+    * is absorbed by the sampler, and every downstream box query prunes
+    * files on min/max stats alone — no index structure to maintain.
+    */
+  def zorderLayout(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame =
+    df.withColumn("__z", zvalue(x, y))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+}
