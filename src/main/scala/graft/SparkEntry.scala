@@ -101,6 +101,7 @@ object SparkEntry {
     "q_quality_model" -> (TextAnalysis.modelQualityScore _),
     "q_minhash_est" -> (Dedup.minhashEstimate _),
     "q_zorder_key" -> (ZOrderOps.zorderKey _),
+    "q_dedup_incremental" -> (Dedup.incrementalDedup _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -556,6 +557,39 @@ object SparkEntry {
          FROM est e JOIN sh ga ON e.a_id = ga.doc_id
                     JOIN sh gb ON e.b_id = gb.doc_id
          ORDER BY e.a_id, e.b_id""",
+    // incremental dedup: delta (doc_id % 10 = 0) probed against the base
+    // corpus via the band index, exact-verified (mirrors
+    // Dedup.incrementalDedup; signature/band CTEs are q_dedup_minhash's)
+    "q_dedup_incremental" -> s"""
+         WITH $shingledCte,
+         sig AS (SELECT doc_id,
+                        list_transform(range(0, ${Dedup.MinhashK}),
+                          s -> list_min(list_transform(grams,
+                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
+                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
+                 FROM sh),
+         bands AS (SELECT doc_id, b AS band_idx,
+                          md5(array_to_string(
+                            list_slice(sig, b*${Dedup.RowsPerBand} + 1,
+                                       b*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}),
+                            ',')) AS bkey
+                   FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         cand AS (SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+                  FROM bands d JOIN bands b
+                    ON d.band_idx = b.band_idx AND d.bkey = b.bkey
+                  WHERE d.doc_id % ${Dedup.IncrementModulus} = 0
+                    AND b.doc_id % ${Dedup.IncrementModulus} <> 0),
+         dups AS (SELECT delta_id, count(*) AS n_dups
+                  FROM cand JOIN sh ga ON cand.delta_id = ga.doc_id
+                            JOIN sh gb ON cand.base_id = gb.doc_id
+                  WHERE ${jaccardSql("ga.grams", "gb.grams")} >= ${Dedup.JaccardThreshold}
+                  GROUP BY delta_id)
+         SELECT t.doc_id, coalesce(d.n_dups, 0) AS n_dups,
+                coalesce(d.n_dups, 0) = 0 AS keep
+         FROM (SELECT doc_id FROM documents
+               WHERE doc_id % ${Dedup.IncrementModulus} = 0) t
+         LEFT JOIN dups d ON t.doc_id = d.delta_id
+         ORDER BY t.doc_id""",
     "q_dedup_simhash" -> s"""
          WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                      FROM documents)

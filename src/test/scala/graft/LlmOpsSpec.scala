@@ -39,6 +39,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh == truth)
   }
 
+  test("incremental dedup matches the unblocked delta-vs-base ground truth") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), TextHash.shingles3(TextHash.tokens(col("text"))).as("grams"))
+    val isDelta = col("doc_id") % Dedup.IncrementModulus === 0
+    // ground truth: per delta doc, the number of base docs at jaccard >= 0.5
+    val truth = docs.filter(isDelta).as("d")
+      .join(docs.filter(!isDelta).as("b"), expr("true"))
+      .select(col("d.doc_id").as("doc_id"),
+        TextHash.jaccard(col("d.grams"), col("b.grams")).as("jac"))
+      .filter(col("jac") >= Dedup.JaccardThreshold)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.incrementalDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(truth.nonEmpty, "fixture should plant delta-base near-dups")
+    for ((id, n, keep) <- got) {
+      assert(n == truth.getOrElse(id, 0L),
+        s"delta doc $id: got $n base dups, ground truth ${truth.getOrElse(id, 0L)}")
+      assert(keep == (n == 0L))
+    }
+  }
+
   test("minhash estimator: bounded in [0,1] and calibrated on planted near-dups") {
     val est = Dedup.minhashEstimate(spark, sf).cache()
     assert(est.filter(col("est_jac") < 0 || col("est_jac") > 1).count() == 0)
