@@ -102,6 +102,7 @@ object SparkEntry {
     "q_minhash_est" -> (Dedup.minhashEstimate _),
     "q_zorder_key" -> (ZOrderOps.zorderKey _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_quality_cut" -> (TextAnalysis.calibratedQualityCut _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1172,6 +1173,23 @@ object SparkEntry {
                 round(raw_score::DOUBLE / n_tokens, 6) AS score,
                 raw_score > 0 AS keep
          FROM sc ORDER BY doc_id""",
+    // distribution-calibrated quality cut: P25 of the raw model score as a
+    // scalar, broadcast back as the keep verdict (mirrors
+    // TextAnalysis.calibratedQualityCut; scoring CTE is q_quality_model's)
+    "q_quality_cut" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         sc AS (SELECT doc_id,
+                       CAST(list_sum(list_transform(toks, t ->
+                         ([${TextAnalysis.modelWeights.mkString(", ")}])[
+                           CAST(${hexIntSql("'feat:' || t")} % ${TextAnalysis.ModelBuckets} AS INT) + 1]))
+                         AS BIGINT) AS raw_score
+                FROM tk),
+         thr AS (SELECT round(quantile_cont(raw_score, ${TextAnalysis.CutPercentile}), 4)
+                          AS cutoff
+                 FROM sc)
+         SELECT doc_id, raw_score, cutoff, raw_score >= cutoff AS keep
+         FROM sc, thr ORDER BY doc_id""",
     // BPE merge-candidate counts: adjacent char pairs over the distinct
     // vocabulary, weighted by word frequency (mirrors TextAnalysis.bpePairs)
     "q_bpe_pairs" -> s"""

@@ -359,7 +359,17 @@ object TextAnalysis {
     * zero shuffle. Score arithmetic is an exact integer sum divided once,
     * so the oracle reproduces it bit-for-bit.
     */
-  def modelQualityScore(s: SparkSession, dir: String): DataFrame = {
+  def modelQualityScore(s: SparkSession, dir: String): DataFrame =
+    modelScored(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+        round(col("raw_score").cast("double") / col("n_tokens"), 6).as("score"),
+        (col("raw_score") > 0).as("keep"))
+      .orderBy("doc_id")
+
+  /** (doc_id, n_tokens, raw_score) — the unsorted scoring pass shared by
+    * [[modelQualityScore]] and [[calibratedQualityCut]].
+    */
+  private def modelScored(s: SparkSession, dir: String): DataFrame = {
     val weightsLit = array(modelWeights.map(w => lit(w)): _*)
     val bucket = (tok: Column) =>
       md5Long(concat(lit("feat:"), tok)) % ModelBuckets
@@ -371,9 +381,30 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0L),
           (acc, tk) => acc + element_at(weightsLit, (bucket(tk) + 1).cast("int")))
           .as("raw_score"))
-      .select(col("doc_id"), col("n_tokens"), col("raw_score"),
-        round(col("raw_score").cast("double") / col("n_tokens"), 6).as("score"),
-        (col("raw_score") > 0).as("keep"))
+  }
+
+  /** Percentile dropped by [[calibratedQualityCut]]. */
+  val CutPercentile = 0.25
+
+  /** Distribution-calibrated quality cut — the two-pass "calibrate, then
+    * apply" pattern a corpus refresh runs when the keep policy is "drop the
+    * worst quartile" rather than a fixed threshold (fixed thresholds drift
+    * as the crawl mix changes; a percentile cut is self-adjusting): pass 1
+    * reduces the score column to ONE scalar (the [[CutPercentile]]
+    * percentile), pass 2 broadcasts it back over the corpus as a row-local
+    * verdict. Exact `percentile` over the integer scores keeps the oracle
+    * engine-exact (same contract as the quantile aggregations); at 100 TB
+    * the drop-in is `approx_percentile` with a stated accuracy — the plan
+    * shape (reduce to scalar, broadcast, filter at scan speed) is
+    * identical.
+    */
+  def calibratedQualityCut(s: SparkSession, dir: String): DataFrame = {
+    val sc = modelScored(s, dir)
+    val thr = sc.agg(
+      round(percentile(col("raw_score"), lit(CutPercentile)), 4).as("cutoff"))
+    sc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("raw_score"), col("cutoff"),
+        (col("raw_score") >= col("cutoff")).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -141,6 +141,20 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("calibrated cut drops about the bottom quartile, never more than half") {
+    import graft.llm.TextAnalysis
+    val out = TextAnalysis.calibratedQualityCut(spark, dir).cache()
+    val total = out.count()
+    val dropped = out.filter(!col("keep")).count()
+    // P25 cut: dropped fraction is <= 25% by definition (ties keep), and
+    // must be positive unless a quarter of the corpus shares one score
+    assert(dropped <= total / 2, s"cut dropped $dropped of $total")
+    assert(out.filter(col("keep") =!= (col("raw_score") >= col("cutoff"))).count() == 0)
+    assert(out.select(col("cutoff")).distinct().count() == 1,
+      "cutoff must be one global scalar")
+    out.unpersist()
+  }
+
   test("bpe pairs: vocabulary-weighted counts equal the naive corpus-level count") {
     import graft.llm.{TextAnalysis, TextHash}
     val got = TextAnalysis.bpePairs(spark, dir).cache()
