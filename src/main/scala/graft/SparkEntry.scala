@@ -170,6 +170,65 @@ object SparkEntry {
     s"""len(list_intersect($a, $b))::DOUBLE /
         len(list_distinct(list_concat($a, $b)))::DOUBLE"""
 
+  /** MinHash signature + LSH band CTEs over `sh` (mirrors
+    * Dedup.signatureTable/bandTable) — shared by the minhash pair,
+    * estimator, and incremental-dedup oracles, so a mix/band change has
+    * one update site per engine.
+    */
+  private lazy val minhashCtes: String = s"""
+         sig AS (SELECT doc_id,
+                        list_transform(range(0, ${graft.llm.Dedup.MinhashK}),
+                          s -> list_min(list_transform(grams,
+                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
+                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
+                 FROM sh),
+         bands AS (SELECT doc_id, b AS band_idx,
+                          md5(array_to_string(
+                            list_slice(sig, b*${graft.llm.Dedup.RowsPerBand} + 1,
+                                       b*${graft.llm.Dedup.RowsPerBand} + ${graft.llm.Dedup.RowsPerBand}),
+                            ',')) AS bkey
+                   FROM sig, range(0, ${graft.llm.Dedup.Bands}) r(b))"""
+
+  /** The exact decontamination relation (mirrors Curation.decontaminate) —
+    * also q_bloom_decontaminate's oracle VERBATIM: the bloom pre-filter is
+    * lossless end to end (no false negatives by construction, false
+    * positives killed by the verify join), and sharing the string keeps
+    * that claim checkable.
+    */
+  private lazy val decontaminateOracle: String = s"""
+         WITH $shingledCte,
+         bench AS (SELECT DISTINCT gram
+                   FROM (SELECT unnest(grams) AS gram FROM sh
+                         WHERE doc_id % ${graft.llm.Curation.BenchmarkModulus} = 0)
+                   WHERE gram <> ''),
+         corpus AS (SELECT doc_id, grams FROM sh
+                    WHERE doc_id % ${graft.llm.Curation.BenchmarkModulus} <> 0),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+                  JOIN bench USING (gram)
+                  WHERE gram <> ''
+                  GROUP BY doc_id)
+         SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) = 0 AS keep
+         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         ORDER BY c.doc_id"""
+
+  /** Hashed-feature model-scoring CTEs ending in `sc` (mirrors
+    * TextAnalysis.modelScored) — shared by the model-score and
+    * calibrated-cut oracles; the weight literal comes from the ONE Scala
+    * definition.
+    */
+  private lazy val modelScoreCtes: String = s"""
+         tkm AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                 FROM documents),
+         sc AS (SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       CAST(list_sum(list_transform(toks, t ->
+                         ([${graft.llm.TextAnalysis.modelWeights.mkString(", ")}])[
+                           CAST(${hexIntSql("'feat:' || t")} % ${graft.llm.TextAnalysis.ModelBuckets} AS INT) + 1]))
+                         AS BIGINT) AS raw_score
+                FROM tkm)"""
+
   /** Left-fold dot product — list_reduce guarantees the same left-to-right
     * double summation as Spark's aggregate() fold.
     */
@@ -501,19 +560,7 @@ object SparkEntry {
                 AND abs(a.n_chars - b.n_chars) <= 30)
          WHERE jac >= 0.5 ORDER BY a_id, b_id""",
     "q_dedup_minhash" -> s"""
-         WITH $shingledCte,
-         sig AS (SELECT doc_id,
-                        list_transform(range(0, ${Dedup.MinhashK}),
-                          s -> list_min(list_transform(grams,
-                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
-                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
-                 FROM sh),
-         bands AS (SELECT doc_id, b AS band_idx,
-                          md5(array_to_string(
-                            list_slice(sig, b*${Dedup.RowsPerBand} + 1,
-                                       b*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}),
-                            ',')) AS bkey
-                   FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         WITH $shingledCte, $minhashCtes,
          cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                   FROM bands x JOIN bands y
                     ON x.band_idx = y.band_idx AND x.bkey = y.bkey
@@ -524,22 +571,9 @@ object SparkEntry {
                      JOIN sh gb ON cand.b_id = gb.doc_id)
          WHERE jac >= 0.5 ORDER BY a_id, b_id""",
     // MinHash-estimated Jaccard over the LSH candidates, scored against the
-    // exact value (mirrors Dedup.minhashEstimate; signature/band CTEs are
-    // q_dedup_minhash's own)
+    // exact value (mirrors Dedup.minhashEstimate; shared minhashCtes)
     "q_minhash_est" -> s"""
-         WITH $shingledCte,
-         sig AS (SELECT doc_id,
-                        list_transform(range(0, ${Dedup.MinhashK}),
-                          s -> list_min(list_transform(grams,
-                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
-                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
-                 FROM sh),
-         bands AS (SELECT doc_id, b AS band_idx,
-                          md5(array_to_string(
-                            list_slice(sig, b*${Dedup.RowsPerBand} + 1,
-                                       b*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}),
-                            ',')) AS bkey
-                   FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         WITH $shingledCte, $minhashCtes,
          cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                   FROM bands x JOIN bands y
                     ON x.band_idx = y.band_idx AND x.bkey = y.bkey
@@ -560,21 +594,9 @@ object SparkEntry {
          ORDER BY e.a_id, e.b_id""",
     // incremental dedup: delta (doc_id % 10 = 0) probed against the base
     // corpus via the band index, exact-verified (mirrors
-    // Dedup.incrementalDedup; signature/band CTEs are q_dedup_minhash's)
+    // Dedup.incrementalDedup; shared minhashCtes)
     "q_dedup_incremental" -> s"""
-         WITH $shingledCte,
-         sig AS (SELECT doc_id,
-                        list_transform(range(0, ${Dedup.MinhashK}),
-                          s -> list_min(list_transform(grams,
-                                 g -> (${hexIntSql("g")} * (s*2 + 1) + s*12582917)
-                                      % ${graft.llm.TextHash.MinhashPrime}))) AS sig
-                 FROM sh),
-         bands AS (SELECT doc_id, b AS band_idx,
-                          md5(array_to_string(
-                            list_slice(sig, b*${Dedup.RowsPerBand} + 1,
-                                       b*${Dedup.RowsPerBand} + ${Dedup.RowsPerBand}),
-                            ',')) AS bkey
-                   FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         WITH $shingledCte, $minhashCtes,
          cand AS (SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
                   FROM bands d JOIN bands b
                     ON d.band_idx = b.band_idx AND d.bkey = b.bkey
@@ -977,44 +999,13 @@ object SparkEntry {
                 md5(substr(text, CAST(frame_idx * ${MultimodalOps.FrameBytes} + 1 AS INT),
                            ${MultimodalOps.FrameBytes})) AS frame_digest
          FROM fr WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""",
-    "q_decontaminate" -> s"""
-         WITH $shingledCte,
-         bench AS (SELECT DISTINCT gram
-                   FROM (SELECT unnest(grams) AS gram FROM sh
-                         WHERE doc_id % ${Curation.BenchmarkModulus} = 0)
-                   WHERE gram <> ''),
-         corpus AS (SELECT doc_id, grams FROM sh
-                    WHERE doc_id % ${Curation.BenchmarkModulus} <> 0),
-         hits AS (SELECT doc_id, count(*) AS n_hits
-                  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
-                  JOIN bench USING (gram)
-                  WHERE gram <> ''
-                  GROUP BY doc_id)
-         SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-                coalesce(h.n_hits, 0) = 0 AS keep
-         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
-         ORDER BY c.doc_id""",
+    "q_decontaminate" -> decontaminateOracle,
     // the bloom pre-filter is exact end-to-end (no false negatives by
     // construction, false positives killed by the verify join), so its
-    // oracle IS decontaminate's — the differential harness proves the
-    // accelerated plan computes the same relation
-    "q_bloom_decontaminate" -> s"""
-         WITH $shingledCte,
-         bench AS (SELECT DISTINCT gram
-                   FROM (SELECT unnest(grams) AS gram FROM sh
-                         WHERE doc_id % ${Curation.BenchmarkModulus} = 0)
-                   WHERE gram <> ''),
-         corpus AS (SELECT doc_id, grams FROM sh
-                    WHERE doc_id % ${Curation.BenchmarkModulus} <> 0),
-         hits AS (SELECT doc_id, count(*) AS n_hits
-                  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
-                  JOIN bench USING (gram)
-                  WHERE gram <> ''
-                  GROUP BY doc_id)
-         SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-                coalesce(h.n_hits, 0) = 0 AS keep
-         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
-         ORDER BY c.doc_id""",
+    // oracle IS decontaminate's — the SHARED string makes the claim
+    // structurally true; the differential harness proves the accelerated
+    // plan computes the same relation
+    "q_bloom_decontaminate" -> decontaminateOracle,
     "q_pii_redact" -> s"""
          WITH raw AS (
            SELECT c_custkey,
@@ -1160,15 +1151,7 @@ object SparkEntry {
     // weight vector is inlined as a literal on BOTH engines from the ONE
     // Scala definition (mirrors TextAnalysis.modelQualityScore)
     "q_quality_model" -> s"""
-         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                     FROM documents),
-         sc AS (SELECT doc_id,
-                       CAST(len(toks) AS INT) AS n_tokens,
-                       CAST(list_sum(list_transform(toks, t ->
-                         ([${TextAnalysis.modelWeights.mkString(", ")}])[
-                           CAST(${hexIntSql("'feat:' || t")} % ${TextAnalysis.ModelBuckets} AS INT) + 1]))
-                         AS BIGINT) AS raw_score
-                FROM tk)
+         WITH $modelScoreCtes
          SELECT doc_id, n_tokens, raw_score,
                 round(raw_score::DOUBLE / n_tokens, 6) AS score,
                 raw_score > 0 AS keep
@@ -1177,14 +1160,7 @@ object SparkEntry {
     // scalar, broadcast back as the keep verdict (mirrors
     // TextAnalysis.calibratedQualityCut; scoring CTE is q_quality_model's)
     "q_quality_cut" -> s"""
-         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                     FROM documents),
-         sc AS (SELECT doc_id,
-                       CAST(list_sum(list_transform(toks, t ->
-                         ([${TextAnalysis.modelWeights.mkString(", ")}])[
-                           CAST(${hexIntSql("'feat:' || t")} % ${TextAnalysis.ModelBuckets} AS INT) + 1]))
-                         AS BIGINT) AS raw_score
-                FROM tk),
+         WITH $modelScoreCtes,
          thr AS (SELECT round(quantile_cont(raw_score, ${TextAnalysis.CutPercentile}), 4)
                           AS cutoff
                  FROM sc)

@@ -34,16 +34,30 @@ object BloomHashOps {
     */
   final val Prime: Long = graft.llm.TextHash.MinhashPrime
 
+  /** floorMod at both reductions: the functions are SQL-registered, so the
+    * "pre-hashed BIGINT" input is whatever a user supplies — xxhash64-style
+    * full-range signed longs must map into the bitset, not index out of it
+    * (Java's % keeps the sign). The multiply may wrap for |h| near
+    * Long.MaxValue; wrapping is deterministic and build/probe share this
+    * one definition, so consistency — the no-false-negative contract —
+    * survives it.
+    */
   def position(h: Long, i: Int, numBits: Int): Long =
-    ((h * (2L * i + 1) + i * 12582917L) % Prime) % numBits
+    Math.floorMod(Math.floorMod(h * (2L * i + 1) + i * 12582917L, Prime), numBits.toLong)
 
-  /** Probe loop shared by [[BloomContains]]'s eval and generated code. */
-  def contains(words: ArrayData, h: Long, numHashes: Int): Boolean = {
-    val numBits = words.numElements() * 64
+  /** Probe loop shared by [[BloomContains]]'s eval and generated code.
+    * `sketch` is [[BloomBuild]]'s output: word 0 carries the hash count the
+    * filter was BUILT with (the probe must never choose its own k — a
+    * larger k would test bits the build never set and manufacture false
+    * negatives), words 1.. are the bitset.
+    */
+  def contains(sketch: ArrayData, h: Long): Boolean = {
+    val numHashes = sketch.getLong(0).toInt
+    val numBits = (sketch.numElements() - 1) * 64
     var i = 0
     while (i < numHashes) {
       val pos = position(h, i, numBits)
-      if ((words.getLong((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L)
+      if ((sketch.getLong(1 + (pos >>> 6).toInt) & (1L << (pos & 63))) == 0L)
         return false
       i += 1
     }
@@ -53,7 +67,10 @@ object BloomHashOps {
 
 /** Bloom-filter build aggregate: OR-merges the k probe bits of every
   * (pre-hashed, NOT NULL) input into a fixed `numBits`-bit set, returned as
-  * an `array<bigint>` of `numBits/64` words.
+  * an `array<bigint>` of `1 + numBits/64` words — word 0 records
+  * `numHashes`, so the sketch is SELF-DESCRIBING and [[BloomContains]] can
+  * never probe with a k the build didn't use (Spark's own BloomFilterImpl
+  * serializes its hash count for the same reason).
   *
   * This is the OTHER bounded-state sketch (KMV counts, Bloom remembers):
   * the aggregation state is a constant `numBits/64` longs regardless of
@@ -115,7 +132,14 @@ case class BloomBuild(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any = {
+    // header word 0 = numHashes; the aggregation BUFFER stays header-free
+    // (merge is a plain word-wise OR)
+    val out = new Array[Long](buf.length + 1)
+    out(0) = numHashes.toLong
+    System.arraycopy(buf, 0, out, 1, buf.length)
+    new GenericArrayData(out)
+  }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * buf.length)
@@ -159,13 +183,15 @@ object BloomBuild {
 }
 
 /** Bloom membership probe: true iff every probe bit of the (pre-hashed)
-  * key is set in the bitset built by [[BloomBuild]] — never a false
-  * negative (identical position arithmetic via [[BloomHashOps]]), false
-  * positives at the rate the build was sized for. Codegen'd: the probe sits
-  * in the hot path (every corpus shingle at scan speed), so it must not
-  * break the whole-stage span the way a boxed UDF would.
+  * key is set in the sketch built by [[BloomBuild]] — never a false
+  * negative (the probe count comes FROM the sketch's header word and the
+  * position arithmetic is shared via [[BloomHashOps]], so probe and build
+  * cannot disagree), false positives at the rate the build was sized for.
+  * Codegen'd: the probe sits in the hot path (every corpus shingle at scan
+  * speed), so it must not break the whole-stage span the way a boxed UDF
+  * would.
   */
-case class BloomContains(left: Expression, right: Expression, numHashes: Int)
+case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -174,20 +200,18 @@ case class BloomContains(left: Expression, right: Expression, numHashes: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), LongType) =>
-        if (numHashes < 1) TypeCheckResult.TypeCheckFailure(
-          s"bloom_contains requires numHashes >= 1, got $numHashes")
-        else TypeCheckResult.TypeCheckSuccess
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"bloom_contains requires (array<bigint>, bigint), got ${l.simpleString} and ${r.simpleString}")
     }
 
-  override def nullSafeEval(bits: Any, hash: Any): Any =
+  override def nullSafeEval(sketch: Any, hash: Any): Any =
     BloomHashOps.contains(
-      bits.asInstanceOf[ArrayData], hash.asInstanceOf[Long], numHashes)
+      sketch.asInstanceOf[ArrayData], hash.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (bits, hash) =>
-      s"graft.functions.BloomHashOps.contains($bits, $hash, $numHashes)")
+    defineCodeGen(ctx, ev, (sketch, hash) =>
+      s"graft.functions.BloomHashOps.contains($sketch, $hash)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -195,18 +219,17 @@ case class BloomContains(left: Expression, right: Expression, numHashes: Int)
 }
 
 object BloomContains {
-  /** Column form: `BloomContains(bitsCol, hashCol, numHashes)`. */
-  def apply(bits: Column, hash: Column, numHashes: Int): Column =
+  /** Column form: `BloomContains(sketchCol, hashCol)`. */
+  def apply(sketch: Column, hash: Column): Column =
     GraftBridge.column(BloomContains(
-      GraftBridge.expression(bits), GraftBridge.expression(hash), numHashes))
+      GraftBridge.expression(sketch), GraftBridge.expression(hash)))
 
   val info = new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains")
   val builder: Seq[Expression] => Expression = {
-    case Seq(bits, hash, Literal(k: Int, IntegerType)) =>
-      BloomContains(bits, hash, k)
+    case Seq(sketch, hash) => BloomContains(sketch, hash)
     case other => throw new IllegalArgumentException(
-      "bloom_contains(bits ARRAY<BIGINT>, hash BIGINT, numHashes INT literal) " +
-        s"expects 3 arguments with a literal hash count, got ${other.map(_.sql).mkString(", ")}")
+      "bloom_contains(sketch ARRAY<BIGINT>, hash BIGINT) expects 2 arguments " +
+        s"(the sketch carries its own hash count), got ${other.size}")
   }
   val identifier: FunctionIdentifier = FunctionIdentifier("bloom_contains")
 }

@@ -105,7 +105,7 @@ object Curation {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .filter(col("gram") =!= "")
       .crossJoin(broadcast(bloom))
-      .filter(BloomContains(col("bits"), md5Long(col("gram")), BloomHashes))
+      .filter(BloomContains(col("bits"), md5Long(col("gram"))))
     val hits = suspects
       .join(broadcast(bench.distinct()), Seq("gram"))
       .groupBy(col("doc_id"))

@@ -173,7 +173,10 @@ object Dedup {
   def minhashEstimate(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
     val sig = signatureTable(sh).cache()
-    val bands = bandTable(sig)
+    // both sides of the candidate self-join read bands — uncached, the
+    // band explode + per-band md5 would run twice (sig's cache only covers
+    // the aggregation below it)
+    val bands = bandTable(sig).cache()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.key") === col("y.key") &&

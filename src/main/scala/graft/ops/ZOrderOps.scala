@@ -91,9 +91,14 @@ object ZOrderOps {
     * is absorbed by the sampler, and every downstream box query prunes
     * files on min/max stats alone — no index structure to maintain.
     */
-  def zorderLayout(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame =
-    df.withColumn("__z", zvalue(x, y))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+  def zorderLayout(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
+    // collision-safe scratch name: the API takes arbitrary frames, and
+    // silently replacing-then-dropping a caller's column would lose data
+    val zName = Iterator.from(0).map(i => s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zName, zvalue(x, y))
+      .repartitionByRange(numFiles, col(zName))
+      .sortWithinPartitions(col(zName))
+      .drop(zName)
+  }
 }

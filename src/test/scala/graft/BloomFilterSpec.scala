@@ -38,7 +38,7 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(BloomBuild(col("h"), Bits, K).as("bits"))
     val missing = spark.createDataset(hashes).toDF("h")
       .crossJoin(broadcast(bloom))
-      .filter(!BloomContains(col("bits"), col("h"), K))
+      .filter(!BloomContains(col("bits"), col("h")))
       .count()
     assert(missing == 0, s"$missing inserted hashes probed false")
   }
@@ -65,7 +65,7 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(BloomBuild(col("h"), Bits, K).as("bits"))
     val fp = spark.createDataset(probes).toDF("h")
       .crossJoin(broadcast(bloom))
-      .filter(BloomContains(col("bits"), col("h"), K))
+      .filter(BloomContains(col("bits"), col("h")))
       .count()
     assert(fp < probes.size * 0.9, s"degenerate filter: $fp/${probes.size} false positives")
     // and at the declared decontamination sizing the rate is actually low
@@ -73,7 +73,7 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(BloomBuild(col("h"), Curation.BloomBits, Curation.BloomHashes).as("bits"))
     val fpBig = spark.createDataset(probes).toDF("h")
       .crossJoin(broadcast(big))
-      .filter(BloomContains(col("bits"), col("h"), Curation.BloomHashes))
+      .filter(BloomContains(col("bits"), col("h")))
       .count()
     assert(fpBig < probes.size * 0.01,
       s"declared sizing too hot: $fpBig/${probes.size} false positives")
@@ -84,20 +84,38 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bloomEmpty = Seq[Option[Long]](None, None).toDF("h")
       .agg(BloomBuild(col("h"), Bits, K).as("bits"))
       .head().getSeq[Long](0)
-    assert(bloomEmpty.forall(_ == 0L), "null inputs must not set bits")
+    assert(bloomEmpty.head == K.toLong, "word 0 must carry the build's hash count")
+    assert(bloomEmpty.tail.forall(_ == 0L), "null inputs must not set bits")
     val probed = Seq[Option[Long]](None).toDF("h")
       .crossJoin(broadcast(Seq(1L).toDF("x")
         .agg(BloomBuild(col("x"), Bits, K).as("bits"))))
-      .select(BloomContains(col("bits"), col("h"), K).as("c"))
+      .select(BloomContains(col("bits"), col("h")).as("c"))
       .head()
     assert(probed.isNullAt(0), "null probe must yield null, not false")
   }
 
   test("position arithmetic stays inside the bitset for boundary hashes") {
-    for (h <- Seq(0L, 1L, 4294967295L); i <- 0 until 8) {
+    // the SQL surface accepts ANY bigint as the pre-hash: full-range signed
+    // values (xxhash64-style) and overflow-wrapping magnitudes included
+    for (h <- Seq(0L, 1L, 4294967295L, -1L, Long.MinValue, Long.MaxValue);
+         i <- 0 until 8) {
       val pos = BloomHashOps.position(h, i, Bits)
       assert(pos >= 0 && pos < Bits, s"position($h, $i) = $pos out of range")
     }
+  }
+
+  test("full-range signed hashes build and probe without false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq(Long.MinValue, Long.MaxValue, -1L) ++
+      Seq.fill(2000)(rnd.nextLong())
+    val bloom = spark.createDataset(hashes).repartition(5).toDF("h")
+      .agg(BloomBuild(col("h"), Bits, K).as("bits"))
+    val missing = spark.createDataset(hashes).toDF("h")
+      .crossJoin(broadcast(bloom))
+      .filter(!BloomContains(col("bits"), col("h")))
+      .count()
+    assert(missing == 0, s"$missing full-range hashes probed false")
   }
 
   test("bloom-accelerated decontamination equals the exact one, end to end") {
@@ -111,8 +129,8 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.sql(
       s"""WITH b AS (SELECT bloom_build(h, $Bits, $K) AS bits
                      FROM (SELECT CAST(7 AS BIGINT) AS h))
-          SELECT bloom_contains(bits, CAST(7 AS BIGINT), $K) AS yes,
-                 bloom_contains(bits, CAST(8 AS BIGINT), $K) AS probably_not
+          SELECT bloom_contains(bits, CAST(7 AS BIGINT)) AS yes,
+                 bloom_contains(bits, CAST(8 AS BIGINT)) AS probably_not
           FROM b""").head()
     assert(got.getBoolean(0), "inserted key must probe true from SQL")
   }
