@@ -251,6 +251,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Denormalized MinHash index of a corpus — (base_id, b_sig, band_idx,
+    * key), the PERSISTED artifact of [[incrementalDedup]]'s deployment
+    * story: built once over the accepted corpus, appended per accepted
+    * batch, stored bucketed by (band_idx, key). A streaming delta probes it
+    * with a stream-static join
+    * ([[graft.streaming.StreamOps.incrementalDedupStream]]); a batch delta
+    * with a plain equi-join. The signature rides denormalized on every band
+    * row so probe-side verification is row-local after the join — no second
+    * lookup into a signature table from inside a stream.
+    */
+  def minhashIndex(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingles3(tokens(col("text"))).as("grams"))
+    val sig = signatureTable(sh)
+    bandTable(sig).join(sig, "doc_id")
+      .select(col("doc_id").as("base_id"), col("sig").as("b_sig"),
+        col("band_idx"), col("key"))
+  }
+
   /** SimHash sketch table (doc_id, lang, sh) via explode + 32 codegen'd
     * vote-sum aggregates. Semantically identical to the row-local
     * TextHash.simhash32 fold, but higher-order functions are interpreted

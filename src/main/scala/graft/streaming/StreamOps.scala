@@ -169,6 +169,56 @@ object StreamOps {
           lit(1000000L)).as("delay_s"))
   }
 
+  /** Streaming incremental near-dup dedup — the stream-static form of
+    * [[graft.llm.Dedup.incrementalDedup]]: incoming documents (doc_id,
+    * text) probe the corpus's persisted MinHash index
+    * ([[graft.llm.Dedup.minhashIndex]], loaded as a STATIC frame) and emit
+    * (delta_id, base_id, est_jac) for every base near-dup found.
+    *
+    * Everything on the stream side is row-local (signature = one fold,
+    * bands = one explode), so the only stateful-looking operator is the
+    * stream-static join — which needs NO state at all: the static side is
+    * just a lookup table per micro-batch. That keeps the query append-mode
+    * with no watermark, the cheapest possible streaming shape.
+    *
+    * Two row-local tricks avoid the streaming-unfriendly alternatives:
+    *  - pair dedup (a pair agreeing on several bands arrives several
+    *    times) uses the FIRST-AGREEING-BAND predicate over the two
+    *    signatures riding in the joined row (the simhashPairs mechanism) —
+    *    a streaming `distinct` would need unbounded state;
+    *  - verification is the MinHash ESTIMATE (signature agreement ≥
+    *    threshold, the [[graft.llm.Dedup.minhashEstimate]] scorer) — exact
+    *    verification would re-join document content from inside the
+    *    stream.
+    */
+  def incrementalDedupStream(delta: DataFrame, baseIndex: DataFrame): DataFrame = {
+    import graft.llm.TextHash.{bandKey, minhashSig, shingles3, tokens}
+    import graft.llm.Dedup.{Bands, JaccardThreshold, MinhashK, RowsPerBand}
+    val r = RowsPerBand
+    val bands = delta
+      .select(col("doc_id").as("delta_id"),
+        minhashSig(shingles3(tokens(col("text"))), MinhashK).as("d_sig"))
+      .select(col("delta_id"), col("d_sig"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band_idx"), bandKey(col("d_sig"), b, r).as("key"))))
+          .as("bd"))
+      .select(col("delta_id"), col("d_sig"),
+        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+    val bandEq = (b: Int) =>
+      slice(col("d_sig"), b * r + 1, r) === slice(col("b_sig"), b * r + 1, r)
+    val firstAgreeing = (0 until Bands)
+      .foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case (b, rest) => when(bandEq(b), lit(b)).otherwise(rest)
+      }
+    val matches = size(filter(
+      zip_with(col("d_sig"), col("b_sig"), (x, y) => x === y), v => v))
+    bands.join(baseIndex, Seq("band_idx", "key"))
+      .filter(col("band_idx") === firstAgreeing)
+      .select(col("delta_id"), col("base_id"),
+        (matches.cast("double") / MinhashK).as("est_jac"))
+      .filter(col("est_jac") >= JaccardThreshold)
+  }
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

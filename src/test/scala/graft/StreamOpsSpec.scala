@@ -279,4 +279,49 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(1)._2 == 2 && got(1)._3 == 2.0)
     assert(got(2)._2 == 1 && got(2)._3 == 1.0)
   }
+
+  test("incrementalDedupStream probes the static index without state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // base corpus = harness docs; the index is what deployment persists
+    val base = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val index = graft.llm.Dedup.minhashIndex(base).cache()
+    // delta: two verbatim copies of base docs (est_jac = 1.0 against their
+    // originals) and one fresh unseen document
+    val planted = base.orderBy("doc_id").limit(2)
+      .collect().map(_.getString(1))
+    val delta = Seq(
+      (1000001L, planted(0)),
+      (1000002L, planted(1)),
+      (1000003L, "zxq wvu tsr qpo nml kji hgf edc ba9 876"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(delta)
+    val q = StreamOps.incrementalDedupStream(
+        mem.toDF.toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("incdedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each planted copy must hit its original at estimate 1.0...
+    for ((id, orig) <- Seq(1000001L, 1000002L).zipWithIndex) {
+      assert(got.exists(g => g._1 == id && g._3 == 1.0),
+        s"planted copy $id not matched: ${got.mkString(", ")}")
+    }
+    // ...each (delta, base) pair appears ONCE (first-agreeing-band dedup,
+    // no streaming distinct)
+    val pairs = got.map(g => (g._1, g._2))
+    assert(pairs.distinct.length == pairs.length, "pair emitted more than once")
+    // the unseen doc matches nothing
+    assert(!got.exists(_._1 == 1000003L))
+    // and the stream agrees with the same logic run as a plain batch
+    val batch = StreamOps.incrementalDedupStream(
+        delta.toDF("doc_id", "text"), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet == batch, "stream and batch forms diverge")
+    index.unpersist()
+  }
 }
