@@ -66,10 +66,14 @@ object Curation {
   val BloomBits = 1 << 17
   val BloomHashes = 5
 
-  /** [[decontaminate]] with a Bloom-filter pre-filter — same output, built
-    * for the regime where even the DISTINCT benchmark shingle set is
-    * broadcast-unfriendly: the corpus-side posting join input is first cut
-    * to the shingles the bloom suspects, at scan speed, inside codegen.
+  /** [[decontaminate]] with a Bloom-filter pre-filter — same output; the
+    * bloom's job is to take the posting JOIN off the corpus-side critical
+    * path: corpus grams are cut to the suspects at scan speed, inside
+    * codegen, before any join runs. When the distinct benchmark set
+    * outgrows the broadcast budget, the verify join (broadcast HERE,
+    * matching harness scale) becomes a plain shuffled equi-join — whose
+    * input is then only the pre-filtered SUSPECTS, not the corpus, which
+    * is what keeps the operator viable in that regime.
     *
     * Three stages, all broadcast-light:
     *  1. BUILD: one [[graft.functions.BloomBuild]] aggregation over the
@@ -93,9 +97,13 @@ object Curation {
     import graft.functions.{BloomBuild, BloomContains}
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
+    // cache: the benchmark shingle pipeline feeds BOTH the bloom build and
+    // the verify join's distinct set — uncached it would scan and shingle
+    // the benchmark slice twice
     val bench = sh.filter(col("doc_id") % BenchmarkModulus === 0)
       .select(explode(col("grams")).as("gram"))
       .filter(col("gram") =!= "")
+      .cache()
     // the bloom dedupes by construction — no distinct() before the build
     val bloom = bench
       .select(md5Long(col("gram")).as("h"))

@@ -183,14 +183,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val matches = size(filter(
-      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
     cand
       .join(sig.select(col("doc_id"), col("sig").as("a_sig")), col("a_id") === col("doc_id"))
       .drop("doc_id")
       .join(sig.select(col("doc_id"), col("sig").as("b_sig")), col("b_id") === col("doc_id"))
       .select(col("a_id"), col("b_id"),
-        (matches.cast("double") / MinhashK).as("est_jac"))
+        minhashAgreement(col("a_sig"), col("b_sig"), MinhashK).as("est_jac"))
       .join(sh.select(col("doc_id"), col("grams").as("a_grams")), col("a_id") === col("doc_id"))
       .drop("doc_id")
       .join(sh.select(col("doc_id"), col("grams").as("b_grams")), col("b_id") === col("doc_id"))
@@ -264,10 +262,16 @@ object Dedup {
   def minhashIndex(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"),
       shingles3(tokens(col("text"))).as("grams"))
-    val sig = signatureTable(sh)
-    bandTable(sig).join(sig, "doc_id")
+    // the sig column RIDES THROUGH the band explode — re-deriving it via
+    // bandTable(sig).join(sig) would plan the signature aggregation twice
+    // plus a doc_id shuffle for the same output
+    signatureTable(sh)
       .select(col("doc_id").as("base_id"), col("sig").as("b_sig"),
-        col("band_idx"), col("key"))
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band_idx"), bandKey(col("sig"), b, RowsPerBand).as("key"))))
+          .as("bd"))
+      .select(col("base_id"), col("b_sig"),
+        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
   }
 
   /** SimHash sketch table (doc_id, lang, sh) via explode + 32 codegen'd

@@ -399,7 +399,10 @@ object TextAnalysis {
     * identical.
     */
   def calibratedQualityCut(s: SparkSession, dir: String): DataFrame = {
-    val sc = modelScored(s, dir)
+    // both passes read the scored frame (percentile aggregate + verdict
+    // projection) — uncached, the tokenize + per-token md5 scoring scan
+    // would run twice; lifecycle per the Dedup module's cache contract
+    val sc = modelScored(s, dir).cache()
     val thr = sc.agg(
       round(percentile(col("raw_score"), lit(CutPercentile)), 4).as("cutoff"))
     sc.crossJoin(broadcast(thr))

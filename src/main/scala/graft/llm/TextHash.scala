@@ -92,6 +92,16 @@ object TextHash {
     md5(array_join(
       transform(slice(sig, b * r + 1, lit(r)), x => x.cast("string")), ","))
 
+  /** MinHash agreement estimate of Jaccard between two k-component
+    * signatures: (agreeing components)/k, the unbiased estimator. ONE
+    * definition — the batch estimator query and the streaming
+    * incremental-dedup verdict must never diverge on this arithmetic
+    * (matches/k is a power-of-two-denominator exact double at k=32).
+    */
+  def minhashAgreement(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast("double") / k
+
   /** 32-bit SimHash over the (non-distinct) token multiset: per bit,
     * +1/-1 votes from each token's md5-derived hash; bit set iff the vote
     * sum is positive.

@@ -192,7 +192,7 @@ object StreamOps {
     *    stream.
     */
   def incrementalDedupStream(delta: DataFrame, baseIndex: DataFrame): DataFrame = {
-    import graft.llm.TextHash.{bandKey, minhashSig, shingles3, tokens}
+    import graft.llm.TextHash.{bandKey, minhashAgreement, minhashSig, shingles3, tokens}
     import graft.llm.Dedup.{Bands, JaccardThreshold, MinhashK, RowsPerBand}
     val r = RowsPerBand
     val bands = delta
@@ -210,12 +210,10 @@ object StreamOps {
       .foldRight(lit(-1): org.apache.spark.sql.Column) {
         case (b, rest) => when(bandEq(b), lit(b)).otherwise(rest)
       }
-    val matches = size(filter(
-      zip_with(col("d_sig"), col("b_sig"), (x, y) => x === y), v => v))
     bands.join(baseIndex, Seq("band_idx", "key"))
       .filter(col("band_idx") === firstAgreeing)
       .select(col("delta_id"), col("base_id"),
-        (matches.cast("double") / MinhashK).as("est_jac"))
+        minhashAgreement(col("d_sig"), col("b_sig"), MinhashK).as("est_jac"))
       .filter(col("est_jac") >= JaccardThreshold)
   }
 
