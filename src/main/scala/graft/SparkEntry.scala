@@ -103,6 +103,7 @@ object SparkEntry {
     "q_zorder_key" -> (ZOrderOps.zorderKey _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_quality_cut" -> (TextAnalysis.calibratedQualityCut _),
+    "q_retrieve_rerank" -> (Similarity.retrieveRerank _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -658,6 +659,29 @@ object SparkEntry {
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY q_id, rk""",
+    // two-stage retrieval: embedding candidates re-ranked by text overlap
+    // (mirrors Similarity.retrieveRerank; candidate CTE = q_embed_topk's)
+    "q_retrieve_rerank" -> s"""
+         WITH $shingledCte,
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM c
+               WHERE vec_id < ${Similarity.NQueries}),
+         scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+                    FROM c, q WHERE vec_id <> q_id),
+         cands AS (SELECT q_id, vec_id, cos FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos DESC, vec_id) AS crk
+             FROM scored)
+           WHERE crk <= ${Similarity.RerankCandidates}),
+         rr AS (SELECT q_id, vec_id, cos,
+                       round(${jaccardSql("gq.grams", "gc.grams")}, 9) AS overlap
+                FROM cands JOIN sh gq ON cands.q_id = gq.doc_id
+                           JOIN sh gc ON cands.vec_id = gc.doc_id)
+         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos, overlap FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY overlap DESC, cos DESC, vec_id) AS rk
+           FROM rr)
+         WHERE rk <= ${Similarity.RerankTopK} ORDER BY q_id, rk""",
     "q_embed_ivf" -> s"""
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          px AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM c),

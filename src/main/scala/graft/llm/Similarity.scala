@@ -91,6 +91,60 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Candidates per query fed to the re-rank / final results kept. */
+  val RerankCandidates = 10
+  val RerankTopK = 3
+
+  /** Two-stage retrieval (the RAG shape): CANDIDATE GENERATION over the
+    * embedding space — cheap, high recall — then an exact text-overlap
+    * RE-RANK of only those candidates, joining the embedding table to the
+    * document table (vec_id ≡ doc_id in the harness corpus). The economics
+    * are the same as every two-stage operator in this library (bloom →
+    * exact verify, LSH bands → exact Jaccard): the expensive signal runs on
+    * O(queries · [[RerankCandidates]]) rows, never on the corpus.
+    *
+    * Scale shape: stage 1 is [[bruteForceTopK]]'s broadcast-queries scan
+    * (the IVF variants are the drop-in at corpus scale — same candidate
+    * contract); stage 2 BROADCASTS the tiny candidate set back over the
+    * document scan twice (query side, candidate side), so the corpus text
+    * is streamed, never shuffled. Both scores are engine-exact: cosine
+    * rounded at 9 dp before ranking, overlap an integer-ratio Jaccard.
+    */
+  def retrieveRerank(s: SparkSession, dir: String): DataFrame = {
+    import TextHash.{jaccard, shingles3, tokens}
+    val c = corpus(s, dir)
+    val queries = broadcast(
+      c.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq")))
+    val scored = c.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val cands = scored.withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= RerankCandidates)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
+    // candidate set is O(queries·k): broadcast it over the document scan,
+    // once per side — the corpus text streams, it never shuffles
+    val withC = sh.select(col("doc_id"), col("grams").as("c_grams"))
+      .join(broadcast(cands), col("doc_id") === col("vec_id"))
+      .drop("doc_id")
+    val withQ = sh.select(col("doc_id"), col("grams").as("q_grams"))
+      .join(broadcast(withC), col("doc_id") === col("q_id"))
+      .drop("doc_id")
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("cos").desc, col("vec_id"))
+    withQ
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        round(jaccard(col("q_grams"), col("c_grams")), 9).as("overlap"))
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= RerankTopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"),
+        col("vec_id"), col("cos"), col("overlap"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Per-label centroid directions as exact decimal sums (unnormalized —
     * cosine is scale-invariant, so the sum direction equals the mean
     * direction and no order-sensitive division is needed).

@@ -86,6 +86,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ham(sk(1L), sk(3L)) > 6)
   }
 
+  test("retrieve+rerank: results drawn from the cosine candidates, ranked by overlap") {
+    import graft.llm.Similarity
+    val topk = Similarity.bruteForceTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.retrieveRerank(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (qid <- got.map(_.getLong(0)).distinct) {
+      val rows = got.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+      assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length),
+        s"ranks not contiguous for query $qid")
+      // final order is by overlap (desc) first — cosine only tie-breaks
+      val overlaps = rows.map(_.getDouble(4)).toSeq
+      assert(overlaps == overlaps.sorted.reverse, s"overlap order broken for $qid")
+    }
+    // stage-1 candidates at k=10 contain the brute-force top-5, so every
+    // top-5 pair with maximal overlap can reappear; sanity: each reranked
+    // hit is a (q, candidate) pair the cosine stage could produce (not self)
+    assert(got.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(topk.nonEmpty)
+  }
+
   test("brute-force top-k: ranks are 1..5, self excluded, cosine in [-1,1]") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
