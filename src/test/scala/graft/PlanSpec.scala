@@ -199,6 +199,21 @@ class PlanSpec extends AnyFunSuite {
       "the bitset must build with map-side partial state (one fixed-size buffer per partition)")
   }
 
+  test("retrieve+rerank broadcasts candidates over the document scan") {
+    val p = plan("q_retrieve_rerank")
+    assert(!p.contains("SortMergeJoin"),
+      "document text must stream against broadcast candidates, never shuffle")
+    assert(p.contains("WindowGroupLimit"),
+      "both rank stages should pre-limit per query group")
+  }
+
+  test("calibrated cut reduces to one scalar and broadcasts it back") {
+    val p = plan("q_quality_cut")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the percentile cutoff must come back as a broadcast scalar:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("bpe pair counting aggregates the corpus once, map-side combined") {
     val p = plan("q_bpe_pairs")
     // corpus tokens are aggregated to the vocabulary before the pair
