@@ -104,6 +104,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_quality_cut" -> (TextAnalysis.calibratedQualityCut _),
     "q_retrieve_rerank" -> (Similarity.retrieveRerank _),
+    "q_pipeline_curate" -> (Curation.pipelineCurate _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -196,8 +197,7 @@ object SparkEntry {
     * positives killed by the verify join), and sharing the string keeps
     * that claim checkable.
     */
-  private lazy val decontaminateOracle: String = s"""
-         WITH $shingledCte,
+  private lazy val decontaminateCtes: String = s"""
          bench AS (SELECT DISTINCT gram
                    FROM (SELECT unnest(grams) AS gram FROM sh
                          WHERE doc_id % ${graft.llm.Curation.BenchmarkModulus} = 0)
@@ -208,7 +208,10 @@ object SparkEntry {
                   FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
                   JOIN bench USING (gram)
                   WHERE gram <> ''
-                  GROUP BY doc_id)
+                  GROUP BY doc_id)"""
+
+  private lazy val decontaminateOracle: String = s"""
+         WITH $shingledCte, $decontaminateCtes
          SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                 coalesce(h.n_hits, 0) = 0 AS keep
          FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
@@ -1030,6 +1033,30 @@ object SparkEntry {
     // structurally true; the differential harness proves the accelerated
     // plan computes the same relation
     "q_bloom_decontaminate" -> decontaminateOracle,
+    // composed curation chain: decontaminate -> survivor-calibrated cut ->
+    // mixture -> split; every stage reuses its standalone operator's
+    // shared CTEs/exprs (mirrors Curation.pipelineCurate)
+    "q_pipeline_curate" -> s"""
+         WITH $shingledCte, $decontaminateCtes, $modelScoreCtes,
+         clean AS (SELECT c.doc_id
+                   FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+                   WHERE coalesce(h.n_hits, 0) = 0),
+         survivors AS (SELECT sc.doc_id, sc.raw_score
+                       FROM sc JOIN clean USING (doc_id)),
+         thr AS (SELECT round(quantile_cont(raw_score,
+                           ${TextAnalysis.CutPercentile}), 4) AS cutoff
+                 FROM survivors),
+         kept AS (SELECT s.doc_id, s.raw_score
+                  FROM survivors s, thr WHERE s.raw_score >= thr.cutoff)
+         SELECT k.doc_id, d.source, k.raw_score,
+                CASE WHEN ${hexIntSql("'split:' || CAST(k.doc_id AS VARCHAR)")}
+                          % 100 < 90
+                     THEN 'train' ELSE 'val' END AS split
+         FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+         WHERE regexp_matches(d.source, 'src[0-9]+')
+           AND ${hexIntSql("'mix:' || k.doc_id")} % 100
+               < (CAST(regexp_extract(d.source, 'src([0-9]+)', 1) AS INT) + 1) * 5
+         ORDER BY k.doc_id""",
     "q_pii_redact" -> s"""
          WITH raw AS (
            SELECT c_custkey,

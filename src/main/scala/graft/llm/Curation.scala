@@ -93,7 +93,14 @@ object Curation {
     * The oracle is decontaminate's own SQL, unchanged — the differential
     * harness proves the accelerated plan IS the exact semantics.
     */
-  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame =
+    bloomVerdicts(s, dir).orderBy("doc_id")
+
+  /** The unsorted verdict core of [[bloomDecontaminate]] — consumed
+    * mid-pipeline by [[pipelineCurate]], where an interior sort would be
+    * dead work.
+    */
+  private[llm] def bloomVerdicts(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{BloomBuild, BloomContains}
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
@@ -122,7 +129,6 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** PII patterns redacted from text before training. RE2-compatible (no
@@ -265,10 +271,58 @@ object Curation {
     * distinct rates; a production run would broadcast-join the rates from
     * a mixture table instead.
     */
+  /** End-to-end CURATION chain composing this round's operators — the
+    * proof the new pieces compose the way a corpus refresh would run them
+    * (the preprocessing sibling, [[TextAnalysis.preprocessCorpus]], is the
+    * dedup-centric chain):
+    *
+    *  1. bloom-accelerated DECONTAMINATION keeps only benchmark-clean
+    *     corpus documents;
+    *  2. model scoring with the quality cut CALIBRATED ON THE SURVIVORS
+    *     (the percentile must describe the population it prunes —
+    *     calibrating on the raw corpus would let contamination skew the
+    *     threshold);
+    *  3. source-MIXTURE resampling (row-local md5 keep/drop);
+    *  4. train/val SPLIT assignment (row-local, leak-proof).
+    *
+    * Stages 3-4 are scan-speed column predicates; the chain's only wide
+    * operations are stage 1's (broadcast-light) verify join and stage 2's
+    * scalar percentile. Every stage's arithmetic is the declared single
+    * definition of its standalone operator, so the composed oracle is
+    * assembled from the same shared CTEs.
+    */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val clean = bloomVerdicts(s, dir).filter(col("keep")).select("doc_id")
+    // cache: the surviving-population scores feed the percentile AND the
+    // verdict projection
+    val scored = TextAnalysis.modelScored(s, dir)
+      .join(clean, "doc_id")
+      .select(col("doc_id"), col("raw_score"))
+      .cache()
+    val thr = scored.agg(
+      round(percentile(col("raw_score"), lit(TextAnalysis.CutPercentile)), 4)
+        .as("cutoff"))
+    val kept = scored.crossJoin(broadcast(thr))
+      .filter(col("raw_score") >= col("cutoff"))
+    kept
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("source").rlike("src[0-9]+") && mixBucket < mixRatePct)
+      .select(col("doc_id"), col("source"), col("raw_score"),
+        TextAnalysis.splitCol(col("doc_id"), 90))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source keep rate and md5 percentile bucket — ONE definition for
+    * the standalone mix query and the composed pipeline.
+    */
+  private[llm] def mixRatePct: org.apache.spark.sql.Column =
+    (regexp_extract(col("source"), "src([0-9]+)", 1).cast("int") + 1) * 5
+  private[llm] def mixBucket: org.apache.spark.sql.Column =
+    md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
-    val idx = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
-    val ratePct = (idx + 1) * 5
-    val bucket = md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+    val ratePct = mixRatePct
+    val bucket = mixBucket
     t(s, dir, "documents")
       // sources outside the src<N> naming get an explicit drop on BOTH
       // engines — without it Spark's '' → NULL cast silently filters while

