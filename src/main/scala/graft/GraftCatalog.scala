@@ -32,6 +32,10 @@ object GraftCatalog {
       .createOrReplaceTempView("decontaminated")
     graft.llm.Curation.sourceMix(spark, sfDir)
       .createOrReplaceTempView("source_mix")
+    graft.llm.Curation.pipelineCurate(spark, sfDir)
+      .createOrReplaceTempView("curated_corpus")
+    graft.llm.Similarity.retrieveRerank(spark, sfDir)
+      .createOrReplaceTempView("retrieve_rerank")
     registerFunctions(spark)
   }
 
