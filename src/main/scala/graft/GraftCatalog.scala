@@ -32,7 +32,9 @@ object GraftCatalog {
       .createOrReplaceTempView("decontaminated")
     graft.llm.Curation.sourceMix(spark, sfDir)
       .createOrReplaceTempView("source_mix")
-    graft.llm.Curation.pipelineCurate(spark, sfDir)
+    // cache = false: a cache pinned inside a session-lifetime view is
+    // never unpersisted (same contract as tfidf's cacheTf above)
+    graft.llm.Curation.pipelineCurate(spark, sfDir, cache = false)
       .createOrReplaceTempView("curated_corpus")
     graft.llm.Similarity.retrieveRerank(spark, sfDir)
       .createOrReplaceTempView("retrieve_rerank")

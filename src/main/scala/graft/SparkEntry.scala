@@ -104,7 +104,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_quality_cut" -> (TextAnalysis.calibratedQualityCut _),
     "q_retrieve_rerank" -> (Similarity.retrieveRerank _),
-    "q_pipeline_curate" -> (Curation.pipelineCurate _),
+    "q_pipeline_curate" -> ((s, dir) => Curation.pipelineCurate(s, dir)),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -216,6 +216,18 @@ object SparkEntry {
                 coalesce(h.n_hits, 0) = 0 AS keep
          FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
          ORDER BY c.doc_id"""
+
+  /** Embedding corpus + query set + cosine-scored pairs CTEs (mirrors
+    * Similarity.{corpus,bruteForceTopK} stage 1) — shared by the top-k and
+    * retrieve+rerank oracles so candidate generation has one definition
+    * site per engine.
+    */
+  private lazy val embedScoredCtes: String = s"""
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM c
+               WHERE vec_id < ${Similarity.NQueries}),
+         scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
+                    FROM c, q WHERE vec_id <> q_id)"""
 
   /** Hashed-feature model-scoring CTEs ending in `sc` (mirrors
     * TextAnalysis.modelScored) — shared by the model-score and
@@ -653,24 +665,16 @@ object SparkEntry {
          SELECT a AS doc_id, min(b) AS component
          FROM reach GROUP BY a ORDER BY doc_id""",
     "q_embed_topk" -> s"""
-         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < ${Similarity.NQueries}),
-         scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
-                    FROM c, q WHERE vec_id <> q_id)
+         WITH $embedScoredCtes
          SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY q_id, rk""",
     // two-stage retrieval: embedding candidates re-ranked by text overlap
-    // (mirrors Similarity.retrieveRerank; candidate CTE = q_embed_topk's)
+    // (mirrors Similarity.retrieveRerank; shared embedScoredCtes)
     "q_retrieve_rerank" -> s"""
-         WITH $shingledCte,
-         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM c
-               WHERE vec_id < ${Similarity.NQueries}),
-         scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
-                    FROM c, q WHERE vec_id <> q_id),
+         WITH $shingledCte, $embedScoredCtes,
          cands AS (SELECT q_id, vec_id, cos FROM (
              SELECT *, row_number() OVER (PARTITION BY q_id
                                           ORDER BY cos DESC, vec_id) AS crk

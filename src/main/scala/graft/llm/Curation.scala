@@ -100,17 +100,18 @@ object Curation {
     * mid-pipeline by [[pipelineCurate]], where an interior sort would be
     * dead work.
     */
-  private[llm] def bloomVerdicts(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def bloomVerdicts(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
     import graft.functions.{BloomBuild, BloomContains}
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
     // cache: the benchmark shingle pipeline feeds BOTH the bloom build and
     // the verify join's distinct set — uncached it would scan and shingle
     // the benchmark slice twice
-    val bench = sh.filter(col("doc_id") % BenchmarkModulus === 0)
+    val benchBase = sh.filter(col("doc_id") % BenchmarkModulus === 0)
       .select(explode(col("grams")).as("gram"))
       .filter(col("gram") =!= "")
-      .cache()
+    val bench = if (cache) benchBase.cache() else benchBase
     // the bloom dedupes by construction — no distinct() before the build
     val bloom = bench
       .select(md5Long(col("gram")).as("h"))
@@ -258,6 +259,14 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source keep rate and md5 percentile bucket — ONE definition for
+    * the standalone mix query and the composed pipeline.
+    */
+  private[llm] def mixRatePct: org.apache.spark.sql.Column =
+    (regexp_extract(col("source"), "src([0-9]+)", 1).cast("int") + 1) * 5
+  private[llm] def mixBucket: org.apache.spark.sql.Column =
+    md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+
   /** Source-mixture resampling: each source keeps a deterministic fraction
     * of its documents — the domain-reweighting step that turns raw corpus
     * proportions into a target training mixture. The keep/drop decision is
@@ -271,6 +280,20 @@ object Curation {
     * distinct rates; a production run would broadcast-join the rates from
     * a mixture table instead.
     */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val ratePct = mixRatePct
+    val bucket = mixBucket
+    t(s, dir, "documents")
+      // sources outside the src<N> naming get an explicit drop on BOTH
+      // engines — without it Spark's '' → NULL cast silently filters while
+      // DuckDB's CAST('' AS INT) errors, a confusing parity break
+      .filter(col("source").rlike("src[0-9]+"))
+      .select(col("doc_id"), col("source"),
+        bucket.cast("int").as("bucket"), ratePct.as("rate_pct"))
+      .filter(col("bucket") < col("rate_pct"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end CURATION chain composing this round's operators — the
     * proof the new pieces compose the way a corpus refresh would run them
     * (the preprocessing sibling, [[TextAnalysis.preprocessCorpus]], is the
@@ -291,14 +314,17 @@ object Curation {
     * definition of its standalone operator, so the composed oracle is
     * assembled from the same shared CTEs.
     */
-  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
-    val clean = bloomVerdicts(s, dir).filter(col("keep")).select("doc_id")
+  def pipelineCurate(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val clean = bloomVerdicts(s, dir, cache).filter(col("keep")).select("doc_id")
     // cache: the surviving-population scores feed the percentile AND the
-    // verdict projection
-    val scored = TextAnalysis.modelScored(s, dir)
+    // verdict projection. `cache = false` for session-lifetime VIEW mounts
+    // (GraftCatalog) — a cache pinned inside a view is never unpersisted,
+    // same contract as tfidfTopTerms' cacheTf
+    val scoredBase = TextAnalysis.modelScored(s, dir)
       .join(clean, "doc_id")
       .select(col("doc_id"), col("raw_score"))
-      .cache()
+    val scored = if (cache) scoredBase.cache() else scoredBase
     val thr = scored.agg(
       round(percentile(col("raw_score"), lit(TextAnalysis.CutPercentile)), 4)
         .as("cutoff"))
@@ -312,25 +338,4 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Per-source keep rate and md5 percentile bucket — ONE definition for
-    * the standalone mix query and the composed pipeline.
-    */
-  private[llm] def mixRatePct: org.apache.spark.sql.Column =
-    (regexp_extract(col("source"), "src([0-9]+)", 1).cast("int") + 1) * 5
-  private[llm] def mixBucket: org.apache.spark.sql.Column =
-    md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
-
-  def sourceMix(s: SparkSession, dir: String): DataFrame = {
-    val ratePct = mixRatePct
-    val bucket = mixBucket
-    t(s, dir, "documents")
-      // sources outside the src<N> naming get an explicit drop on BOTH
-      // engines — without it Spark's '' → NULL cast silently filters while
-      // DuckDB's CAST('' AS INT) errors, a confusing parity break
-      .filter(col("source").rlike("src[0-9]+"))
-      .select(col("doc_id"), col("source"),
-        bucket.cast("int").as("bucket"), ratePct.as("rate_pct"))
-      .filter(col("bucket") < col("rate_pct"))
-      .orderBy("doc_id")
-  }
 }

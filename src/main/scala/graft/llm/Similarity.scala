@@ -130,7 +130,11 @@ object Similarity {
     val withC = sh.select(col("doc_id"), col("grams").as("c_grams"))
       .join(broadcast(cands), col("doc_id") === col("vec_id"))
       .drop("doc_id")
-    val withQ = sh.select(col("doc_id"), col("grams").as("q_grams"))
+    // q_id < NQueries by construction: filter the query-side document scan
+    // down to the query docs BEFORE shingling — without it this side would
+    // tokenize+shingle the whole corpus again to recover 20 rows
+    val withQ = sh.filter(col("doc_id") < NQueries)
+      .select(col("doc_id"), col("grams").as("q_grams"))
       .join(broadcast(withC), col("doc_id") === col("q_id"))
       .drop("doc_id")
     val wFinal = Window.partitionBy(col("q_id"))

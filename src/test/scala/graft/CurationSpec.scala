@@ -87,14 +87,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id")
     assert(ids.intersect(dirty).count() == 0, "contaminated doc in output")
     assert(out.filter(col("doc_id") % Curation.BenchmarkModulus === 0).count() == 0)
-    // stage 2: scores respect the survivor-calibrated cut (the cut was
-    // computed over more rows than the output, so just check the floor:
-    // min kept >= some dropped survivor's score unless nothing was dropped)
+    // stage 2: scores equal the standalone scorer's AND respect the
+    // survivor-calibrated floor — recompute the P25 cutoff over the
+    // decontaminated population and assert no output row sits below it
     val scores = TextAnalysis.modelQualityScore(spark, dir)
       .select(col("doc_id"), col("raw_score").as("full_raw"))
     assert(out.join(scores, "doc_id")
       .filter(col("raw_score") =!= col("full_raw")).count() == 0,
       "pipeline raw_score must equal the standalone scorer's")
+    val survivors = scores.join(
+      Curation.decontaminate(spark, dir).filter(col("keep")).select("doc_id"),
+      "doc_id")
+    val cutoff = survivors.agg(
+      round(percentile(col("full_raw"), lit(TextAnalysis.CutPercentile)), 4))
+      .head().getDouble(0)
+    assert(out.filter(col("raw_score") < cutoff).count() == 0,
+      s"output contains scores below the survivor-calibrated cutoff $cutoff")
     // stage 3: only src<N> sources at their deterministic keep rate
     assert(out.filter(!col("source").rlike("src[0-9]+")).count() == 0)
     // stage 4: split values well-formed and deterministic across runs

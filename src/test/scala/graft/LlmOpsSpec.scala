@@ -88,10 +88,29 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("retrieve+rerank: results drawn from the cosine candidates, ranked by overlap") {
     import graft.llm.Similarity
-    val topk = Similarity.bruteForceTopK(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    import graft.functions.DotProduct
+    import org.apache.spark.sql.expressions.Window
+    // recompute the stage-1 candidate set independently (k=10 by cosine,
+    // same rounding and tie-break) — every reranked pair must come from it
+    val c = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nv", sqrt(DotProduct(col("v"), col("v"))))
+    val q = c.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val cand = c.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(DotProduct(col("qv"), col("v")) / (col("nq") * col("nv")), 9).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= Similarity.RerankCandidates)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val got = Similarity.retrieveRerank(spark, sf).collect()
     assert(got.nonEmpty)
+    for (r <- got) {
+      assert(cand.contains((r.getLong(0), r.getLong(2), r.getDouble(3))),
+        s"reranked pair (${r.getLong(0)}, ${r.getLong(2)}) not a stage-1 candidate")
+    }
     for (qid <- got.map(_.getLong(0)).distinct) {
       val rows = got.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
       assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length),
@@ -100,11 +119,7 @@ class LlmOpsSpec extends AnyFunSuite {
       val overlaps = rows.map(_.getDouble(4)).toSeq
       assert(overlaps == overlaps.sorted.reverse, s"overlap order broken for $qid")
     }
-    // stage-1 candidates at k=10 contain the brute-force top-5, so every
-    // top-5 pair with maximal overlap can reappear; sanity: each reranked
-    // hit is a (q, candidate) pair the cosine stage could produce (not self)
     assert(got.forall(r => r.getLong(0) != r.getLong(2)))
-    assert(topk.nonEmpty)
   }
 
   test("brute-force top-k: ranks are 1..5, self excluded, cosine in [-1,1]") {
