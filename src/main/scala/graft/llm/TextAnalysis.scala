@@ -376,17 +376,28 @@ object TextAnalysis {
     */
   private[llm] def modelScored(s: SparkSession, dir: String): DataFrame = {
     val weightsLit = array(modelWeights.map(w => lit(w)): _*)
-    val bucket = (tok: Column) =>
-      md5Long(concat(lit("feat:"), tok)) % ModelBuckets
     t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
         size(col("toks")).cast("int").as("n_tokens"),
-        aggregate(col("toks"), lit(0L),
-          (acc, tk) => acc + element_at(weightsLit, (bucket(tk) + 1).cast("int")))
+        graft.functions.HashedScore(col("toks"), weightsLit, ModelSalt)
           .as("raw_score"))
   }
+
+  /** Salt prefixing every feature hash (mirrored in the oracles' hexIntSql
+    * calls).
+    */
+  val ModelSalt = "feat:"
+
+  /** The declarative scoring fold — the executable specification the
+    * native `hashed_score` expression is pinned against (HashedScoreSpec):
+    * one interpreted lambda per token, a Column-expression md5 each.
+    */
+  private[graft] def modelScoreHof(toks: Column, weights: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, tk) => acc + element_at(weights,
+        (md5Long(concat(lit(ModelSalt), tk)) % size(weights) + 1).cast("int")))
 
   /** Percentile dropped by [[calibratedQualityCut]]. */
   val CutPercentile = 0.25

@@ -93,7 +93,9 @@ class PlanSpec extends AnyFunSuite {
       "q_text_langid" -> "char_trigrams",
       "q_embed_topk" -> "dot_product",
       "q_embed_ivf2" -> "dot_product",
-      "q_p4_package_doc" -> "json_project")
+      "q_p4_package_doc" -> "json_project",
+      "q_quality_model" -> "hashed_score",
+      "q_quality_cut" -> "hashed_score")
     for ((q, fn) <- nativized) {
       val p = plan(q)
       assert(p.contains(fn), s"$q lost its native $fn expression")
