@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomBuild, BloomContains, CharTrigrams, DotProduct, HashedScore, JsonProject, KMinValues, NgramDupStats, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
+import graft.functions.{BloomBuild, BloomContains, CharTrigrams, DotProduct, HashedScore, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -80,5 +80,8 @@ object GraftCatalog {
     if (!reg.functionExists(HashedScore.identifier))
       reg.registerFunction(HashedScore.identifier, HashedScore.info,
         HashedScore.builder)
+    if (!reg.functionExists(MinhashSig.identifier))
+      reg.registerFunction(MinhashSig.identifier, MinhashSig.info,
+        MinhashSig.builder)
   }
 }

@@ -103,25 +103,18 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = MinhashK / Bands
 
-  /** MinHash signature table (doc_id, sig) from a shingled frame:
-    * signature via explode + k min-aggregates — one md5 per (doc, shingle)
-    * row, then vectorized hash aggregation with map-side partial mins; the
-    * shuffle carries only (doc_id, k minima), not shingles. Faster than the
-    * row-local array fold (no per-shingle array allocation) and the partial
-    * aggregation shape is exactly what scales on a cluster.
+  /** MinHash signature table (doc_id, sig): a row-local NATIVE expression
+    * ([[graft.functions.MinhashSig]]) — one md5 per shingle inside
+    * codegen, zero exchanges. Two earlier formulations are superseded and
+    * kept as pinned specs: the interpreted fold (TextHash.minhashSig, the
+    * semantics spec) and the explode + k min-aggregates shape (still
+    * pinned equal in LlmOpsSpec), which existed precisely because the
+    * interpreted fold lost to the exchange it avoided — the native loop
+    * beats both, and the signature becomes a scan-side projection.
     */
-  private def signatureTable(sh: DataFrame): DataFrame = {
-    val mixes = (0 until MinhashK).map { s =>
-      min((col("h") * (2 * s + 1) + s * 12582917L) % TextHash.MinhashPrime).as(s"m$s")
-    }
-    sh
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), md5Long(col("gram")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(mixes.head, mixes.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  private def signatureTable(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.MinhashSig(col("grams"), MinhashK).as("sig"))
 
   /** LSH band table (doc_id, band_idx, key) of a signature table. */
   private def bandTable(sig: DataFrame): DataFrame =

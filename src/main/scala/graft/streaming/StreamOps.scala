@@ -192,12 +192,13 @@ object StreamOps {
     *    stream.
     */
   def incrementalDedupStream(delta: DataFrame, baseIndex: DataFrame): DataFrame = {
-    import graft.llm.TextHash.{bandKey, minhashAgreement, minhashSig, shingles3, tokens}
+    import graft.llm.TextHash.{bandKey, minhashAgreement, shingles3, tokens}
     import graft.llm.Dedup.{Bands, JaccardThreshold, MinhashK, RowsPerBand}
     val r = RowsPerBand
     val bands = delta
       .select(col("doc_id").as("delta_id"),
-        minhashSig(shingles3(tokens(col("text"))), MinhashK).as("d_sig"))
+        graft.functions.MinhashSig(shingles3(tokens(col("text"))), MinhashK)
+          .as("d_sig"))
       .select(col("delta_id"), col("d_sig"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(b.as("band_idx"), bandKey(col("d_sig"), b, r).as("key"))))
