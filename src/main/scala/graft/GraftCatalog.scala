@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomBuild, BloomContains, CharTrigrams, DotProduct, HashedScore, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, SlugTruncate, TagPipeline, WordShingles}
+import graft.functions.{BloomBuild, BloomContains, CharTrigrams, DotProduct, HashedScore, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, SimhashSketch, SlugTruncate, TagPipeline, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -83,5 +83,8 @@ object GraftCatalog {
     if (!reg.functionExists(MinhashSig.identifier))
       reg.registerFunction(MinhashSig.identifier, MinhashSig.info,
         MinhashSig.builder)
+    if (!reg.functionExists(SimhashSketch.identifier))
+      reg.registerFunction(SimhashSketch.identifier, SimhashSketch.info,
+        SimhashSketch.builder)
   }
 }

@@ -267,29 +267,18 @@ object Dedup {
         col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
   }
 
-  /** SimHash sketch table (doc_id, lang, sh) via explode + 32 codegen'd
-    * vote-sum aggregates. Semantically identical to the row-local
-    * TextHash.simhash32 fold, but higher-order functions are interpreted
-    * (CodegenFallback) while hash aggregation is whole-stage codegen'd with
-    * map-side partials — the shuffle carries (doc_id, 32 longs) only.
+  /** SimHash sketch table (doc_id, lang, sh): a row-local NATIVE
+    * expression ([[graft.functions.SimhashSketch]]) — one md5 per token
+    * inside codegen, zero exchanges. The two prior formulations stay as
+    * pinned specs (the fold TextHash.simhash32 and the explode + 32
+    * vote-sum aggregates, both in SimhashSketchSpec), same supersession
+    * story as the MinHash signature: the aggregate shape only existed
+    * because the interpreted fold lost to the exchange it avoided.
     */
-  private def simhashTable(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), col("lang"), md5Long(col("w")).as("h"))
-    // (h / 2^i) is exact in double (power-of-two divisor), truncating cast
-    // = floor for non-negative h
-    val votes = (0 until 32).map { i =>
-      sum(when((col("h") / lit(1L << i)).cast("long") % 2 === 1, 1L)
-        .otherwise(-1L)).as(s"b$i")
-    }
-    val value = (0 until 32)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy(col("doc_id"), col("lang"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), col("lang"), value.as("sh"))
-  }
+  private def simhashTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.SimhashSketch(tokens(col("text"))).as("sh"))
 
   /** Max Hamming distance for a SimHash near-dup pair. */
   val SimhashMaxHamming = 6
