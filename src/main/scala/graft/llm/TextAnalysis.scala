@@ -231,10 +231,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Order-sensitive rolling-hash fingerprint per document. */
+  /** Order-sensitive rolling-hash fingerprint per document — native
+    * codegen'd pass ([[graft.functions.RollingFingerprint]]); the
+    * declarative fold (TextHash.fingerprint) stays as the pinned spec.
+    */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        graft.functions.RollingFingerprint(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
 
   /** Duplicate-trigram ceiling for the [[repetition]] keep verdict. */
