@@ -241,7 +241,7 @@ object SparkEntry {
                        CAST(len(toks) AS INT) AS n_tokens,
                        CAST(list_sum(list_transform(toks, t ->
                          ([${graft.llm.TextAnalysis.modelWeights.mkString(", ")}])[
-                           CAST(${hexIntSql("'feat:' || t")} % ${graft.llm.TextAnalysis.ModelBuckets} AS INT) + 1]))
+                           CAST(${hexIntSql(s"'${graft.llm.TextAnalysis.ModelSalt}' || t")} % ${graft.llm.TextAnalysis.ModelBuckets} AS INT) + 1]))
                          AS BIGINT) AS raw_score
                 FROM tkm)"""
 

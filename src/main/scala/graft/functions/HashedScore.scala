@@ -85,7 +85,7 @@ object HashedScore {
       HashedScore(toks, weights, s.toString)
     case other => throw new IllegalArgumentException(
       "hashed_score(toks ARRAY<STRING>, weights ARRAY<BIGINT>, salt STRING literal) " +
-        s"expects 3 arguments with a literal salt, got ${other.size}")
+        s"expects 3 arguments with a literal salt, got ${other.map(_.sql).mkString(", ")}")
   }
   val identifier: FunctionIdentifier = FunctionIdentifier("hashed_score")
 }
@@ -93,34 +93,22 @@ object HashedScore {
 /** Standalone object so generated code calls a plain static forwarder. */
 object HashedScoreOps {
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** First 8 md5 hex digits of the salted token as an unsigned 32-bit
-    * value — bit-for-bit graft.llm.TextHash.md5Long(concat(salt, tok)).
-    */
-  def md5Bucket(salt: UTF8String, tok: UTF8String, buckets: Int): Int = {
-    val md = digest.get()
-    md.reset()
-    md.update(salt.getBytes)
-    md.update(tok.getBytes)
-    val d = md.digest()
-    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (h % buckets).toInt
-  }
-
   def run(toks: ArrayData, weights: ArrayData, salt: UTF8String): java.lang.Long = {
     val n = toks.numElements()
     val buckets = weights.numElements()
+    // empty weights (degenerate API misuse the type check cannot see):
+    // return NULL rather than throw %-by-zero — the declarative fold's
+    // `% size(weights)` poisons to NULL under non-ANSI and raises under
+    // ANSI; NULL is the graceful superset of both, and the spec pins it
+    if (buckets == 0 && n > 0) return null
+    val md = Md5Ops.acquire()
     var sum = 0L
     var i = 0
     while (i < n) {
       // a NULL token poisons the fold (acc + NULL) — mirror it exactly
       if (toks.isNullAt(i)) return null
-      sum += weights.getLong(md5Bucket(salt, toks.getUTF8String(i), buckets))
+      val h = Md5Ops.md5Long32(md, salt, toks.getUTF8String(i))
+      sum += weights.getLong((h % buckets).toInt)
       i += 1
     }
     java.lang.Long.valueOf(sum)

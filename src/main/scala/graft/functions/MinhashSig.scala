@@ -77,30 +77,15 @@ object MinhashSigOps {
   /** graft.llm.TextHash.MinhashPrime — referenced, not re-stated. */
   private val Prime: Long = graft.llm.TextHash.MinhashPrime
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** First 8 md5 hex digits as an unsigned 32-bit value — bit-for-bit
-    * graft.llm.TextHash.md5Long.
-    */
-  private def md5Long32(s: UTF8String): Long = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
   def run(grams: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = grams.numElements()
+    val md = Md5Ops.acquire()
     var i = 0
     while (i < n) {
       // NULL shingle: the fold's least(acc, NULL) keeps acc — skip
       if (!grams.isNullAt(i)) {
-        val h = md5Long32(grams.getUTF8String(i))
+        val h = Md5Ops.md5Long32(md, grams.getUTF8String(i))
         var s = 0
         while (s < k) {
           val v = (h * (2L * s + 1) + s * 12582917L) % Prime
@@ -110,6 +95,8 @@ object MinhashSigOps {
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    // primitive layout — no per-element boxing on the scan hot path
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sig)
   }
 }

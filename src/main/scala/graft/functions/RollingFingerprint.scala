@@ -66,24 +66,15 @@ object RollingFingerprintOps {
 
   private val Mod = 2147483647L // 2^31 - 1, the fold's modulus
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def run(toks: ArrayData): java.lang.Long = {
     val n = toks.numElements()
+    val md = Md5Ops.acquire()
     var acc = 0L
     var i = 0
     while (i < n) {
       // a NULL token poisons the fold (acc·31 + NULL) — mirror it exactly
       if (toks.isNullAt(i)) return null
-      val md = digest.get()
-      md.reset()
-      val d = md.digest(toks.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      acc = (acc * 31 + h) % Mod
+      acc = (acc * 31 + Md5Ops.md5Long32(md, toks.getUTF8String(i))) % Mod
       i += 1
     }
     java.lang.Long.valueOf(acc)

@@ -63,14 +63,10 @@ object SimhashSketch {
 /** Standalone object so generated code calls a plain static forwarder. */
 object SimhashSketchOps {
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def run(toks: ArrayData): Long = {
     val votes = new Array[Int](32)
     val n = toks.numElements()
+    val md = Md5Ops.acquire()
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) {
@@ -78,11 +74,7 @@ object SimhashSketchOps {
         var b = 0
         while (b < 32) { votes(b) -= 1; b += 1 }
       } else {
-        val md = digest.get()
-        md.reset()
-        val d = md.digest(toks.getUTF8String(i).getBytes)
-        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h = Md5Ops.md5Long32(md, toks.getUTF8String(i))
         var b = 0
         while (b < 32) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -279,6 +279,10 @@ object Dedup {
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.functions.SimhashSketch(tokens(col("text"))).as("sh"))
+      // a NULL text yields a NULL sketch; the superseded explode+aggregate
+      // form DROPPED such docs (explode of NULL emits no rows) — keep that
+      // row-set contract so the sketch table's shape is unchanged
+      .filter(col("sh").isNotNull)
 
   /** Max Hamming distance for a SimHash near-dup pair. */
   val SimhashMaxHamming = 6

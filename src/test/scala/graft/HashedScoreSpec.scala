@@ -43,6 +43,15 @@ class HashedScoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.isEmpty, s"native/hof diverge: ${rows.mkString(", ")}")
   }
 
+  test("empty weight array yields NULL, never a divide-by-zero crash") {
+    import spark.implicits._
+    val got = Seq(1).toDF("i")
+      .select(HashedScore(array(lit("a")),
+        typedlit(Array.empty[Long]), TextAnalysis.ModelSalt).as("s"))
+      .head()
+    assert(got.isNullAt(0))
+  }
+
   test("NULL array and NULL tokens poison the sum, as the fold does") {
     import spark.implicits._
     val nullArr = spark.sql("SELECT cast(NULL AS ARRAY<STRING>) AS toks")
