@@ -5,11 +5,22 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Queries are materialized through the noop sink —
   * unlike count(), noop forces evaluation of every projected column, so the
   * timing covers the real work (string pipelines, hashes, dot products).
+  *
+  * Each query is executed `SPARK_GRAFT_BENCH_RUNS` times (default 3) at the
+  * bench SF and the reported per-query number is the MEDIAN of those runs.
+  * Rationale (round-4 verdict): a warmup pass at a smaller SF does not warm
+  * what is timed — AQE/broadcast decisions differ by scale, so the first
+  * run at the bench SF still pays cold whole-stage-codegen compilation
+  * (measured ~8 s on the JSON-heavy plan). Running the query itself N times
+  * and taking the median reports steady-state while keeping single-run
+  * GC/load spikes out of round-over-round comparisons; the per-run samples
+  * are kept in the JSON ("runs") so the cold/warm split stays auditable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,43 +32,42 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen + parquet footer listing, so startup cost is not
+    // warmup: JVM + parquet footer listing, so startup cost is not
     // attributed to the alphabetically-first query
     Tables.names.foreach { n =>
       try Tables.table(spark, sfDir, n).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    // JIT warmup: run every declared query once at the smallest SF so each
-    // timed run below measures steady-state codegen, not first-call JIT
-    // compilation (round-1 showed 2-4x bimodality on JSON-heavy queries
-    // whose Jackson/codegen paths were cold when their turn came)
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-    if (warmDir.isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-      }
-      spark.catalog.clearCache()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val runs = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // per-query caches must not leak memory pressure into later runs,
+        // and GC debt from unpersisted blocks must not land inside a later
+        // query's timed window (cleanup runs OUTSIDE the timing)
+        spark.catalog.clearCache()
+        System.gc()
+        elapsed
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // per-query caches must not leak memory pressure into later queries,
-      // and GC debt from unpersisted blocks must not land inside a later
-      // query's timed window (cleanup runs OUTSIDE the timing)
-      spark.catalog.clearCache()
-      System.gc()
-      name -> elapsed
+      (name, median(runs), runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, p50, _) => "\"" + k + f"\":$p50%.3f" }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"runs_per_query":$nRuns,"sf":"$sfDir"}"""
     println(line)
     // stdout runs through sbt's [info] prefix, which breaks line-oriented
     // JSON parsing downstream — always ALSO write the bare line to a file

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_zorder_key" -> (ZOrderOps.zorderKey _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_quality_cut" -> (TextAnalysis.calibratedQualityCut _),
+    "q_quality_cut_approx" -> (TextAnalysis.approxQualityCut _),
     "q_retrieve_rerank" -> (Similarity.retrieveRerank _),
     "q_pipeline_curate" -> ((s, dir) => Curation.pipelineCurate(s, dir)),
   )
@@ -1129,18 +1130,21 @@ object SparkEntry {
                 END AS est_distinct,
                 exact_distinct
          FROM g ORDER BY l_returnflag""",
-    // sequence packing: exclusive per-lang prefix sum of token counts →
-    // (bin, offset) arithmetic (mirrors Curation.packSequences)
+    // sequence packing: exclusive per-(lang, shard) prefix sum of token
+    // counts → per-shard bin namespace (mirrors Curation.packSequences)
     "q_pack_sequences" -> s"""
-         SELECT doc_id, lang, n_tokens,
-                CAST(floor(start_tok / ${Curation.PackBudget}) AS BIGINT) AS bin,
+         SELECT doc_id, lang, n_tokens, shard,
+                CAST(shard * ${Curation.PackShardBins}
+                     + floor(start_tok / ${Curation.PackBudget}) AS BIGINT) AS bin,
                 start_tok % ${Curation.PackBudget} AS bin_offset
-         FROM (SELECT doc_id, lang,
-                      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-                      CAST(coalesce(sum(len(string_split_regex(text, '\\s+')))
-                        OVER (PARTITION BY lang ORDER BY doc_id
+         FROM (SELECT doc_id, lang, shard, n_tokens,
+                      CAST(coalesce(sum(n_tokens)
+                        OVER (PARTITION BY lang, shard ORDER BY doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
-               FROM documents)
+               FROM (SELECT doc_id, lang,
+                            CAST(floor(doc_id / ${Curation.PackShardDocs}) AS BIGINT) AS shard,
+                            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+                     FROM documents))
          ORDER BY doc_id""",
     // stratified exact-quota sample: lowest salted-md5 ranks per language
     // (mirrors Curation.stratifiedSample)
@@ -1217,6 +1221,18 @@ object SparkEntry {
     "q_quality_cut" -> s"""
          WITH $modelScoreCtes,
          thr AS (SELECT round(quantile_cont(raw_score, ${TextAnalysis.CutPercentile}), 4)
+                          AS cutoff
+                 FROM sc)
+         SELECT doc_id, raw_score, cutoff, raw_score >= cutoff AS keep
+         FROM sc, thr ORDER BY doc_id""",
+    // sketch-calibrated cut: Spark's approx_percentile at this accuracy is
+    // rank-exact (count/accuracy < 1), returning the element at rank
+    // ceil(q*n) — the same element DuckDB's quantile_disc picks for q=0.25
+    // (mirrors TextAnalysis.approxQualityCut; scoring CTE is
+    // q_quality_model's)
+    "q_quality_cut_approx" -> s"""
+         WITH $modelScoreCtes,
+         thr AS (SELECT quantile_disc(raw_score, ${TextAnalysis.CutPercentile})
                           AS cutoff
                  FROM sc)
          SELECT doc_id, raw_score, cutoff, raw_score >= cutoff AS keep

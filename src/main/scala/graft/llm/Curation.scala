@@ -229,32 +229,52 @@ object Curation {
   /** Tokens per packed training sequence. */
   val PackBudget = 512
 
+  /** Documents per packing shard: each (lang, shard) stream is packed by
+    * its own window, so no reducer ever sees more than [[PackShardDocs]]
+    * documents regardless of corpus size.
+    */
+  val PackShardDocs = 200
+
+  /** Bin-namespace stride per shard: shard k owns bins
+    * [k·stride, (k+1)·stride). 2^20 bins of [[PackBudget]] tokens is
+    * ~5·10^8 tokens of namespace per shard — far above what
+    * [[PackShardDocs]] documents can fill, so namespaces never collide.
+    */
+  val PackShardBins = 1L << 20
+
   /** Sequence packing: the tokenizer-adjacent step that concatenates the
     * document stream per language and cuts fixed [[PackBudget]]-token
     * training sequences — each document learns which sequence (bin) it
     * starts in and at which token offset. Pure window arithmetic over the
-    * running token total: the exclusive prefix sum IS the document's global
-    * token position, so bin = position div budget and offset = position mod
-    * budget — no iteration, no driver state, reproducible from (lang,
-    * doc_id) order alone.
+    * running token total: the exclusive prefix sum IS the document's token
+    * position within its stream, so bin = position div budget and offset =
+    * position mod budget — no iteration, no driver state, reproducible
+    * from (lang, shard, doc_id) order alone.
     *
-    * Scale shape: one window per language stream. A single global stream
-    * would serialize on one reducer; per-lang streams parallelize across
-    * languages, and a real run shards further (pack per (lang, doc_id
-    * range) with per-shard bin namespaces) so no reducer sees more than a
-    * shard — same arithmetic, narrower windows.
+    * Scale shape: deterministic doc_id-range SHARDS within each language
+    * ([[PackShardDocs]] docs per shard), window per (lang, shard), each
+    * shard packing into its own bin namespace ([[PackShardBins]] stride).
+    * A per-language window would serialize each language's whole corpus
+    * through one reducer — the dominant language IS the corpus at 100 TB;
+    * sharding bounds every window partition at a constant row count while
+    * keeping the same arithmetic. The trade is declared, not hidden: the
+    * last bin of each shard may be partially filled (bins never span a
+    * shard boundary), the standard padding cost of parallel packing.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stream = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val stream = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        floor(col("doc_id") / PackShardDocs).cast("long").as("shard"))
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(stream), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        floor(col("start_tok") / PackBudget).cast("long").as("bin"),
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"),
+        (col("shard") * PackShardBins
+          + floor(col("start_tok") / PackBudget)).cast("long").as("bin"),
         (col("start_tok") % PackBudget).as("bin_offset"))
       .orderBy("doc_id")
   }

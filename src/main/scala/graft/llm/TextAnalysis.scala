@@ -406,6 +406,14 @@ object TextAnalysis {
   /** Percentile dropped by [[calibratedQualityCut]]. */
   val CutPercentile = 0.25
 
+  /** Sketch accuracy for [[approxQualityCut]]: rank error is bounded by
+    * count/accuracy with O(accuracy·log(count)) aggregation state — the
+    * bounded-memory replacement for the exact aggregate's buffer-everything
+    * behavior. At the harness SFs count/accuracy < 1, so the sketch is
+    * rank-EXACT and the DuckDB oracle can pin the discrete quantile value.
+    */
+  val CutApproxAccuracy = 10000
+
   /** Distribution-calibrated quality cut — the two-pass "calibrate, then
     * apply" pattern a corpus refresh runs when the keep policy is "drop the
     * worst quartile" rather than a fixed threshold (fixed thresholds drift
@@ -413,18 +421,41 @@ object TextAnalysis {
     * reduces the score column to ONE scalar (the [[CutPercentile]]
     * percentile), pass 2 broadcasts it back over the corpus as a row-local
     * verdict. Exact `percentile` over the integer scores keeps the oracle
-    * engine-exact (same contract as the quantile aggregations); at 100 TB
-    * the drop-in is `approx_percentile` with a stated accuracy — the plan
-    * shape (reduce to scalar, broadcast, filter at scan speed) is
-    * identical.
+    * engine-exact (same contract as the quantile aggregations);
+    * [[approxQualityCut]] is the bounded-state 100-TB form of the same
+    * plan.
     */
-  def calibratedQualityCut(s: SparkSession, dir: String): DataFrame = {
+  def calibratedQualityCut(s: SparkSession, dir: String): DataFrame =
+    calibratedCut(s, dir, exact = true)
+
+  /** The 100-TB form of [[calibratedQualityCut]]: identical two-pass plan
+    * shape (reduce to one scalar, broadcast it back, verdict at scan
+    * speed) with `approx_percentile` in place of the exact aggregate — the
+    * exact `percentile` buffers every value in aggregation state, the
+    * sketch carries O([[CutApproxAccuracy]]) mergeable state through the
+    * shuffle. The cutoff is a discrete element of the score distribution
+    * (rank ceil(q·n)), which DuckDB's `quantile_disc` selects identically
+    * at every q·n alignment for q=0.25 — so this path is value-oracled,
+    * not just differentially checked. Exact-vs-approx verdicts can differ
+    * ONLY for documents sitting exactly on the discrete cutoff element
+    * (the continuous quantile interpolates past it); CutEstimatorSpec pins
+    * that boundary as the sole permitted divergence — anything further is
+    * sketch error.
+    */
+  def approxQualityCut(s: SparkSession, dir: String): DataFrame =
+    calibratedCut(s, dir, exact = false)
+
+  private def calibratedCut(s: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     // both passes read the scored frame (percentile aggregate + verdict
     // projection) — uncached, the tokenize + per-token md5 scoring scan
     // would run twice; lifecycle per the Dedup module's cache contract
     val sc = modelScored(s, dir).cache()
-    val thr = sc.agg(
-      round(percentile(col("raw_score"), lit(CutPercentile)), 4).as("cutoff"))
+    val cutoff =
+      if (exact) round(percentile(col("raw_score"), lit(CutPercentile)), 4)
+      else approx_percentile(col("raw_score"), lit(CutPercentile),
+        lit(CutApproxAccuracy))
+    val thr = sc.agg(cutoff.as("cutoff"))
     sc.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("raw_score"), col("cutoff"),
         (col("raw_score") >= col("cutoff")).as("keep"))

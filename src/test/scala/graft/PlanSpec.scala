@@ -187,8 +187,19 @@ class PlanSpec extends AnyFunSuite {
   test("sequence packing is one window shuffle plus the output sort") {
     val p = plan("q_pack_sequences")
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
-    assert(exchanges == 2, s"expected lang-window shuffle + final sort, got $exchanges:\n${p.take(1500)}")
+    assert(exchanges == 2, s"expected (lang,shard)-window shuffle + final sort, got $exchanges:\n${p.take(1500)}")
     assert(!p.contains("Join"), "packing must not join")
+  }
+
+  test("sequence packing windows by (lang, shard), never bare lang") {
+    val p = plan("q_pack_sequences")
+    // a window partitioned by lang alone serializes the dominant language
+    // through one reducer; the shard key must be inside the partition spec
+    val bareLang = "windowspecdefinition\\(lang#\\d+, doc_id".r
+    assert(bareLang.findFirstIn(p).isEmpty,
+      s"found a window partitioned by bare lang:\n${p.take(1500)}")
+    assert("windowspecdefinition\\(lang#\\d+, shard#".r.findFirstIn(p).nonEmpty,
+      s"expected the (lang, shard) window spec:\n${p.take(1500)}")
   }
 
   test("bloom decontamination probes in codegen and never sort-merges") {

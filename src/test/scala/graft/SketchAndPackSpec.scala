@@ -99,20 +99,29 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
-  test("sequence packing: offsets advance by token count within a language stream") {
+  test("sequence packing: offsets advance by token count within a (lang, shard) stream") {
     val out = Curation.packSequences(spark, dir).cache()
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    // position within the shard's own bin namespace
+    val localPos = (col("bin") - col("shard") * Curation.PackShardBins) *
+      Curation.PackBudget + col("bin_offset")
     val bad = out
-      .withColumn("prev_global",
-        lag(col("bin") * Curation.PackBudget + col("bin_offset") + col("n_tokens"), 1)
-          .over(w))
-      .filter(col("prev_global").isNotNull &&
-        col("prev_global") =!= col("bin") * Curation.PackBudget + col("bin_offset"))
-    assert(bad.count() == 0, "global token positions must be contiguous per lang")
+      .withColumn("prev_end", lag(localPos + col("n_tokens"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("prev_end") =!= localPos)
+    assert(bad.count() == 0,
+      "token positions must be contiguous within each (lang, shard) stream")
     // offsets stay inside the budget
     assert(out.filter(col("bin_offset") < 0 ||
       col("bin_offset") >= Curation.PackBudget).count() == 0)
+    // bin namespaces are disjoint: every bin lands inside its shard's range
+    assert(out.filter(
+      floor(col("bin") / Curation.PackShardBins).cast("long") =!= col("shard"))
+      .count() == 0, "a bin escaped its shard's namespace")
+    // shards are the declared doc_id ranges
+    assert(out.filter(
+      floor(col("doc_id") / Curation.PackShardDocs).cast("long") =!= col("shard"))
+      .count() == 0)
     out.unpersist()
   }
 
