@@ -7,16 +7,30 @@ import org.apache.spark.sql.SparkSession
   * timing covers the real work (string pipelines, hashes, dot products).
   *
   * Each query is executed `SPARK_GRAFT_BENCH_RUNS` times (default 3) at the
-  * bench SF and the reported per-query number is the MEDIAN of those runs.
-  * Rationale (round-4 verdict): a warmup pass at a smaller SF does not warm
-  * what is timed — AQE/broadcast decisions differ by scale, so the first
-  * run at the bench SF still pays cold whole-stage-codegen compilation
-  * (measured ~8 s on the JSON-heavy plan). Running the query itself N times
-  * and taking the median reports steady-state while keeping single-run
-  * GC/load spikes out of round-over-round comparisons; the per-run samples
-  * are kept in the JSON ("runs") so the cold/warm split stays auditable.
+  * bench SF; the reported per-query number is the MEDIAN of those runs and
+  * the MIN is reported alongside ("queries_min"). Rationale (round-4/5
+  * verdicts): a warmup pass at a smaller SF does not warm what is timed —
+  * AQE/broadcast decisions differ by scale, so the first run at the bench
+  * SF still pays cold whole-stage-codegen compilation (measured ~8 s on the
+  * JSON-heavy plan). The median reports steady-state while keeping
+  * single-run GC spikes out of round-over-round comparisons; the min is the
+  * load-robust statistic for a fixed workload — under sustained host load
+  * every run inflates roughly uniformly (round 5 recorded a uniform ~3×),
+  * and the min of N is the least-contaminated sample. The machine's
+  * /proc/loadavg is recorded before and after the run ("loadavg") so a
+  * contaminated record is detectable from the JSON alone.
+  *
+  * A run that THROWS is recorded as null in "runs" and excluded from the
+  * median/min — a fast failure must never read as a speedup. Queries with
+  * any failed run are listed in "failed" (name → failure count); a query
+  * whose every run failed reports null in "queries"/"queries_min" and
+  * contributes nothing to "value".
   */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,6 +46,7 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadavg()
     // warmup: JVM + parquet footer listing, so startup cost is not
     // attributed to the alphabetically-first query
     Tables.names.foreach { n =>
@@ -44,30 +59,40 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to nRuns).map { _ =>
+      val runs: Seq[Option[Double]] = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // per-query caches must not leak memory pressure into later runs,
         // and GC debt from unpersisted blocks must not land inside a later
         // query's timed window (cleanup runs OUTSIDE the timing)
         spark.catalog.clearCache()
         System.gc()
-        elapsed
+        if (ok) Some(elapsed) else None
       }
-      (name, median(runs), runs)
+      val good = runs.flatten
+      (name, good.headOption.map(_ => median(good)), good.minOption, runs)
     }
-    val qs = results.map { case (k, p50, _) => "\"" + k + f"\":$p50%.3f" }
+    def numOrNull(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
+    val qs = results.map { case (k, p50, _, _) => "\"" + k + "\":" + numOrNull(p50) }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, rs) =>
-      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val qsMin = results.map { case (k, _, mn, _) => "\"" + k + "\":" + numOrNull(mn) }
+      .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.map(numOrNull).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, _, rs) if rs.exists(_.isEmpty) =>
+      "\"" + k + "\":" + rs.count(_.isEmpty)
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val loadAfter = loadavg()
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"runs_per_query":$nRuns,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
     println(line)
     // stdout runs through sbt's [info] prefix, which breaks line-oriented
     // JSON parsing downstream — always ALSO write the bare line to a file

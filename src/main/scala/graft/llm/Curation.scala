@@ -273,8 +273,16 @@ object Curation {
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(stream), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"),
-        (col("shard") * PackShardBins
-          + floor(col("start_tok") / PackBudget)).cast("long").as("bin"),
+        (col("shard") * PackShardBins + {
+          // namespace-overflow guard: disjointness of per-shard bin ranges
+          // assumes a shard's stream stays under PackShardBins·PackBudget
+          // (~5·10^8) tokens; a shard of unusually large documents must
+          // fail LOUDLY here, not silently pack into its neighbor's bins
+          val binLocal = floor(col("start_tok") / PackBudget).cast("long")
+          when(binLocal < PackShardBins, binLocal).otherwise(raise_error(
+            format_string("pack shard overflow: start_tok=%d exceeds the " +
+              s"$PackShardBins-bin namespace", col("start_tok"))))
+        }).cast("long").as("bin"),
         (col("start_tok") % PackBudget).as("bin_offset"))
       .orderBy("doc_id")
   }

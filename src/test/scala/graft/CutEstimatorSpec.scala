@@ -51,9 +51,14 @@ class CutEstimatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx cutoff is the discrete P25 element of the score distribution") {
+    // derived from the SAME constant the production cut uses — changing
+    // TextAnalysis.CutPercentile re-derives this expectation, and the
+    // q_quality_cut_approx DuckDB oracle (quantile_disc at the same q) must
+    // be re-checked against the ceil(q*n) rank alignment asserted here
+    val q = TextAnalysis.CutPercentile
     val scores = TextAnalysis.modelQualityScore(spark, dir)
       .select(col("raw_score")).collect().map(_.getLong(0)).sorted
-    val expected = scores(math.ceil(0.25 * scores.length).toInt - 1)
+    val expected = scores(math.ceil(q * scores.length).toInt - 1)
     val got = TextAnalysis.approxQualityCut(spark, dir)
       .select(col("cutoff")).head().getLong(0)
     assert(got == expected,
