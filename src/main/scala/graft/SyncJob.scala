@@ -29,4 +29,33 @@ object SyncJob {
       .orderBy("o_orderkey")
     Result(packages, SyncPipeline.mergeActions(s, dir))
   }
+
+  /** Step 5 — apply the classified sets to a target through any
+    * [[graft.sources.ActionSink]] tier (JDBC or the reference's REST
+    * surface). The action table is tiny relative to the corpus (changed
+    * keys only), so it broadcasts into semi-joins against the assembled
+    * packages — the payload side never shuffles.
+    */
+  def applyActions(packages: DataFrame, actions: DataFrame, keyCol: String,
+      sink: graft.sources.ActionSink): Unit = {
+    def keysFor(a: String) =
+      broadcast(actions.filter(col("action") === a).select(col("key")))
+    def payload(a: String) =
+      packages.join(keysFor(a), packages(keyCol) === col("key"), "left_semi")
+    sink.create(payload("create"))
+    sink.update(payload("update"))
+    sink.delete(actions.filter(col("action") === "delete").select(col("key")))
+  }
+
+  /** The full lifecycle ending at an external target: gather → import →
+    * assemble → merge-classify → push. With an [[graft.sources.HttpSink]]
+    * this is the reference's complete harvester
+    * (`/root/reference/odgovlt.py:355-367,373-407`) as one call.
+    */
+  def push(s: SparkSession, dir: String, stagingDir: String,
+      sink: graft.sources.ActionSink): Result = {
+    val r = run(s, dir, stagingDir)
+    applyActions(r.packages, r.actions, "o_orderkey", sink)
+    r
+  }
 }
