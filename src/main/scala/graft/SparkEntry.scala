@@ -1010,12 +1010,27 @@ object SparkEntry {
                 CAST(n_chars % 480 AS INT) AS height,
                 'fake/rgb8' AS format
          FROM documents ORDER BY doc_id""",
+    // the oracle RE-DERIVES every decoded field from the fixture's
+    // generating arithmetic (format by doc_id%3, dimensions from n_chars,
+    // +33 header bytes) without touching the container bytes — so the
+    // Spark side's actual PNG/JPEG header parse is checked value-by-value
     "q_mm_decode" ->
-      """SELECT doc_id,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                round(list_sum(list_transform(string_split(text, ''),
-                        c -> unicode(c)))::DOUBLE
-                      / octet_length(encode(text))::DOUBLE, 6) AS mean_byte
+      s"""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown'
+                END AS format,
+                CASE WHEN doc_id % 3 < 2 THEN CAST(n_chars % 640 AS INT) END AS width,
+                CASE WHEN doc_id % 3 < 2 THEN CAST(n_chars % 480 AS INT) END AS height,
+                CASE WHEN doc_id % 3 < 2 THEN CAST(8 AS INT) END AS bit_depth,
+                CAST(octet_length(encode(text))
+                     + CASE WHEN doc_id % 3 < 2
+                            THEN ${graft.ops.MediaCodec.HeaderBytes} ELSE 0 END
+                     AS BIGINT) AS n_bytes,
+                CASE WHEN doc_id % 3 = 2 THEN
+                  round(list_sum(list_transform(string_split(text, ''),
+                          c -> unicode(c)))::DOUBLE
+                        / octet_length(encode(text))::DOUBLE, 6)
+                END AS mean_byte
          FROM documents ORDER BY doc_id""",
     // text is ASCII, so byte-slicing the blob equals char-slicing the text
     "q_mm_frames" -> s"""

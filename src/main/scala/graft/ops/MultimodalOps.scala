@@ -7,15 +7,17 @@ import graft.Tables.{table => t}
 
 /** Multimodal-column plumbing (SURVEY.md §2.11): images/audio/video as
   * opaque `binary` columns with typed metadata, batch-shaped feature
-  * extraction, and deterministic stand-ins for the actual codecs.
+  * extraction, and REAL header decode.
   *
-  * The container has no image/audio libraries, so the DECODE STEP IS A
-  * STUB — `fakeDecode` derives deterministic pseudo-features from the
-  * bytes. Everything around it is real and tested: the binary schema, the
-  * metadata struct, partition-preserving batched execution
-  * (`mapPartitions` over fixed-size batches — the JVM analog of a Pandas
-  * UDF over mapInPandas, same batch shape, same columnar hand-off point),
-  * and scan-local expression-based feature columns.
+  * The decode path parses genuine container bytes — PNG IHDR and JPEG SOF
+  * headers via [[MediaCodec]] (width/height/bit depth from the bytes, no
+  * codec library needed); only full PIXEL decode would need an image
+  * library the container lacks, and unknown formats fall back to
+  * deterministic byte statistics. Everything around it is real and tested:
+  * the binary schema, the metadata struct, partition-preserving batched
+  * execution (`mapPartitions` over fixed-size batches — the JVM analog of
+  * a Pandas UDF over mapInPandas, same batch shape, same columnar hand-off
+  * point), and scan-local expression-based feature columns.
   *
   * At 100 TB: blobs stay in their parquet row groups (no shuffle), feature
   * extraction is embarrassingly parallel per partition, and the batch size
@@ -54,20 +56,51 @@ object MultimodalOps {
         col("meta.format").as("format"))
       .orderBy("doc_id")
 
+  private val mediaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("blob", BinaryType)))
+
+  /** Fixture media table: deterministic REAL container bytes per document —
+    * doc_id % 3 picks PNG / JPEG / raw-text "unknown", dimensions derive
+    * from n_chars with the same arithmetic [[blobTable]] uses, the
+    * document's text bytes ride as the payload stream. Spec-exact headers
+    * ([[MediaCodec]]: valid PNG CRC, real JFIF APP0 + SOF0) so the decode
+    * path parses genuine container structure, not a private convention.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nc = r.getInt(2)
+          val blob = (id % 3) match {
+            case 0 => MediaCodec.pngBytes(nc % 640, nc % 480, 8, payload)
+            case 1 => MediaCodec.jpegBytes(nc % 640, nc % 480, 8, payload)
+            case _ => payload
+          }
+          Row(id, blob)
+        }
+      }(enc)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("mean_byte", DoubleType),
+    StructField("format", StringType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("mean_byte", DoubleType)))
 
-  /** STUB for the real decoder: a deterministic fake that consumes the
-    * bytes the way a codec would (full scan of the blob) and emits
-    * fixed-shape features. Replace the body with the real
-    * image/audio decode when the codec library is available — the
-    * surrounding batching/schema contract stays identical.
+  /** Fallback for blobs no header parser recognizes: deterministic
+    * byte-statistics features (full scan of the blob, the access pattern a
+    * codec has). Only the UNKNOWN-format branch of [[decodeFeatures]] —
+    * PNG/JPEG take the real parse.
     */
-  private def fakeDecode(blob: Array[Byte], width: Int, height: Int): (Long, Double) = {
+  private def fallbackStats(blob: Array[Byte]): (Long, Double) = {
     var sum = 0L
     var i = 0
     while (i < blob.length) { sum += (blob(i) & 0xff); i += 1 }
@@ -75,34 +108,48 @@ object MultimodalOps {
   }
 
   /** Batched decode over partitions: groups rows into fixed-size batches
-    * before invoking the (stubbed) codec — the exact execution shape of a
-    * vectorized Python UDF, minus the interpreter. Partitioning of the
-    * input is preserved; no shuffle.
+    * before invoking the codec — the exact execution shape of a vectorized
+    * Python UDF, minus the interpreter. The codec is
+    * [[MediaCodec.decodeHeader]]: real PNG IHDR / JPEG SOF byte parsing
+    * (width, height, bit depth from the container bytes); unrecognized
+    * formats fall back to byte statistics. Partitioning of the input is
+    * preserved; no shuffle.
     */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
-    val input = blobTable(s, dir)
+    val input = mediaTable(s, dir)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     input.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
-        // batch boundary = codec invocation boundary (a real decoder would
-        // hand the whole batch to native code here)
+        // batch boundary = codec invocation boundary (a full pixel decoder
+        // would hand the whole batch to native code here)
         batch.iterator.map { r =>
-          val blob = r.getAs[Array[Byte]]("blob")
-          val meta = r.getAs[Row]("meta")
-          val (n, mean) = fakeDecode(blob, meta.getInt(0), meta.getInt(1))
-          Row(r.getLong(0), n, mean, meta.getInt(0), meta.getInt(1))
+          // positional access: rows off a chained mapPartitions are
+          // schemaless GenericRow ((doc_id, blob) per mediaSchema)
+          val blob = r.getAs[Array[Byte]](1)
+          MediaCodec.decodeHeader(blob) match {
+            case Some(h) =>
+              Row(r.getLong(0), h.format, h.width, h.height, h.bitDepth,
+                blob.length.toLong, null)
+            case None =>
+              val (n, mean) = fallbackStats(blob)
+              Row(r.getLong(0), "unknown", null, null, null, n, mean)
+          }
         }
       }
     }(enc).orderBy("doc_id")
   }
 
-  /** Declared query: the mapPartitions decode path, projected to
-    * oracle-expressible features (mean byte value of ASCII text is exact
-    * integer arithmetic in any engine).
+  /** Declared query: the mapPartitions decode path. Every field is
+    * independently recomputable by the oracle (the fixture's dimensions
+    * derive from n_chars, headers add exactly
+    * [[MediaCodec.HeaderBytes]] bytes, unknown-format mean byte is exact
+    * integer arithmetic over ASCII text) — so a parser that misreads any
+    * header offset value-mismatches.
     */
   def mmDecode(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(s, dir)
-      .select(col("doc_id"), col("n_bytes"),
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("bit_depth"), col("n_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"))
       .orderBy("doc_id")
 

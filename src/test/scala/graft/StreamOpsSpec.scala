@@ -237,15 +237,30 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: batched mapPartitions decode agrees with expression path") {
+  test("multimodal: batched mapPartitions decode parses the synthesized headers") {
+    // the expression path computes dimensions from n_chars; the decode path
+    // must recover the SAME numbers by parsing the container bytes
     val exprPath = MultimodalOps.features(spark, sf)
-      .select("doc_id", "n_bytes").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("doc_id", "n_bytes", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
     val decoded = MultimodalOps.decodeFeatures(spark, sf).collect()
     assert(decoded.length == exprPath.size)
     decoded.foreach { r =>
-      assert(r.getLong(1) == exprPath(r.getLong(0)))
-      assert(r.getDouble(2) > 0 && r.getDouble(2) < 256)
+      val id = r.getLong(0)
+      val (nText, w, h) = exprPath(id)
+      r.getString(1) match {
+        case f @ ("png" | "jpeg") =>
+          assert((id % 3 == 0) == (f == "png"))
+          assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == 8)
+          assert(r.getLong(5) == nText + graft.ops.MediaCodec.HeaderBytes)
+          assert(r.isNullAt(6), "parsed formats carry no fallback stats")
+        case "unknown" =>
+          assert(id % 3 == 2)
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+          assert(r.getLong(5) == nText)
+          assert(r.getDouble(6) > 0 && r.getDouble(6) < 256)
+        case other => fail(s"unexpected format $other")
+      }
     }
   }
 
