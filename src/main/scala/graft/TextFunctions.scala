@@ -20,24 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** ASCII transliteration map (the `unidecode` call at odgovlt.py:44),
-    * restricted to the Latin repertoire the legacy portal uses: Lithuanian
-    * diacritics plus common Latin-1 / Latin-Extended-A. 1:1 chars via
-    * `translate` (codegen'd); the only 1:n case (ß→ss) is a regexp_replace.
+  /** Transliterate to ASCII (the `unidecode` call at odgovlt.py:44): a
+    * native codegen'd expression ([[graft.functions.Unidecode]]) covering
+    * the Lithuanian/Latin repertoire (byte-identical to the former
+    * `translate` chain), Cyrillic and Greek romanization in Python
+    * unidecode's conventions, and an NFD combining-mark-strip fallback for
+    * everything decomposable. Unknown scripts pass through to slugify's
+    * `[^\w\s-]` strip.
     */
-  private val translitFrom =
-    "ąčęėįšųūžĄČĘĖĮŠŲŪŽ" +
-    "àáâãäåāăèéêëēĕėęěìíîïĩīĭįòóôõöøōŏőùúûüũūŭůűçćĉċčďđñńņňĝğġģĥħĵķĺļľŀłŕŗřśŝşšţťŧŵŷýÿźżž" +
-    "ÀÁÂÃÄÅĀĂÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖØŌŎŐÙÚÛÜŨŪŬŮŰÇĆĈĊČĎĐÑŃŅŇĜĞĠĢĤĦĴĶĹĻĽĿŁŔŖŘŚŜŞŠŢŤŦŴŶÝŸŹŻŽ"
-  private val translitTo =
-    "aceeisuuzACEEISUUZ" +
-    "aaaaaaaaeeeeeeeeeiiiiiiiiooooooooouuuuuuuuucccccddnnnngggghhjklllllrrrsssstttwyyyzzz" +
-    "AAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOOUUUUUUUUUCCCCCDDNNNNGGGGHHJKLLLLLRRRSSSSTTTWYYYZZZ"
-  require(translitFrom.length == translitTo.length)
-
-  /** Transliterate to ASCII (unidecode analog). */
-  def unidecode(c: Column): Column =
-    translate(regexp_replace(c, "ß", "ss"), translitFrom, translitTo)
+  def unidecode(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.Unidecode(GraftBridge.expression(c)))
+  }
 
   /** Lowercase the first letter iff the value starts UpperLower (two cased
     * alphabetic chars, `Xx...`): `Title` → `title`, `ACRONYM` unchanged.

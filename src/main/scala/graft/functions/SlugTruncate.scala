@@ -55,5 +55,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((DotProduct.identifier, DotProduct.info, DotProduct.builder))
     ext.injectFunction((WordShingles.identifier, WordShingles.info, WordShingles.builder))
     ext.injectFunction((QuantizeInt8.identifier, QuantizeInt8.info, QuantizeInt8.builder))
+    ext.injectFunction((Unidecode.identifier, Unidecode.info, Unidecode.builder))
   }
 }
