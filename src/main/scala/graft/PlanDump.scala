@@ -2,16 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Regenerates the PLANS.md physical-plan snapshots:
-  * `sbt "runMain graft.PlanDump <sfDir> <query> [query ...]"` — prints each
-  * query's executed plan in a markdown section.
+/** Dev tool: print the executed plan of declared queries, for PLANS.md
+  * snapshots and plan review.
+  *
+  *   sbt "runMain graft.PlanDump q_pack_sequences [q_other ...]"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.01 — PLANS.md's snapshot scale).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names =
-      if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -19,11 +19,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
-      println(s"[plandump] ## $n\n[plandump] ```")
-      p.linesIterator.foreach(l => println(s"[plandump] $l"))
-      println("[plandump] ```\n[plandump]")
+      println(s"\n## $n")
+      println("```")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString.trim)
+      println("```")
     }
     spark.stop()
   }
