@@ -23,8 +23,9 @@ import org.apache.spark.sql.SparkSession
   * A run that THROWS is recorded as null in "runs" and excluded from the
   * median/min — a fast failure must never read as a speedup. Queries with
   * any failed run are listed in "failed" (name → failure count); a query
-  * whose every run failed reports null in "queries"/"queries_min" and
-  * contributes nothing to "value".
+  * whose every run failed reports null in "queries"/"queries_min", and the
+  * headline "value" itself becomes null — a completely broken query must
+  * not shrink the total and read as a round-over-round improvement.
   */
 object Bench {
   private def loadavg(): String =
@@ -89,10 +90,14 @@ object Bench {
     val failed = results.collect { case (k, _, _, rs) if rs.exists(_.isEmpty) =>
       "\"" + k + "\":" + rs.count(_.isEmpty)
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    // a query with zero successful runs poisons the headline: a total that
+    // silently omits it would report breakage as a speedup
+    val totalStr =
+      if (results.exists(_._2.isEmpty)) "null"
+      else f"${results.flatMap(_._2).sum}%.3f"
     val loadAfter = loadavg()
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
     println(line)
     // stdout runs through sbt's [info] prefix, which breaks line-oriented
     // JSON parsing downstream — always ALSO write the bare line to a file

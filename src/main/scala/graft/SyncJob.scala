@@ -38,13 +38,27 @@ object SyncJob {
     */
   def applyActions(packages: DataFrame, actions: DataFrame, keyCol: String,
       sink: graft.sources.ActionSink): Unit = {
-    def keysFor(a: String) =
-      broadcast(actions.filter(col("action") === a).select(col("key")))
-    def payload(a: String) =
-      packages.join(keysFor(a), packages(keyCol) === col("key"), "left_semi")
-    sink.create(payload("create"))
-    sink.update(payload("update"))
-    sink.delete(actions.filter(col("action") === "delete").select(col("key")))
+    // Each sink verb is its own Spark action, so without materialization the
+    // assembled-packages lineage (four joins + slug/tag pipelines) would
+    // recompute per verb. Join ONCE against all non-delete actions and
+    // persist the result: it holds only the changed rows — small relative to
+    // the corpus by the merge's nature — so the cache is cheap and create /
+    // update are two filters over the same materialized frame.
+    val acts = actions.persist()
+    val upserts = acts.filter(col("action") =!= "delete")
+      .select(col("key"), col("action").as("__action"))
+    val payload = packages
+      .join(broadcast(upserts), packages(keyCol) === upserts("key"), "inner")
+      .drop(upserts("key")) // by reference: keyCol itself may be named "key"
+      .persist()
+    try {
+      sink.create(payload.filter(col("__action") === "create").drop("__action"))
+      sink.update(payload.filter(col("__action") === "update").drop("__action"))
+      sink.delete(acts.filter(col("action") === "delete").select(col("key")))
+    } finally {
+      payload.unpersist()
+      acts.unpersist()
+    }
   }
 
   /** The full lifecycle ending at an external target: gather → import →

@@ -102,14 +102,16 @@ object UnidecodeOps {
 
   /** Static entry point shared by eval and generated code. */
   def ascii(s: UTF8String): UTF8String = {
+    // fast path: a string is pure ASCII iff none of its UTF-8 bytes has the
+    // high bit set, so the common case (most of any corpus) is decided on
+    // the raw bytes without decoding to UTF-16 — genuinely allocation-free
+    val n = s.numBytes
+    var b = 0
+    while (b < n && s.getByte(b) >= 0) b += 1
+    if (b == n) return s
     val in = s.toString
-    // fast path: pure-ASCII input (most of any corpus) allocates nothing
-    var i = 0
-    var isAscii = true
-    while (isAscii && i < in.length) { isAscii = in.charAt(i) < 0x80; i += 1 }
-    if (isAscii) return s
     val sb = new java.lang.StringBuilder(in.length + 8)
-    i = 0
+    var i = 0
     while (i < in.length) { appendChar(sb, in.charAt(i), 0); i += 1 }
     UTF8String.fromString(sb.toString)
   }

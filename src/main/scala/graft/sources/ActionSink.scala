@@ -57,6 +57,11 @@ final case class JdbcActionSink(
   override def update(df: DataFrame): Unit =
     JdbcSink.upsert(df, url, table, keyCols, batchSize, dialect)
 
-  override def delete(df: DataFrame): Unit =
-    JdbcSink.deleteByKey(df, url, table, keyCols.head, batchSize, dialect)
+  override def delete(df: DataFrame): Unit = {
+    // the contract hands delete a single key column under whatever name the
+    // caller computed ("key" from SyncJob.applyActions); the statement needs
+    // it under the target table's key-column name
+    val keyed = df.withColumnRenamed(df.schema.fieldNames.head, keyCols.head)
+    JdbcSink.deleteByKey(keyed, url, table, keyCols.head, batchSize, dialect)
+  }
 }

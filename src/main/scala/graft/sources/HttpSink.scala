@@ -64,8 +64,8 @@ final case class HttpSink(
     */
   private def post(rows: org.apache.spark.sql.Dataset[String], action: String,
       fallbackOn: Int, fallback: Option[String]): Unit = {
-    val (base, ent, key, batch, retries, backoff, timeout) =
-      (baseUrl, entity, apiKey, batchSize, maxRetries, retryBaseMs, timeoutMs)
+    val (base, key, batch, retries, backoff, timeout) =
+      (baseUrl, apiKey, batchSize, maxRetries, retryBaseMs, timeoutMs)
     val fb = fallback
     rows.foreachPartition { it: Iterator[String] =>
       if (it.nonEmpty) {

@@ -61,5 +61,10 @@ class GraftCatalogSpec extends AnyFunSuite {
       SELECT ngram_dup_stats(split(text, '\\s+')) AS st
       FROM documents ORDER BY doc_id LIMIT 1""").head().getStruct(0)
     assert(rep.getInt(0) > 0 && rep.getDouble(1) >= 0.0 && rep.getDouble(2) >= 0.0)
+    // the transliteration expression resolves from SQL (the catalog path,
+    // not only the GraftExtensions injection path)
+    val uni = spark.sql(
+      "SELECT unidecode('Žalgiris Москва θερμός plain') AS t").head().getString(0)
+    assert(uni === "Zalgiris Moskva thermos plain", uni)
   }
 }

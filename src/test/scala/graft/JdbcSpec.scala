@@ -143,6 +143,24 @@ class JdbcSpec extends AnyFunSuite {
     assert(got === Seq(1 -> "harvest"))
   }
 
+  test("K3-K5 through the ActionSink trait: SyncJob.applyActions drives the JDBC tier") {
+    import spark.implicits._
+    exec(
+      """CREATE TABLE t_act ("KEY" INT PRIMARY KEY, "ORDER" VARCHAR(30))""",
+      """INSERT INTO t_act VALUES (2, 'stale-2'), (5, 'doomed-5')""")
+    // keyCol deliberately named "key" — the same name applyActions uses for
+    // the action-set key column, so this also pins the by-reference drop
+    val packages = Seq((1, "fresh-1"), (2, "fresh-2"), (9, "untouched-9"))
+      .toDF("key", "order")
+    val actions = Seq((1, "create"), (2, "update"), (5, "delete"))
+      .toDF("key", "action")
+    SyncJob.applyActions(packages, actions, "key",
+      graft.sources.JdbcActionSink(url, "t_act", Seq("key"),
+        JdbcSink.DerbyDialect, batchSize = 2))
+    val got = queryPairs("""SELECT "KEY", "ORDER" FROM t_act ORDER BY "KEY"""")
+    assert(got === Seq(1 -> "fresh-1", 2 -> "fresh-2"))
+  }
+
   test("MySQL dialect: upsert statement shape and zero-date URL guard") {
     val (sql, order) = JdbcSink.MySqlDialect.upsertStatement(
       "db.t_user", Seq("id", "key", "name"), Seq("id"))
