@@ -62,6 +62,7 @@ object SparkEntry {
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
+    "q_semdedup" -> (Similarity.semDedup _),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_decontaminate" -> (Curation.decontaminate _),
     "q_pii_redact" -> (Curation.piiRedact _),
     "q_source_mix" -> (Curation.sourceMix _),
+    "q_source_mix_temp" -> (Curation.sourceMixTemperature _),
     "q_dedup_spans" -> (Dedup.spanDedup _),
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_pack_sequences" -> (Curation.packSequences _),
@@ -738,6 +740,26 @@ object SparkEntry {
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+    // SemDeDup (mirrors Similarity.semDedup): the same two-Lloyd-iteration
+    // k-means replay as q_embed_ivf2, then within-cluster pairs at
+    // cosine ≥ threshold mark the larger vec_id a duplicate
+    "q_semdedup" -> s"""
+         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
+                WHERE vec_id < ${Similarity.KmeansK}),
+         ${kmAssignCte("a1", "s0")},
+         ${kmUpdateCte("s1", "a1")},
+         ${kmAssignCte("a2", "s1")},
+         ${kmUpdateCte("s2", "a2")},
+         ${kmAssignCte("members", "s2")},
+         dup AS (SELECT DISTINCT m1.vec_id
+                 FROM members m1 JOIN members m2
+                   ON m1.cid = m2.cid AND m2.vec_id < m1.vec_id
+                      AND ${cosSql("m1.v", "m2.v")}
+                          >= ${Similarity.SemDedupThreshold})
+         SELECT m.vec_id, m.cid, (d.vec_id IS NULL) AS keep
+         FROM members m LEFT JOIN dup d ON m.vec_id = d.vec_id
+         ORDER BY m.vec_id""",
     // every step is engine-exact double arithmetic: order-insensitive max,
     // floor on identical doubles, left-fold error from a 0.0 seed
     "q_embed_quantize" -> s"""
@@ -1099,6 +1121,26 @@ object SparkEntry {
            AND ${hexIntSql("'mix:' || doc_id")} % 100
                < (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) + 1) * 5
          ORDER BY doc_id""",
+    // temperature-weighted mixture (mirrors Curation.sourceMixTemperature:
+    // α=0.5 via sqrt — correctly rounded in both engines — and the keep
+    // decision compared in integer basis points after rounding)
+    "q_source_mix_temp" -> s"""
+         WITH src AS (
+           SELECT source, count(*)::BIGINT AS n_docs, sqrt(count(*)) AS w
+           FROM documents WHERE regexp_matches(source, 'src[0-9]+')
+           GROUP BY source),
+         tot AS (SELECT sum(n_docs)::BIGINT AS n_total, sum(w) AS w_sum
+                 FROM src),
+         rates AS (
+           SELECT source, round(w / w_sum, 6) AS mix_weight,
+                  CAST(round(least(1.0,
+                    ${Curation.MixTempBudgetFrac} * n_total * w / w_sum
+                      / n_docs) * 10000) AS INT) AS keep_bp
+           FROM src, tot)
+         SELECT d.doc_id, d.source, r.mix_weight, r.keep_bp
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE ${hexIntSql("'mixt:' || d.doc_id")} % 10000 < r.keep_bp
+         ORDER BY d.doc_id""",
     // C4-style repeated-span removal: global first occurrence per span,
     // reassembly in original span order (mirrors Dedup.spanDedup)
     "q_dedup_spans" -> s"""

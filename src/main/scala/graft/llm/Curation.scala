@@ -322,6 +322,55 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Fraction of the (mixable) corpus the temperature-weighted resample
+    * targets, and the temperature itself. α = 0.5 is the square-root
+    * temperature from multilingual-LM sampling (upweights small sources,
+    * flattens the head); sqrt specifically because IEEE-754 sqrt is
+    * correctly rounded in every engine, so the oracle needs no pow-ULP
+    * apologies.
+    */
+  val MixTempBudgetFrac = 0.4
+
+  /** Temperature-weighted source mixing: per-source sampling weights
+    * `w_i = n_i^α / Σ n_j^α` (α = 0.5), a document budget of
+    * [[MixTempBudgetFrac]]·N allocated proportional to `w_i`, and the
+    * per-source keep rate `min(1, quota_i / n_i)` applied as a
+    * deterministic md5-bucket keep/drop — the standard recipe for turning
+    * raw corpus proportions into a temperature-flattened training mixture.
+    *
+    * Scale shape (what survives 100 TB): the only corpus-wide operations
+    * are one per-source COUNT (a ~|sources|-row aggregate) and the final
+    * scan-speed keep/drop; the weight normalization runs on the tiny
+    * per-source frame (scalar crossJoin-broadcast, the repo's standard
+    * single-row pattern) and the rates broadcast back — the corpus itself
+    * is never shuffled and never sees a window.
+    */
+  def sourceMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("source").rlike("src[0-9]+"))
+    // ~|sources| rows consumed twice (normalization scalar + rates): cache,
+    // or the corpus-wide count scans the source column once per consumer
+    val bySrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs")))
+      .cache()
+    val totals = bySrc.agg(
+      sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_sum"))
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        round(col("w") / col("w_sum"), 6).as("mix_weight"),
+        // keep decision in basis points AFTER rounding, so both engines
+        // compare the same integer (raw doubles would flip on ULP)
+        round(least(lit(1.0),
+          lit(MixTempBudgetFrac) * col("n_total") * col("w") / col("w_sum") /
+            col("n_docs")) * 10000).cast("int").as("keep_bp"))
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .filter(md5Long(concat(lit("mixt:"), col("doc_id").cast("string")))
+        % 10000 < col("keep_bp"))
+      .select(col("doc_id"), col("source"), col("mix_weight"), col("keep_bp"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end CURATION chain composing this round's operators — the
     * proof the new pieces compose the way a corpus refresh would run them
     * (the preprocessing sibling, [[TextAnalysis.preprocessCorpus]], is the

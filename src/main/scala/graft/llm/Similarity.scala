@@ -299,6 +299,43 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Cosine at or above this within a cluster marks the larger vec_id a
+    * semantic duplicate (same bar as [[embedNearDup]]'s exact-verify).
+    */
+  val SemDedupThreshold = 0.4
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * learned k-means centroids, compare pairs ONLY inside a cluster, and
+    * keep the smallest vec_id of any pair at cosine ≥
+    * [[SemDedupThreshold]]. Returns every vector with its cluster and keep
+    * verdict (keep=false ⇒ a smaller-id in-cluster near-twin exists).
+    *
+    * Scale shape: this is exactly the published SemDeDup economics — the
+    * within-cluster pair scan is the quadratic term, BOUNDED by cluster
+    * size, and k grows with the corpus to hold that bound (n/k vectors per
+    * cluster ⇒ n²/k pair work instead of n²). The corpus shuffles once on
+    * cid for the self-join; centroids broadcast everywhere; cross-cluster
+    * near-twins are missed by construction — the algorithm's documented
+    * recall trade, not an implementation shortcut.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    // three consumers (both self-join sides + the verdict projection):
+    // cache the assignment, not the lineage behind it
+    val members = assign(c, kmeansCentroids(s, dir)).cache()
+    val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nv").as("bn"))
+    val dups = members.join(rhs, Seq("cid"))
+      .filter(col("b_id") < col("vec_id") &&
+        round(cosPre(dot(col("v"), col("bv")), col("nv"), col("bn")), 9)
+          >= SemDedupThreshold)
+      .select(col("vec_id")).distinct()
+    members
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("is_dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Int8-quantized corpus with per-vector reconstruction error — the
     * storage path for embeddings at scale (4× smaller before ANN
     * indexing). One native pass per row ([[graft.functions.QuantizeInt8]]);

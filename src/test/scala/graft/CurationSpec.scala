@@ -78,6 +78,43 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("temperature mix flattens the source distribution (α=0.5 semantics)") {
+    val out = Curation.sourceMixTemperature(spark, dir).cache()
+    val bySrc = Tables.table(spark, dir, "documents")
+      .filter(col("source").rlike("src[0-9]+"))
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = out.select("source", "keep_bp", "mix_weight").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // surviving sources' weights are a subset of a normalized distribution
+    assert(rates.values.map(_._2).sum <= 1.0 + 1e-4)
+    rates.foreach { case (s, (bp, w)) =>
+      assert(bp >= 0 && bp <= 10000, s"$s keep_bp out of range: $bp")
+      assert(w > 0.0 && w <= 1.0, s"$s weight out of range: $w")
+    }
+    // temperature flattening: a strictly larger source never gets a
+    // strictly larger keep rate (keep_bp ∝ n^(α-1) = 1/sqrt(n))
+    for {
+      (s1, (bp1, _)) <- rates; (s2, (bp2, _)) <- rates
+      if bySrc(s1) < bySrc(s2)
+    } assert(bp1 >= bp2,
+      s"$s1 (n=${bySrc(s1)}) keeps $bp1 bp < $s2 (n=${bySrc(s2)}) at $bp2 bp")
+    // kept counts track the advertised rates (md5 buckets are uniform;
+    // allow binomial slack)
+    val kept = out.groupBy("source").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (s, (bp, _)) =>
+      val expected = bySrc(s) * bp / 10000.0
+      val slack = 4 * math.sqrt(expected) + 3
+      assert(math.abs(kept.getOrElse(s, 0L) - expected) <= slack,
+        s"$s kept ${kept.getOrElse(s, 0L)} vs expected $expected ± $slack")
+    }
+    // determinism: two runs agree exactly
+    val again = Curation.sourceMixTemperature(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("curation pipeline: every output row passed every stage") {
     import graft.llm.TextAnalysis
     val out = Curation.pipelineCurate(spark, dir).cache()

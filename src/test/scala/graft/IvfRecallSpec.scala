@@ -40,6 +40,42 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(r2 >= 0.5, s"recall@3 with 2 probes too low: $r2")
   }
 
+  test("semdedup verdicts match a brute-force within-cluster recomputation") {
+    val out = Similarity.semDedup(spark, dir).cache()
+    val c = graft.Tables.table(spark, dir, "embeddings")
+    assert(out.count() == c.count(), "every vector must get a verdict")
+    val verdicts = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val vecs = c.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos9(a: Array[Double], b: Array[Double]): BigDecimal = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val byCluster = verdicts.groupBy(_._2)
+    var dupsSeen = 0
+    byCluster.values.foreach { mem =>
+      val ids = mem.map(_._1).sorted
+      mem.foreach { case (id, _, keep) =>
+        val hasTwin = ids.exists(o => o < id &&
+          cos9(vecs(o), vecs(id)) >= BigDecimal(Similarity.SemDedupThreshold))
+        assert(keep == !hasTwin,
+          s"vec $id: keep=$keep but smaller-id twin exists=$hasTwin")
+        if (hasTwin) dupsSeen += 1
+      }
+    }
+    assert(dupsSeen > 0, "fixture produced no semantic dup; the check is vacuous")
+    // the smallest vec_id of every cluster is always a keeper
+    byCluster.values.foreach { mem =>
+      val first = mem.minBy(_._1)
+      assert(first._3, s"cluster ${first._2}: smallest vec ${first._1} dropped")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("clusters are disjoint and cover the corpus (IVF index invariant)") {
     val members = Similarity.kmeansCentroids(spark, dir)
     val c = graft.Tables.table(spark, dir, "embeddings")

@@ -227,6 +227,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("temperature mix: rates broadcast back, the corpus is never windowed") {
+    val p = plan("q_source_mix_temp")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast over the document scan")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle to meet the tiny rates frame")
+    assert(!p.contains("Window"),
+      "weight normalization must run on the per-source aggregate, not a window")
+  }
+
+  test("semdedup pairs join hash-partitioned on cluster id, never cartesian") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "the pair scan must stay within clusters, never all-pairs")
+    // the only nested-loop joins allowed are the k-means centroid
+    // broadcasts (tiny build side, the assign pattern ivf2 also uses);
+    // the PAIR join itself must be an equi-join keyed on cid
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined,
+      s"pair join must key on cid:\n${p.take(1500)}")
+  }
+
   test("bpe pair counting aggregates the corpus once, map-side combined") {
     val p = plan("q_bpe_pairs")
     // corpus tokens are aggregated to the vocabulary before the pair
