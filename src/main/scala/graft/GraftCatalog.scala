@@ -32,6 +32,12 @@ object GraftCatalog {
       .createOrReplaceTempView("decontaminated")
     graft.llm.Curation.sourceMix(spark, sfDir)
       .createOrReplaceTempView("source_mix")
+    // cache = false on both: a cache pinned inside a session-lifetime view
+    // is never unpersisted (the standing view-mount contract)
+    graft.llm.Curation.sourceMixTemperature(spark, sfDir, cache = false)
+      .createOrReplaceTempView("source_mix_temp")
+    graft.llm.Similarity.semDedup(spark, sfDir, cache = false)
+      .createOrReplaceTempView("semdedup")
     // cache = false: a cache pinned inside a session-lifetime view is
     // never unpersisted (same contract as tfidf's cacheTf above)
     graft.llm.Curation.pipelineCurate(spark, sfDir, cache = false)

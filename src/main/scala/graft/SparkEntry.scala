@@ -62,7 +62,7 @@ object SparkEntry {
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
-    "q_semdedup" -> (Similarity.semDedup _),
+    "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
@@ -88,7 +88,7 @@ object SparkEntry {
     "q_decontaminate" -> (Curation.decontaminate _),
     "q_pii_redact" -> (Curation.piiRedact _),
     "q_source_mix" -> (Curation.sourceMix _),
-    "q_source_mix_temp" -> (Curation.sourceMixTemperature _),
+    "q_source_mix_temp" -> ((s, dir) => Curation.sourceMixTemperature(s, dir)),
     "q_dedup_spans" -> (Dedup.spanDedup _),
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_pack_sequences" -> (Curation.packSequences _),

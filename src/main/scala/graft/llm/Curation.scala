@@ -345,17 +345,34 @@ object Curation {
     * single-row pattern) and the rates broadcast back — the corpus itself
     * is never shuffled and never sees a window.
     */
-  def sourceMixTemperature(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("source").rlike("src[0-9]+"))
+  def sourceMixTemperature(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame =
+    t(s, dir, "documents").filter(col("source").rlike("src[0-9]+"))
+      .join(broadcast(mixTempRates(s, dir, cache)), Seq("source"))
+      .filter(mixTempKeep)
+      .select(col("doc_id"), col("source"), col("mix_weight"), col("keep_bp"))
+      .orderBy("doc_id")
+
+  /** The tiny per-source rate frame the temperature mix broadcasts:
+    * (source, n_docs, mix_weight, keep_bp). Split out so the STREAMING
+    * form can freeze rates from a corpus snapshot and probe them
+    * stream-static ([[graft.streaming.StreamOps.mixTempStream]]).
+    * `cache=false` for session-lifetime view mounts (GraftCatalog) — the
+    * documented pinned-cache contract.
+    */
+  def mixTempRates(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
     // ~|sources| rows consumed twice (normalization scalar + rates): cache,
     // or the corpus-wide count scans the source column once per consumer
-    val bySrc = docs.groupBy("source")
+    val bySrc0 = t(s, dir, "documents")
+      .filter(col("source").rlike("src[0-9]+"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", sqrt(col("n_docs")))
-      .cache()
+    val bySrc = if (cache) bySrc0.cache() else bySrc0
     val totals = bySrc.agg(
       sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_sum"))
-    val rates = bySrc.crossJoin(broadcast(totals))
+    bySrc.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"),
         round(col("w") / col("w_sum"), 6).as("mix_weight"),
         // keep decision in basis points AFTER rounding, so both engines
@@ -363,13 +380,15 @@ object Curation {
         round(least(lit(1.0),
           lit(MixTempBudgetFrac) * col("n_total") * col("w") / col("w_sum") /
             col("n_docs")) * 10000).cast("int").as("keep_bp"))
-    docs
-      .join(broadcast(rates), Seq("source"))
-      .filter(md5Long(concat(lit("mixt:"), col("doc_id").cast("string")))
-        % 10000 < col("keep_bp"))
-      .select(col("doc_id"), col("source"), col("mix_weight"), col("keep_bp"))
-      .orderBy("doc_id")
   }
+
+  /** The row-local keep/drop decision of the temperature mix — ONE
+    * definition for the batch and streaming forms (and the salt the
+    * oracle mirrors).
+    */
+  private[graft] def mixTempKeep: org.apache.spark.sql.Column =
+    md5Long(concat(lit("mixt:"), col("doc_id").cast("string"))) % 10000 <
+      col("keep_bp")
 
   /** End-to-end CURATION chain composing this round's operators — the
     * proof the new pieces compose the way a corpus refresh would run them

@@ -318,11 +318,14 @@ object Similarity {
     * near-twins are missed by construction — the algorithm's documented
     * recall trade, not an implementation shortcut.
     */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+  def semDedup(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
     val c = corpus(s, dir)
     // three consumers (both self-join sides + the verdict projection):
-    // cache the assignment, not the lineage behind it
-    val members = assign(c, kmeansCentroids(s, dir)).cache()
+    // cache the assignment, not the lineage behind it. `cache=false` for
+    // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
+    val members0 = assign(c, kmeansCentroids(s, dir))
+    val members = if (cache) members0.cache() else members0
     val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
       col("v").as("bv"), col("nv").as("bn"))
     val dups = members.join(rhs, Seq("cid"))

@@ -218,6 +218,22 @@ object StreamOps {
       .filter(col("est_jac") >= JaccardThreshold)
   }
 
+  /** Streaming form of [[graft.llm.Curation.sourceMixTemperature]]: the
+    * per-source rates are FROZEN from a corpus snapshot
+    * ([[graft.llm.Curation.mixTempRates]]) and probed as a stream-static
+    * broadcast lookup per micro-batch; the keep/drop itself is the same
+    * row-local md5-bucket predicate as the batch form. Stateless,
+    * append-mode, no watermark — incoming documents are admitted at scan
+    * speed against the frozen mixture. (Re-freezing the rates as the
+    * corpus drifts is an orchestration choice, exactly like the persisted
+    * band index in [[incrementalDedupStream]].)
+    */
+  def mixTempStream(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.filter(col("source").rlike("src[0-9]+"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(graft.llm.Curation.mixTempKeep)
+      .select(col("doc_id"), col("source"), col("mix_weight"), col("keep_bp"))
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

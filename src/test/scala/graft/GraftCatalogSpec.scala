@@ -42,11 +42,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       """SELECT (SELECT count(*) FROM decontaminated WHERE keep) AS kept,
                 (SELECT count(*) FROM source_mix) AS mixed,
                 (SELECT count(*) FROM curated_corpus) AS curated,
-                (SELECT count(*) FROM retrieve_rerank) AS reranked""").head()
+                (SELECT count(*) FROM retrieve_rerank) AS reranked,
+                (SELECT count(*) FROM source_mix_temp) AS mixed_t,
+                (SELECT count(*) FROM semdedup WHERE keep) AS sem_kept""").head()
     assert(curated.getLong(0) > 0 && curated.getLong(1) > 0)
     assert(curated.getLong(2) > 0 && curated.getLong(2) <= curated.getLong(0),
       "curated corpus must be a subset of the decontaminated keeps")
     assert(curated.getLong(3) > 0)
+    assert(curated.getLong(4) > 0 && curated.getLong(5) > 0)
     // the KMV aggregate resolves from SQL and matches exact distinct when
     // the group has fewer distinct hashes than k
     val kmv = spark.sql("""

@@ -295,6 +295,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(2)._2 == 1 && got(2)._3 == 1.0)
   }
 
+  test("mixTempStream admits exactly the docs the batch mix keeps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rates frozen from the corpus snapshot, as a deployment would persist
+    val rates = graft.llm.Curation.mixTempRates(spark, sf).cache()
+    val delta = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id").limit(300)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(delta)
+    val q = StreamOps.mixTempStream(mem.toDF.toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("mixtemp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("mixtemp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch form restricted to the replayed ids must agree exactly
+    val ids = delta.map(_._1).toSet
+    val batch = graft.llm.Curation.sourceMixTemperature(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch, "stream and batch mixture verdicts diverge")
+    assert(got.nonEmpty && got.size < ids.size,
+      "fixture should keep some and drop some, or the check is vacuous")
+    rates.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("incrementalDedupStream probes the static index without state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
