@@ -66,6 +66,7 @@ object SparkEntry {
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
+    "q_text_pretok" -> (TextAnalysis.preTokenize _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
@@ -800,6 +801,36 @@ object SparkEntry {
            FROM bk a JOIN bk b
              ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          WHERE cos >= 0.4 ORDER BY a_id, b_id""",
+    // GPT-2-style pre-tokenization counts (mirrors TextAnalysis.preTokenize:
+    // same lookahead-free pattern, balance text rebuilt from integer cents
+    // so both engines format identical input)
+    "q_text_pretok" -> {
+      val pat = TextAnalysis.PretokPattern.replace("'", "''")
+      s"""WITH b AS (SELECT c_custkey, c_name, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                     FROM customer),
+         t AS (SELECT c_custkey,
+                 c_name || ' ' ||
+                 (CASE WHEN cents < 0 THEN '-' ELSE '' END) ||
+                 CAST(abs(cents) // 100 AS VARCHAR) || '.' ||
+                 lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0') ||
+                 ' ' || c_mktsegment AS txt
+               FROM b),
+         p AS (SELECT c_custkey, txt,
+                 regexp_extract_all(txt, '$pat') AS pieces
+               FROM t)
+         SELECT c_custkey, txt,
+                CAST(len(pieces) AS INT) AS n_pretok,
+                CAST(len(list_distinct(pieces)) AS INT) AS n_pretok_distinct,
+                CAST(len(regexp_extract_all(txt, '${TextAnalysis.PretokNum}'))
+                  AS INT) AS n_num,
+                CAST(len(regexp_extract_all(txt, '${TextAnalysis.PretokSym}'))
+                  AS INT) AS n_sym,
+                round(len(pieces)::DOUBLE /
+                  len(string_split_regex(txt, '\\s+'))::DOUBLE, 6)
+                  AS pieces_per_ws
+         FROM p ORDER BY c_custkey"""
+    },
     "q_text_stats" ->
       """WITH tk AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
                      FROM documents)

@@ -339,6 +339,65 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the lookahead-free
+    * subset so Java regex (Spark) and RE2 (DuckDB) match identically:
+    * contractions, space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed symbol runs, residual whitespace. (The original GPT-2
+    * pattern's `\s+(?!\S)` trailing-space lookahead is the one construct
+    * RE2 lacks; dropping it only changes how runs of MULTIPLE spaces
+    * split, which the fixture text does not contain.)
+    */
+  val PretokPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Space-prefixed digit-run / symbol-run sub-patterns, counted as their
+    * own extractions (each column is DEFINED as its own pattern's match
+    * count over the raw text, not a classification of [[PretokPattern]]'s
+    * output — identical here because the synthesized text has no
+    * contraction apostrophes).
+    */
+  val PretokNum = " ?[\\p{N}]+"
+  val PretokSym = " ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-tokenization counts — the "BPE-ish regex" tier of token counting
+    * (SURVEY §2.11) above [[stats]]' whitespace/`\w+` tiers: how many
+    * pieces a GPT-2-style pre-tokenizer would hand the BPE merge loop,
+    * how many are distinct, digit/symbol run counts, and pieces per
+    * whitespace token (the subword inflation factor capacity planning
+    * reads). Runs over text synthesized from customer columns
+    * (name#digits balance segment — the documents fixture is single-
+    * spaced lowercase words, which a pre-tokenizer splits trivially; the
+    * planted-input pattern piiRedact established). The balance string is
+    * rebuilt from integer cents so both engines format the SAME text —
+    * double→string casts are not engine-portable.
+    *
+    * Scale shape: row-local regexp passes at scan speed, zero shuffle but
+    * the output sort.
+    */
+  def preTokenize(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val a = abs(cents)
+    val balStr = concat(
+      when(cents < 0, lit("-")).otherwise(lit("")),
+      floor(a / 100).cast("long").cast("string"), lit("."),
+      lpad((a % 100).cast("string"), 2, "0"))
+    val pieces = regexp_extract_all(col("txt"), lit(PretokPattern), lit(0))
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat_ws(" ", col("c_name"), balStr, col("c_mktsegment")).as("txt"))
+      .select(
+        col("c_custkey"), col("txt"),
+        size(pieces).cast("int").as("n_pretok"),
+        size(array_distinct(pieces)).cast("int").as("n_pretok_distinct"),
+        size(regexp_extract_all(col("txt"), lit(PretokNum), lit(0)))
+          .cast("int").as("n_num"),
+        size(regexp_extract_all(col("txt"), lit(PretokSym), lit(0)))
+          .cast("int").as("n_sym"),
+        round(size(pieces).cast("double") /
+          size(split(col("txt"), "\\s+")).cast("double"), 6).as("pieces_per_ws"))
+      .orderBy("c_custkey")
+  }
+
   /** Feature buckets / weight range for [[modelQualityScore]]. */
   val ModelBuckets = 64
 

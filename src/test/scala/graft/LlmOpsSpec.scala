@@ -168,6 +168,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == TextAnalysis.langProfile("en").size)
   }
 
+  test("pre-tokenizer: GPT-2-style pieces on hand-tokenized goldens") {
+    def pieces(text: String): Seq[String] =
+      spark.range(1)
+        .select(regexp_extract_all(lit(text),
+          lit(TextAnalysis.PretokPattern), lit(0)).as("p"))
+        .collect()(0).getSeq[String](0)
+    // contraction split + space-prefix convention
+    assert(pieces("don't stop") == Seq("don", "'t", " stop"))
+    // category runs: letters / symbol / digits each their own piece
+    assert(pieces("Customer#000000042 2095.23 FURNITURE") ==
+      Seq("Customer", "#", "000000042", " 2095", ".", "23", " FURNITURE"))
+    // the operator's own counts on the synthesized customer text
+    val row = TextAnalysis.preTokenize(spark, sf)
+      .filter(col("txt") === "Customer#000000000 2095.23 FURNITURE")
+      .collect()
+    assert(row.length == 1, "expected the known customer-0 text")
+    val r = row(0)
+    assert(r.getInt(2) == 7 && r.getInt(3) == 7, s"pretok counts: $r")
+    assert(r.getInt(4) == 3, s"digit runs: $r") // 000000000, 2095, 23
+    assert(r.getInt(5) == 2, s"symbol runs: $r") // '#' and '.'
+    assert(r.getDouble(6) == BigDecimal(7.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("row-local minhashSig fold equals the explode+aggregate signature") {
     // two formulations of the same signature must agree (the fold is the
     // zero-shuffle variant; Dedup uses the codegen'd explode form)
