@@ -33,6 +33,16 @@ object SparkEntry {
     "q_a3_group_collect" -> (CoreOps.a3GroupCollect _),
     "q_a7_change_detect" -> (CoreOps.a7ChangeDetect _),
     "q_a8_group_stats" -> (CoreOps.a8GroupStats _),
+    "q_skew_agg" -> ((s, dir) => {
+      import graft.ops.SkewOps
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      SkewOps.saltedStats(ev, "event_type", "cents", salt = 8)
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("s").cast("long").as("sum_cents"))
+        .orderBy("event_type")
+    }),
     "q_so1_except" -> (CoreOps.so1Except _),
     "q_so2_union" -> (CoreOps.so2Union _),
     "q_w1_topk" -> (CoreOps.w1TopkPerGroup _),
@@ -371,6 +381,15 @@ object SparkEntry {
          FROM old JOIN neu ON o_orderkey = n_orderkey
          WHERE o_orderstatus <> n_status OR o_orderpriority <> n_priority
          ORDER BY o_orderkey""",
+    // salted two-phase aggregation (mirrors SkewOps.saltedStats): the salt
+    // only re-partitions intermediate state, so the oracle is the PLAIN
+    // group-by — result identity under salting is exactly the contract
+    "q_skew_agg" ->
+      """SELECT event_type,
+                count(*)::BIGINT AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_a8_group_stats" ->
       """SELECT o_orderpriority,
                 count(*) AS n_orders,

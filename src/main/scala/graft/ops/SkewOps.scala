@@ -43,4 +43,18 @@ object SkewOps {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
+
+  /** [[saltedCount]] widened to count + sum — the declared-query form
+    * (`q_skew_agg`). The summed column must be INTEGRAL (cents, counts):
+    * integer re-aggregation is order-insensitive, so the salted result is
+    * bit-identical to the unsalted one on any engine — a salted DOUBLE sum
+    * would reorder additions and drift in the last ulp.
+    */
+  def saltedStats(df: DataFrame, key: String, valueCol: String, salt: Int,
+      seed: Long = 42L): DataFrame =
+    df.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("s"))
 }

@@ -228,6 +228,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("salted aggregation shuffles on (key, salt) first, then re-aggregates") {
+    val p = plan("q_skew_agg")
+    assert(p.contains("hashpartitioning(event_type") && p.contains("__salt"),
+      s"first shuffle must scatter on the salted key:\n${p.take(1200)}")
+    // two aggregation phases, each with map-side partials = 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected partial+final aggregates for both the salted and merge phases")
+  }
+
   test("temperature mix: rates broadcast back, the corpus is never windowed") {
     val p = plan("q_source_mix_temp")
     assert(p.contains("BroadcastHashJoin"),

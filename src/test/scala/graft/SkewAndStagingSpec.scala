@@ -37,6 +37,19 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedStats equals the plain count+sum and survives different salts") {
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    for (salt <- Seq(2, 8, 32)) {
+      val salted = SkewOps.saltedStats(ev, "event_type", "cents", salt)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      assert(salted.toList == plain.toList, s"salt=$salt diverged")
+    }
+  }
+
   test("SyncJob end-to-end: staged assembly equals direct assembly on published rows") {
     val staging = java.nio.file.Files.createTempDirectory("graft-syncjob").toString
     val result = SyncJob.run(spark, sf, staging)
