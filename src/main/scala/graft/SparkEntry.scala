@@ -73,6 +73,7 @@ object SparkEntry {
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
@@ -780,6 +781,47 @@ object SparkEntry {
          SELECT m.vec_id, m.cid, (d.vec_id IS NULL) AS keep
          FROM members m LEFT JOIN dup d ON m.vec_id = d.vec_id
          ORDER BY m.vec_id""",
+    // product quantization (mirrors Similarity.pqQuantize): per-subspace
+    // seed → one Lloyd refinement with exact-decimal means → reassign;
+    // squared L2 via the dot identity rounded at 9dp before every argmin,
+    // error = left-fold of per-subspace distances in subspace order
+    "q_embed_pq" -> {
+      val (m, sd, k) = (Similarity.PqM, Similarity.PqSub, Similarity.PqK)
+      def l2Sql(a: String, b: String) =
+        s"""round(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}, 9)"""
+      def pqAssignCte(name: String, books: String, keep: String) =
+        s"""$name AS (SELECT vec_id, m, code$keep FROM (
+              SELECT sub.vec_id, sub.m, $books.code, sub.sv,
+                     ${l2Sql("sub.sv", s"$books.cb")} AS d,
+                     row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                       ORDER BY ${l2Sql("sub.sv", s"$books.cb")} ASC,
+                                $books.code ASC) AS rk
+              FROM sub JOIN $books ON sub.m = $books.m)
+            WHERE rk = 1)"""
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT vec_id, m, v[m*$sd+1 : m*$sd+$sd] AS sv
+                 FROM c, range(0, $m) r(m)),
+         b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
+                FROM sub WHERE vec_id < $k),
+         ${pqAssignCte("a1", "b0", ", sv")},
+         u1 AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
+             SELECT m, code, pos,
+                    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+                      AS cx
+             FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
+                          unnest(sv) AS x
+                   FROM a1)
+             GROUP BY m, code, pos)
+           GROUP BY m, code),
+         ${pqAssignCte("a2", "u1", ", d")},
+         g AS (SELECT vec_id, list(code ORDER BY m) AS codes,
+                      list(d ORDER BY m) AS ds
+               FROM a2 GROUP BY vec_id)
+         SELECT vec_id, array_to_string(codes, ',') AS codes,
+                round(list_reduce(list_concat([0.0], ds), (a, b) -> a + b), 9)
+                  AS err
+         FROM g ORDER BY vec_id"""
+    },
     // every step is engine-exact double arithmetic: order-insensitive max,
     // floor on identical doubles, left-fold error from a 0.0 seed
     "q_embed_quantize" -> s"""

@@ -299,6 +299,95 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqSub]] dims
+    * (M·sub = the 64-dim corpus), [[PqK]] codes per subspace — 8 bytes per
+    * vector instead of 256, the compression tier between int8
+    * ([[quantizedCorpus]]) and raw floats that real ANN indexes ship.
+    */
+  val PqM = 8
+  val PqSub = 8
+  val PqK = 16
+
+  /** Squared L2 via the dot identity |a|²+|b|²−2a·b — three native
+    * [[dot]] folds (codegen'd), rounded to 9 dp before any argmin so both
+    * engines pick identical winners. This identity IS the metric's
+    * definition here; the oracle mirrors the same three folds.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 9)
+
+  /** Explode the corpus into (vec_id, m, subvector) rows. */
+  private def pqSubvectors(c: DataFrame): DataFrame =
+    c.select(col("vec_id"), posexplode(
+      transform(sequence(lit(0), lit(PqM - 1)),
+        m => slice(col("v"), m * PqSub + lit(1), lit(PqSub))))
+      .as(Seq("m", "sv")))
+
+  /** Nearest-code assignment per (vector, subspace): candidates scored
+    * against the broadcast codebooks, winner picked by the same
+    * min-of-struct map-side-partial trick as [[assign]] (ties to the
+    * smallest code — the row_number winner the oracle replays).
+    */
+  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(l2sq(col("sv"), col("cb")).as("d"), col("code"), col("sv"))
+          .as("cand"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"),
+        col("best.d").as("d"), col("best.sv").as("sv"))
+
+  /** Product quantization: per-subspace codebooks seeded from the first
+    * [[PqK]] vectors, one deterministic Lloyd refinement (assign →
+    * exact-decimal component means → reassign), output = the [[PqM]]-byte
+    * code word per vector plus its reconstruction error (left-fold over
+    * the per-subspace distances in subspace order — a fixed fold order,
+    * so the double sum is reproducible in any engine).
+    *
+    * Scale shape: codebooks are M·K rows and BROADCAST everywhere; the
+    * corpus is scanned per Lloyd pass and shuffles only the (vec_id, m)
+    * partial-min rows (same economics as [[kmeansCentroids]]); the update
+    * aggregates (m, code, pos) cells — bounded by M·K·sub, corpus-size
+    * independent. Unlike the int8 path this is the INDEXABLE compression:
+    * asymmetric distance tables against the codebooks replace full dot
+    * products at query time.
+    */
+  def pqQuantize(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // consumed by seed + two assignment passes: cache the exploded form
+    val sub0 = pqSubvectors(c)
+    val sub = if (cache) sub0.cache() else sub0
+    val seed = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cb"))
+    val a1 = pqAssign(sub, seed)
+    val books = a1
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(col("x").cast("decimal(38,10)")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("code"), col("pos"),
+        (col("sx").cast("double") / col("cnt")).as("cx"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+      .select(col("m"), col("code"),
+        transform(col("ps"), p => p.getField("cx")).as("cb"))
+    pqAssign(sub, books)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code"), col("d"))))
+        .as("mc"))
+      .select(col("vec_id"),
+        concat_ws(",",
+          transform(col("mc"), e => e.getField("code").cast("string")))
+          .as("codes"),
+        round(aggregate(transform(col("mc"), e => e.getField("d")),
+          lit(0.0), (acc, x) => acc + x), 9).as("err"))
+      .orderBy("vec_id")
+  }
+
   /** Cosine at or above this within a cluster marks the larger vec_id a
     * semantic duplicate (same bar as [[embedNearDup]]'s exact-verify).
     */

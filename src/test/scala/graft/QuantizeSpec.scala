@@ -43,6 +43,30 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("pq: full code words in range, codebooks actually used, deterministic") {
+    val out = Similarity.pqQuantize(spark, dir).cache()
+    val n = Tables.table(spark, dir, "embeddings").count()
+    assert(out.count() == n, "every vector must get a code word")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1).split(",").map(_.toInt), r.getDouble(2)))
+    rows.foreach { case (id, codes, err) =>
+      assert(codes.length == Similarity.PqM, s"vec $id: ${codes.length} codes")
+      assert(codes.forall(c => c >= 0 && c < Similarity.PqK),
+        s"vec $id: code out of range: ${codes.mkString(",")}")
+      assert(err >= 0.0, s"vec $id: negative reconstruction error $err")
+    }
+    // the refined codebooks must stay plural per subspace — a collapse to
+    // one surviving code would make the quantizer vacuous
+    (0 until Similarity.PqM).foreach { m =>
+      val used = rows.map(_._2(m)).distinct.length
+      assert(used > 1, s"subspace $m collapsed to a single code")
+    }
+    // determinism: two runs agree exactly
+    val again = Similarity.pqQuantize(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("quantize_int8 is SQL-registered; all-zero vectors take zero codes") {
     GraftCatalog.registerFunctions(spark)
     import spark.implicits._
