@@ -74,6 +74,7 @@ object SparkEntry {
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
+    "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
@@ -821,6 +822,54 @@ object SparkEntry {
                 round(list_reduce(list_concat([0.0], ds), (a, b) -> a + b), 9)
                   AS err
          FROM g ORDER BY vec_id"""
+    },
+    // ADC search over the PQ codes (mirrors Similarity.pqSearch): per-query
+    // distance tables against the codebooks, approximate distance = the
+    // DECIMAL sum of M table lookups on the stored codes
+    "q_embed_pq_search" -> {
+      val (m, sd, k) = (Similarity.PqM, Similarity.PqSub, Similarity.PqK)
+      def l2Sql(a: String, b: String) =
+        s"""round(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}, 9)"""
+      def pqAssignCte(name: String, books: String, keep: String) =
+        s"""$name AS (SELECT vec_id, m, code$keep FROM (
+              SELECT sub.vec_id, sub.m, $books.code, sub.sv,
+                     ${l2Sql("sub.sv", s"$books.cb")} AS d,
+                     row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                       ORDER BY ${l2Sql("sub.sv", s"$books.cb")} ASC,
+                                $books.code ASC) AS rk
+              FROM sub JOIN $books ON sub.m = $books.m)
+            WHERE rk = 1)"""
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT vec_id, m, v[m*$sd+1 : m*$sd+$sd] AS sv
+                 FROM c, range(0, $m) r(m)),
+         b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
+                FROM sub WHERE vec_id < $k),
+         ${pqAssignCte("a1", "b0", ", sv")},
+         u1 AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
+             SELECT m, code, pos,
+                    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+                      AS cx
+             FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
+                          unnest(sv) AS x
+                   FROM a1)
+             GROUP BY m, code, pos)
+           GROUP BY m, code),
+         ${pqAssignCte("codes", "u1", "")},
+         q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+               WHERE vec_id < ${Similarity.NQueries}),
+         tbl AS (SELECT q_id, u1.m, u1.code, ${l2Sql("q.qsv", "u1.cb")} AS d
+                 FROM q JOIN u1 ON q.m = u1.m),
+         sc AS (SELECT tbl.q_id, codes.vec_id,
+                       CAST(sum(CAST(d AS DECIMAL(20,9))) AS DOUBLE) AS adist
+                FROM codes JOIN tbl
+                  ON codes.m = tbl.m AND codes.code = tbl.code
+                WHERE codes.vec_id <> tbl.q_id
+                GROUP BY tbl.q_id, codes.vec_id)
+         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY adist ASC, vec_id ASC) AS rk
+           FROM sc)
+         WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk"""
     },
     // every step is engine-exact double arithmetic: order-insensitive max,
     // floor on identical doubles, left-fold error from a 0.0 seed

@@ -353,18 +353,15 @@ object Similarity {
     * asymmetric distance tables against the codebooks replace full dot
     * products at query time.
     */
-  def pqQuantize(s: SparkSession, dir: String,
-      cache: Boolean = true): DataFrame = {
-    val c = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // consumed by seed + two assignment passes: cache the exploded form
-    val sub0 = pqSubvectors(c)
-    val sub = if (cache) sub0.cache() else sub0
+  /** PQ training: seed codebooks from the first [[PqK]] vectors, one
+    * Lloyd refinement (assign → exact-decimal component means). Returns
+    * the refined codebooks (m, code, cb).
+    */
+  private def pqTrain(sub: DataFrame): DataFrame = {
     val seed = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sv").as("cb"))
-    val a1 = pqAssign(sub, seed)
-    val books = a1
+    pqAssign(sub, seed)
       .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("code"), col("pos"))
       .agg(sum(col("x").cast("decimal(38,10)")).as("sx"),
@@ -375,7 +372,26 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
       .select(col("m"), col("code"),
         transform(col("ps"), p => p.getField("cx")).as("cb"))
-    pqAssign(sub, books)
+  }
+
+  /** The trained codebooks as a public surface — at deployment these
+    * (M·K·sub doubles) are what ships to query nodes; the corpus keeps
+    * only code words.
+    */
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqTrain(pqSubvectors(c))
+  }
+
+  def pqQuantize(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // consumed by seed + two assignment passes: cache the exploded form
+    val sub0 = pqSubvectors(c)
+    val sub = if (cache) sub0.cache() else sub0
+    pqAssign(sub, pqTrain(sub))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("code"), col("d"))))
         .as("mc"))
@@ -386,6 +402,53 @@ object Similarity {
         round(aggregate(transform(col("mc"), e => e.getField("d")),
           lit(0.0), (acc, x) => acc + x), 9).as("err"))
       .orderBy("vec_id")
+  }
+
+  /** Results kept per query by the PQ asymmetric-distance search. */
+  val PqTopK = 3
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes — the operation PQ
+    * exists for: each query precomputes a distance TABLE against every
+    * codebook entry (queries × M × K rows — tiny, broadcast), and a
+    * corpus vector's approximate distance is the SUM of M table lookups
+    * on its stored codes. The corpus side reads ONLY the 8-byte code
+    * words — never the float vectors — which is the whole economics of a
+    * PQ index at 100 TB.
+    *
+    * Determinism: per-subspace distances are 9dp-rounded doubles; the
+    * M-way sum runs as a DECIMAL(20,9) aggregate (associative, partition-
+    * order independent) and both engines cast the same decimal to double.
+    * Shuffle carries one partial-summed row per (query, vector) — the
+    * ADC scan pattern; the table join itself is broadcast.
+    */
+  def pqSearch(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // consumed by train + corpus-assign + query side: cache the explode
+    val sub0 = pqSubvectors(c)
+    val sub = if (cache) sub0.cache() else sub0
+    // codebooks feed the corpus assignment AND the distance tables
+    val books0 = pqTrain(sub)
+    val books = if (cache) books0.cache() else books0
+    val codes = pqAssign(sub, books)
+      .select(col("vec_id"), col("m"), col("code"))
+    val tables = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(books), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        l2sq(col("qsv"), col("cb")).as("d"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(tables), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d").cast("decimal(20,9)")).as("dsum"))
+      .select(col("q_id"), col("vec_id"), col("dsum").cast("double").as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PqTopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adist"))
+      .orderBy("q_id", "rk")
   }
 
   /** Cosine at or above this within a cluster marks the larger vec_id a

@@ -67,6 +67,57 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("pq ADC distances equal brute-force table lookups on the emitted codes") {
+    import graft.llm.Similarity._
+    val results = Similarity.pqSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(results.nonEmpty)
+    val books = Similarity.pqCodebooks(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val codes = Similarity.pqQuantize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toInt)).toMap
+    val vecs = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // replicate the engine's arithmetic exactly: left-fold dots, the dot
+    // identity, 9dp HALF_UP rounding per subspace, exact-decimal sum
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def d9(a: Array[Double], b: Array[Double]): BigDecimal =
+      BigDecimal(dot(a, a) + dot(b, b) - 2.0 * dot(a, b))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    results.foreach { case (qId, vecId, adist) =>
+      val qv = vecs(qId)
+      val expected = (0 until PqM).map { m =>
+        val qsv = qv.slice(m * PqSub, m * PqSub + PqSub)
+        d9(qsv, books((m, codes(vecId)(m))))
+      }.sum.toDouble
+      assert(adist == expected,
+        s"q=$qId vec=$vecId: adist $adist != table-lookup sum $expected")
+    }
+    // approximation sanity (NOT a quality bar at this code budget): the
+    // ADC top-3 overlaps the exact-L2 top-3 for at least some queries
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+    val c = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def dc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct(x, y)
+    val exact = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dc(col("v"), col("v")) + dc(col("qv"), col("qv"))
+          - lit(2.0) * dc(col("v"), col("qv"))).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= PqTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = results.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.map { case (k, ts) =>
+      approx.getOrElse(k, Set.empty).intersect(ts).size }.sum
+    assert(hits > 0, "ADC retrieved none of the exact neighbors — vacuous")
+  }
+
   test("quantize_int8 is SQL-registered; all-zero vectors take zero codes") {
     GraftCatalog.registerFunctions(spark)
     import spark.implicits._
