@@ -294,6 +294,49 @@ object SparkEntry {
           GROUP BY cid, pos)
         GROUP BY cid)"""
 
+  /** Squared L2 via the dot identity (mirrors Similarity.l2sq: three
+    * list_reduce folds, rounded at 9 dp before any argmin).
+    */
+  private def pqL2Sql(a: String, b: String): String =
+    s"""round(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}, 9)"""
+
+  /** One PQ assignment CTE: nearest code per (vector, subspace) from the
+    * `books` codebooks (mirrors Similarity.pqAssign's min-of-struct
+    * winner). `keep` appends extra projected columns (", sv" / ", d").
+    */
+  private def pqAssignCte(name: String, books: String, keep: String): String =
+    s"""$name AS (SELECT vec_id, m, code$keep FROM (
+          SELECT sub.vec_id, sub.m, $books.code, sub.sv,
+                 ${pqL2Sql("sub.sv", s"$books.cb")} AS d,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                   ORDER BY ${pqL2Sql("sub.sv", s"$books.cb")} ASC,
+                            $books.code ASC) AS rk
+          FROM sub JOIN $books ON sub.m = $books.m)
+        WHERE rk = 1)"""
+
+  /** The shared PQ training preamble (corpus → subvectors → seed books →
+    * assignment → refined codebooks `u1`) — ONE definition so q_embed_pq
+    * and q_embed_pq_search can never train divergent codebooks.
+    */
+  private lazy val pqTrainCtes: String = {
+    val (m, sd, k) = (Similarity.PqM, Similarity.PqSub, Similarity.PqK)
+    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT vec_id, m, v[m*$sd+1 : m*$sd+$sd] AS sv
+                 FROM c, range(0, $m) r(m)),
+         b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
+                FROM sub WHERE vec_id < $k),
+         ${pqAssignCte("a1", "b0", ", sv")},
+         u1 AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
+             SELECT m, code, pos,
+                    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+                      AS cx
+             FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
+                          unnest(sv) AS x
+                   FROM a1)
+             GROUP BY m, code, pos)
+           GROUP BY m, code)"""
+  }
+
   /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
     * arbitrary string expression, returning the tag LIST (for document
     * assembly oracles) — kept identical to TextFunctions.packageTags so
@@ -786,34 +829,8 @@ object SparkEntry {
     // seed → one Lloyd refinement with exact-decimal means → reassign;
     // squared L2 via the dot identity rounded at 9dp before every argmin,
     // error = left-fold of per-subspace distances in subspace order
-    "q_embed_pq" -> {
-      val (m, sd, k) = (Similarity.PqM, Similarity.PqSub, Similarity.PqK)
-      def l2Sql(a: String, b: String) =
-        s"""round(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}, 9)"""
-      def pqAssignCte(name: String, books: String, keep: String) =
-        s"""$name AS (SELECT vec_id, m, code$keep FROM (
-              SELECT sub.vec_id, sub.m, $books.code, sub.sv,
-                     ${l2Sql("sub.sv", s"$books.cb")} AS d,
-                     row_number() OVER (PARTITION BY sub.vec_id, sub.m
-                       ORDER BY ${l2Sql("sub.sv", s"$books.cb")} ASC,
-                                $books.code ASC) AS rk
-              FROM sub JOIN $books ON sub.m = $books.m)
-            WHERE rk = 1)"""
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         sub AS (SELECT vec_id, m, v[m*$sd+1 : m*$sd+$sd] AS sv
-                 FROM c, range(0, $m) r(m)),
-         b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
-                FROM sub WHERE vec_id < $k),
-         ${pqAssignCte("a1", "b0", ", sv")},
-         u1 AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
-             SELECT m, code, pos,
-                    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
-                      AS cx
-             FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
-                          unnest(sv) AS x
-                   FROM a1)
-             GROUP BY m, code, pos)
-           GROUP BY m, code),
+    "q_embed_pq" -> s"""
+         WITH $pqTrainCtes,
          ${pqAssignCte("a2", "u1", ", d")},
          g AS (SELECT vec_id, list(code ORDER BY m) AS codes,
                       list(d ORDER BY m) AS ds
@@ -821,43 +838,16 @@ object SparkEntry {
          SELECT vec_id, array_to_string(codes, ',') AS codes,
                 round(list_reduce(list_concat([0.0], ds), (a, b) -> a + b), 9)
                   AS err
-         FROM g ORDER BY vec_id"""
-    },
+         FROM g ORDER BY vec_id""",
     // ADC search over the PQ codes (mirrors Similarity.pqSearch): per-query
     // distance tables against the codebooks, approximate distance = the
     // DECIMAL sum of M table lookups on the stored codes
-    "q_embed_pq_search" -> {
-      val (m, sd, k) = (Similarity.PqM, Similarity.PqSub, Similarity.PqK)
-      def l2Sql(a: String, b: String) =
-        s"""round(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}, 9)"""
-      def pqAssignCte(name: String, books: String, keep: String) =
-        s"""$name AS (SELECT vec_id, m, code$keep FROM (
-              SELECT sub.vec_id, sub.m, $books.code, sub.sv,
-                     ${l2Sql("sub.sv", s"$books.cb")} AS d,
-                     row_number() OVER (PARTITION BY sub.vec_id, sub.m
-                       ORDER BY ${l2Sql("sub.sv", s"$books.cb")} ASC,
-                                $books.code ASC) AS rk
-              FROM sub JOIN $books ON sub.m = $books.m)
-            WHERE rk = 1)"""
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         sub AS (SELECT vec_id, m, v[m*$sd+1 : m*$sd+$sd] AS sv
-                 FROM c, range(0, $m) r(m)),
-         b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
-                FROM sub WHERE vec_id < $k),
-         ${pqAssignCte("a1", "b0", ", sv")},
-         u1 AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
-             SELECT m, code, pos,
-                    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
-                      AS cx
-             FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
-                          unnest(sv) AS x
-                   FROM a1)
-             GROUP BY m, code, pos)
-           GROUP BY m, code),
+    "q_embed_pq_search" -> s"""
+         WITH $pqTrainCtes,
          ${pqAssignCte("codes", "u1", "")},
          q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
                WHERE vec_id < ${Similarity.NQueries}),
-         tbl AS (SELECT q_id, u1.m, u1.code, ${l2Sql("q.qsv", "u1.cb")} AS d
+         tbl AS (SELECT q_id, u1.m, u1.code, ${pqL2Sql("q.qsv", "u1.cb")} AS d
                  FROM q JOIN u1 ON q.m = u1.m),
          sc AS (SELECT tbl.q_id, codes.vec_id,
                        CAST(sum(CAST(d AS DECIMAL(20,9))) AS DOUBLE) AS adist
@@ -869,8 +859,7 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id
                        ORDER BY adist ASC, vec_id ASC) AS rk
            FROM sc)
-         WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk"""
-    },
+         WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk""",
     // every step is engine-exact double arithmetic: order-insensitive max,
     // floor on identical doubles, left-fold error from a 0.0 seed
     "q_embed_quantize" -> s"""
@@ -1270,12 +1259,15 @@ object SparkEntry {
            SELECT source, count(*)::BIGINT AS n_docs, sqrt(count(*)) AS w
            FROM documents WHERE regexp_matches(source, 'src[0-9]+')
            GROUP BY source),
-         tot AS (SELECT sum(n_docs)::BIGINT AS n_total, sum(w) AS w_sum
+         tot AS (SELECT sum(n_docs)::BIGINT AS n_total,
+                        CAST(sum(CAST(w AS DECIMAL(38,10))) AS DOUBLE)
+                          AS w_sum
                  FROM src),
          rates AS (
            SELECT source, round(w / w_sum, 6) AS mix_weight,
                   CAST(round(least(1.0,
-                    ${Curation.MixTempBudgetFrac} * n_total * w / w_sum
+                    CAST(${Curation.MixTempBudgetFrac} AS DOUBLE)
+                      * n_total * w / w_sum
                       / n_docs) * 10000) AS INT) AS keep_bp
            FROM src, tot)
          SELECT d.doc_id, d.source, r.mix_weight, r.keep_bp

@@ -370,8 +370,13 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", sqrt(col("n_docs")))
     val bySrc = if (cache) bySrc0.cache() else bySrc0
+    // w_sum as an exact DECIMAL sum (the repo's standing cross-engine-sum
+    // discipline): double addition is order-sensitive, and the partials'
+    // merge order is not — one deterministic decimal→double conversion at
+    // the end instead
     val totals = bySrc.agg(
-      sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_sum"))
+      sum(col("n_docs")).as("n_total"),
+      sum(col("w").cast("decimal(38,10)")).cast("double").as("w_sum"))
     bySrc.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"),
         round(col("w") / col("w_sum"), 6).as("mix_weight"),

@@ -327,16 +327,58 @@ object Similarity {
     * against the broadcast codebooks, winner picked by the same
     * min-of-struct map-side-partial trick as [[assign]] (ties to the
     * smallest code — the row_number winner the oracle replays).
+    * `keepSv` carries the subvector through only for the Lloyd update;
+    * the other call sites drop it so the partial-min shuffle moves
+    * (d, code) and not a 64-byte dead payload (sv can never influence
+    * the min — code is unique per candidate).
     */
-  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame =
+  private def pqAssign(sub: DataFrame, books: DataFrame,
+      keepSv: Boolean): DataFrame = {
+    val cand = Seq(l2sq(col("sv"), col("cb")).as("d"), col("code")) ++
+      (if (keepSv) Seq(col("sv")) else Nil)
+    val out = Seq(col("vec_id"), col("m"), col("best.code").as("code"),
+      col("best.d").as("d")) ++
+      (if (keepSv) Seq(col("best.sv").as("sv")) else Nil)
     sub.join(broadcast(books), Seq("m"))
-      .select(col("vec_id"), col("m"),
-        struct(l2sq(col("sv"), col("cb")).as("d"), col("code"), col("sv"))
-          .as("cand"))
+      .select(col("vec_id"), col("m"), struct(cand: _*).as("cand"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("cand")).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"),
-        col("best.d").as("d"), col("best.sv").as("sv"))
+      .select(out: _*)
+  }
+
+  /** PQ training: seed codebooks from the first [[PqK]] vectors, one
+    * Lloyd refinement (assign → exact-decimal component means). Returns
+    * the refined codebooks (m, code, cb).
+    */
+  private def pqTrain(sub: DataFrame): DataFrame = {
+    val seed = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cb"))
+    pqAssign(sub, seed, keepSv = true)
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(col("x").cast("decimal(38,10)")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("code"), col("pos"),
+        (col("sx").cast("double") / col("cnt")).as("cx"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+      .select(col("m"), col("code"),
+        transform(col("ps"), p => p.getField("cx")).as("cb"))
+  }
+
+  /** The trained codebooks as a public surface — at deployment these
+    * (M·K·sub doubles) are what ships to query nodes; the corpus keeps
+    * only code words. `cache` covers the exploded corpus pqTrain reads
+    * twice (seed + assignment).
+    */
+  def pqCodebooks(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val c = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sub0 = pqSubvectors(c)
+    pqTrain(if (cache) sub0.cache() else sub0)
+  }
 
   /** Product quantization: per-subspace codebooks seeded from the first
     * [[PqK]] vectors, one deterministic Lloyd refinement (assign →
@@ -353,37 +395,6 @@ object Similarity {
     * asymmetric distance tables against the codebooks replace full dot
     * products at query time.
     */
-  /** PQ training: seed codebooks from the first [[PqK]] vectors, one
-    * Lloyd refinement (assign → exact-decimal component means). Returns
-    * the refined codebooks (m, code, cb).
-    */
-  private def pqTrain(sub: DataFrame): DataFrame = {
-    val seed = sub.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("code"),
-        col("sv").as("cb"))
-    pqAssign(sub, seed)
-      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg(sum(col("x").cast("decimal(38,10)")).as("sx"),
-        count(lit(1)).as("cnt"))
-      .select(col("m"), col("code"), col("pos"),
-        (col("sx").cast("double") / col("cnt")).as("cx"))
-      .groupBy(col("m"), col("code"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
-      .select(col("m"), col("code"),
-        transform(col("ps"), p => p.getField("cx")).as("cb"))
-  }
-
-  /** The trained codebooks as a public surface — at deployment these
-    * (M·K·sub doubles) are what ships to query nodes; the corpus keeps
-    * only code words.
-    */
-  def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    pqTrain(pqSubvectors(c))
-  }
-
   def pqQuantize(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
     val c = t(s, dir, "embeddings")
@@ -391,7 +402,7 @@ object Similarity {
     // consumed by seed + two assignment passes: cache the exploded form
     val sub0 = pqSubvectors(c)
     val sub = if (cache) sub0.cache() else sub0
-    pqAssign(sub, pqTrain(sub))
+    pqAssign(sub, pqTrain(sub), keepSv = false)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("code"), col("d"))))
         .as("mc"))
@@ -431,7 +442,7 @@ object Similarity {
     // codebooks feed the corpus assignment AND the distance tables
     val books0 = pqTrain(sub)
     val books = if (cache) books0.cache() else books0
-    val codes = pqAssign(sub, books)
+    val codes = pqAssign(sub, books, keepSv = false)
       .select(col("vec_id"), col("m"), col("code"))
     val tables = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
