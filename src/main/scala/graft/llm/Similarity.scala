@@ -467,6 +467,18 @@ object Similarity {
     */
   val SemDedupThreshold = 0.4
 
+  /** The persisted artifacts an incremental semantic-dedup deployment
+    * keeps between runs: the learned centroids and the clustered base
+    * corpus — the semantic analog of the MinHash band index
+    * ([[Dedup.minhashIndex]]). The streaming probe is
+    * [[graft.streaming.StreamOps.semDedupStream]].
+    */
+  def semDedupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = corpus(s, dir)
+    val cents = kmeansCentroids(s, dir)
+    (cents, assign(c, cents))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with the
     * learned k-means centroids, compare pairs ONLY inside a cluster, and
     * keep the smallest vec_id of any pair at cosine ≥

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -233,6 +233,54 @@ object StreamOps {
       .join(broadcast(rates), Seq("source"))
       .filter(graft.llm.Curation.mixTempKeep)
       .select(col("doc_id"), col("source"), col("mix_weight"), col("keep_bp"))
+
+  /** Streaming form of [[graft.llm.Similarity.semDedup]]: new vectors are
+    * probed against the FROZEN cluster index
+    * ([[graft.llm.Similarity.semDedupIndex]] — centroids + clustered base
+    * corpus, the persisted artifacts). Emits (delta_id, base_id, cos) for
+    * every in-cluster base near-twin at cosine ≥ SemDedupThreshold.
+    *
+    * Statelessness is load-bearing: a streaming groupBy (the batch form's
+    * argmin aggregation) would be stateful, so nearest-cluster is computed
+    * ROW-LOCALLY — the tiny centroid table (k rows) is collected once at
+    * stream-definition time into an array-of-structs argmax expression,
+    * exactly how PQ codebooks or IVF centroids ship to query nodes. The
+    * base join is stream-static on cid (append-mode, no watermark); only
+    * the probed cluster's members meet each delta row. Same economics as
+    * [[incrementalDedupStream]]'s band index: O(delta · cluster) work,
+    * re-freezing the index as the corpus drifts is an orchestration
+    * choice.
+    */
+  def semDedupStream(delta: DataFrame, centroids: DataFrame,
+      base: DataFrame): DataFrame = {
+    import graft.llm.Similarity.SemDedupThreshold
+    def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+    val cents = centroids.select(col("cid"), col("centroid"), col("cnorm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+    val v = col("v")
+    val nv = col("nv")
+    // the argmax the batch form's max-of-struct aggregation picks, as a
+    // row-local expression over the frozen candidates (ties to smallest
+    // cid via the negated tiebreak, mirroring Similarity.assign)
+    val best = array_max(array(cents.map { case (cid, cb, cn) =>
+      struct(
+        round(dot(v, typedLit(cb)) / (nv * lit(cn)), 9).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*))
+    val assigned = delta
+      .select(col("vec_id").as("delta_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(v, v)))
+      .withColumn("probe_cid", -best.getField("ncid"))
+    assigned
+      .join(base.select(col("cid"), col("vec_id").as("base_id"),
+        col("v").as("bv"), col("nv").as("bn")),
+        col("probe_cid") === col("cid"))
+      .select(col("delta_id"), col("base_id"),
+        round(dot(col("v"), col("bv")) / (col("nv") * col("bn")), 9).as("cos"))
+      .filter(col("cos") >= SemDedupThreshold)
+  }
 
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into

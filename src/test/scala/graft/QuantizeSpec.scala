@@ -67,6 +67,35 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("pq Lloyd refinement does not increase total reconstruction error") {
+    import graft.llm.Similarity.{PqM, PqSub, PqK}
+    val vecs = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def d9(a: Array[Double], b: Array[Double]): BigDecimal =
+      BigDecimal(dot(a, a) + dot(b, b) - 2.0 * dot(a, b))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def subv(v: Array[Double], m: Int): Array[Double] =
+      v.slice(m * PqSub, m * PqSub + PqSub)
+    // total error against the SEED codebooks (first PqK vectors), computed
+    // independently of the engine
+    val seedErr = vecs.values.map { v =>
+      (0 until PqM).map { m =>
+        (0L until PqK.toLong).map(c => d9(subv(v, m), subv(vecs(c), m))).min
+      }.sum
+    }.sum
+    // total error after the refinement = sum of the emitted err column
+    val refinedErr = graft.llm.Similarity.pqQuantize(spark, dir)
+      .agg(sum(col("err"))).head().getDouble(0)
+    // Lloyd: update minimizes within the fixed assignment, reassignment
+    // only improves — monotone up to the 9dp per-subspace rounding
+    assert(refinedErr <= seedErr.toDouble + 1e-4,
+      s"refined $refinedErr > seed $seedErr")
+    spark.catalog.clearCache()
+  }
+
   test("pq ADC distances equal brute-force table lookups on the emitted codes") {
     import graft.llm.Similarity._
     val results = Similarity.pqSearch(spark, dir).collect()

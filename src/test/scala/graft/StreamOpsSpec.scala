@@ -326,6 +326,46 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semDedupStream flags delta near-twins against the frozen cluster index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (cents0, base0) = graft.llm.Similarity.semDedupIndex(spark, sf)
+    val cents = cents0.cache()
+    val base = base0.cache()
+    // delta: verbatim copies of two base vectors (cos 1.0 against their
+    // originals, same cluster by construction) + the originals' ids offset
+    val planted = Tables.table(spark, sf, "embeddings")
+      .orderBy("vec_id").limit(2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val delta = planted.zipWithIndex.map { case ((_, v), i) =>
+      (9000001L + i, v.toSeq)
+    }.toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(delta)
+    val q = StreamOps.semDedupStream(
+        mem.toDF.toDF("vec_id", "embedding"), cents, base)
+      .writeStream.format("memory").queryName("semdedupstream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("semdedupstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // each planted copy must hit its own original at cosine exactly 1.0
+    planted.zipWithIndex.foreach { case ((origId, _), i) =>
+      assert(got.exists(g => g._1 == 9000001L + i && g._2 == origId && g._3 == 1.0),
+        s"planted copy of $origId not matched at 1.0: ${got.take(5).mkString(", ")}")
+    }
+    // every emitted pair clears the threshold
+    assert(got.forall(_._3 >= graft.llm.Similarity.SemDedupThreshold))
+    // and the stream agrees with the same logic run as a plain batch
+    val batch = StreamOps.semDedupStream(
+        delta.toDF("vec_id", "embedding"), cents, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch, "stream and batch probes diverge")
+    spark.catalog.clearCache()
+  }
+
   test("incrementalDedupStream probes the static index without state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
