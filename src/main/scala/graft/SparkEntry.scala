@@ -79,6 +79,7 @@ object SparkEntry {
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_pretok" -> (TextAnalysis.preTokenize _),
+    "q_bpe_merge" -> ((s, dir) => TextAnalysis.bpeMergeStep(s, dir)),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
@@ -336,6 +337,23 @@ object SparkEntry {
              GROUP BY m, code, pos)
            GROUP BY m, code)"""
   }
+
+  /** Vocabulary + adjacent-char-pair CTEs (mirror TextAnalysis.vocabTable /
+    * pairWeights) — shared by the BPE pair-count and merge oracles.
+    */
+  private lazy val bpeCtes: String = s"""
+         vocab AS (
+           SELECT term, count(*) AS freq
+           FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                 FROM documents)
+           GROUP BY term),
+         pr AS (
+           SELECT unnest(CASE WHEN length(term) >= 2
+                              THEN list_transform(range(1, length(term)),
+                                     i -> substr(term, i, 2))
+                              ELSE [] END) AS pair,
+                  freq
+           FROM vocab)"""
 
   /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
     * arbitrary string expression, returning the tag LIST (for document
@@ -1430,22 +1448,27 @@ object SparkEntry {
     // BPE merge-candidate counts: adjacent char pairs over the distinct
     // vocabulary, weighted by word frequency (mirrors TextAnalysis.bpePairs)
     "q_bpe_pairs" -> s"""
-         WITH vocab AS (
-           SELECT term, count(*) AS freq
-           FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
-                 FROM documents)
-           GROUP BY term),
-         pr AS (
-           SELECT unnest(CASE WHEN length(term) >= 2
-                              THEN list_transform(range(1, length(term)),
-                                     i -> substr(term, i, 2))
-                              ELSE [] END) AS pair,
-                  freq
-           FROM vocab)
+         WITH $bpeCtes
          SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
          FROM pr GROUP BY pair
          ORDER BY weight DESC, pair
          LIMIT ${TextAnalysis.BpeTopN}""",
+    // one BPE merge applied to the vocabulary (mirrors
+    // TextAnalysis.bpeMergeStep: greedy left-to-right non-overlapping —
+    // replace()'s contract in both engines — merged symbols uppercased)
+    "q_bpe_merge" -> s"""
+         WITH $bpeCtes,
+         top AS (SELECT pair FROM (
+             SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+             FROM pr GROUP BY pair
+             ORDER BY weight DESC, pair LIMIT 1))
+         SELECT term, CAST(freq AS BIGINT) AS freq, pair,
+                CAST((length(term) - length(replace(term, pair, ''))) / 2
+                  AS INT) AS n_merges,
+                replace(term, pair, upper(pair)) AS merged
+         FROM vocab, top
+         ORDER BY freq DESC, term
+         LIMIT ${TextAnalysis.VocabTopN}""",
     // KMV distinct users per tumbling window (mirrors
     // StreamOps.distinctPerWindow; same estimate arithmetic as
     // q_sketch_distinct)

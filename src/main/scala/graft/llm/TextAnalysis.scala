@@ -332,10 +332,7 @@ object TextAnalysis {
     * the vocabulary).
     */
   def vocabulary(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(explode(tokens(col("text"))).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("freq"))
+    vocabTable(s, dir)
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
 
@@ -539,11 +536,20 @@ object TextAnalysis {
     * (re-segment, re-count) on that same vocabulary table without ever
     * rescanning the corpus.
     */
-  def bpePairs(s: SparkSession, dir: String): DataFrame = {
-    val vocab = t(s, dir, "documents")
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    pairWeights(vocabTable(s, dir))
+
+  /** The term→frequency vocabulary table — the ONE corpus aggregation
+    * every tokenizer-prep operator runs on ([[vocabulary]], [[bpePairs]],
+    * [[bpeMergeStep]]).
+    */
+  private def vocabTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("freq"))
+
+  private def pairWeights(vocab: DataFrame): DataFrame = {
     // adjacent char pairs of a term: substr windows over 1..len-1 (terms
     // shorter than 2 chars contribute none). sequence(1, len-1) would step
     // DOWNWARD for a 1-char term (Spark defaults to step -1 when start >
@@ -559,5 +565,34 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("weight"))
       .orderBy(col("weight").desc, col("pair"))
       .limit(BpeTopN)
+  }
+
+  /** One BPE MERGE applied to the vocabulary — the mechanic the pair
+    * counts exist to feed: the top-weighted pair is merged into a single
+    * symbol in every term, greedily left-to-right on non-overlapping
+    * occurrences — exactly `replace()`'s contract in every engine, so the
+    * oracle needs no fold. Merged symbols surface uppercased in `merged`
+    * (the vocabulary is lowercase, so the marking is collision-free).
+    *
+    * Scale shape: ONE corpus aggregation (the cached vocabulary table
+    * feeds both the pair ranking and the merge projection), the top pair
+    * rides in as a broadcast scalar, and the merge itself is row-local
+    * string work over the vocabulary — a real BPE trainer loops exactly
+    * this step on the vocabulary table without ever rescanning the
+    * corpus.
+    */
+  def bpeMergeStep(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val v0 = vocabTable(s, dir)
+    val vocab = if (cache) v0.cache() else v0
+    val top = broadcast(pairWeights(vocab).limit(1).select(col("pair")))
+    vocab.crossJoin(top)
+      .select(col("term"), col("freq"), col("pair"),
+        ((length(col("term")) -
+          length(replace(col("term"), col("pair"), lit("")))) / 2)
+          .cast("int").as("n_merges"),
+        replace(col("term"), col("pair"), upper(col("pair"))).as("merged"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(VocabTopN)
   }
 }

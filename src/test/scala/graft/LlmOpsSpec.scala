@@ -192,6 +192,27 @@ class LlmOpsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("bpe merge step: greedy non-overlapping semantics, wired to the top pair") {
+    val out = TextAnalysis.bpeMergeStep(spark, sf).cache()
+    val top = TextAnalysis.bpePairs(spark, sf).limit(1).collect()(0).getString(0)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (term, pair, nm, merged) =
+        (r.getString(0), r.getString(2), r.getInt(3), r.getString(4))
+      assert(pair == top, s"merge must use the top-weighted pair, got $pair")
+      // Java String.replace IS greedy left-to-right non-overlapping — the
+      // same contract the operator's replace() relies on
+      assert(merged == term.replace(pair, pair.toUpperCase),
+        s"$term merged to $merged")
+      assert(nm == (term.length - term.replace(pair, "").length) / 2,
+        s"$term merge count $nm")
+    }
+    assert(rows.exists(_.getInt(3) > 0),
+      "no vocabulary term contains the top pair — the check is vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("row-local minhashSig fold equals the explode+aggregate signature") {
     // two formulations of the same signature must agree (the fold is the
     // zero-shuffle variant; Dedup uses the codegen'd explode form)
