@@ -473,10 +473,15 @@ object Similarity {
     * ([[Dedup.minhashIndex]]). The streaming probe is
     * [[graft.streaming.StreamOps.semDedupStream]].
     */
-  def semDedupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def semDedupIndex(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, DataFrame) = {
     val c = corpus(s, dir)
-    val cents = kmeansCentroids(s, dir)
-    (cents, assign(c, cents))
+    val cents0 = kmeansCentroids(s, dir)
+    val cents = if (cache) cents0.cache() else cents0
+    // the static side of a stream-static join re-evaluates per micro-batch:
+    // without the cache every trigger re-runs Lloyd + the assignment scan
+    val asg0 = assign(c, cents)
+    (cents, if (cache) asg0.cache() else asg0)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with the

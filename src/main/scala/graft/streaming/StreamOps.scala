@@ -253,8 +253,7 @@ object StreamOps {
     */
   def semDedupStream(delta: DataFrame, centroids: DataFrame,
       base: DataFrame): DataFrame = {
-    import graft.llm.Similarity.SemDedupThreshold
-    def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+    import graft.llm.Similarity.{SemDedupThreshold, dot, norm}
     val cents = centroids.select(col("cid"), col("centroid"), col("cnorm"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -271,7 +270,7 @@ object StreamOps {
     val assigned = delta
       .select(col("vec_id").as("delta_id"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nv", sqrt(dot(v, v)))
+      .withColumn("nv", norm(v))
       .withColumn("probe_cid", -best.getField("ncid"))
     assigned
       .join(base.select(col("cid"), col("vec_id").as("base_id"),

@@ -203,7 +203,8 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(pair == top, s"merge must use the top-weighted pair, got $pair")
       // Java String.replace IS greedy left-to-right non-overlapping — the
       // same contract the operator's replace() relies on
-      assert(merged == term.replace(pair, pair.toUpperCase),
+      assert(merged == term.replace(pair,
+        pair.toUpperCase(java.util.Locale.ROOT)),
         s"$term merged to $merged")
       assert(nm == (term.length - term.replace(pair, "").length) / 2,
         s"$term merge count $nm")

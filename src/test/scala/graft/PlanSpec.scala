@@ -269,4 +269,16 @@ class PlanSpec extends AnyFunSuite {
     assert(genAt >= 0 && aggs.exists(_ > genAt),
       s"pair explode must run over the aggregated vocabulary, not the corpus:\n${p.take(1500)}")
   }
+
+  test("bpe merge: scalar top pair broadcasts over a cached vocabulary") {
+    val p = plan("q_bpe_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 1-row top pair must broadcast, never shuffle the vocabulary")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the scalar join must be the broadcast nested-loop scalar pattern")
+    assert(p.contains("InMemoryTableScan"),
+      "the vocabulary aggregation must be cached — it feeds both the " +
+        "pair-weight argmax and the merge projection")
+    spark.catalog.clearCache()
+  }
 }
