@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomBuild, BloomContains, CharTrigrams, DotProduct, HashedScore, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, RollingFingerprint, SimhashSketch, SlugTruncate, TagPipeline, Unidecode, WordShingles}
+import graft.functions.{BloomBuild, BloomContains, CharStats, CharTrigrams, DotProduct, HashedScore, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, RollingFingerprint, SimhashSketch, SlugTruncate, TagPipeline, Unidecode, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -98,5 +98,8 @@ object GraftCatalog {
     if (!reg.functionExists(Unidecode.identifier))
       reg.registerFunction(Unidecode.identifier, Unidecode.info,
         Unidecode.builder)
+    if (!reg.functionExists(CharStats.identifier))
+      reg.registerFunction(CharStats.identifier, CharStats.info,
+        CharStats.builder)
   }
 }

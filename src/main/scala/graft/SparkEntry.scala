@@ -78,6 +78,7 @@ object SparkEntry {
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
+    "q_text_entropy" -> (TextAnalysis.charDiversity _),
     "q_text_pretok" -> (TextAnalysis.preTokenize _),
     "q_bpe_merge" -> ((s, dir) => TextAnalysis.bpeMergeStep(s, dir)),
     "q_text_langid" -> (TextAnalysis.langId _),
@@ -963,6 +964,20 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
                   AS n_regex_tokens
          FROM tk ORDER BY doc_id""",
+    "q_text_entropy" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+                      FROM documents WHERE length(text) > 0),
+         hist AS (SELECT doc_id, substr(text, i::INT, 1) AS ch, count(*) AS n
+                  FROM pos GROUP BY 1, 2),
+         agg AS (SELECT doc_id, sum(n)::BIGINT AS nc, count(*) AS alpha,
+                        max(n)::BIGINT AS top, sum(n*n)::BIGINT AS ssq
+                 FROM hist GROUP BY 1)
+         SELECT doc_id, nc::INT AS n_chars, alpha::INT AS alphabet,
+                round(CAST(nc*nc AS DOUBLE) / CAST(ssq AS DOUBLE), 6)
+                  AS eff_alphabet,
+                round(CAST(top AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+                  AS top_char_ratio
+         FROM agg ORDER BY doc_id""",
     "q_text_langid" -> {
       def profileSql(lang: String): String =
         TextAnalysis.langProfile(lang).map(g => s"'$g'").mkString("[", ", ", "]")

@@ -116,6 +116,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-diversity quality signals — the gibberish/boilerplate
+    * detector an entropy score usually provides, built on the Rényi
+    * spectrum instead of Shannon so every value stays EXACT in integer
+    * arithmetic (no libm log whose last ulp differs between engines — the
+    * same determinism reasoning as [[tfidfTopTerms]]'s `tf·N/df` idf):
+    *
+    *  - `alphabet`       — distinct code points (Rényi order 0/Hartley)
+    *  - `eff_alphabet`   — inverse Simpson `N²/Σn²` = exp(Rényi-2
+    *                       entropy): how many chars the doc "effectively"
+    *                       uses; ~1 flags single-char runs, low values
+    *                       flag repetitive boilerplate
+    *  - `top_char_ratio` — `max nᵢ/N` (the min-entropy/Rényi-∞ analog)
+    *
+    * Both ratios are ONE double division of exact integers — correctly
+    * rounded, identical in any engine. Shape: the histogram moments come
+    * from the one-pass native [[graft.functions.CharStats]] projection —
+    * row-local, zero shuffle, no per-char explode (the oracle's explode
+    * formulation would be ~5k rows per 5 KB document at corpus scale).
+    */
+  def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cs = graft.functions.CharStats(col("text"))
+    val n = col("cs").getField("n_chars")
+    t(s, dir, "documents")
+      // guard on length(text), not cs.n_chars: the same predicate (n_chars
+      // IS the code-point count) without re-running the histogram pass in
+      // a Filter below the projection
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), cs.as("cs"))
+      .select(
+        col("doc_id"),
+        n.as("n_chars"),
+        col("cs").getField("n_distinct").as("alphabet"),
+        round((n.cast("bigint") * n.cast("bigint")).cast("double") /
+          col("cs").getField("sum_sq").cast("double"), 6).as("eff_alphabet"),
+        round(col("cs").getField("top_count").cast("double") /
+          n.cast("double"), 6).as("top_char_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID (char-n-gram heuristic): score each language by how many
     * of its profile trigrams occur in the document's trigram set; argmax
     * with alphabetical tie-break (first-match CASE over sorted langs —

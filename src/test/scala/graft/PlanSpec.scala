@@ -36,7 +36,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("row-local string pipelines have exactly one exchange (the final sort)") {
     for (q <- Seq("q_sf5_package_tags", "q_sf2_slugify_norm", "q_mm_features",
-        "q_text_pretok")) {
+        "q_text_pretok", "q_text_entropy")) {
       val p = plan(q)
       val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"$q should shuffle only for the output sort, got $exchanges:\n$p")
