@@ -87,6 +87,7 @@ object SparkEntry {
     "q_text_quality" -> (TextAnalysis.qualityFilter _),
     "q_pipeline_preprocess" -> (TextAnalysis.preprocessCorpus _),
     "q_text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopDocs(s, dir)),
     "q_a7b_prefix_diff" -> (CoreOps.a7bPrefixDiff _),
     "q_a7c_nested_diff" -> (ChangeOps.a7cNestedDiff _),
     "q_a9_rollup" -> (CoreOps.a9Rollup _),
@@ -1069,6 +1070,40 @@ object SparkEntry {
                     tf.term) AS rk
            FROM tf JOIN dfreq USING (term), n)
          WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q_bm25" -> {
+      // one definition of the query workload: interpolate Bm25Queries
+      val qvals = TextAnalysis.Bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
+         tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+         scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                  FROM dl),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         tf AS (SELECT ex.doc_id, ex.term, count(*)::BIGINT AS tf
+                FROM ex JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+                GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  round(((2*n_docs - 2*df + 1)::DOUBLE / (2*df + 1)::DOUBLE)
+                      * ((22*tf.tf*sum_dl)::DOUBLE /
+                         (10*tf.tf*sum_dl + 3*sum_dl + 9*dl.dl*n_docs)::DOUBLE),
+                      9) AS s9
+                FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id, scal),
+         agg AS (SELECT query_id, doc_id,
+                   sum(CAST(s9 AS DECIMAL(20,9))) AS sd
+                 FROM sc GROUP BY 1, 2),
+         rnk AS (SELECT query_id, doc_id, sd,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sd DESC, doc_id) AS rk
+                 FROM agg)
+         SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+                CAST(sd AS DOUBLE) AS score
+         FROM rnk WHERE rk <= ${TextAnalysis.Bm25TopK}
+         ORDER BY query_id, rk"""
+    },
     "q_a7b_prefix_diff" ->
       """WITH g AS (
            SELECT l_orderkey, list_sort(list(DISTINCT p_name)) AS old_list

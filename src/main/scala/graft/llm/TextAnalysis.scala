@@ -250,6 +250,85 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** BM25 retrieval's fixed query workload: a handful of term sets over
+    * the corpus vocabulary, with one deliberately rare term (`dup`,
+    * df≈5% of docs) so the idf weighting visibly reorders results.
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "batch"),
+    2 -> Seq("dup", "scan", "filter"),
+    3 -> Seq("spark", "stream", "vector", "window"))
+  val Bm25TopK = 10
+
+  /** BM25-style top-k document retrieval for [[Bm25Queries]] — the
+    * term-based retrieval path next to the embedding stack
+    * ([[Similarity.bruteTopK]]/IVF/PQ), with every score EXACT:
+    *
+    *  - idf is the ODDS form `(2N−2df+1)/(2df+1)` — the argument of
+    *    BM25's `ln` with numerator and denominator cleared to integers.
+    *    Per-term it is the same monotone ordering as the log variant
+    *    (which would hang the oracle on libm ulp agreement — the
+    *    [[tfidfTopTerms]] reasoning); across terms it weighs rarity more
+    *    aggressively, a documented variant trade.
+    *  - the k1=1.2, b=0.75 saturation term is cleared to integers by
+    *    10·Σdl: `22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)`.
+    *
+    * Each per-term score is two correctly-rounded divisions of exact
+    * int64s and one exact double multiply, rounded to 9 dp; the per-doc
+    * sum runs in DECIMAL(20,9) (order-free), and ranking compares the
+    * DECIMAL. Shape: the explode is filtered by the broadcast query-term
+    * list BEFORE the tf aggregation (only matching terms shuffle), dl
+    * rides the exploded rows into `max(dl)` instead of joining a
+    * corpus-sized length table back per doc, df derives from tf, and the
+    * two corpus scalars (N, Σdl) broadcast from a single-row aggregate.
+    * Top-k per query is the rank-limit window (WindowGroupLimit) with
+    * doc_id tie-break.
+    */
+  def bm25TopDocs(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    // corpus scalars over ALL docs (also those matching no query term) —
+    // a second pruned scan of the text column, cheaper at any scale than
+    // shuffling a corpus-sized per-doc length table into the score join
+    val scal = broadcast(docs.select(size(toks).cast("bigint").as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl")))
+    val qterms = broadcast(
+      Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "term"))
+    val tfPlan = docs
+      .select(col("doc_id"), size(toks).cast("bigint").as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // two consumers (df derivation + the score join); cache = false for
+    // long-lived mounts (the GraftCatalog view contract, as on cacheTf)
+    val tf = if (cache) tfPlan.cache() else tfPlan
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val odds = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+      .cast("double") / (lit(2) * col("df") + lit(1)).cast("double")
+    val sat = (lit(22) * col("tf") * col("sum_dl")).cast("double") /
+      (lit(10) * col("tf") * col("sum_dl") + lit(3) * col("sum_dl") +
+        lit(9) * col("dl") * col("n_docs")).cast("double")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd").desc, col("doc_id"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(qterms, Seq("term"))
+      .crossJoin(scal)
+      .select(col("query_id"), col("doc_id"),
+        round(odds * sat, 9).cast("decimal(20,9)").as("s9"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s9")).as("sd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("sd").cast("double").as("score"))
+      .orderBy("query_id", "rk")
+  }
+
   /** The whole preprocessing chain composed — what a training-data run
     * actually executes, as one plan: quality-kept documents → near-dup
     * connected components → the smallest KEPT doc per cluster as the

@@ -214,6 +214,48 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bm25: matches a plain-Scala recompute of the exact-rational scores") {
+    val out = TextAnalysis.bm25TopDocs(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+
+    // independent recompute: same arithmetic, plain collections
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val expected = TextAnalysis.Bm25Queries.flatMap { case (qid, terms) =>
+      val scored = docs.flatMap { case (id, toks) =>
+        val dl = toks.length.toLong
+        val s = terms.map { t =>
+          val tf = toks.count(_ == t).toLong
+          if (tf == 0L) BigDecimal(0)
+          else {
+            val df = docs.count(_._2.contains(t)).toLong
+            val odds = (2 * nDocs - 2 * df + 1).toDouble / (2 * df + 1).toDouble
+            val sat = (22 * tf * sumDl).toDouble /
+              (10 * tf * sumDl + 3 * sumDl + 9 * dl * nDocs).toDouble
+            BigDecimal(odds * sat)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }.sum
+        if (s == BigDecimal(0)) None else Some((id, s))
+      }
+      scored.sortBy { case (id, s) => (-s, id) }
+        .take(TextAnalysis.Bm25TopK).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id, s.toDouble) }
+    }
+    assert(out.toSeq == expected,
+      s"bm25 mismatch: got ${out.take(3).toSeq} expected ${expected.take(3)}")
+    // the rare term must reorder query 2: its top doc is not just the
+    // longest tf winner — it contains 'dup'
+    val topQ2 = out.filter(_._1 == 2).minBy(_._2)._3
+    assert(docs.toMap.apply(topQ2).contains("dup"),
+      "rare-term idf should put a dup-containing doc on top of query 2")
+  }
+
   test("row-local minhashSig fold equals the explode+aggregate signature") {
     // two formulations of the same signature must agree (the fold is the
     // zero-shuffle variant; Dedup uses the codegen'd explode form)

@@ -270,6 +270,24 @@ class PlanSpec extends AnyFunSuite {
       s"pair explode must run over the aggregated vocabulary, not the corpus:\n${p.take(1500)}")
   }
 
+  test("bm25: term filter broadcast below the tf aggregate, rank-limited top-k") {
+    val p = plan("q_bm25")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k per query must push the rank limit below the full sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "every join side here is broadcast-sized (terms, df, scalars)")
+    assert(p.contains("InMemoryTableScan"),
+      "the filtered tf table must be cached — df derives from it")
+    // the broadcast query-term join must sit BETWEEN the tf aggregation
+    // and the corpus explode: only matching terms reach the shuffle
+    val agg = p.indexOf("HashAggregate(keys=[doc_id")
+    val gen = p.indexOf("Generate explode")
+    val join = p.indexOf("BroadcastHashJoin [term", agg)
+    assert(agg >= 0 && gen > agg && join > agg && join < gen,
+      s"term filter must prune the explode before the tf shuffle:\n${p.take(1200)}")
+    spark.catalog.clearCache()
+  }
+
   test("bpe merge: scalar top pair broadcasts over a cached vocabulary") {
     val p = plan("q_bpe_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
