@@ -43,6 +43,22 @@ object SparkEntry {
           col("s").cast("long").as("sum_cents"))
         .orderBy("event_type")
     }),
+    "q_skew_join" -> ((s, dir) => {
+      import graft.ops.SkewOps
+      import org.apache.spark.sql.functions._
+      // the broadcast-AVERSE salted path: shuffle_hash hint models the
+      // 100 TB case where the build side exceeds broadcast but the probe
+      // side's key histogram is hot (150 users × ~67 events here)
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val cust = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .hint("shuffle_hash")
+      SkewOps.saltedJoin(ev, cust, "user_id", "c_custkey", salt = 8)
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment"), col("event_type"))
+        .orderBy("event_id")
+    }),
     "q_so1_except" -> (CoreOps.so1Except _),
     "q_so2_union" -> (CoreOps.so2Union _),
     "q_w1_topk" -> (CoreOps.w1TopkPerGroup _),
@@ -455,6 +471,12 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // salted replicated join (SkewOps.saltedJoin): salting only scatters
+    // the hot key across reducers — the oracle is the PLAIN equi-join
+    "q_skew_join" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment, event_type
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
     "q_a8_group_stats" ->
       """SELECT o_orderpriority,
                 count(*) AS n_orders,

@@ -237,6 +237,16 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregates for both the salted and merge phases")
   }
 
+  test("salted join shuffles on (key, salt) and replicates the build side") {
+    val p = plan("q_skew_join")
+    assert("ShuffledHashJoin \\[user_id\\S*, __salt".r.findFirstIn(p).isDefined,
+      s"the join must key on (user_id, __salt) under the shuffle-hash hint:\n${p.take(1500)}")
+    assert(p.contains("Generate explode"),
+      "the build side must replicate each row to all salt buckets")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the broadcast-averse path is the point — no broadcast join here")
+  }
+
   test("temperature mix: rates broadcast back, the corpus is never windowed") {
     val p = plan("q_source_mix_temp")
     assert(p.contains("BroadcastHashJoin"),
