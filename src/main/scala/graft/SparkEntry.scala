@@ -123,6 +123,7 @@ object SparkEntry {
     "q_source_mix_temp" -> ((s, dir) => Curation.sourceMixTemperature(s, dir)),
     "q_dedup_spans" -> (Dedup.spanDedup _),
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
+    "q_sketch_hll" -> (Sketches.hllDistinct _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -1410,6 +1411,52 @@ object SparkEntry {
                 END AS est_distinct,
                 exact_distinct
          FROM g ORDER BY l_returnflag""",
+    // HLL register table reproduced value-for-value: bucket = top-6 hash
+    // bits, register = max leftmost-1-bit rank of the 26-bit suffix; the
+    // estimate derives from the INTEGER harmonic numerator s_num so both
+    // engines divide the same exact values (mirrors Sketches.hllDistinct /
+    // functions.HllRegisters)
+    "q_sketch_hll" -> s"""
+         WITH hs AS (SELECT l_returnflag,
+                            ${hexIntSql("'hll:' || l_orderkey")} AS h,
+                            l_orderkey
+                     FROM lineitem),
+         rk AS (SELECT l_returnflag,
+                       h // ${1L << Sketches.HllW} AS bucket,
+                       CASE WHEN h % ${1L << Sketches.HllW} = 0
+                            THEN ${Sketches.HllMaxRank}
+                            ELSE ${Sketches.HllMaxRank}
+                                 - length(bin(h % ${1L << Sketches.HllW}))
+                       END AS rank
+                FROM hs),
+         regs AS (SELECT l_returnflag, bucket, max(rank) AS r
+                  FROM rk GROUP BY l_returnflag, bucket),
+         grid AS (SELECT g.l_returnflag, b.bucket
+                  FROM (SELECT DISTINCT l_returnflag FROM hs) g
+                  CROSS JOIN (SELECT unnest(range(${Sketches.HllM})) AS bucket) b),
+         fullr AS (SELECT grid.l_returnflag, grid.bucket,
+                          COALESCE(regs.r, 0) AS r
+                   FROM grid LEFT JOIN regs
+                     ON grid.l_returnflag = regs.l_returnflag
+                    AND grid.bucket = regs.bucket),
+         agg AS (SELECT l_returnflag,
+                        list(CAST(r AS INT) ORDER BY bucket) AS registers,
+                        CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INT)
+                          AS n_zero,
+                        CAST(sum(CAST(1 AS BIGINT) << (${Sketches.HllMaxRank} - r))
+                             AS BIGINT) AS s_num
+                 FROM fullr GROUP BY l_returnflag),
+         ex AS (SELECT l_returnflag,
+                       count(DISTINCT l_orderkey) AS exact_distinct
+                FROM hs GROUP BY l_returnflag)
+         SELECT a.l_returnflag, registers, n_zero, s_num,
+                round(CAST(${Sketches.HllAlpha} AS DOUBLE)
+                      * ${Sketches.HllM.toDouble * Sketches.HllM}
+                      * ${(1L << Sketches.HllMaxRank).toDouble}
+                      / CAST(s_num AS DOUBLE), 4) AS est_distinct,
+                exact_distinct
+         FROM agg a JOIN ex ON a.l_returnflag = ex.l_returnflag
+         ORDER BY a.l_returnflag""",
     // sequence packing: exclusive per-(lang, shard) prefix sum of token
     // counts → per-shard bin namespace (mirrors Curation.packSequences)
     "q_pack_sequences" -> s"""

@@ -3,7 +3,9 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{table => t}
-import graft.functions.KMinValues
+import graft.functions.{HllRegisters, KMinValues}
+import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+import org.apache.spark.sql.graftbridge.GraftBridge
 import TextHash._
 
 /** Bounded-state sketch operators — the aggregations a 100 TB profile run
@@ -37,6 +39,82 @@ object Sketches {
     when(size(kmv) < KmvK, size(kmv).cast("double"))
       .otherwise(round(lit((KmvK - 1).toDouble) * lit(KmvHashSpace) /
         element_at(kmv, KmvK).cast("double"), 4))
+
+  /** HLL register-count exponent: 2^6 = 64 registers, ~13% standard error
+    * (1.04/√m) — the same profiling error class as [[KmvK]], so the two
+    * sketches on the same query are directly comparable.
+    */
+  val HllP = 6
+  val HllM: Int = 1 << HllP
+  /** Hash-suffix width (32 - [[HllP]]) and the max register rank (w+1). */
+  val HllW: Int = 32 - HllP
+  val HllMaxRank: Int = HllW + 1
+  /** HLL bias constant α for m = 64 (Flajolet et al., table 1). */
+  val HllAlpha = 0.709
+
+  /** Engine-portable HLL input hash of a (NOT NULL) key — mirrored by the
+    * oracles via `hexIntSql("'hll:' || key")`.
+    */
+  def hllHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5Long(concat(lit("hll:"), key.cast("string")))
+
+  /** Shift-left with a COLUMN shift amount (the `functions.shiftleft`
+    * overload only takes a literal).
+    */
+  private def shl(base: org.apache.spark.sql.Column,
+      bits: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    GraftBridge.column(ShiftLeft(
+      GraftBridge.expression(base), GraftBridge.expression(bits)))
+
+  /** The harmonic-sum numerator of the HLL estimate, kept INTEGER so both
+    * engines derive the estimate from the same exact value:
+    * `Σ_j 2^(maxRank - M_j)` (a BIGINT; the true harmonic sum is this over
+    * 2^maxRank). Fixed register order, integer adds — order-insensitive.
+    */
+  def hllSNum(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(regs, lit(0L), (acc, r) => acc + shl(lit(1L), lit(HllMaxRank) - r))
+
+  /** Raw HLL estimate `α·m² / Σ 2^-M_j = α·m²·2^maxRank / sNum`: one double
+    * multiply chain over exact integers, then one division — identical in
+    * any IEEE engine. The small-range linear-counting correction
+    * (`m·ln(m/V)`) is deliberately NOT applied: it needs libm `ln`, whose
+    * last-ulp behavior is engine-private; the zero-register count rides
+    * along so a consumer can apply it, and the REGISTERS themselves are the
+    * oracle contract, not the correction.
+    */
+  def hllEstimate(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(lit(HllAlpha) * lit(HllM.toDouble * HllM) *
+      lit((1L << HllMaxRank).toDouble) / hllSNum(regs).cast("double"), 4)
+
+  /** Distinct order count per return flag through the HLL register table —
+    * the [[kmvDistinct]] query with the other classic sketch, so the two
+    * bounded-state answers to COUNT(DISTINCT) sit side by side: m bytes of
+    * HLL state vs 8k bytes of KMV state through the shuffle. Same separated
+    * sketch/exact aggregation (the fused form would trigger the
+    * distinct-rewrite Expand), same broadcast join back over the handful of
+    * group rows. Registers, zero-register count, and the integer harmonic
+    * numerator are all exact cross-engine; the estimate is one double chain
+    * over them.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sketch = li
+      .select(col("l_returnflag"), hllHash(col("l_orderkey")).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(HllRegisters(col("h"), HllP).as("registers"))
+    val exact = li
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    sketch.join(broadcast(exact), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("registers"),
+        size(filter(col("registers"), _ === 0)).as("n_zero"),
+        hllSNum(col("registers")).as("s_num"),
+        hllEstimate(col("registers")).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("l_returnflag")
+  }
 
   /** Distinct order count per return flag, three ways on one pass:
     * the KMV sketch array (engine-portable, value-for-value), the estimate

@@ -179,6 +179,17 @@ class PlanSpec extends AnyFunSuite {
       "typed-imperative sketch should plan as ObjectHashAggregate, not SortAggregate")
   }
 
+  test("hll sketch aggregates with map-side partial registers, no Expand") {
+    val p = plan("q_sketch_hll")
+    assert(p.contains("partial_hll_registers"),
+      s"hll_registers must combine map-side (m bytes through the shuffle):\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "typed-imperative sketch should plan as ObjectHashAggregate, not SortAggregate")
+    assert(!p.contains("Expand"),
+      "sketch and exact aggregations must stay separate — a fused " +
+        "distinct-rewrite would build register state per distinct key")
+  }
+
   test("stratified sample pre-limits per stratum map-side") {
     val p = plan("q_sample_stratified")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),

@@ -74,6 +74,55 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"map-side partial kmin_values missing from plan:\n$plan")
   }
 
+  test("hll_registers matches a plain-Scala fold, merged across partitions") {
+    import spark.implicits._
+    import graft.functions.HllRegisters
+    // deterministic pseudo-hashes in [0, 2^32), duplicated and shuffled
+    // across 7 partitions so the element-wise-max merge path genuinely runs
+    val hashes = (1 to 400).map(i => (i.toLong * 2654435761L) % (1L << 32))
+    val df = spark.createDataset(scala.util.Random.shuffle(hashes ++ hashes))
+      .repartition(7).toDF("h")
+    val got = df.agg(HllRegisters(col("h"), Sketches.HllP).as("regs"))
+      .head().getSeq[Int](0)
+    val want = {
+      val regs = new Array[Int](Sketches.HllM)
+      hashes.foreach { h =>
+        val bucket = (h >>> Sketches.HllW).toInt
+        val suffix = h & ((1L << Sketches.HllW) - 1)
+        val rank =
+          if (suffix == 0L) Sketches.HllMaxRank
+          else Sketches.HllMaxRank - (64 - java.lang.Long.numberOfLeadingZeros(suffix))
+        if (rank > regs(bucket)) regs(bucket) = rank
+      }
+      regs.toSeq
+    }
+    assert(got.length == Sketches.HllM)
+    assert(got == want, s"register mismatch:\n got=$got\nwant=$want")
+  }
+
+  test("hll_registers rejects hashes outside the 32-bit contract") {
+    import spark.implicits._
+    import graft.functions.HllRegisters
+    val bad = Seq(1L << 32).toDF("h")
+    val e = intercept[Exception] {
+      bad.agg(HllRegisters(col("h"), Sketches.HllP)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("hll estimate tracks exact distinct within sketch error") {
+    val out = Sketches.hllDistinct(spark, dir).cache()
+    out.collect().foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct")
+      // 1.04/sqrt(m) ~ 13% standard error; allow 4 sigma (raw estimate,
+      // no small-range correction — documented in Sketches.hllEstimate)
+      assert(math.abs(est - exact) <= math.max(4 * 1.04 * exact / math.sqrt(Sketches.HllM), 3.0),
+        s"estimate $est too far from exact $exact")
+    }
+    out.unpersist()
+  }
+
   test("span dedup keeps first occurrence only and reassembles in order") {
     val out = Dedup.spanDedup(spark, dir).cache()
     val docs = Tables.table(spark, dir, "documents").count()
