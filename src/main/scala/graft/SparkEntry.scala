@@ -97,6 +97,7 @@ object SparkEntry {
     "q_text_entropy" -> (TextAnalysis.charDiversity _),
     "q_text_pretok" -> (TextAnalysis.preTokenize _),
     "q_bpe_merge" -> ((s, dir) => TextAnalysis.bpeMergeStep(s, dir)),
+    "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
@@ -1586,6 +1587,35 @@ object SparkEntry {
                   AS INT) AS n_merges,
                 replace(term, pair, upper(pair)) AS merged
          FROM vocab, top
+         ORDER BY freq DESC, term
+         LIMIT ${TextAnalysis.VocabTopN}""",
+    // the learned merge TABLE applied in rank order (mirrors
+    // TextAnalysis.bpeEncode): a list_reduce fold of replace() steps —
+    // the same left-to-right non-overlapping rewrites as Spark's
+    // aggregate() fold; letter-pairs only, merged symbols uppercased so
+    // later rules never match inside an earlier merge
+    "q_bpe_encode" -> s"""
+         WITH $bpeCtes,
+         mg AS (SELECT list(pair ORDER BY weight DESC, pair) AS merges
+                FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+                      FROM pr
+                      WHERE regexp_matches(pair, '^[a-z]{2}$$')
+                      GROUP BY pair
+                      ORDER BY weight DESC, pair
+                      LIMIT ${TextAnalysis.BpeMergeK})),
+         enc AS (SELECT term, freq,
+                        list_reduce(list_concat([term], merges),
+                          (acc, p) -> replace(acc, p, upper(p))) AS encoded
+                 FROM vocab, mg)
+         SELECT term, CAST(freq AS BIGINT) AS freq, encoded,
+                CAST((length(encoded)
+                      - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) / 2
+                  AS INT) AS n_merged,
+                CAST(length(term)
+                     - (length(encoded)
+                        - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) / 2
+                  AS INT) AS n_syms
+         FROM enc
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
     // KMV distinct users per tumbling window (mirrors

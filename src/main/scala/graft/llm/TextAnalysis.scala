@@ -713,4 +713,57 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
   }
+
+  /** Merge rules applied by [[bpeEncode]]: the top of the frequency-ranked
+    * pair table, letter-pairs only (a digit or punctuation pair uppercases
+    * to itself, which would make the merge marking ambiguous).
+    */
+  val BpeMergeK = 8
+
+  /** The ENCODE half of the tokenizer story ([[bpePairs]] ranks the merge
+    * candidates, [[bpeMergeStep]] is one training step — this applies the
+    * learned rule table): each merge rule, in rank order (weight desc,
+    * pair asc), rewrites every non-overlapping occurrence of its pair
+    * left-to-right — exactly `replace()`'s contract in every engine, so
+    * Spark's `aggregate()` fold and DuckDB's `list_reduce` produce the
+    * same encoding symbol-for-symbol. Merged pairs surface uppercased
+    * (lowercase vocabulary, so the marking is collision-free), which also
+    * makes the semantics one-shot BY CONSTRUCTION: a later lowercase rule
+    * can never match inside an already-merged (uppercase) symbol — the
+    * standard "apply merges in learned order" encoder, not the
+    * recompute-priorities-after-every-merge trainer.
+    *
+    * Scale shape: encoding runs over the DISTINCT vocabulary, not the
+    * corpus (the corpus re-join is a broadcast of this table when
+    * needed); the K merge rules collapse to ONE array row built by
+    * sort_array over at most [[BpeTopN]] collected structs — fully
+    * order-insensitive, no reliance on limit preserving sort order —
+    * and ride onto the vocabulary as a broadcast scalar. Per-term work is
+    * a row-local K-step string fold.
+    */
+  def bpeEncode(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val v0 = vocabTable(s, dir)
+    val vocab = if (cache) v0.cache() else v0
+    // (-weight, pair) structs sort ascending == (weight desc, pair asc);
+    // slice takes the top K, transform drops the sort key
+    val merges = broadcast(
+      pairWeights(vocab)
+        .filter(col("pair").rlike("^[a-z]{2}$"))
+        .agg(slice(sort_array(collect_list(
+          struct((-col("weight")).as("nw"), col("pair").as("p")))),
+          1, BpeMergeK).as("top"))
+        .select(transform(col("top"), t => t.getField("p")).as("merges")))
+    val nUpper = length(col("encoded")) -
+      length(regexp_replace(col("encoded"), "[A-Z]", ""))
+    vocab.crossJoin(merges)
+      .select(col("term"), col("freq"),
+        aggregate(col("merges"), col("term"),
+          (acc, p) => replace(acc, p, upper(p))).as("encoded"))
+      .select(col("term"), col("freq"), col("encoded"),
+        (nUpper / 2).cast("int").as("n_merged"),
+        (length(col("term")) - nUpper / 2).cast("int").as("n_syms"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(VocabTopN)
+  }
 }

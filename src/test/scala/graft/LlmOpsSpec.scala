@@ -214,6 +214,36 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpe encode: applies the ranked merge table as a plain-Scala fold would") {
+    val out = TextAnalysis.bpeEncode(spark, sf).cache()
+    // the learned rule table, recomputed independently: letter-pairs of the
+    // ranked pair weights, (weight desc, pair asc), top K
+    val merges = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1.matches("^[a-z]{2}$"))
+      .sortBy { case (p, w) => (-w, p) }
+      .take(TextAnalysis.BpeMergeK)
+      .map(_._1)
+    assert(merges.length == TextAnalysis.BpeMergeK,
+      s"fixture vocabulary too small to learn $merges")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (term, enc, nm, ns) =
+        (r.getString(0), r.getString(2), r.getInt(3), r.getInt(4))
+      val want = merges.foldLeft(term)((acc, p) =>
+        acc.replace(p, p.toUpperCase(java.util.Locale.ROOT)))
+      assert(enc == want, s"$term encoded to $enc, want $want")
+      val nUpper = enc.count(_.isUpper)
+      assert(nm == nUpper / 2 && ns == term.length - nUpper / 2,
+        s"$term: n_merged=$nm n_syms=$ns from $enc")
+      assert(ns >= 1 && ns <= term.length)
+    }
+    assert(rows.exists(_.getInt(3) > 0),
+      "no vocabulary term matched any merge rule — the check is vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("bm25: matches a plain-Scala recompute of the exact-rational scores") {
     val out = TextAnalysis.bm25TopDocs(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

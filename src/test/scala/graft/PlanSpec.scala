@@ -320,4 +320,16 @@ class PlanSpec extends AnyFunSuite {
         "pair-weight argmax and the merge projection")
     spark.catalog.clearCache()
   }
+
+  test("bpe encode: one-row merge table broadcasts over a cached vocabulary") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 1-row merge array must broadcast, never shuffle the vocabulary")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the scalar join must be the broadcast nested-loop scalar pattern")
+    assert(p.contains("InMemoryTableScan"),
+      "the vocabulary aggregation must be cached — it feeds both the " +
+        "rule learning and the encode projection")
+    spark.catalog.clearCache()
+  }
 }
