@@ -79,6 +79,7 @@ object SparkEntry {
     "q_p4_package_doc" -> (SyncPipeline.packageDoc _),
     "q_k3_merge_actions" -> (SyncPipeline.mergeActions _),
     "q_member_edges" -> (SyncPipeline.memberEdges _),
+    "q_pagerank" -> ((s, dir) => graft.ops.GraphOps.pageRank(s, dir)),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -673,6 +674,40 @@ object SparkEntry {
            ON o_custkey = c_custkey
          LEFT JOIN nation ON c_nationkey = n_nationkey
          ORDER BY owner_name, org_name""",
+    // fixed-point integer PageRank (mirrors GraphOps.pageRank): the same
+    // BIGINT div recurrence unrolled as one chained CTE per iteration —
+    // generated from GraphOps.PrIters so Spark and the oracle can never
+    // disagree on the iteration count
+    "q_pagerank" -> {
+      import graft.ops.GraphOps.{PrDampDen, PrDampNum, PrIters, PrScale}
+      val base = s"($PrDampDen - $PrDampNum) * ($PrScale // nn.n) // $PrDampDen"
+      val steps = (1 to PrIters).map { k =>
+        s"""c$k AS (SELECT e.dst,
+                   CAST(sum(($PrDampNum * (p.pr // d.deg)) // $PrDampDen)
+                     AS BIGINT) AS inflow
+            FROM e JOIN d ON e.src = d.src
+                   JOIN p${k - 1} p ON e.src = p.node
+            GROUP BY e.dst),
+         p$k AS (SELECT p.node, $base + COALESCE(c.inflow, 0) AS pr
+            FROM p0 p CROSS JOIN nn LEFT JOIN c$k c ON p.node = c.dst)"""
+      }.mkString(",\n         ")
+      s"""
+         WITH m AS (SELECT DISTINCT
+                'u:' || coalesce(c_name, 'Unknown User') AS src,
+                'g:' || coalesce(n_name, 'Unknown organization') AS dst
+           FROM orders
+           LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+             ON o_custkey = c_custkey
+           LEFT JOIN nation ON c_nationkey = n_nationkey),
+         e AS (SELECT src, dst FROM m
+               UNION ALL SELECT dst AS src, src AS dst FROM m),
+         d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         p0 AS (SELECT d.src AS node, $PrScale // nn.n AS pr
+                FROM d CROSS JOIN nn),
+         $steps
+         SELECT node, pr FROM p$PrIters ORDER BY node"""
+    },
     "q_dedup_exact" ->
       """SELECT keep_id, n_copies FROM (
            SELECT min(doc_id) AS keep_id, count(*) AS n_copies

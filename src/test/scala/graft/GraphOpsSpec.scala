@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.GraphOps
+
+/** Fixed-point PageRank invariants: the DuckDB oracle pins the exact
+  * integer ranks; these pin the recurrence itself (against a plain-Scala
+  * replay) and the properties that make the numbers meaningful.
+  */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graph-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("pagerank replays exactly as a plain-Scala integer recurrence") {
+    val got = GraphOps.pageRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+
+    // independent graph build: same node naming, same symmetric edges
+    val m = SyncPipeline.memberEdges(spark, dir).collect()
+      .map(r => ("u:" + r.getString(0), "g:" + r.getString(1))).distinct
+    val edges = m ++ m.map { case (u, g) => (g, u) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val n = deg.size.toLong
+    var pr: Map[String, Long] = deg.keys.map(_ -> GraphOps.PrScale / n).toMap
+    val base =
+      (GraphOps.PrDampDen - GraphOps.PrDampNum) * (GraphOps.PrScale / n) /
+        GraphOps.PrDampDen
+    (1 to GraphOps.PrIters).foreach { _ =>
+      val inflow = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) =>
+            GraphOps.PrDampNum * (pr(src) / deg(src)) / GraphOps.PrDampDen
+          }.sum
+        }
+      pr = pr.keys.map(node => node -> (base + inflow.getOrElse(node, 0L))).toMap
+    }
+    assert(got.size == pr.size && got.size == n)
+    assert(got == pr, {
+      val diff = pr.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k: got ${got.get(k)}, want $v" }
+      s"rank mismatch on ${diff.size} nodes:\n${diff.take(5).mkString("\n")}"
+    })
+  }
+
+  test("pagerank conserves probability mass up to integer truncation") {
+    val out = GraphOps.pageRank(spark, dir).collect()
+    spark.catalog.clearCache()
+    val total = out.map(_.getLong(1)).sum
+    // every div truncates at most 1 unit per (edge + node) per iteration;
+    // with PrScale = 1e12 the loss stays far under 1%
+    assert(total <= GraphOps.PrScale, s"mass grew: $total")
+    assert(total >= GraphOps.PrScale * 99 / 100,
+      s"mass lost beyond truncation: $total of ${GraphOps.PrScale}")
+    // and every node keeps at least the restart mass
+    assert(out.forall(_.getLong(1) > 0L))
+  }
+
+  test("pagerank gives hub organizations more mass than leaf users") {
+    val out = GraphOps.pageRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    spark.catalog.clearCache()
+    val orgs = out.filter(_._1.startsWith("g:")).map(_._2)
+    val users = out.filter(_._1.startsWith("u:")).map(_._2)
+    assert(orgs.nonEmpty && users.nonEmpty)
+    // organizations aggregate many members' mass: the top org must beat
+    // the top user on this bipartite graph (orgs are the high-degree side)
+    assert(orgs.max > users.max,
+      s"top org ${orgs.max} should out-rank top user ${users.max}")
+  }
+}

@@ -321,6 +321,18 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pagerank iterates equi-joins over a cached edge table, no cartesian") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "rank propagation must join on the node key, never all-pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "the edge+degree table must build once and cache across iterations")
+    // one inflow aggregation per iteration, each with a map-side partial
+    assert("partial_sum".r.findAllIn(p).length >= graft.ops.GraphOps.PrIters,
+      s"expected ${graft.ops.GraphOps.PrIters} partial-combined inflow sums:\n${p.take(1200)}")
+    spark.catalog.clearCache()
+  }
+
   test("bpe encode: one-row merge table broadcasts over a cached vocabulary") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
