@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomBuild, BloomContains, CharStats, CharTrigrams, DotProduct, HashedScore, HllRegisters, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, RollingFingerprint, SimhashSketch, SlugTruncate, TagPipeline, Unidecode, WordShingles}
+import graft.functions.{BloomBuild, BloomContains, CharStats, CharTrigrams, CmsSketch, DotProduct, HashedScore, HllRegisters, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, RollingFingerprint, SimhashSketch, SlugTruncate, TagPipeline, Unidecode, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -77,6 +77,9 @@ object GraftCatalog {
     if (!reg.functionExists(HllRegisters.identifier))
       reg.registerFunction(HllRegisters.identifier, HllRegisters.info,
         HllRegisters.builder)
+    if (!reg.functionExists(CmsSketch.identifier))
+      reg.registerFunction(CmsSketch.identifier, CmsSketch.info,
+        CmsSketch.builder)
     if (!reg.functionExists(NgramDupStats.identifier))
       reg.registerFunction(NgramDupStats.identifier, NgramDupStats.info,
         NgramDupStats.builder)

@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_spans" -> (Dedup.spanDedup _),
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_sketch_hll" -> (Sketches.hllDistinct _),
+    "q_sketch_cms" -> (Sketches.cmsTermFreq _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -1493,6 +1494,31 @@ object SparkEntry {
                 exact_distinct
          FROM agg a JOIN ex ON a.l_returnflag = ex.l_returnflag
          ORDER BY a.l_returnflag""",
+    // count-min sketch reproduced value-for-value: every (row, bucket)
+    // counter is an exact GROUP BY count, every probe estimate the min of
+    // its d counters (mirrors Sketches.cmsTermFreq / functions.CmsSketch)
+    "q_sketch_cms" -> s"""
+         WITH tk AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                     FROM documents),
+         rows_ AS (SELECT unnest(range(${Sketches.CmsD})) AS i),
+         cn AS (SELECT r.i,
+                       ${hexIntSql("'cms' || r.i || ':' || term")}
+                         % ${Sketches.CmsW} AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM tk CROSS JOIN rows_ r
+                GROUP BY r.i, bucket),
+         probe AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_freq
+                   FROM tk GROUP BY term
+                   ORDER BY exact_freq DESC, term LIMIT ${Sketches.CmsProbeK}),
+         est AS (SELECT p.term, p.exact_freq, min(c.c) AS est_freq
+                 FROM probe p CROSS JOIN rows_ r
+                 JOIN cn c ON c.i = r.i
+                  AND c.bucket = ${hexIntSql("'cms' || r.i || ':' || p.term")}
+                        % ${Sketches.CmsW}
+                 GROUP BY p.term, p.exact_freq)
+         SELECT term, est_freq, exact_freq,
+                est_freq - exact_freq AS overcount
+         FROM est ORDER BY term""",
     // sequence packing: exclusive per-(lang, shard) prefix sum of token
     // counts → per-shard bin namespace (mirrors Curation.packSequences)
     "q_pack_sequences" -> s"""

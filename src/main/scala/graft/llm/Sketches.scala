@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{table => t}
-import graft.functions.{HllRegisters, KMinValues}
+import graft.functions.{CmsSketch, HllRegisters, KMinValues}
 import org.apache.spark.sql.catalyst.expressions.ShiftLeft
 import org.apache.spark.sql.graftbridge.GraftBridge
 import TextHash._
@@ -152,5 +152,53 @@ object Sketches {
         kmvEstimate(col("kmv")).as("est_distinct"),
         col("exact_distinct"))
       .orderBy("l_returnflag")
+  }
+
+  /** Count-min geometry: 4 rows × 256 buckets = 8 KB of counter state.
+    * Point-query overestimate ≤ e·N/w per row with prob 1−e^−d — a term-
+    * frequency profiler, not a billing counter (same class as [[KmvK]]).
+    */
+  val CmsD = 4
+  val CmsW = 256
+  /** Probe set size for [[cmsTermFreq]]: the top terms by exact count. */
+  val CmsProbeK = 5
+
+  /** The d salted row-hash buckets of a key — row-local, codegen'd, and
+    * mirrored by the oracles via `hexIntSql("'cms' || i || ':' || key")`.
+    */
+  def cmsBuckets(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsD).map(i =>
+      (md5Long(concat(lit(s"cms$i:"), key.cast("string"))) % CmsW)
+        .cast("int")): _*)
+
+  /** Term frequency through a count-min sketch — the frequency-family
+    * member of the sketch trio (KMV and HLL answer distinct-count): the
+    * corpus aggregates ONCE into a d·w counter matrix (8 KB mergeable
+    * state per partition through the shuffle — never a vocabulary-sized
+    * map), and each probe term reads the min of its d counters from the
+    * broadcast matrix. The probe set is the top-[[CmsProbeK]] terms by
+    * exact count; the exact column is the one you delete at 100 TB — it
+    * exists so the oracle pins the one-sided error (`overcount >= 0`)
+    * value-for-value, since every counter is exact integer counting in
+    * both engines.
+    */
+  def cmsTermFreq(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sk = broadcast(
+      toks.agg(CmsSketch(cmsBuckets(col("term")), CmsD, CmsW).as("cms")))
+    val probes = toks
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_freq"))
+      .orderBy(col("exact_freq").desc, col("term"))
+      .limit(CmsProbeK)
+    val est = least((0 until CmsD).map(i =>
+      element_at(col("cms"),
+        (md5Long(concat(lit(s"cms$i:"), col("term"))) % CmsW).cast("int")
+          + lit(i * CmsW) + lit(1))): _*)
+    probes.crossJoin(sk)
+      .select(col("term"), est.as("est_freq"), col("exact_freq"),
+        (est - col("exact_freq")).as("overcount"))
+      .orderBy("term")
   }
 }

@@ -190,6 +190,16 @@ class PlanSpec extends AnyFunSuite {
         "distinct-rewrite would build register state per distinct key")
   }
 
+  test("cms sketch: one matrix through the shuffle, broadcast to the probes") {
+    val p = plan("q_sketch_cms")
+    assert(p.contains("partial_cms_sketch"),
+      s"cms_sketch must combine map-side (fixed matrix through the shuffle):\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row matrix must broadcast over the probe terms")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in this query should shuffle-join")
+  }
+
   test("stratified sample pre-limits per stratum map-side") {
     val p = plan("q_sample_stratified")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),

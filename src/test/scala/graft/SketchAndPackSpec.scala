@@ -123,6 +123,63 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("cms_sketch counts match a plain-Scala matrix, merged across partitions") {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    val d = 3; val w = 8
+    // explicit bucket triples, duplicated and spread over 7 partitions so
+    // the element-wise-add merge path genuinely runs
+    val items = (1 to 200).map(i => Seq(i % w, (i * 7) % w, (i * 13) % w))
+    val df = spark.createDataset(scala.util.Random.shuffle(items ++ items))
+      .repartition(7).toDF("b")
+    val got = df.agg(CmsSketch(col("b"), d, w).as("cms"))
+      .head().getSeq[Long](0)
+    val want = {
+      val m = new Array[Long](d * w)
+      (items ++ items).foreach(bs =>
+        bs.zipWithIndex.foreach { case (b, i) => m(i * w + b) += 1L })
+      m.toSeq
+    }
+    assert(got == want)
+    assert(got.grouped(w).map(_.sum).toSeq == Seq.fill(d)(items.length * 2L),
+      "every row must hold the full item count")
+  }
+
+  test("cms_sketch rejects wrong-arity and out-of-range buckets") {
+    import spark.implicits._
+    import graft.functions.CmsSketch
+    intercept[Exception] {
+      Seq(Seq(1, 2)).toDF("b").agg(CmsSketch(col("b"), 3, 8)).collect()
+    }
+    intercept[Exception] {
+      Seq(Seq(1, 2, 8)).toDF("b").agg(CmsSketch(col("b"), 3, 8)).collect()
+    }
+  }
+
+  test("cms point estimates are one-sided over the WHOLE vocabulary") {
+    import graft.llm.TextHash
+    val toks = Tables.table(spark, dir, "documents")
+      .select(explode(TextHash.tokens(col("text"))).as("term"))
+    val matrix = toks
+      .agg(graft.functions.CmsSketch(
+        Sketches.cmsBuckets(col("term")), Sketches.CmsD, Sketches.CmsW))
+      .head().getSeq[Long](0)
+    val exact = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(i: Int, term: String): Int = {
+      val hex = md.digest(s"cms$i:$term".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % Sketches.CmsW).toInt
+    }
+    exact.foreach { case (term, n) =>
+      val est = (0 until Sketches.CmsD)
+        .map(i => matrix(i * Sketches.CmsW + bucket(i, term))).min
+      assert(est >= n, s"$term: estimate $est under exact $n — CMS can never undercount")
+    }
+  }
+
   test("span dedup keeps first occurrence only and reassembles in order") {
     val out = Dedup.spanDedup(spark, dir).cache()
     val docs = Tables.table(spark, dir, "documents").count()
