@@ -127,6 +127,7 @@ object SparkEntry {
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_sketch_hll" -> (Sketches.hllDistinct _),
     "q_sketch_cms" -> (Sketches.cmsTermFreq _),
+    "q_profile_table" -> (graft.ops.ProfileOps.profileTable _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -1519,6 +1520,45 @@ object SparkEntry {
          SELECT term, est_freq, exact_freq,
                 est_freq - exact_freq AS overcount
          FROM est ORDER BY term""",
+    // one-pass table profile (mirrors ProfileOps.profileTable): per
+    // column null count, min/max, KMV estimate + exact distinct —
+    // generated from ProfileCols so the engines profile the same columns
+    "q_profile_table" -> {
+      import graft.ops.ProfileOps.ProfileCols
+      val frameCte = """f AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+                   c_name, c_mktsegment
+            FROM orders
+            LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment
+                       FROM customer WHERE c_custkey % 2 = 0) c
+              ON o_custkey = c_custkey)"""
+      val parts = ProfileCols.map { c =>
+        s"""SELECT a.column_name, a.n_rows, a.n_nulls, b.est_distinct,
+                a.exact_distinct, a.min_val, a.max_val
+         FROM (SELECT '$c' AS column_name,
+                      CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                      count(DISTINCT $c) AS exact_distinct,
+                      CAST(min($c) AS VARCHAR) AS min_val,
+                      CAST(max($c) AS VARCHAR) AS max_val
+               FROM f) a
+         CROSS JOIN (
+           SELECT CASE WHEN len(kmv) < ${Sketches.KmvK}
+                       THEN CAST(len(kmv) AS DOUBLE)
+                       ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
+                                  / CAST(kmv[${Sketches.KmvK}] AS DOUBLE), 4)
+                  END AS est_distinct
+           FROM (SELECT list_sort(list(DISTINCT
+                          ${hexIntSql(s"'kmv:' || $c")}))[1 : ${Sketches.KmvK}]
+                          AS kmv
+                 FROM f WHERE $c IS NOT NULL)) b"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""
+         WITH $frameCte
+         SELECT * FROM (
+         $parts
+         ) ORDER BY column_name"""
+    },
     // sequence packing: exclusive per-(lang, shard) prefix sum of token
     // counts → per-shard bin namespace (mirrors Curation.packSequences)
     "q_pack_sequences" -> s"""

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{table => t}
+import graft.llm.Sketches
+
+/** One-pass table profiling — the operational first query against a table
+  * you cannot afford to scan twice: per column, null count, min/max, and a
+  * KMV distinct-count sketch, all inside a SINGLE aggregation over a
+  * single scan. The per-column sketches are independent aggregate buffers
+  * (not DISTINCT rewrites), so the plan has NO Expand — the multi-column
+  * `count(DISTINCT a), count(DISTINCT b), …` form Spark expands into one
+  * input replica per aggregate is exactly what this operator exists to
+  * avoid. The exact distinct counts ride along from per-column follow-up
+  * aggregations (the delete-at-100-TB half, same convention as
+  * [[graft.llm.Sketches.kmvDistinct]]) so the oracle pins the estimates
+  * against truth.
+  */
+object ProfileOps {
+
+  /** Profiled frame: packages with their (half-present) owners — the LEFT
+    * join gives `c_name`/`c_mktsegment` real nulls, so the null-count
+    * column is exercised, not vacuously zero.
+    */
+  private def frame(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .join(broadcast(users), col("o_custkey") === col("c_custkey"), "left_outer")
+  }
+
+  /** Profiled columns: BIGINT and VARCHAR only — their `min/max → string`
+    * casts are digit-exact in every engine (a double's string form is not).
+    */
+  val ProfileCols: Seq[String] =
+    Seq("o_orderkey", "o_orderpriority", "c_name", "c_mktsegment")
+
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val df = frame(s, dir)
+    // one aggregation row: shared row count + 4 stats per column; the
+    // KMV input hash is null for null keys, which the sketch skips —
+    // distinct semantics line up with count(DISTINCT c) on both engines
+    val perCol: Seq[Column] = ProfileCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        graft.functions.KMinValues(
+          Sketches.kmvHash(col(c)), Sketches.KmvK).as(s"${c}__kmv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), perCol: _*)
+    // unpivot the single row into one row per column; the sketch array
+    // rides through the stack so the estimate derives AFTER unpivot from
+    // the one shared kmvEstimate definition
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__kmv, ${c}__min, ${c}__max").mkString(", ")
+    val unpivoted = one.selectExpr("n_rows",
+      s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, kmv, min_val, max_val)")
+    // exact distinct per column: one tiny aggregation each, unioned and
+    // broadcast — the verification half a 100 TB profile run drops
+    val exact = ProfileCols.map { c =>
+      df.agg(countDistinct(col(c)).as("exact_distinct"))
+        .select(lit(c).as("column_name"), col("exact_distinct"))
+    }.reduce(_ union _)
+    unpivoted.join(broadcast(exact), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        Sketches.kmvEstimate(col("kmv")).as("est_distinct"),
+        col("exact_distinct"), col("min_val"), col("max_val"))
+      .orderBy("column_name")
+  }
+}

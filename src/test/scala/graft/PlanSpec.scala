@@ -200,6 +200,15 @@ class PlanSpec extends AnyFunSuite {
       "nothing in this query should shuffle-join")
   }
 
+  test("table profile: one pass, multi-sketch, never an Expand replica") {
+    val p = plan("q_profile_table")
+    assert(p.contains("partial_kmin_values"),
+      s"per-column sketches must combine map-side in the single pass:\n${p.take(1500)}")
+    assert(!p.contains("Expand"),
+      "the profile exists to AVOID the multi-count-distinct Expand — " +
+        "each exact distinct must stay its own tiny aggregation")
+  }
+
   test("stratified sample pre-limits per stratum map-side") {
     val p = plan("q_sample_stratified")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),

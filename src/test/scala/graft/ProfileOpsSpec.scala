@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.ProfileOps
+
+/** One-pass profile invariants: the DuckDB oracle pins exact values; these
+  * pin each stat against an independent recompute and the estimate class.
+  */
+class ProfileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("profile-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def joined = {
+    val users = Tables.table(spark, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .join(users, col("o_custkey") === col("c_custkey"), "left_outer")
+  }
+
+  test("profile stats match independent per-column recomputes") {
+    val out = ProfileOps.profileTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == ProfileOps.ProfileCols.toSet)
+    val df = joined.cache()
+    val nRows = df.count()
+    ProfileOps.ProfileCols.foreach { c =>
+      val r = out(c)
+      assert(r.getLong(1) == nRows, s"$c n_rows")
+      val nulls = df.filter(col(c).isNull).count()
+      assert(r.getLong(2) == nulls, s"$c n_nulls: got ${r.getLong(2)}, want $nulls")
+      val exact = df.filter(col(c).isNotNull).select(c).distinct().count()
+      assert(r.getLong(4) == exact, s"$c exact_distinct")
+      val minMax = df.filter(col(c).isNotNull)
+        .agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      assert(r.getString(5) == minMax.getString(0), s"$c min_val")
+      assert(r.getString(6) == minMax.getString(1), s"$c max_val")
+      // the sketch estimate stays in the KMV error class (exact below k)
+      val est = r.getDouble(3)
+      assert(math.abs(est - exact) <=
+        math.max(4 * exact / math.sqrt(graft.llm.Sketches.KmvK - 2), 2.0),
+        s"$c estimate $est too far from exact $exact")
+    }
+    // the joined fixture must actually exercise the null path
+    assert(out("c_name").getLong(2) > 0L,
+      "profile fixture lost its null column — the null count is vacuous")
+    df.unpersist(); ()
+  }
+}
