@@ -128,6 +128,7 @@ object SparkEntry {
     "q_sketch_hll" -> (Sketches.hllDistinct _),
     "q_sketch_cms" -> (Sketches.cmsTermFreq _),
     "q_profile_table" -> (graft.ops.ProfileOps.profileTable _),
+    "q_sketch_overlap" -> (Sketches.kmvOverlap _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -1520,6 +1521,43 @@ object SparkEntry {
          SELECT term, est_freq, exact_freq,
                 est_freq - exact_freq AS overcount
          FROM est ORDER BY term""",
+    // KMV sketch algebra (mirrors Sketches.kmvOverlap): the k smallest of
+    // two sketches' union IS the union's sketch (exact identity), so
+    // union/intersection cardinalities answer from the sketches alone;
+    // exact counterparts pin the error
+    "q_sketch_overlap" -> {
+      def est(kmv: String) =
+        s"""CASE WHEN len($kmv) < ${Sketches.KmvK}
+                 THEN CAST(len($kmv) AS DOUBLE)
+                 ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
+                            / CAST($kmv[${Sketches.KmvK}] AS DOUBLE), 4)
+            END"""
+      s"""
+         WITH ha AS (SELECT DISTINCT ${hexIntSql("'kmv:' || o_custkey")} AS h
+                     FROM orders),
+         hb AS (SELECT DISTINCT ${hexIntSql("'kmv:' || c_custkey")} AS h
+                FROM customer),
+         ka AS (SELECT list_sort(list(h))[1 : ${Sketches.KmvK}] AS kmv_a FROM ha),
+         kb AS (SELECT list_sort(list(h))[1 : ${Sketches.KmvK}] AS kmv_b FROM hb),
+         ku AS (SELECT list_sort(list_distinct(list_concat(kmv_a, kmv_b)))
+                         [1 : ${Sketches.KmvK}] AS kmv_u
+                FROM ka, kb),
+         ex AS (SELECT
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_a,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS exact_b,
+             (SELECT count(DISTINCT o_custkey) FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer))
+               AS exact_inter)
+         SELECT ${est("kmv_a")} AS est_a,
+                ${est("kmv_b")} AS est_b,
+                ${est("kmv_u")} AS est_union,
+                round(${est("kmv_a")} + ${est("kmv_b")} - ${est("kmv_u")}, 4)
+                  AS est_inter,
+                exact_a, exact_b,
+                exact_a + exact_b - exact_inter AS exact_union,
+                exact_inter
+         FROM ka, kb, ku, ex"""
+    },
     // one-pass table profile (mirrors ProfileOps.profileTable): per
     // column null count, min/max, KMV estimate + exact distinct —
     // generated from ProfileCols so the engines profile the same columns

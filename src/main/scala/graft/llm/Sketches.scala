@@ -154,6 +154,57 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch ALGEBRA: the k smallest of two KMV sketches' union is exactly
+    * the KMV sketch of the underlying set union — so set-cardinality
+    * questions (union, intersection, join selectivity) answer from the
+    * sketches alone, no rescan, no join. This is the 100 TB planning
+    * trick: estimate |A ⋈ B| before paying for the shuffle.
+    */
+  def kmvUnion(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      k: Int = KmvK): org.apache.spark.sql.Column =
+    slice(sort_array(array_union(a, b)), 1, k)
+
+  /** Key-overlap estimation from per-side KMV sketches: the union sketch
+    * is [[kmvUnion]] (an EXACT identity, not an approximation — the same
+    * k-smallest set either way), the union estimate is the standard
+    * [[kmvEstimate]], and the intersection estimate is
+    * inclusion-exclusion over the three estimates. Exact counterparts
+    * (one COUNT DISTINCT per side + one semi-join — the costs this
+    * operator exists to avoid at scale) ride along for the oracle to pin
+    * the error. All arithmetic downstream of the integer hash arrays is
+    * the same double chain in both engines.
+    *
+    * The declared pair is orders.o_custkey vs customer.c_custkey — the
+    * join-selectivity question ("how many customers actually have
+    * orders?") answered from two 512-byte sketches.
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_custkey").as("key"))
+    val b = t(s, dir, "customer").select(col("c_custkey").as("key"))
+    def sketch(df: DataFrame, name: String) = broadcast(
+      df.select(kmvHash(col("key")).as("h"))
+        .agg(KMinValues(col("h"), KmvK).as(name)))
+    def exact(df: DataFrame, name: String) = broadcast(
+      df.agg(countDistinct(col("key")).as(name)))
+    val exInter = broadcast(
+      a.join(b, Seq("key"), "left_semi")
+        .agg(countDistinct(col("key")).as("exact_inter")))
+    val est = sketch(a, "kmv_a").crossJoin(sketch(b, "kmv_b"))
+      .select(col("kmv_a"), col("kmv_b"),
+        kmvUnion(col("kmv_a"), col("kmv_b")).as("kmv_u"))
+    est.crossJoin(exact(a, "exact_a")).crossJoin(exact(b, "exact_b"))
+      .crossJoin(exInter)
+      .select(
+        kmvEstimate(col("kmv_a")).as("est_a"),
+        kmvEstimate(col("kmv_b")).as("est_b"),
+        kmvEstimate(col("kmv_u")).as("est_union"),
+        round(kmvEstimate(col("kmv_a")) + kmvEstimate(col("kmv_b"))
+          - kmvEstimate(col("kmv_u")), 4).as("est_inter"),
+        col("exact_a"), col("exact_b"),
+        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        col("exact_inter"))
+  }
+
   /** Count-min geometry: 4 rows × 256 buckets = 8 KB of counter state.
     * Point-query overestimate ≤ e·N/w per row with prob 1−e^−d — a term-
     * frequency profiler, not a billing counter (same class as [[KmvK]]).

@@ -200,6 +200,14 @@ class PlanSpec extends AnyFunSuite {
       "nothing in this query should shuffle-join")
   }
 
+  test("sketch overlap: everything broadcasts, nothing shuffle-joins") {
+    val p = plan("q_sketch_overlap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"all joins are 1-row scalars or a broadcast semi join:\n${p.take(1500)}")
+    assert(p.contains("partial_kmin_values"),
+      "per-side sketches must combine map-side")
+  }
+
   test("table profile: one pass, multi-sketch, never an Expand replica") {
     val p = plan("q_profile_table")
     assert(p.contains("partial_kmin_values"),

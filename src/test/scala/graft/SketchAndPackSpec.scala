@@ -123,6 +123,37 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("kmv union algebra: merging sketches IS the union's sketch") {
+    import spark.implicits._
+    // overlapping value sets split across frames: the k-smallest of the
+    // merged sketches must equal the sketch built over the real union
+    val xs = (1L to 300L).toDF("v")
+    val ys = (200L to 500L).toDF("v")
+    val k = 16
+    val skX = xs.agg(KMinValues(col("v"), k).as("a"))
+    val skY = ys.agg(KMinValues(col("v"), k).as("b"))
+    val merged = skX.crossJoin(skY)
+      .select(Sketches.kmvUnion(col("a"), col("b"), k).as("u"))
+      .head().getSeq[Long](0)
+    val direct = xs.union(ys).agg(KMinValues(col("v"), k).as("u"))
+      .head().getSeq[Long](0)
+    assert(merged == direct,
+      s"union-of-sketches $merged != sketch-of-union $direct")
+  }
+
+  test("kmv overlap estimates stay in the sketch error class") {
+    val r = Sketches.kmvOverlap(spark, dir).head()
+    val (estU, exU) = (r.getAs[Double]("est_union"), r.getAs[Long]("exact_union"))
+    val (estI, exI) = (r.getAs[Double]("est_inter"), r.getAs[Long]("exact_inter"))
+    val sigma = 1.0 / math.sqrt(Sketches.KmvK - 2)
+    assert(math.abs(estU - exU) <= math.max(4 * sigma * exU, 2.0),
+      s"union estimate $estU vs exact $exU")
+    // inclusion-exclusion compounds three estimates' errors: allow the
+    // triple error budget on the (smaller) intersection, in UNION units
+    assert(math.abs(estI - exI) <= math.max(12 * sigma * exU, 3.0),
+      s"intersection estimate $estI vs exact $exI")
+  }
+
   test("cms_sketch counts match a plain-Scala matrix, merged across partitions") {
     import spark.implicits._
     import graft.functions.CmsSketch
