@@ -129,6 +129,7 @@ object SparkEntry {
     "q_sketch_cms" -> (Sketches.cmsTermFreq _),
     "q_profile_table" -> (graft.ops.ProfileOps.profileTable _),
     "q_sketch_overlap" -> (Sketches.kmvOverlap _),
+    "q_a7d_scd2" -> (graft.ops.ChangeOps.scd2History _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -1203,6 +1204,29 @@ object SparkEntry {
             OR new_tag0 IS DISTINCT FROM old_tag0
             OR new_tag1 IS DISTINCT FROM old_tag1
          ORDER BY o_orderkey""",
+    // SCD2 history build (mirrors ChangeOps.scd2History): change-compress
+    // by lag, interval-ize the survivors by lead — both windows on the
+    // same (user, ts, event_id) order
+    "q_a7d_scd2" ->
+      """WITH chg AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ver AS (
+           SELECT user_id, event_id AS version_id, event_type,
+                  ts AS valid_from
+           FROM chg
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, version_id, event_type, valid_from,
+                lead(valid_from) OVER
+                  (PARTITION BY user_id ORDER BY valid_from, version_id)
+                  AS valid_to,
+                lead(valid_from) OVER
+                  (PARTITION BY user_id ORDER BY valid_from, version_id)
+                  IS NULL AS is_current
+         FROM ver
+         ORDER BY user_id, valid_from, version_id""",
     "q_a10_quantiles" ->
       """SELECT o_orderpriority,
                 round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 4)

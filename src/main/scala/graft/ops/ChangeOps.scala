@@ -82,4 +82,31 @@ object ChangeOps {
       .select(col("o_orderkey"), col("new_doc.meta.seg").as("new_seg"))
       .orderBy("o_orderkey")
   }
+
+  /** SCD type-2 dimension history from a change stream: per user, the
+    * event stream (ordered by ts with the unique event_id as tie-break)
+    * change-compresses — a row survives only where its attribute differs
+    * from the previous row's — and each surviving version interval-izes
+    * with `valid_from = its ts`, `valid_to = next version's ts` (null =
+    * current). The two window passes (lag for compression, lead for
+    * interval-izing) partition by the SAME key with the SAME order, so
+    * Catalyst plans ONE exchange + one sort and runs both windows on it —
+    * the filter between them preserves partitioning and order (PlanSpec
+    * counts the exchanges). That is the scale property: building the
+    * history of a 100 TB change stream costs one shuffle of the stream,
+    * not one per window.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("event_type"), col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "version_id")
+  }
 }

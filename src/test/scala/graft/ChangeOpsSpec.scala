@@ -98,4 +98,30 @@ class ChangeOpsSpec extends AnyFunSuite {
       assert(k % 11 == 0 || k % 13 == 0, s"unexpected changed key $k")
     }
   }
+
+  test("scd2 history replays as a plain-Scala compress + interval-ize") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ChangeOps.scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+
+    val events = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._4))
+      val compressed = sorted.zip(None +: sorted.map(e => Some(e._2)))
+        .collect { case (e, prev) if prev.forall(_ != e._2) => e }
+      compressed.zip(compressed.drop(1).map(e => Some(e._3)) :+ None)
+        .map { case ((u, et, ts, id), to) => (u, id, et, ts, to, to.isEmpty) }
+    }.sortBy(v => (v._1, v._4.getTime, v._2))
+
+    assert(got.length == want.length,
+      s"${got.length} versions vs ${want.length} expected")
+    assert(got.toSeq == want.toSeq)
+    // every user's history must end in exactly one open (current) version
+    val currents = got.groupBy(_._1).map { case (_, vs) => vs.count(_._6) }
+    assert(currents.forall(_ == 1))
+  }
 }

@@ -200,6 +200,14 @@ class PlanSpec extends AnyFunSuite {
       "nothing in this query should shuffle-join")
   }
 
+  test("scd2: both windows share one shuffle of the change stream") {
+    val p = plan("q_a7d_scd2")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"lag and lead must reuse ONE (user_id) exchange, found $userExchanges:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("sketch overlap: everything broadcasts, nothing shuffle-joins") {
     val p = plan("q_sketch_overlap")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
