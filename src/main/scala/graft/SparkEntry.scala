@@ -155,6 +155,17 @@ object SparkEntry {
   private def hexIntSql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
 
+  /** DuckDB mirror of [[graft.llm.Sketches.kmvEstimate]] — ONE macro per
+    * engine, so a KmvK / rounding / hash-space change has a single update
+    * site on each side (the Scala side is the one `kmvEstimate`).
+    */
+  private def kmvEstSql(kmv: String): String =
+    s"""CASE WHEN len($kmv) < ${Sketches.KmvK}
+                     THEN CAST(len($kmv) AS DOUBLE)
+                     ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
+                                / CAST($kmv[${Sketches.KmvK}] AS DOUBLE), 4)
+                END"""
+
   /** Tokenize + SimHash sketch CTEs (mirrors Dedup.simhashTable's bit-vote
     * arithmetic) — shared by the pair and component oracles.
     */
@@ -1468,10 +1479,7 @@ object SparkEntry {
          SELECT l_returnflag,
                 CAST(len(kmv) AS INT) AS n_hashes,
                 kmv[len(kmv)] AS max_hash,
-                CASE WHEN len(kmv) < ${Sketches.KmvK} THEN CAST(len(kmv) AS DOUBLE)
-                     ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
-                                / CAST(kmv[${Sketches.KmvK}] AS DOUBLE), 4)
-                END AS est_distinct,
+                ${kmvEstSql("kmv")} AS est_distinct,
                 exact_distinct
          FROM g ORDER BY l_returnflag""",
     // HLL register table reproduced value-for-value: bucket = top-6 hash
@@ -1550,12 +1558,7 @@ object SparkEntry {
     // union/intersection cardinalities answer from the sketches alone;
     // exact counterparts pin the error
     "q_sketch_overlap" -> {
-      def est(kmv: String) =
-        s"""CASE WHEN len($kmv) < ${Sketches.KmvK}
-                 THEN CAST(len($kmv) AS DOUBLE)
-                 ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
-                            / CAST($kmv[${Sketches.KmvK}] AS DOUBLE), 4)
-            END"""
+      def est(kmv: String) = kmvEstSql(kmv)
       s"""
          WITH ha AS (SELECT DISTINCT ${hexIntSql("'kmv:' || o_custkey")} AS h
                      FROM orders),
@@ -1605,11 +1608,7 @@ object SparkEntry {
                       CAST(max($c) AS VARCHAR) AS max_val
                FROM f) a
          CROSS JOIN (
-           SELECT CASE WHEN len(kmv) < ${Sketches.KmvK}
-                       THEN CAST(len(kmv) AS DOUBLE)
-                       ELSE round(${Sketches.KmvK - 1} * ${Sketches.KmvHashSpace}
-                                  / CAST(kmv[${Sketches.KmvK}] AS DOUBLE), 4)
-                  END AS est_distinct
+           SELECT ${kmvEstSql("kmv")} AS est_distinct
            FROM (SELECT list_sort(list(DISTINCT
                           ${hexIntSql(s"'kmv:' || $c")}))[1 : ${Sketches.KmvK}]
                           AS kmv
@@ -1760,23 +1759,29 @@ object SparkEntry {
     "q_bpe_encode" -> s"""
          WITH $bpeCtes,
          mg AS (SELECT list(pair ORDER BY weight DESC, pair) AS merges
-                FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
-                      FROM pr
+                FROM (SELECT pair, weight
+                      FROM (
+                        -- the candidate table Spark's pairWeights exposes:
+                        -- top-BpeTopN BEFORE the letter-pair filter, so
+                        -- both engines learn rules from the same domain
+                        SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+                        FROM pr GROUP BY pair
+                        ORDER BY weight DESC, pair
+                        LIMIT ${TextAnalysis.BpeTopN})
                       WHERE regexp_matches(pair, '^[a-z]{2}$$')
-                      GROUP BY pair
                       ORDER BY weight DESC, pair
                       LIMIT ${TextAnalysis.BpeMergeK})),
          enc AS (SELECT term, freq,
-                        list_reduce(list_concat([term], merges),
+                        list_reduce(list_concat([lower(term)], merges),
                           (acc, p) -> replace(acc, p, upper(p))) AS encoded
                  FROM vocab, mg)
          SELECT term, CAST(freq AS BIGINT) AS freq, encoded,
                 CAST((length(encoded)
-                      - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) / 2
+                      - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) // 2
                   AS INT) AS n_merged,
                 CAST(length(term)
                      - (length(encoded)
-                        - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) / 2
+                        - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) // 2
                   AS INT) AS n_syms
          FROM enc
          ORDER BY freq DESC, term
@@ -1795,11 +1800,7 @@ object SparkEntry {
                FROM hs GROUP BY window_start)
          SELECT window_start,
                 CAST(len(kmv) AS INT) AS n_hashes,
-                CASE WHEN len(kmv) < ${graft.llm.Sketches.KmvK}
-                     THEN CAST(len(kmv) AS DOUBLE)
-                     ELSE round(${graft.llm.Sketches.KmvK - 1} * ${graft.llm.Sketches.KmvHashSpace}
-                                / CAST(kmv[${graft.llm.Sketches.KmvK}] AS DOUBLE), 4)
-                END AS est_users,
+                ${kmvEstSql("kmv")} AS est_users,
                 exact_users
          FROM g ORDER BY window_start""",
     // overlapping token-window chunking (mirrors Curation.chunkDocuments)

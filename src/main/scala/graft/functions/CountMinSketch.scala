@@ -69,6 +69,11 @@ case class CmsSketch(
         s"cms_sketch: expected $d bucket indices, got ${arr.numElements()}")
       var i = 0
       while (i < d) {
+        // a null slot would read as bucket 0 from unsafe storage and
+        // silently corrupt a counter — same fail-loudly contract as the
+        // arity and range guards
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"cms_sketch: null bucket index in row $i")
         val b = arr.getInt(i)
         if (b < 0 || b >= w) throw new IllegalArgumentException(
           s"cms_sketch: bucket $b outside [0, $w) in row $i")
@@ -118,7 +123,7 @@ object CmsSketch {
 
   val info = new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch")
   val builder: Seq[Expression] => Expression = {
-    case Seq(child, IntegerLiteral(d), IntegerLiteral(w)) =>
+    case Seq(child, IntLit(d), IntLit(w)) =>
       new CmsSketch(child, d, w)
     case other if other.size != 3 => throw new IllegalArgumentException(
       s"cms_sketch(buckets ARRAY<INT>, d INT literal, w INT literal) expects 3 arguments, got ${other.size}")
@@ -127,10 +132,4 @@ object CmsSketch {
   }
   val identifier: FunctionIdentifier = FunctionIdentifier("cms_sketch")
 
-  private object IntegerLiteral {
-    def unapply(e: Expression): Option[Int] = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v)
-      case _ => None
-    }
-  }
 }

@@ -114,7 +114,7 @@ object HllRegisters {
 
   val info = new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers")
   val builder: Seq[Expression] => Expression = {
-    case Seq(child, IntegerLiteral(p)) => new HllRegisters(child, p)
+    case Seq(child, IntLit(p)) => new HllRegisters(child, p)
     case other if other.size != 2 => throw new IllegalArgumentException(
       s"hll_registers(hash BIGINT, p INT literal) expects 2 arguments, got ${other.size}")
     case other => throw new IllegalArgumentException(
@@ -122,10 +122,4 @@ object HllRegisters {
   }
   val identifier: FunctionIdentifier = FunctionIdentifier("hll_registers")
 
-  private object IntegerLiteral {
-    def unapply(e: Expression): Option[Int] = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v)
-      case _ => None
-    }
-  }
 }

@@ -125,7 +125,7 @@ object KMinValues {
   // AggregateExpression itself, same as the built-in aggregates
   val info = new ExpressionInfo(classOf[KMinValues].getName, "kmin_values")
   val builder: Seq[Expression] => Expression = {
-    case Seq(child, IntegerLiteral(k)) => new KMinValues(child, k)
+    case Seq(child, IntLit(k)) => new KMinValues(child, k)
     case other if other.size != 2 => throw new IllegalArgumentException(
       s"kmin_values(hash BIGINT, k INT literal) expects 2 arguments, got ${other.size}")
     case other => throw new IllegalArgumentException(
@@ -133,10 +133,4 @@ object KMinValues {
   }
   val identifier: FunctionIdentifier = FunctionIdentifier("kmin_values")
 
-  private object IntegerLiteral {
-    def unapply(e: Expression): Option[Int] = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v)
-      case _ => None
-    }
-  }
 }

@@ -726,11 +726,12 @@ object TextAnalysis {
     * pair asc), rewrites every non-overlapping occurrence of its pair
     * left-to-right — exactly `replace()`'s contract in every engine, so
     * Spark's `aggregate()` fold and DuckDB's `list_reduce` produce the
-    * same encoding symbol-for-symbol. Merged pairs surface uppercased
-    * (lowercase vocabulary, so the marking is collision-free), which also
-    * makes the semantics one-shot BY CONSTRUCTION: a later lowercase rule
-    * can never match inside an already-merged (uppercase) symbol — the
-    * standard "apply merges in learned order" encoder, not the
+    * same encoding symbol-for-symbol. The encoder CASE-FOLDS its input —
+    * the uppercase plane is reserved for merge markers — so the marking is
+    * collision-free for any vocabulary, which also makes the semantics
+    * one-shot BY CONSTRUCTION: a later lowercase rule can never match
+    * inside an already-merged (uppercase) symbol — the standard "apply
+    * merges in learned order" encoder, not the
     * recompute-priorities-after-every-merge trainer.
     *
     * Scale shape: encoding runs over the DISTINCT vocabulary, not the
@@ -758,7 +759,12 @@ object TextAnalysis {
       length(regexp_replace(col("encoded"), "[A-Z]", ""))
     vocab.crossJoin(merges)
       .select(col("term"), col("freq"),
-        aggregate(col("merges"), col("term"),
+        // the encoder CASE-FOLDS its input: the uppercase plane is
+        // reserved for merge markers, so a term with pre-existing
+        // uppercase must not leak fake markers into the symbol counts
+        // (nUpper also stays even by construction — the /2 below is
+        // exact, no truncation-vs-rounding divergence cross-engine)
+        aggregate(col("merges"), lower(col("term")),
           (acc, p) => replace(acc, p, upper(p))).as("encoded"))
       .select(col("term"), col("freq"), col("encoded"),
         (nUpper / 2).cast("int").as("n_merged"),

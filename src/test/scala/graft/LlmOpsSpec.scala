@@ -231,8 +231,9 @@ class LlmOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (term, enc, nm, ns) =
         (r.getString(0), r.getString(2), r.getInt(3), r.getInt(4))
-      val want = merges.foldLeft(term)((acc, p) =>
-        acc.replace(p, p.toUpperCase(java.util.Locale.ROOT)))
+      // the encoder case-folds its input (uppercase = merge markers only)
+      val want = merges.foldLeft(term.toLowerCase(java.util.Locale.ROOT))(
+        (acc, p) => acc.replace(p, p.toUpperCase(java.util.Locale.ROOT)))
       assert(enc == want, s"$term encoded to $enc, want $want")
       val nUpper = enc.count(_.isUpper)
       assert(nm == nUpper / 2 && ns == term.length - nUpper / 2,
