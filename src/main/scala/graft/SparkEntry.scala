@@ -112,6 +112,7 @@ object SparkEntry {
     "q_a10_quantiles" -> (CoreOps.a10Quantiles _),
     "q_a11_pivot" -> (CoreOps.a11Pivot _),
     "q_j8_asof" -> (AsofOps.asofClick _),
+    "q_w6_gap_fill" -> (AsofOps.gapFill _),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
@@ -1273,6 +1274,23 @@ object SparkEntry {
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY e.event_id""",
+    // forward fill (mirrors AsofOps.gapFill): last non-null reading per
+    // user stream, running frame — the same IGNORE NULLS window operator
+    // in both engines
+    "q_w6_gap_fill" ->
+      """WITH src AS (
+           SELECT event_id, user_id, ts,
+                  CASE WHEN event_id % 3 = 0
+                       THEN CAST(round(value * 100) AS BIGINT) END
+                    AS reading_cents
+           FROM events)
+         SELECT event_id, user_id, ts, reading_cents,
+                last_value(reading_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS filled_cents
+         FROM src
+         ORDER BY event_id""",
     // epoch_us on both sides: Spark truncates the nanosecond source to
     // microseconds, DuckDB keeps nanos — comparing in shared-precision
     // micros makes the window-boundary semantics engine-exact

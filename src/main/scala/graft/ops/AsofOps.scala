@@ -93,4 +93,31 @@ object AsofOps {
           .as("click_ts"))
       .orderBy("event_id")
   }
+
+  /** Forward fill (last observation carried forward) — the within-stream
+    * sibling of the as-of join: a sparse reading column fills from the
+    * most recent non-null value of the SAME key's stream, via
+    * `last(_, ignoreNulls).over(rowsBetween(unboundedPreceding, current))`
+    * — one window, one shuffle on the key, row-local carry within each
+    * sorted partition (Spark's IGNORE NULLS last is O(1) per row in a
+    * running frame, and DuckDB's `last_value(x IGNORE NULLS)` is the same
+    * operator, so the fill is engine-exact).
+    *
+    * The fixture's `value` is dense, so sparsity is synthesized
+    * deterministically (a reading survives only on every third event_id —
+    * the piiRedact precedent for features the fixture lacks); readings
+    * travel as integer cents, the portable money representation.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 3 === 0,
+          round(col("value") * 100).cast("long")).as("reading_cents"))
+      .withColumn("filled_cents",
+        last(col("reading_cents"), ignoreNulls = true).over(w))
+      .orderBy("event_id")
+  }
 }

@@ -96,6 +96,25 @@ object StreamOps {
         graft.llm.Sketches.kmvEstimate(col("kmv")).as("est_users"))
   }
 
+  /** HLL twin of [[distinctPerWindowStream]]: 2^p = 64 BYTES of state per
+    * window (vs the KMV's 8·k = 512) — the smallest distinct-count state
+    * a stream's store can carry. Same watermark eviction; the registers
+    * and the integer-derived estimate match the batch
+    * [[graft.llm.Sketches.hllDistinct]] arithmetic exactly.
+    */
+  def hllPerWindowStream(events: DataFrame): DataFrame = {
+    val h = graft.llm.Sketches.hllHash(col("user_id"))
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), h.as("h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HllRegisters(
+        col("h"), graft.llm.Sketches.HllP).as("registers"))
+      .select(col("window.start").as("window_start"),
+        col("registers"),
+        graft.llm.Sketches.hllEstimate(col("registers")).as("est_users"))
+  }
+
   /** Gap-based sessionization as a batch window computation: a new session
     * starts when the gap to the previous event of the same user exceeds
     * 30 minutes; session id = running count of session starts.

@@ -74,4 +74,29 @@ class AsofSpec extends AnyFunSuite {
     assert(got.toList == List(
       (100L, -1L), (101L, 7L), (102L, 8L), (103L, -1L)))
   }
+
+  test("gapFill carries the last non-null reading forward per user stream") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AsofOps.gapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.nonEmpty)
+    // replay: per user in (ts, event_id) order, carry the last reading
+    val want = got.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      var carry: Option[Long] = None
+      es.sortBy(e => (e._3.getTime, e._1)).toSeq.map { e =>
+        carry = e._4.orElse(carry)
+        e._1 -> carry
+      }
+    }.toMap
+    got.foreach { e =>
+      assert(e._5 == want(e._1), s"event ${e._1}: filled ${e._5}, want ${want(e._1)}")
+      // a present reading always equals its fill (the carry restarts here)
+      e._4.foreach(v => assert(e._5.contains(v)))
+    }
+    // sparsity is real in both directions: some filled, some leading nulls
+    assert(got.exists(e => e._4.isEmpty && e._5.nonEmpty))
+    assert(got.exists(e => e._5.isEmpty))
+  }
 }

@@ -200,6 +200,16 @@ class PlanSpec extends AnyFunSuite {
       "nothing in this query should shuffle-join")
   }
 
+  test("gap fill: one running-frame window, one shuffle, no join") {
+    val p = plan("q_w6_gap_fill")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"the fill is one window over one (user_id) shuffle, found $userExchanges:\n${p.take(1200)}")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "the carry must be a window, not a self-join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("scd2: both windows share one shuffle of the change stream") {
     val p = plan("q_a7d_scd2")
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length

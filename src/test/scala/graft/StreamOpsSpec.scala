@@ -295,6 +295,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(2)._2 == 1 && got(2)._3 == 1.0)
   }
 
+  test("hllPerWindowStream registers match the batch aggregate per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (
+      (1 to 200).map(u => (ts("2024-01-01 10:05:00"), u.toLong)) ++
+      Seq((ts("2024-01-01 11:10:00"), 7L), (ts("2024-01-01 11:20:00"), 7L),
+        (ts("2024-01-01 11:30:00"), 9L))).toList
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(events)
+    mem.addData(Seq((ts("2024-01-02 00:00:00"), 0L))) // watermark flush
+    val q = StreamOps.hllPerWindowStream(mem.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("hllwin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("hllwin")
+      .filter(col("window_start") < ts("2024-01-02 00:00:00"))
+      .orderBy("window_start")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getSeq[Int](1), r.getDouble(2)))
+    assert(got.length == 2)
+    // batch recompute over the same rows must give identical registers
+    val batch = events.toDF("ts", "user_id")
+      .select(window(col("ts"), "1 hour").getField("start").as("w"),
+        graft.llm.Sketches.hllHash(col("user_id")).as("h"))
+      .groupBy("w")
+      .agg(graft.functions.HllRegisters(col("h"), graft.llm.Sketches.HllP).as("r"))
+      .orderBy("w").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getSeq[Int](1)))
+    assert(got.map(g => (g._1, g._2)).toSeq == batch.toSeq)
+    // window 2 has 2 distinct users; below any collision the estimate
+    // direction is sane (raw HLL overshoots small counts without the
+    // linear-counting correction — just require positivity + order)
+    assert(got.forall(_._3 > 0.0))
+  }
+
   test("mixTempStream admits exactly the docs the batch mix keeps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
