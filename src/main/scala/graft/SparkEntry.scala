@@ -113,6 +113,7 @@ object SparkEntry {
     "q_a11_pivot" -> (CoreOps.a11Pivot _),
     "q_j8_asof" -> (AsofOps.asofClick _),
     "q_w6_gap_fill" -> (AsofOps.gapFill _),
+    "q_w7_moving_avg" -> (CoreOps.w7MovingAvg _),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
@@ -1290,6 +1291,22 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS filled_cents
          FROM src
+         ORDER BY event_id""",
+    // 5-row trailing moving aggregate (mirrors CoreOps.w7MovingAvg):
+    // BIGINT frame sums; the average is one division of two exact ints
+    "q_w7_moving_avg" ->
+      """WITH src AS (
+           SELECT event_id, user_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT event_id, user_id, ts, cents,
+                CAST(count(*) OVER w AS BIGINT) AS win_n,
+                CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+                round(CAST(sum(cents) OVER w AS BIGINT)
+                      / CAST(count(*) OVER w AS BIGINT), 4) AS avg_cents
+         FROM src
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     // epoch_us on both sides: Spark truncates the nanosecond source to
     // microseconds, DuckDB keeps nanos — comparing in shared-precision

@@ -309,4 +309,26 @@ object CoreOps {
       .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("c_acctbal"))
       .orderBy("c_nationkey", "rk")
   }
+
+  /** W7: bounded ROW-frame moving aggregate — the remaining window frame
+    * shape (running/unbounded frames: gap fill; time frames: tumbling/
+    * sliding; rank frames: top-k). A 5-row trailing window per user
+    * stream: count, integer-cent sum, and their ratio. The frame sums are
+    * BIGINT (order-insensitive); the average is ONE division of two exact
+    * integers, identical in any IEEE engine. One shuffle on the key; the
+    * frame slides row-locally within each sorted partition.
+    */
+  def w7MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum_cents", sum(col("cents")).over(w))
+      .withColumn("avg_cents",
+        round(col("win_sum_cents") / col("win_n"), 4))
+      .orderBy("event_id")
+  }
 }

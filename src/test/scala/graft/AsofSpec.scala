@@ -99,4 +99,27 @@ class AsofSpec extends AnyFunSuite {
     assert(got.exists(e => e._4.isEmpty && e._5.nonEmpty))
     assert(got.exists(e => e._5.isEmpty))
   }
+
+  test("moving average replays as a plain-Scala sliding frame") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ops.CoreOps.w7MovingAvg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val byEvent = got.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._1)).toSeq
+      sorted.zipWithIndex.map { case (e, i) =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1)
+        e._1 -> (frame.length.toLong, frame.map(_._4).sum)
+      }
+    }.toMap
+    got.foreach { e =>
+      val (n, s) = byEvent(e._1)
+      assert(e._5 == n && e._6 == s, s"event ${e._1}: frame (${e._5},${e._6}) want ($n,$s)")
+      assert(e._7 == BigDecimal(s.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // frames genuinely slide: early rows have short frames, later full ones
+    assert(got.exists(_._5 < 5L) && got.exists(_._5 == 5L))
+  }
 }
