@@ -43,6 +43,25 @@ object SparkEntry {
           col("s").cast("long").as("sum_cents"))
         .orderBy("event_type")
     }),
+    "q_ivm_agg" -> (graft.ops.IncrementalOps.ivmMergeAgg _),
+    "q_j11_null_skew" -> ((s, dir) => {
+      import graft.ops.SkewOps
+      import org.apache.spark.sql.functions._
+      // ~20% of FKs synthesized null (the fixture's are dense); the
+      // shuffle_hash hint keeps a real exchange in the plan — the
+      // null-flood trap this operator exists to dodge
+      val probe = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("o_custkey")).cast("long").as("fk"),
+          col("o_orderpriority"))
+      val build = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name")).hint("shuffle_hash")
+      SkewOps.nullSkewLeftJoin(probe, build, "fk", "c_custkey")
+        .select(col("o_orderkey"), col("fk"), col("c_name"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
     "q_skew_join" -> ((s, dir) => {
       import graft.ops.SkewOps
       import org.apache.spark.sql.functions._
@@ -491,6 +510,28 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // incremental view maintenance (mirrors IncrementalOps.ivmMergeAgg):
+    // merged (base ⊎ delta) monoid state ≡ the full recompute — the
+    // oracle IS the plain GROUP BY over all events
+    "q_ivm_agg" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                      / CAST(count(*) AS BIGINT), 4) AS avg_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // null-flood-safe left join (SkewOps.nullSkewLeftJoin): null keys
+    // never match, so the oracle is the PLAIN left join
+    "q_j11_null_skew" ->
+      """WITH p AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                       ELSE o_custkey END AS fk,
+                  o_orderpriority
+           FROM orders)
+         SELECT o_orderkey, fk, c_name, o_orderpriority
+         FROM p LEFT JOIN customer ON fk = c_custkey
+         ORDER BY o_orderkey""",
     // salted replicated join (SkewOps.saltedJoin): salting only scatters
     // the hot key across reducers — the oracle is the PLAIN equi-join
     "q_skew_join" ->

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{table => t}
+
+/** Incremental view maintenance — the batch half of §2.9's incremental
+  * story (the streaming half is `StreamOps`; incremental DEDUP is
+  * [[graft.llm.Dedup.incrementalDedup]]): a materialized aggregate updates
+  * from a delta batch by merging O(groups) STATE, never rescanning the
+  * base facts. The operator exists to pin the algebra that makes this
+  * sound: (count, sum) is a commutative monoid — `avg` is NOT mergeable,
+  * `(n, Σ)` is, and `avg` derives at read time.
+  */
+object IncrementalOps {
+
+  /** Every tenth event (by id) arrives in the delta batch; the rest are
+    * the materialized base — the [[graft.llm.Dedup.IncrementModulus]]
+    * convention for modeling an incremental run on a static fixture.
+    */
+  val DeltaModulus = 10
+
+  /** Per-type event stats maintained incrementally: the base's aggregate
+    * state and the delta's aggregate state merge by integer addition —
+    * one O(groups)-sized union + re-aggregation, identical to the full
+    * recompute BY THE MONOID LAWS, which is exactly what the oracle
+    * (a plain GROUP BY over all events) certifies. Money rides as integer
+    * cents (order-insensitive sums); `avg_cents` derives from the merged
+    * `(n, Σ)` as one division of two exact integers.
+    *
+    * Scale shape: in production the base state is a persisted O(groups)
+    * table (here derived in-query from the id split, the
+    * incrementalDedup convention) — so maintaining the view over a
+    * 100 TB history costs one scan of the DELTA plus a merge of two
+    * group-sized states; the history is never touched again.
+    */
+  def ivmMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def state(part: DataFrame): DataFrame = part
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val base = state(ev.filter(col("event_id") % DeltaModulus =!= 0))
+    val delta = state(ev.filter(col("event_id") % DeltaModulus === 0))
+    base.union(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_cents"))
+      .select(col("event_type"), col("n_events"), col("sum_cents"),
+        round(col("sum_cents") / col("n_events"), 4).as("avg_cents"))
+      .orderBy("event_type")
+  }
+}

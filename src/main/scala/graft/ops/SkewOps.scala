@@ -44,6 +44,26 @@ object SkewOps {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
 
+  /** Null-flood-safe left join: a nullable probe key sends every null row
+    * to ONE reducer under hash partitioning — the third classic skew trap
+    * beside hot keys (joins/aggs above). Null keys can never match, so
+    * the fix is algebraic: route only `IS NOT NULL` rows through the
+    * join's exchange and union the null rows back with null-extended
+    * build columns — result identical to the plain left join, null flood
+    * structurally impossible (the join input carries an isnotnull
+    * filter; PlanSpec pins it).
+    */
+  def nullSkewLeftJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String): DataFrame = {
+    val joined = probe.filter(col(probeKey).isNotNull)
+      .join(build, col(probeKey) === col(buildKey), "left_outer")
+    val nullExtended = build.columns.foldLeft(
+      probe.filter(col(probeKey).isNull)) { (df, c) =>
+      df.withColumn(c, lit(null).cast(build.schema(c).dataType))
+    }
+    joined.unionByName(nullExtended)
+  }
+
   /** [[saltedCount]] widened to count + sum — the declared-query form
     * (`q_skew_agg`). The summed column must be INTEGRAL (cents, counts):
     * integer re-aggregation is order-insensitive, so the salted result is

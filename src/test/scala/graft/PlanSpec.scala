@@ -293,6 +293,30 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregates for both the salted and merge phases")
   }
 
+  test("null-skew join: nulls bypass the exchange, union restores them") {
+    val p = plan("q_j11_null_skew")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the hint must keep a real exchange in the plan:\n${p.take(1200)}")
+    // Catalyst pushes the isNotNull guard through the CASE that
+    // synthesizes fk, so it lands on the scan as `THEN false ELSE
+    // isnotnull(o_custkey)` — either spelling proves no null key can
+    // reach the join's exchange
+    assert("Filter isnotnull\\(fk".r.findFirstIn(p).isDefined ||
+      p.contains("THEN false ELSE isnotnull"),
+      s"the join's probe input must filter null keys BELOW the exchange:\n${p.take(1500)}")
+    assert(p.contains("Union"),
+      "null rows must re-enter via union, not through the join")
+  }
+
+  test("ivm merge: two group-sized states union into one final aggregate") {
+    val p = plan("q_ivm_agg")
+    assert(p.contains("Union"),
+      s"base and delta state must merge by union:\n${p.take(1200)}")
+    // three aggregations (base state, delta state, merge), each partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 6,
+      "expected map-side partials for base, delta, and the merge")
+  }
+
   test("salted join shuffles on (key, salt) and replicates the build side") {
     val p = plan("q_skew_join")
     assert("ShuffledHashJoin \\[user_id\\S*, __salt".r.findFirstIn(p).isDefined,

@@ -18,6 +18,40 @@ class SkewAndStagingSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("nullSkewLeftJoin equals the plain left join, nulls never enter the join") {
+    import spark.implicits._
+    val probe = Seq((1L, Option(10L)), (2L, None), (3L, Option(30L)),
+      (4L, None), (5L, Option(99L))).toDF("id", "fk")
+    val build = Seq((10L, "a"), (30L, "c")).toDF("k", "v")
+    val got = SkewOps.nullSkewLeftJoin(probe, build, "fk", "k")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(3))))
+    val want = probe.join(build, col("fk") === col("k"), "left_outer")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(3))))
+    assert(got.toSeq == want.toSeq)
+    // and the null rows really are present with null-extended build cols
+    assert(got.count(_._2.isEmpty) == 2)
+    assert(got.filter(_._2.isEmpty).forall(_._3.isEmpty))
+  }
+
+  test("ivm merged state equals the full recompute (monoid identity)") {
+    import graft.ops.IncrementalOps
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val full = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = IncrementalOps.ivmMergeAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == full.toSeq)
+    // the split is real: both sides contribute rows
+    val deltaN = ev.filter(col("event_id") % IncrementalOps.DeltaModulus === 0).count()
+    assert(deltaN > 0 && deltaN < ev.count())
+  }
+
   test("saltedJoin equals the plain join") {
     val orders = Tables.table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     val customer = Tables.table(spark, sf, "customer").select("c_custkey", "c_name")
