@@ -109,6 +109,7 @@ object SparkEntry {
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "q_embed_hardneg" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
@@ -962,6 +963,31 @@ object SparkEntry {
          SELECT m.vec_id, m.cid, (d.vec_id IS NULL) AS keep
          FROM members m LEFT JOIN dup d ON m.vec_id = d.vec_id
          ORDER BY m.vec_id""",
+    // hard-negative mining (mirrors Similarity.hardNegatives): same
+    // cluster chain as q_semdedup; per vector the highest-cosine
+    // co-member BELOW the near-dup threshold, smallest id on ties (the
+    // row_number twin of Spark's struct-max)
+    "q_embed_hardneg" -> s"""
+         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
+                WHERE vec_id < ${Similarity.KmeansK}),
+         ${kmAssignCte("a1", "s0")},
+         ${kmUpdateCte("s1", "a1")},
+         ${kmAssignCte("a2", "s1")},
+         ${kmUpdateCte("s2", "a2")},
+         ${kmAssignCte("members", "s2")},
+         pairs AS (SELECT m1.vec_id, m1.cid, m2.vec_id AS b_id,
+                          ${cosSql("m1.v", "m2.v")} AS cos
+                   FROM members m1 JOIN members m2
+                     ON m1.cid = m2.cid AND m2.vec_id <> m1.vec_id),
+         ranked AS (SELECT vec_id, cid, b_id, cos,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, b_id ASC) AS rk
+                    FROM pairs
+                    WHERE cos < ${Similarity.SemDedupThreshold})
+         SELECT vec_id, cid, b_id AS neg_id, cos AS neg_cos
+         FROM ranked WHERE rk = 1
+         ORDER BY vec_id""",
     // product quantization (mirrors Similarity.pqQuantize): per-subspace
     // seed → one Lloyd refinement with exact-decimal means → reassign;
     // squared L2 via the dot identity rounded at 9dp before every argmin,

@@ -519,6 +519,42 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining for contrastive training — the flip side of
+    * [[semDedup]] on the same cluster machinery: per vector, the MOST
+    * similar other member of its k-means cluster whose cosine stays BELOW
+    * the near-dup threshold — close enough to be a hard negative, far
+    * enough to not be a duplicate. Vectors whose cluster offers no such
+    * candidate (singleton cluster, or all co-members are near-dups) emit
+    * no row — the honest answer; a trainer falls back to in-batch
+    * negatives for those.
+    *
+    * Scale shape: identical to semDedup — the quadratic term is bounded
+    * by cluster size (n²/k economics), the corpus shuffles ONCE on cid,
+    * and the per-vector argmax is a struct-max aggregate (max on
+    * (rounded cos, -b_id): highest cosine, smallest id on ties — the
+    * row_number-equivalent the oracle uses), never a k×corpus window.
+    */
+  def hardNegatives(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val members0 = assign(corpus(s, dir), kmeansCentroids(s, dir))
+    val members = if (cache) members0.cache() else members0
+    val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nv").as("bn"))
+    members.join(rhs, Seq("cid"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cid"),
+        struct(
+          round(cosPre(dot(col("v"), col("bv")), col("nv"), col("bn")), 9)
+            .as("cos"),
+          (-col("b_id")).as("nbid"), col("b_id")).as("cand"))
+      .filter(col("cand.cos") < SemDedupThreshold)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("cid"),
+        col("best.b_id").as("neg_id"), col("best.cos").as("neg_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Int8-quantized corpus with per-vector reconstruction error — the
     * storage path for embeddings at scale (4× smaller before ANN
     * indexing). One native pass per row ([[graft.functions.QuantizeInt8]]);

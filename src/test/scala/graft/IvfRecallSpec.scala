@@ -40,6 +40,44 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(r2 >= 0.5, s"recall@3 with 2 probes too low: $r2")
   }
 
+  test("hard negatives: the best sub-threshold co-member, verified brute-force") {
+    val negs = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val members = Similarity.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    spark.catalog.clearCache()
+    assert(negs.nonEmpty)
+    val vecs = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos9(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = members.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val negById = negs.map(n => n._1 -> n).toMap
+    members.foreach { case (id, cid) =>
+      val cands = byCluster(cid).filter(_ != id)
+        .map(o => (cos9(vecs(id), vecs(o)), o))
+        .filter(_._1 < Similarity.SemDedupThreshold)
+      negById.get(id) match {
+        case Some((_, ncid, negId, negCos)) =>
+          assert(ncid == cid)
+          val best = cands.maxBy { case (c, o) => (c, -o) }
+          assert((negCos, negId) == best,
+            s"vec $id: got ($negCos, $negId), want $best")
+          // hard but not a duplicate
+          assert(negCos < Similarity.SemDedupThreshold)
+        case None =>
+          assert(cands.isEmpty,
+            s"vec $id has candidates $cands but emitted no negative")
+      }
+    }
+  }
+
   test("semdedup verdicts match a brute-force within-cluster recomputation") {
     val out = Similarity.semDedup(spark, dir).cache()
     val c = graft.Tables.table(spark, dir, "embeddings")

@@ -337,6 +337,18 @@ class PlanSpec extends AnyFunSuite {
       "weight normalization must run on the per-source aggregate, not a window")
   }
 
+  test("hard negatives: within-cluster equi-join + struct-max, no window") {
+    val p = plan("q_embed_hardneg")
+    assert(!p.contains("CartesianProduct"),
+      "the pair scan must stay within clusters, never all-pairs")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined,
+      s"pair join must key on cid:\n${p.take(1500)}")
+    assert(p.contains("partial_max"),
+      "the per-vector argmax must be a map-side-combined struct max, not a window")
+    spark.catalog.clearCache()
+  }
+
   test("semdedup pairs join hash-partitioned on cluster id, never cartesian") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"),
