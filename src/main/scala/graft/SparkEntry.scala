@@ -119,6 +119,7 @@ object SparkEntry {
     "q_text_pretok" -> (TextAnalysis.preTokenize _),
     "q_bpe_merge" -> ((s, dir) => TextAnalysis.bpeMergeStep(s, dir)),
     "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
+    "q_text_oov" -> (TextAnalysis.oovRate _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
@@ -1853,6 +1854,27 @@ object SparkEntry {
          FROM vocab, top
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
+    // OOV rate vs the top-K vocabulary (mirrors TextAnalysis.oovRate):
+    // membership against the same ranked-cut vocabulary, share in exact
+    // integer basis points
+    "q_text_oov" -> s"""
+         WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+                     FROM documents),
+         voc AS (SELECT term FROM (
+                   SELECT term, count(*) AS freq FROM tk GROUP BY term
+                   ORDER BY freq DESC, term LIMIT ${TextAnalysis.OovVocabK})),
+         j AS (SELECT t.doc_id, t.term, (v.term IS NOT NULL) AS in_vocab
+               FROM tk t LEFT JOIN voc v ON t.term = v.term)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_in_vocab,
+                CAST((CAST(count(*) AS BIGINT)
+                      - CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT))
+                     * 10000
+                     // CAST(count(*) AS BIGINT) AS INT) AS oov_bp
+         FROM j GROUP BY doc_id
+         ORDER BY doc_id""",
     // the learned merge TABLE applied in rank order (mirrors
     // TextAnalysis.bpeEncode): a list_reduce fold of replace() steps —
     // the same left-to-right non-overlapping rewrites as Spark's

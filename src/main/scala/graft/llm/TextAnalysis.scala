@@ -454,6 +454,41 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
 
+  /** Vocabulary size for the OOV-rate statistic: deliberately SMALLER than
+    * [[VocabTopN]] so the fixture produces real out-of-vocabulary tokens.
+    */
+  val OovVocabK = 20
+
+  /** Out-of-vocabulary rate per document against the top-[[OovVocabK]]
+    * vocabulary — the tokenizer-sizing statistic (how much of the corpus
+    * does a K-entry vocabulary cover?): per doc, total tokens, tokens
+    * found in the vocabulary, and the OOV share in integer basis points
+    * (exact rational, no doubles). Scale shape: the K-row vocabulary
+    * BROADCASTS; the corpus explodes to tokens once and left-semi-ish
+    * marks membership via the broadcast hash join, then re-aggregates per
+    * doc — two corpus-token passes never happen, and nothing
+    * vocabulary-sized shuffles.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocab = broadcast(
+      vocabTable(s, dir)
+        .orderBy(col("freq").desc, col("term"))
+        .limit(OovVocabK)
+        .select(col("term"), lit(true).as("in_vocab")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(vocab, Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        // integer div, not /: both engines' `/` is float division and
+        // their double→int casts disagree (truncate vs round half-even)
+        expr("CAST((n_tokens - n_in_vocab) * 10000 div n_tokens AS INT)")
+          .as("oov_bp"))
+      .orderBy("doc_id")
+  }
+
   /** GPT-2-style pre-tokenizer pattern, restricted to the lookahead-free
     * subset so Java regex (Spark) and RE2 (DuckDB) match identically:
     * contractions, space-prefixed letter runs, space-prefixed digit runs,

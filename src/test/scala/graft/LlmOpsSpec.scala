@@ -214,6 +214,27 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("oov rate replays as plain-Scala membership against the same vocab cut") {
+    val got = TextAnalysis.oovRate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+    val vocab = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (t, f) => (-f, t) }.take(TextAnalysis.OovVocabK)
+      .map(_._1).toSet
+    val byDoc = docs.toMap
+    got.foreach { case (id, n, inV, bp) =>
+      val toks = byDoc(id)
+      val in = toks.count(vocab)
+      assert(n == toks.length && inV == in, s"doc $id counts")
+      assert(bp == ((n - in) * 10000L / n).toInt, s"doc $id oov_bp")
+    }
+    // the K=20 cut leaves real OOV mass AND real coverage
+    assert(got.exists(_._4 > 0) && got.exists(g => g._3 > 0))
+  }
+
   test("bpe encode: applies the ranked merge table as a plain-Scala fold would") {
     val out = TextAnalysis.bpeEncode(spark, sf).cache()
     // the learned rule table, recomputed independently: letter-pairs of the

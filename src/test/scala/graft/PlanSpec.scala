@@ -361,6 +361,14 @@ class PlanSpec extends AnyFunSuite {
       s"pair join must key on cid:\n${p.take(1500)}")
   }
 
+  test("oov rate: the vocabulary broadcasts, the token stream never shuffles to meet it") {
+    val p = plan("q_text_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row vocabulary must broadcast over the token stream:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "membership marking must not shuffle the exploded corpus")
+  }
+
   test("bpe pair counting aggregates the corpus once, map-side combined") {
     val p = plan("q_bpe_pairs")
     // corpus tokens are aggregated to the vocabulary before the pair
