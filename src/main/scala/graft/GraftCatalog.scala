@@ -44,6 +44,33 @@ object GraftCatalog {
       .createOrReplaceTempView("curated_corpus")
     graft.llm.Similarity.retrieveRerank(spark, sfDir)
       .createOrReplaceTempView("retrieve_rerank")
+    // round-6 additions — all lazy plans (pageRank's loop only BUILDS the
+    // plan; the eagerly-iterating components stays unmounted), cache=false
+    // under the standing view-mount contract
+    graft.llm.Sketches.hllDistinct(spark, sfDir)
+      .createOrReplaceTempView("hll_distinct")
+    graft.llm.Sketches.cmsTermFreq(spark, sfDir)
+      .createOrReplaceTempView("cms_term_freq")
+    graft.llm.Sketches.kmvOverlap(spark, sfDir)
+      .createOrReplaceTempView("sketch_overlap")
+    graft.ops.ProfileOps.profileTable(spark, sfDir)
+      .createOrReplaceTempView("table_profile")
+    graft.ops.GraphOps.pageRank(spark, sfDir, cache = false)
+      .createOrReplaceTempView("pagerank")
+    graft.ops.ChangeOps.scd2History(spark, sfDir)
+      .createOrReplaceTempView("scd2_history")
+    graft.ops.AsofOps.gapFill(spark, sfDir)
+      .createOrReplaceTempView("gap_fill")
+    graft.ops.CoreOps.w7MovingAvg(spark, sfDir)
+      .createOrReplaceTempView("moving_avg")
+    graft.ops.IncrementalOps.ivmMergeAgg(spark, sfDir)
+      .createOrReplaceTempView("ivm_agg")
+    graft.llm.Similarity.hardNegatives(spark, sfDir, cache = false)
+      .createOrReplaceTempView("hard_negatives")
+    graft.llm.TextAnalysis.bpeEncode(spark, sfDir, cache = false)
+      .createOrReplaceTempView("bpe_encoded")
+    graft.llm.TextAnalysis.oovRate(spark, sfDir)
+      .createOrReplaceTempView("oov_rate")
     registerFunctions(spark)
   }
 

