@@ -498,6 +498,21 @@ object Similarity {
     * near-twins are missed by construction — the algorithm's documented
     * recall trade, not an implementation shortcut.
     */
+  /** The within-cluster pair stream both [[semDedup]] and
+    * [[hardNegatives]] scan: every (vec, other co-member) with the rounded
+    * pair cosine — ONE definition of the cid equi-join and the cosine
+    * expression, so the two consumers' thresholds cut the same values.
+    */
+  private def clusterPairs(members: DataFrame): DataFrame = {
+    val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nv").as("bn"))
+    members.join(rhs, Seq("cid"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cid"), col("b_id"),
+        round(cosPre(dot(col("v"), col("bv")), col("nv"), col("bn")), 9)
+          .as("cos"))
+  }
+
   def semDedup(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
     val c = corpus(s, dir)
@@ -506,12 +521,9 @@ object Similarity {
     // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
     val members0 = assign(c, kmeansCentroids(s, dir))
     val members = if (cache) members0.cache() else members0
-    val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nv").as("bn"))
-    val dups = members.join(rhs, Seq("cid"))
+    val dups = clusterPairs(members)
       .filter(col("b_id") < col("vec_id") &&
-        round(cosPre(dot(col("v"), col("bv")), col("nv"), col("bn")), 9)
-          >= SemDedupThreshold)
+        col("cos") >= SemDedupThreshold)
       .select(col("vec_id")).distinct()
     members
       .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left_outer")
@@ -538,16 +550,10 @@ object Similarity {
       cache: Boolean = true): DataFrame = {
     val members0 = assign(corpus(s, dir), kmeansCentroids(s, dir))
     val members = if (cache) members0.cache() else members0
-    val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nv").as("bn"))
-    members.join(rhs, Seq("cid"))
-      .filter(col("b_id") =!= col("vec_id"))
+    clusterPairs(members)
+      .filter(col("cos") < SemDedupThreshold)
       .select(col("vec_id"), col("cid"),
-        struct(
-          round(cosPre(dot(col("v"), col("bv")), col("nv"), col("bn")), 9)
-            .as("cos"),
-          (-col("b_id")).as("nbid"), col("b_id")).as("cand"))
-      .filter(col("cand.cos") < SemDedupThreshold)
+        struct(col("cos"), (-col("b_id")).as("nbid"), col("b_id")).as("cand"))
       .groupBy(col("vec_id"), col("cid"))
       .agg(max(col("cand")).as("best"))
       .select(col("vec_id"), col("cid"),

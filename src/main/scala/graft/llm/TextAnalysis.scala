@@ -464,10 +464,11 @@ object TextAnalysis {
     * does a K-entry vocabulary cover?): per doc, total tokens, tokens
     * found in the vocabulary, and the OOV share in integer basis points
     * (exact rational, no doubles). Scale shape: the K-row vocabulary
-    * BROADCASTS; the corpus explodes to tokens once and left-semi-ish
-    * marks membership via the broadcast hash join, then re-aggregates per
-    * doc — two corpus-token passes never happen, and nothing
-    * vocabulary-sized shuffles.
+    * BROADCASTS and membership marking is a broadcast hash join over the
+    * exploded token stream — nothing vocabulary-sized shuffles. The
+    * vocabulary branch does re-tokenize the corpus (a second scan+explode,
+    * inherent to deriving the cut in-query); in production the cut is a
+    * persisted K-row table and only the marking pass runs.
     */
   def oovRate(s: SparkSession, dir: String): DataFrame = {
     val vocab = broadcast(

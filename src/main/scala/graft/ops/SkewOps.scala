@@ -52,9 +52,17 @@ object SkewOps {
     * build columns — result identical to the plain left join, null flood
     * structurally impossible (the join input carries an isnotnull
     * filter; PlanSpec pins it).
+    *
+    * Precondition (checked loudly): probe and build column names must be
+    * DISJOINT — a shared name would make the join condition ambiguous and
+    * the null-extension overwrite a probe column (the same class of input
+    * contract as [[saltedStats]]'s integral-sum requirement).
     */
   def nullSkewLeftJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String): DataFrame = {
+    val shared = probe.columns.toSet.intersect(build.columns.toSet)
+    require(shared.isEmpty,
+      s"nullSkewLeftJoin requires disjoint schemas; shared: ${shared.mkString(", ")}")
     val joined = probe.filter(col(probeKey).isNotNull)
       .join(build, col(probeKey) === col(buildKey), "left_outer")
     val nullExtended = build.columns.foldLeft(

@@ -210,6 +210,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("moving average: one bounded-frame window over one shuffle, no join") {
+    val p = plan("q_w7_moving_avg")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"both frame aggregates share ONE (user_id) exchange, found $userExchanges:\n${p.take(1200)}")
+    assert(p.contains("Window"),
+      "the trailing frame must be a window, not a self-join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("scd2: both windows share one shuffle of the change stream") {
     val p = plan("q_a7d_scd2")
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
