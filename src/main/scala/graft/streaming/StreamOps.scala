@@ -363,6 +363,43 @@ object StreamOps {
     graft.sources.PartitionedStore.overwritePartitions(
       graft.sources.PartitionedStore.eventsWithDay(batch), targetDir, Seq("dt"))
 
+  case class Reading(user_id: Long, ts: Timestamp, event_id: Long,
+      reading_cents: Option[Long])
+  case class Filled(user_id: Long, event_id: Long, ts: Timestamp,
+      reading_cents: Option[Long], filled_cents: Option[Long])
+  case class CarryState(carry: Option[Long])
+
+  /** Streaming forward fill — [[graft.ops.AsofOps.gapFill]]'s stateful
+    * twin: one `GroupState` per user carrying the LAST non-null reading,
+    * so the state store holds O(active users) × one long regardless of
+    * stream length (the batch form's running window needs the whole
+    * partition; a stream cannot). Each micro-batch's rows sort by
+    * (ts, event_id) inside the group function; agrees with the batch fill
+    * for in-order streams (the [[sessionizeStream]] caveat — a cross-batch
+    * straggler older than the carried reading fills from the newer carry,
+    * since exact late-data parity would require buffering).
+    */
+  def gapFillStream(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"),
+        col("reading_cents").cast("long"))
+      .as[Reading]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CarryState, Filled](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Reading], state: GroupState[CarryState]) =>
+          var st = state.getOption.getOrElse(CarryState(None))
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+            if (r.reading_cents.isDefined) st = CarryState(r.reading_cents)
+            Filled(uid, r.event_id, r.ts, r.reading_cents,
+              r.reading_cents.orElse(st.carry))
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

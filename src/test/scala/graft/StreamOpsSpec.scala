@@ -295,6 +295,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(2)._2 == 1 && got(2)._3 == 1.0)
   }
 
+  test("gapFillStream carries the last reading across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (user, ts, event_id, reading): user 1 reads at t1 and t4, gaps
+    // between; user 2 never reads. Second batch exercises the carried state.
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some(100L)),
+      (1L, ts("2024-01-01 10:05:00"), 2L, None),
+      (2L, ts("2024-01-01 10:06:00"), 3L, None))
+    val b2 = Seq(
+      (1L, ts("2024-01-01 10:10:00"), 4L, None),      // fills from batch 1
+      (1L, ts("2024-01-01 10:15:00"), 5L, Some(250L)),
+      (1L, ts("2024-01-01 10:20:00"), 6L, None),      // fills from 250
+      (2L, ts("2024-01-01 10:21:00"), 7L, None))      // still nothing to carry
+    val mem = MemoryStream[(Long, Timestamp, Long, Option[Long])]
+    mem.addData(b1)
+    mem.addData(b2)
+    val q = StreamOps.gapFillStream(spark,
+        mem.toDF.toDF("user_id", "ts", "event_id", "reading_cents"))
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("gapfill").orderBy("event_id").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq == Seq(
+      1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> Some(100L), 5L -> Some(250L), 6L -> Some(250L), 7L -> None))
+  }
+
   test("hllPerWindowStream registers match the batch aggregate per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
