@@ -400,6 +400,50 @@ object StreamOps {
       }.toDF()
   }
 
+  case class Change(user_id: Long, event_type: String, ts: Timestamp,
+      event_id: Long)
+  case class OpenVersion(version_id: Long, event_type: String, from: Long)
+  case class ClosedVersion(user_id: Long, version_id: Long,
+      event_type: String, valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Streaming SCD2 — [[graft.ops.ChangeOps.scd2History]]'s stateful twin:
+    * the OPEN version is the one long-lived fact per user, carried as
+    * `GroupState`; a change CLOSES it (emit with `valid_to` = the new
+    * version's start) and opens the successor. Append mode can only emit
+    * finalized rows, so the stream yields exactly the batch build's
+    * closed versions — the open (`is_current`) row lives in state until
+    * its closing change arrives; a consumer reads current versions from
+    * the state-backed snapshot, not the append log. State is O(users) ×
+    * one small struct; in-order caveat as [[sessionizeStream]].
+    */
+  def scd2Stream(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"),
+        col("event_id").cast("long"))
+      .as[Change]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenVersion, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Change], state: GroupState[OpenVersion]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            open match {
+              case Some(o) if o.event_type != r.event_type =>
+                out += ClosedVersion(uid, o.version_id, o.event_type,
+                  new Timestamp(o.from), r.ts)
+                open = Some(OpenVersion(r.event_id, r.event_type, r.ts.getTime))
+              case Some(_) => // same attribute: the open version absorbs it
+              case None =>
+                open = Some(OpenVersion(r.event_id, r.event_type, r.ts.getTime))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

@@ -295,6 +295,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(2)._2 == 1 && got(2)._3 == 1.0)
   }
 
+  test("scd2Stream emits exactly the batch build's closed versions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: A -> A -> B -> C (two closes, C stays open in state);
+    // user 2: X only (never closes). Change B->C arrives in batch 2.
+    val b1 = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "A", ts("2024-01-01 10:05:00"), 2L),
+      (1L, "B", ts("2024-01-01 10:10:00"), 3L),
+      (2L, "X", ts("2024-01-01 10:11:00"), 4L))
+    val b2 = Seq(
+      (1L, "C", ts("2024-01-01 10:20:00"), 5L))
+    val mem = MemoryStream[(Long, String, Timestamp, Long)]
+    mem.addData(b1)
+    mem.addData(b2)
+    val q = StreamOps.scd2Stream(spark,
+        mem.toDF.toDF("user_id", "event_type", "ts", "event_id"))
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("scd2s").orderBy("valid_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+      (1L, 3L, "B", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00"))))
+  }
+
   test("gapFillStream carries the last reading across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
