@@ -390,19 +390,28 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Reading], state: GroupState[CarryState]) =>
           var st = state.getOption.getOrElse(CarryState(None))
-          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
-            if (r.reading_cents.isDefined) st = CarryState(r.reading_cents)
-            Filled(uid, r.event_id, r.ts, r.reading_cents,
-              r.reading_cents.orElse(st.carry))
-          }
-          state.update(st)
+          val hadState = state.exists
+          // (epoch seconds, nanos) is the full-precision timestamp order —
+          // getTime alone is milliseconds and would collapse sub-ms ties
+          // the batch twin's ORDER BY ts distinguishes
+          val out = rows.toSeq
+            .sortBy(r => (r.ts.getTime / 1000, r.ts.getNanos, r.event_id))
+            .map { r =>
+              if (r.reading_cents.isDefined) st = CarryState(r.reading_cents)
+              Filled(uid, r.event_id, r.ts, r.reading_cents,
+                r.reading_cents.orElse(st.carry))
+            }
+          // never materialize a dead CarryState(None) entry for a user who
+          // has nothing to carry (NoTimeout state lives forever)
+          if (hadState || st.carry.isDefined) state.update(st)
           out.iterator
       }.toDF()
   }
 
   case class Change(user_id: Long, event_type: String, ts: Timestamp,
       event_id: Long)
-  case class OpenVersion(version_id: Long, event_type: String, from: Long)
+  case class OpenVersion(version_id: Long, event_type: String,
+      from: Timestamp)
   case class ClosedVersion(user_id: Long, version_id: Long,
       event_type: String, valid_from: Timestamp, valid_to: Timestamp)
 
@@ -414,7 +423,11 @@ object StreamOps {
     * closed versions — the open (`is_current`) row lives in state until
     * its closing change arrives; a consumer reads current versions from
     * the state-backed snapshot, not the append log. State is O(users) ×
-    * one small struct; in-order caveat as [[sessionizeStream]].
+    * one small struct. Cross-batch stragglers older than the open
+    * version are DROPPED (emitting them would close the open version
+    * with an inverted interval and permanently corrupt the history —
+    * worse than the omission; exact late-data parity would require
+    * buffering to a watermark).
     */
   def scd2Stream(s: SparkSession, events: DataFrame): DataFrame = {
     import s.implicits._
@@ -428,17 +441,22 @@ object StreamOps {
         (uid: Long, rows: Iterator[Change], state: GroupState[OpenVersion]) =>
           var open = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
-            open match {
-              case Some(o) if o.event_type != r.event_type =>
-                out += ClosedVersion(uid, o.version_id, o.event_type,
-                  new Timestamp(o.from), r.ts)
-                open = Some(OpenVersion(r.event_id, r.event_type, r.ts.getTime))
-              case Some(_) => // same attribute: the open version absorbs it
-              case None =>
-                open = Some(OpenVersion(r.event_id, r.event_type, r.ts.getTime))
+          rows.toSeq
+            .sortBy(r => (r.ts.getTime / 1000, r.ts.getNanos, r.event_id))
+            .foreach { r =>
+              open match {
+                // a straggler older than the open version would emit an
+                // inverted interval — drop it (see Scaladoc)
+                case Some(o) if r.ts.compareTo(o.from) < 0 => ()
+                case Some(o) if o.event_type != r.event_type =>
+                  out += ClosedVersion(uid, o.version_id, o.event_type,
+                    o.from, r.ts)
+                  open = Some(OpenVersion(r.event_id, r.event_type, r.ts))
+                case Some(_) => // same attribute: the open version absorbs it
+                case None =>
+                  open = Some(OpenVersion(r.event_id, r.event_type, r.ts))
+              }
             }
-          }
           open.foreach(state.update)
           out.iterator
       }.toDF()

@@ -63,9 +63,11 @@ object SketchProps extends Properties("sketchAggregates") {
     }
 
   property("hll registers only grow under union") =
-    Prop.forAll(genHashes32, genHashes32) { (a, b) =>
-      val ra = hllRef(a)
-      val ru = hllRef(a ++ b)
+    Prop.forAll(genHashes32, genHashes32, Gen.choose(1, 5)) { (a, b, parts) =>
+      // the AGGREGATE builds both sides — the inequality pins
+      // HllRegisters, not just the reference fold
+      val ra = hllBuild(a, parts)
+      val ru = hllBuild(a ++ b, parts)
       ra.zip(ru).forall { case (x, y) => y >= x }
     }
 
@@ -98,8 +100,10 @@ object SketchProps extends Properties("sketchAggregates") {
     }
 
   property("cms point reads never undercount any item") =
-    Prop.forAll(genBuckets) { items =>
-      val m = cmsRef(items)
+    Prop.forAll(genBuckets, Gen.choose(1, 5)) { (items, parts) =>
+      // the AGGREGATE builds the matrix — the one-sided error pins
+      // CmsSketch.update/merge, not just the reference fold
+      val m = cmsBuild(items, parts)
       val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
       exact.forall { case (bs, n) =>
         val est = bs.zipWithIndex.map { case (b, i) => m(i * W + b) }.min

@@ -307,16 +307,23 @@ class StreamOpsSpec extends AnyFunSuite {
       (2L, "X", ts("2024-01-01 10:11:00"), 4L))
     val b2 = Seq(
       (1L, "C", ts("2024-01-01 10:20:00"), 5L))
+    // per-batch processing (see the gapfill test): the cross-batch close
+    // must genuinely restore OpenVersion from the state store
     val mem = MemoryStream[(Long, String, Timestamp, Long)]
-    mem.addData(b1)
-    mem.addData(b2)
     val q = StreamOps.scd2Stream(spark,
         mem.toDF.toDF("user_id", "event_type", "ts", "event_id"))
       .writeStream.format("memory").queryName("scd2s")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(60000)
+      .outputMode("append").start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      // a straggler older than the open version is dropped, not emitted
+      // as an inverted interval
+      mem.addData(Seq((1L, "Z", ts("2024-01-01 10:12:00"), 6L)))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("scd2s").orderBy("valid_from").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getTimestamp(3), r.getTimestamp(4)))
@@ -339,16 +346,20 @@ class StreamOpsSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 10:15:00"), 5L, Some(250L)),
       (1L, ts("2024-01-01 10:20:00"), 6L, None),      // fills from 250
       (2L, ts("2024-01-01 10:21:00"), 7L, None))      // still nothing to carry
+    // start FIRST, then addData + processAllAvailable per batch: queueing
+    // both before an AvailableNow start collapses to ONE micro-batch and
+    // never exercises the cross-batch state restore
     val mem = MemoryStream[(Long, Timestamp, Long, Option[Long])]
-    mem.addData(b1)
-    mem.addData(b2)
     val q = StreamOps.gapFillStream(spark,
         mem.toDF.toDF("user_id", "ts", "event_id", "reading_cents"))
       .writeStream.format("memory").queryName("gapfill")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(60000)
+      .outputMode("append").start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("gapfill").orderBy("event_id").collect()
       .map(r => (r.getLong(1),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
