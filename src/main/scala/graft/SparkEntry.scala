@@ -170,6 +170,15 @@ object SparkEntry {
     "q_quality_cut_approx" -> (TextAnalysis.approxQualityCut _),
     "q_retrieve_rerank" -> (Similarity.retrieveRerank _),
     "q_pipeline_curate" -> ((s, dir) => Curation.pipelineCurate(s, dir)),
+    "q_w8_rank_suite" -> (graft.ops.AnalyticsOps.w8RankSuite _),
+    "q_a12_cube" -> (graft.ops.AnalyticsOps.a12Cube _),
+    "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
+    "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),
+    "q_sample_weighted" -> (graft.ops.AnalyticsOps.weightedSample _),
+    "q_text_outlier" -> (graft.ops.AnalyticsOps.lengthOutliers _),
+    "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
+    "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
+    "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -1963,5 +1972,125 @@ object SparkEntry {
          FROM d CROSS JOIN b
          GROUP BY lang, bucket
          ORDER BY lang, bucket""",
+    // rank-function suite (mirrors AnalyticsOps.w8RankSuite): unique
+    // ordering key, so every rank flavor is deterministic; percent_rank /
+    // cume_dist are single IEEE-exact divisions
+    "q_w8_rank_suite" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_orderpriority,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, cents,
+                CAST(rank() OVER w AS INT) AS rk,
+                CAST(dense_rank() OVER w AS INT) AS drk,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                CAST(ntile(4) OVER w AS INT) AS tile4
+         FROM src
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY cents DESC, o_orderkey ASC)
+         ORDER BY o_orderkey""",
+    // CUBE over (status, priority) (mirrors AnalyticsOps.a12Cube);
+    // grouping_id shares the same column-bitmask convention
+    "q_a12_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority,
+                CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority, gid""",
+    // chained-min funnel (mirrors AnalyticsOps.funnelStages); epoch micros
+    // on both sides — the j9 shared-precision convention
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                     FROM events),
+         s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                            OVER (PARTITION BY user_id) AS t1_us FROM ev),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND us > t1_us
+                                   THEN us END)
+                            OVER (PARTITION BY user_id) AS t2_us FROM s1),
+         s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2_us
+                                   THEN us END)
+                            OVER (PARTITION BY user_id) AS t3_us FROM s2)
+         SELECT user_id, min(t1_us) AS t1_us, min(t2_us) AS t2_us,
+                min(t3_us) AS t3_us,
+                CAST(CASE WHEN min(t1_us) IS NULL THEN 0
+                          WHEN min(t2_us) IS NULL THEN 1
+                          WHEN min(t3_us) IS NULL THEN 2
+                          ELSE 3 END AS INT) AS stage
+         FROM s3 GROUP BY user_id ORDER BY user_id""",
+    // retention triangle (mirrors AnalyticsOps.cohortRetention): integer
+    // week buckets from the fixed origin — no week-start convention
+    "q_cohort_retention" -> s"""
+         WITH ev AS (SELECT user_id,
+                            CAST(date_diff('day',
+                                   DATE '${graft.ops.AnalyticsOps.CohortOrigin}',
+                                   CAST(ts AS DATE)) // 7 AS INT) AS wk
+                     FROM events),
+         fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+         SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+                CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+         FROM ev JOIN fw USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // deterministic weighted sample (mirrors AnalyticsOps.weightedSample):
+    // priority = md5-hash / weight, ONE IEEE-exact division
+    "q_sample_weighted" -> s"""
+         SELECT doc_id, n_chars, priority FROM (
+           SELECT doc_id, n_chars,
+                  CAST(${hexIntSql("'wrs:' || CAST(doc_id AS VARCHAR)")}
+                       AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+           FROM documents
+           ORDER BY priority ASC, doc_id ASC
+           LIMIT ${graft.ops.AnalyticsOps.SampleK})
+         ORDER BY priority ASC, doc_id ASC""",
+    // integer-exact 1.5σ length outliers (mirrors
+    // AnalyticsOps.lengthOutliers): 4·(n·x−S)² > 9·(n·Q−S²), all integer
+    "q_text_outlier" ->
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+                            sum(n_chars*n_chars) AS sq
+                     FROM documents GROUP BY lang)
+         SELECT doc_id, d.lang, n_chars,
+                4*(n*n_chars - sx)*(n*n_chars - sx) > 9*(n*sq - sx*sx)
+                  AS is_outlier
+         FROM documents d JOIN st ON d.lang = st.lang
+         ORDER BY doc_id""",
+    // triangle set by plain canonical a<b<c joins — the Spark side's
+    // degree-ordered orientation must discover the SAME set
+    // (mirrors GraphOps.triangles)
+    "q_graph_triangles" -> s"""
+         WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2),
+         edges AS (SELECT pa, pb FROM pairs
+                   WHERE supp >= ${graft.ops.GraphOps.TriMinSupport})
+         SELECT e1.pa AS pa, e1.pb AS pb, e2.pb AS pc
+         FROM edges e1
+         JOIN edges e2 ON e1.pb = e2.pa
+         JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+         ORDER BY pa, pb, pc""",
+    // blocked fuzzy name match (mirrors MatchOps.fuzzyNameMatch):
+    // levenshtein is the same full-matrix edit distance in both engines
+    "q_fuzzy_match" -> s"""
+         WITH names AS (SELECT DISTINCT p_name FROM part),
+         blocked AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
+                     FROM names)
+         SELECT a.blk AS blk, a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM blocked a JOIN blocked b
+           ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name)
+                 <= ${graft.ops.MatchOps.MaxEditDistance}
+         ORDER BY blk, name_a, name_b""",
+    // join-view IVM (mirrors IncrementalOps.ivmJoin): the oracle is the
+    // FULL recompute — matching it proves the delta-rule expansion
+    "q_ivm_join" ->
+      """SELECT o_orderkey, o_custkey, c_name,
+                CAST(round(o_totalprice*100) AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
   )
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.llm.TextHash
+
+/** Warehouse-analytics operators beyond the reference's own surface
+  * (SURVEY.md §2's "beyond" tier, same spirit as A9-A11): the remaining
+  * window-function family, cube grouping, event-funnel / cohort-retention
+  * analysis, deterministic weighted sampling, and integer-exact outlier
+  * flagging. Each keeps the house determinism contract — integer cents,
+  * IEEE-exact single divisions, explicit unique ORDER BY — so every query
+  * is hash-oracled against DuckDB.
+  */
+object AnalyticsOps {
+  import graft.Tables.{table => t}
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("bigint")
+
+  /** W8: the rank-function suite — rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one window (priority partitions ordered by
+    * price). The ordering key is unique per partition (cents desc, key
+    * asc), so every rank flavor is deterministic; percent_rank and
+    * cume_dist are each ONE division of two exact small integers —
+    * IEEE-correctly-rounded, so bit-identical in any engine.
+    *
+    * Scale: one shuffle on the partition key; all five ranks evaluate in
+    * a single Window operator pass over each sorted partition (one sort,
+    * shared by all five frames).
+    */
+  def w8RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("tile4", ntile(4).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  /** A12: CUBE over (status, priority) — all four grouping sets in one
+    * pass (Catalyst expands to a single Expand + hash aggregate; no
+    * re-scan per set). `grouping_id` disambiguates the coalesced total
+    * rows; money rides as integer cents.
+    */
+  def a12Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("n_orders"), col("total_cents"))
+      .orderBy("status", "priority", "gid")
+
+  /** Funnel stage analysis (signup → view → purchase per user): t1 is the
+    * user's first signup, t2 the first view strictly after t1, t3 the
+    * first purchase strictly after t2 — the chained-min definition, so a
+    * view before the signup does not count.
+    *
+    * Shape: all three stage minima are conditional `min` windows over the
+    * SAME user partition (no ORDER BY — whole-partition frames need no
+    * sort), and the final per-user collapse reuses that hash partitioning:
+    * ONE shuffle total, no self-joins. Timestamps compare as epoch
+    * MICROS on both engines (the j9 precedent: Spark truncates the
+    * parquet nanos, DuckDB keeps them — comparing in shared-precision
+    * micros makes the strictly-after semantics engine-exact).
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t1_us",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2_us",
+        min(when(col("event_type") === "view" && col("us") > col("t1_us"),
+          col("us"))).over(w))
+      .withColumn("t3_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2_us"),
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1_us")).as("t1_us"), min(col("t2_us")).as("t2_us"),
+        min(col("t3_us")).as("t3_us"))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t1_us").isNull, 0)
+          .when(col("t2_us").isNull, 1)
+          .when(col("t3_us").isNull, 2)
+          .otherwise(3).cast("int").as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort epoch origin (the fixture stream starts 2024-01-01) — weeks
+    * index as `days_since_origin div 7`, a pure-integer bucketing that is
+    * identical in any engine (vs `date_trunc('week', …)` whose week-start
+    * convention is a per-engine setting).
+    */
+  val CohortOrigin = "2024-01-01"
+
+  /** Cohort retention: users grouped by first-activity week, counted
+    * distinct per (cohort week, week offset) — the standard retention
+    * triangle. Two aggregations and one join, ALL keyed on user_id /
+    * the tiny (cohort, offset) pair — the first-event aggregate and the
+    * join reuse one user_id partitioning; the fact table is scanned once.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr(s"datediff(CAST(ts AS DATE), DATE '$CohortOrigin') div 7")
+          .cast("int").as("wk"))
+    val firstWk = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    ev.join(firstWk, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
+  /** Weighted-sample size. */
+  val SampleK = 100
+
+  /** Deterministic weighted sampling: rank every document by
+    * `priority = h / weight` (h = the doc's 32-bit md5 hash as an exact
+    * double, weight = n_chars) and keep the K smallest — heavier documents
+    * draw proportionally smaller priorities, so selection probability
+    * grows with weight. This is the hash-seeded deterministic variant of
+    * priority (Efraimidis-Spirakis) sampling: same one-pass top-K-by-key
+    * mechanics, with the uniform draw replaced by the doc's own hash so
+    * any engine replays the identical sample (the u^(1/w) key of true A-ES
+    * needs `pow`, which IEEE does not require correctly rounded — h/w is
+    * ONE exact division, bit-identical everywhere).
+    *
+    * Scale: priority is a scan-side projection; the top-K is a
+    * TakeOrderedAndProject (per-partition heaps + one K-row merge), never
+    * a full sort.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (TextHash.md5Long(concat(lit("wrs:"), col("doc_id").cast("string")))
+          .cast("double") / col("n_chars").cast("double")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(SampleK)
+
+  /** Integer-exact per-language length outliers: flags documents more than
+    * 1.5 population standard deviations from their language's mean length
+    * WITHOUT any floating point — `(x-μ)² > (3/2)²σ²` cross-multiplies to
+    * `4·(n·x − S)² > 9·(n·Q − S²)` over the group's (n, ΣX, ΣX²), all
+    * BIGINT (exact while n·x stays under ~3e9, i.e. millions of docs per
+    * language at these lengths; beyond that the same inequality lifts to
+    * DECIMAL(38,0)/HUGEINT unchanged).
+    *
+    * Shape: one O(langs) aggregate, broadcast back onto the scan — the
+    * verdict is a scan-speed projection; the corpus shuffles nothing.
+    */
+  def lengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sq"))
+    val dev = col("n") * col("n_chars") - col("sx")
+    docs.join(broadcast(st), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (lit(4) * dev * dev >
+          lit(9) * (col("n") * col("sq") - col("sx") * col("sx")))
+          .as("is_outlier"))
+      .orderBy("doc_id")
+  }
+}

@@ -51,4 +51,44 @@ object IncrementalOps {
         round(col("sum_cents") / col("n_events"), 4).as("avg_cents"))
       .orderBy("event_type")
   }
+
+  /** Delta split for the join view's dimension side (coprime to
+    * [[DeltaModulus]] so the two deltas overlap on some rows — the
+    * ΔR⋈ΔS term is genuinely exercised, not vacuously empty).
+    */
+  val DimDeltaModulus = 11
+
+  /** Incremental maintenance of a JOIN view by the delta rules:
+    * for V = R ⋈ S with arriving deltas,
+    * `ΔV = ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS` — the inclusion-exclusion
+    * expansion whose three terms each touch at most one full side. The
+    * query materializes `V_new = V_old ∪ ΔV` via that expansion and the
+    * oracle recomputes `(R_old∪ΔR) ⋈ (S_old∪ΔS)` flat — equality IS the
+    * delta-rule soundness proof, checked hash-exact cross-engine.
+    *
+    * Scale shape: in production V_old is a persisted table (here the
+    * base⋈base term stands in, the incrementalDedup convention), so an
+    * update costs |ΔR|·(join against S) + |ΔS|·(join against R) + the
+    * tiny ΔR⋈ΔS — never a rescan of V. The delta-side joins broadcast
+    * when deltas are small (the common case); all four terms share the
+    * customer-key partitioning.
+    */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val (oBase, oDelta) = (o.filter(col("o_orderkey") % DeltaModulus =!= 0),
+      o.filter(col("o_orderkey") % DeltaModulus === 0))
+    val (cBase, cDelta) = (c.filter(col("c_custkey") % DimDeltaModulus =!= 0),
+      c.filter(col("c_custkey") % DimDeltaModulus === 0))
+    def j(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("cents"))
+    j(oBase, cBase)            // V_old (materialized in production)
+      .union(j(oDelta, cBase)) // ΔR ⋈ S_old
+      .union(j(oBase, cDelta)) // R_old ⋈ ΔS
+      .union(j(oDelta, cDelta)) // ΔR ⋈ ΔS
+      .orderBy("o_orderkey")
+  }
 }
