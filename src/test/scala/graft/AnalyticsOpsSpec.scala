@@ -1,0 +1,210 @@
+package graft
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.{AnalyticsOps, GraphOps, IncrementalOps, MatchOps}
+
+/** Brute-force replays of the analytics batch (funnel, cohort, outliers,
+  * weighted sample, triangles, fuzzy match, join IVM): each operator's
+  * distributed plan re-derived as plain Scala over the collected fixture,
+  * compared exactly. The DuckDB oracle pins cross-engine parity; these pin
+  * the SEMANTICS against an independent implementation.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("analytics-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private lazy val events: Seq[(Long, String, Long)] =
+    Tables.table(spark, dir, "events")
+      .select("user_id", "event_type", "ts").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), micros(r.getTimestamp(2))))
+
+  test("funnel replays the chained-min staging exactly") {
+    val got = AnalyticsOps.funnelStages(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    val want = events.groupBy(_._1).map { case (u, es) =>
+      def minAfter(tpe: String, after: Option[Long]): Option[Long] = {
+        val c = es.collect { case (_, t, us)
+          if t == tpe && after.forall(us > _) => us }
+        after.flatMap(_ => if (c.isEmpty) None else Some(c.min))
+      }
+      val t1 = {
+        val c = es.collect { case (_, "signup", us) => us }
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val t2 = minAfter("view", t1)
+      val t3 = minAfter("purchase", t2)
+      val stage = Seq(t1, t2, t3).takeWhile(_.isDefined).length
+      u -> (t1, t2, t3, stage)
+    }
+    assert(got.keySet == want.keySet)
+    for ((u, w) <- want) assert(got(u) == w, s"user $u: got ${got(u)}, want $w")
+  }
+
+  test("cohort retention replays the integer week bucketing exactly") {
+    val got = AnalyticsOps.cohortRetention(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val origin = LocalDate.parse(AnalyticsOps.CohortOrigin)
+    def wk(us: Long): Int =
+      (java.time.temporal.ChronoUnit.DAYS.between(origin,
+        Instant.ofEpochSecond(us / 1000000L).atZone(ZoneOffset.UTC)
+          .toLocalDate) / 7).toInt
+    val weeks = events.map { case (u, _, us) => (u, wk(us)) }
+    val cohort = weeks.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val want = weeks.distinct
+      .groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, us) => k -> us.map(_._1).distinct.length.toLong }
+    assert(got == want)
+  }
+
+  test("length outliers replay the integer 1.5-sigma inequality exactly") {
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = AnalyticsOps.lengthOutliers(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val stats = docs.groupBy(_._2).map { case (l, ds) =>
+      val xs = ds.map(_._3).map(BigInt(_))
+      l -> (BigInt(xs.length), xs.sum, xs.map(x => x * x).sum)
+    }
+    for ((id, lang, x) <- docs) {
+      val (n, sx, sq) = stats(lang)
+      val dev = n * x - sx
+      val want = 4 * dev * dev > 9 * (n * sq - sx * sx)
+      assert(got(id) == want, s"doc $id ($lang, $x chars)")
+    }
+  }
+
+  test("weighted sample is exactly the K smallest hash/weight priorities") {
+    val docs = Tables.table(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val want = docs
+      .map { case (id, nc) => (id, nc, md5Long(s"wrs:$id").toDouble / nc) }
+      .sortBy { case (id, _, p) => (p, id) }
+      .take(AnalyticsOps.SampleK)
+    val got = AnalyticsOps.weightedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("degree-ordered triangle enumeration equals the naive canonical join") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val ps = items.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }
+    // NB: .collect { case (e, _) => e } on a Map would rebuild a MAP from
+    // the yielded tuples (later pb overwrites per pa) — filter + keySet
+    // keeps the full edge set
+    val edges = pairs.groupBy(identity)
+      .filter(_._2.length >= GraphOps.TriMinSupport).keySet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val want = (for {
+      (a, b) <- edges
+      c <- adj.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } yield (a, b, c)).toSeq.sorted
+    val got = GraphOps.triangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got ${got.length} triangles, want ${want.length}")
+  }
+
+  test("fuzzy match replays blocking + Levenshtein exactly") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.table(spark, dir, "part")
+      .select("p_name").distinct().collect().map(_.getString(0)).toSeq
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").head == b.split(" ").head
+      d = lev(a, b) if d <= MatchOps.MaxEditDistance
+    } yield (a.split(" ").head, a, b, d)).sorted
+    val got = MatchOps.fuzzyNameMatch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(got == want)
+  }
+
+  test("join IVM delta expansion equals the flat full recompute") {
+    val full = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "cents")
+      .collect().map(_.toSeq).toSet
+    val inc = IncrementalOps.ivmJoin(spark, dir).collect().map(_.toSeq).toSet
+    assert(inc == full)
+  }
+
+  test("rank suite: ranks agree with sort positions under the unique key") {
+    val rows = AnalyticsOps.w8RankSuite(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+    for ((_, grp) <- rows.groupBy(_._2)) {
+      val sorted = grp.sortBy { case (k, _, c, _, _, _, _, _) => (-c, k) }
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case ((k, _, _, rk, drk, pct, cume, tile), i) =>
+        assert(rk == i + 1 && drk == i + 1, s"key $k")
+        assert(pct == (if (n == 1) 0.0 else i.toDouble / (n - 1)))
+        assert(cume == (i + 1).toDouble / n)
+        // SQL ntile: first (n mod 4) tiles get ceil(n/4) rows
+        val big = n % 4; val base = n / 4
+        val wantTile =
+          if (i < big * (base + 1)) i / (base + 1) + 1
+          else (i - big * (base + 1)) / base + big + 1
+        assert(tile == wantTile, s"key $k: tile $tile, want $wantTile")
+      }
+    }
+  }
+
+  test("cube gid bits mark aggregated columns; totals are consistent") {
+    val rows = AnalyticsOps.a12Cube(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length == 1 && grand.head._1 == "(all)" && grand.head._2 == "(all)")
+    val detail = rows.filter(_._3 == 0)
+    assert(detail.map(_._4).sum == grand.head._4)
+    assert(detail.map(_._5).sum == grand.head._5)
+    for ((s, p, gid, _, _) <- rows) {
+      assert(((gid & 2) != 0) == (s == "(all)"), s"gid $gid vs status $s")
+      assert(((gid & 1) != 0) == (p == "(all)"), s"gid $gid vs priority $p")
+    }
+  }
+}

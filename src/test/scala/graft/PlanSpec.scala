@@ -443,4 +443,48 @@ class PlanSpec extends AnyFunSuite {
         "rule learning and the encode projection")
     spark.catalog.clearCache()
   }
+
+  // ---- analytics-batch guards ---------------------------------------------
+
+  test("rank suite evaluates all five ranks in one Window pass") {
+    val p = plan("q_w8_rank_suite")
+    assert("(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(p).length <= 1,
+      s"five rank functions over one frame must share one Window operator:\n${p.take(1200)}")
+  }
+
+  test("cube expands once (one Expand, one aggregate pair)") {
+    val p = plan("q_a12_cube")
+    assert("Expand".r.findAllIn(p).length == 1,
+      "all four grouping sets must come from a single Expand")
+  }
+
+  test("funnel: one shuffle shared by windows and per-user collapse") {
+    val p = plan("q_funnel")
+    // the three stage windows and the groupBy all key on user_id: exactly
+    // one hash exchange (plus the final output sort's range exchange)
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"stage windows and collapse must reuse one user_id partitioning, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("length outliers broadcast the language stats onto the scan") {
+    val p = plan("q_text_outlier")
+    assert(p.contains("BroadcastHashJoin"), "O(langs) stats must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for the verdict join")
+  }
+
+  test("weighted sample is a top-K heap merge, not a full sort") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the K-smallest selection must be TakeOrderedAndProject:\n${p.take(1200)}")
+  }
+
+  test("triangles and fuzzy match stay equi-join shaped (no cartesian)") {
+    for (q <- Seq("q_graph_triangles", "q_fuzzy_match", "q_ivm_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must pair via equi-joins (order key / block key / node key)")
+    }
+  }
 }
