@@ -462,6 +462,66 @@ object StreamOps {
       }.toDF()
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp,
+      event_id: Long)
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  case class FunnelRow(user_id: Long, t1_us: Option[Long],
+      t2_us: Option[Long], t3_us: Option[Long], stage: Int)
+
+  /** Streaming funnel — [[graft.ops.AnalyticsOps.funnelStages]]'s stateful
+    * twin: one `GroupState` per user carrying the three stage timestamps
+    * (micros). The batch build's chained minima (first signup, first view
+    * after it, first purchase after that) are exactly the greedy
+    * first-match in time order, so processing each micro-batch sorted by
+    * (ts, event_id) reproduces the batch row for in-order streams; a row
+    * is emitted whenever the user ADVANCES a stage (append mode — the
+    * latest row per user is the funnel position). Users who never enter
+    * the funnel emit nothing (the batch form lists them at stage 0).
+    * Stage timestamps are monotone — a straggler signup earlier than the
+    * recorded t1 is dropped (rewriting t1 would invalidate the downstream
+    * stages already emitted; the scd2Stream trade, documented there).
+    * State is O(users) × three longs.
+    */
+  def funnelStream(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"),
+        col("event_id").cast("long"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+          rows.toSeq
+            .sortBy(r => (r.ts.getTime / 1000, r.ts.getNanos, r.event_id))
+            .foreach { r =>
+              val us = r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000
+              val next = r.event_type match {
+                case "signup" if st.t1.isEmpty =>
+                  Some(st.copy(t1 = Some(us)))
+                case "view" if st.t2.isEmpty &&
+                    st.t1.exists(us > _) =>
+                  Some(st.copy(t2 = Some(us)))
+                case "purchase" if st.t3.isEmpty &&
+                    st.t2.exists(us > _) =>
+                  Some(st.copy(t3 = Some(us)))
+                case _ => None
+              }
+              next.foreach { n =>
+                st = n
+                val stage = Seq(n.t1, n.t2, n.t3).takeWhile(_.isDefined).length
+                out += FunnelRow(uid, n.t1, n.t2, n.t3, stage)
+              }
+            }
+          // only materialize state once the user has entered the funnel
+          // (NoTimeout state lives forever — never store an empty carry)
+          if (st.t1.isDefined) state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

@@ -520,4 +520,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet == batch, "stream and batch forms diverge")
     index.unpersist()
   }
+
+  test("funnelStream advances stages across micro-batches like the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 walks the funnel across three batches (state restores each
+    // time); the pre-signup view, duplicate signup, and out-of-funnel
+    // user 2 rows must all be inert
+    val b1 = Seq(
+      (1L, "view", ts("2024-01-01 09:00:00"), 0L),   // before any signup
+      (1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+      (2L, "view", ts("2024-01-01 10:01:00"), 2L))   // never signs up
+    val b2 = Seq(
+      (1L, "view", ts("2024-01-01 10:05:00"), 3L),
+      (1L, "signup", ts("2024-01-01 10:06:00"), 4L), // t1 already set
+      (2L, "purchase", ts("2024-01-01 10:07:00"), 5L))
+    val b3 = Seq(
+      (1L, "purchase", ts("2024-01-01 10:10:00"), 6L),
+      (1L, "view", ts("2024-01-01 10:02:00"), 7L))   // straggler: t2 set
+    val mem = MemoryStream[(Long, String, Timestamp, Long)]
+    val q = StreamOps.funnelStream(spark,
+        mem.toDF.toDF("user_id", "event_type", "ts", "event_id"))
+      .writeStream.format("memory").queryName("funnels")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val got = spark.table("funnels").orderBy("stage").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some(us("2024-01-01 10:00:00")), None, None, 1),
+      (1L, Some(us("2024-01-01 10:00:00")),
+        Some(us("2024-01-01 10:05:00")), None, 2),
+      (1L, Some(us("2024-01-01 10:00:00")),
+        Some(us("2024-01-01 10:05:00")),
+        Some(us("2024-01-01 10:10:00")), 3)))
+  }
 }
