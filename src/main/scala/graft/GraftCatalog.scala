@@ -71,6 +71,21 @@ object GraftCatalog {
       .createOrReplaceTempView("bpe_encoded")
     graft.llm.TextAnalysis.oovRate(spark, sfDir)
       .createOrReplaceTempView("oov_rate")
+    // analytics batch — all lazy plans
+    graft.ops.AnalyticsOps.funnelStages(spark, sfDir)
+      .createOrReplaceTempView("funnel_stages")
+    graft.ops.AnalyticsOps.cohortRetention(spark, sfDir)
+      .createOrReplaceTempView("cohort_retention")
+    graft.ops.AnalyticsOps.weightedSample(spark, sfDir)
+      .createOrReplaceTempView("weighted_sample")
+    graft.ops.AnalyticsOps.lengthOutliers(spark, sfDir)
+      .createOrReplaceTempView("length_outliers")
+    graft.ops.GraphOps.triangles(spark, sfDir)
+      .createOrReplaceTempView("copurchase_triangles")
+    graft.ops.MatchOps.fuzzyNameMatch(spark, sfDir)
+      .createOrReplaceTempView("fuzzy_name_match")
+    graft.ops.IncrementalOps.ivmJoin(spark, sfDir)
+      .createOrReplaceTempView("ivm_join")
     registerFunctions(spark)
   }
 

@@ -101,4 +101,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       SELECT est_inter, exact_inter FROM sketch_overlap""").head()
     assert(ov.getDouble(0) > 0 && ov.getLong(1) > 0)
   }
+
+  test("analytics-batch views answer SQL end to end") {
+    // funnel × cohort in one statement: every purchaser's cohort week
+    // exists in the retention triangle
+    val n = spark.sql("""
+      SELECT count(*) AS n FROM funnel_stages f
+      JOIN cohort_retention c ON c.offset_wk = 0
+      WHERE f.stage = 3""").head().getLong(0)
+    assert(n > 0)
+    val tri = spark.sql(
+      "SELECT count(*) AS n FROM copurchase_triangles WHERE pa < pb AND pb < pc")
+      .head().getLong(0)
+    assert(tri > 0)
+    assert(spark.sql("SELECT count(*) FROM fuzzy_name_match WHERE dist <= 4")
+      .head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM weighted_sample").head().getLong(0)
+      == graft.ops.AnalyticsOps.SampleK)
+    assert(spark.sql(
+      "SELECT count(*) FROM length_outliers WHERE is_outlier").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM ivm_join").head().getLong(0) > 0)
+  }
 }
