@@ -179,6 +179,9 @@ object SparkEntry {
     "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
+    "q_seq_transitions" -> (graft.ops.SequenceOps.seqTransitions _),
+    "q_seq_paths" -> (graft.ops.SequenceOps.sessionPaths _),
+    "q_j10_scd_lookup" -> (ChangeOps.j10ScdLookup _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2092,5 +2095,71 @@ object SparkEntry {
                 CAST(round(o_totalprice*100) AS BIGINT) AS cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    // Markov transitions (mirrors SequenceOps.seqTransitions): each
+    // probability is one division of two exact counts
+    "q_seq_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM events),
+         p AS (SELECT src, event_type AS dst, count(*) AS n
+               FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+         tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM p GROUP BY src)
+         SELECT p.src, p.dst, p.n,
+                CAST(p.n AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS prob
+         FROM p JOIN tt USING (src)
+         ORDER BY src, dst""",
+    // session path mining (mirrors SequenceOps.sessionPaths): the session
+    // CTE shares q_w3_sessionize's second-granularity gap rule
+    "q_seq_paths" -> s"""
+         WITH sess AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CAST(sum(CASE WHEN date_diff('second', prev_ts, ts)
+                                     > ${StreamOps.SessionGapMinutes * 60} THEN 1
+                                ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                    AS session_id
+           FROM (SELECT user_id, event_id, event_type, ts,
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+                 FROM events)),
+         paths AS (
+           SELECT user_id, session_id,
+                  array_to_string(list(event_type ORDER BY ts, event_id), '>')
+                    AS path
+           FROM sess GROUP BY user_id, session_id)
+         SELECT path, count(*) AS n_sessions
+         FROM paths GROUP BY path
+         ORDER BY n_sessions DESC, path
+         LIMIT ${graft.ops.SequenceOps.PathTopK}""",
+    // point-in-time SCD2 lookup (mirrors ChangeOps.j10ScdLookup): the
+    // history CTEs are q_a7d_scd2's; intervals compare in epoch micros
+    "q_j10_scd_lookup" ->
+      """WITH chg AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         ver AS (
+           SELECT user_id, event_id AS version_id, event_type,
+                  ts AS valid_from
+           FROM chg
+           WHERE prev IS NULL OR prev <> event_type),
+         hist AS (
+           SELECT user_id AS h_user, version_id,
+                  event_type AS version_type,
+                  epoch_us(valid_from) AS from_us,
+                  epoch_us(lead(valid_from) OVER
+                    (PARTITION BY user_id ORDER BY valid_from, version_id))
+                    AS to_us
+           FROM ver),
+         f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ts_us, h.version_id, h.version_type
+         FROM f JOIN hist h
+           ON f.user_id = h.h_user AND h.from_us <= f.ts_us
+          AND (h.to_us IS NULL OR f.ts_us < h.to_us)
+         ORDER BY event_id""",
   )
 }

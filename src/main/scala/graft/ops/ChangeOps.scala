@@ -109,4 +109,34 @@ object ChangeOps {
         col("valid_to").isNull.as("is_current"))
       .orderBy("user_id", "valid_from", "version_id")
   }
+
+  /** J10 (beyond reference): point-in-time dimension lookup against the
+    * SCD2 history — each purchase fact joins the version that was OPEN at
+    * its event time (`valid_from <= ts < valid_to`, open-ended for the
+    * current version). The versions tile each user's timeline from their
+    * first event, so every fact matches exactly one version; a
+    * zero-length version (two boundary events on one timestamp) matches
+    * nothing, by the same half-open rule both engines apply.
+    *
+    * Shape: equi-join on user_id with the interval as a residual
+    * predicate (the j9 convention — never a range-only join), history
+    * side O(users × versions); timestamps compare as shared-precision
+    * epoch micros.
+    */
+  def j10ScdLookup(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(s, dir)
+      .select(col("user_id").as("h_user"), col("version_id"),
+        col("event_type").as("version_type"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(hist, col("user_id") === col("h_user") &&
+        col("from_us") <= col("ts_us") &&
+        (col("to_us").isNull || col("ts_us") < col("to_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version_id"), col("version_type"))
+      .orderBy("event_id")
+  }
 }
