@@ -1300,26 +1300,29 @@ object SparkEntry {
     // SCD2 history build (mirrors ChangeOps.scd2History): change-compress
     // by lag, interval-ize the survivors by lead — both windows on the
     // same (user, ts, event_id) order
+    // SCD2 history (mirrors ChangeOps.scd2History): ordering and output in
+    // shared-precision epoch micros — raw-timestamp ordering is the j9 trap
     "q_a7d_scd2" ->
       """WITH chg AS (
-           SELECT user_id, event_type, ts, event_id,
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
                   lag(event_type) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    AS prev
            FROM events),
          ver AS (
            SELECT user_id, event_id AS version_id, event_type,
-                  ts AS valid_from
+                  us AS valid_from_us
            FROM chg
            WHERE prev IS NULL OR prev <> event_type)
-         SELECT user_id, version_id, event_type, valid_from,
-                lead(valid_from) OVER
-                  (PARTITION BY user_id ORDER BY valid_from, version_id)
-                  AS valid_to,
-                lead(valid_from) OVER
-                  (PARTITION BY user_id ORDER BY valid_from, version_id)
+         SELECT user_id, version_id, event_type, valid_from_us,
+                lead(valid_from_us) OVER
+                  (PARTITION BY user_id ORDER BY valid_from_us, version_id)
+                  AS valid_to_us,
+                lead(valid_from_us) OVER
+                  (PARTITION BY user_id ORDER BY valid_from_us, version_id)
                   IS NULL AS is_current
          FROM ver
-         ORDER BY user_id, valid_from, version_id""",
+         ORDER BY user_id, valid_from_us, version_id""",
     "q_a10_quantiles" ->
       """SELECT o_orderpriority,
                 round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 4)
@@ -1626,7 +1629,8 @@ object SparkEntry {
                      ON grid.l_returnflag = regs.l_returnflag
                     AND grid.bucket = regs.bucket),
          agg AS (SELECT l_returnflag,
-                        list(CAST(r AS INT) ORDER BY bucket) AS registers,
+                        string_agg(CAST(r AS VARCHAR), ',' ORDER BY bucket)
+                          AS registers_csv,
                         CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INT)
                           AS n_zero,
                         CAST(sum(CAST(1 AS BIGINT) << (${Sketches.HllMaxRank} - r))
@@ -1635,7 +1639,7 @@ object SparkEntry {
          ex AS (SELECT l_returnflag,
                        count(DISTINCT l_orderkey) AS exact_distinct
                 FROM hs GROUP BY l_returnflag)
-         SELECT a.l_returnflag, registers, n_zero, s_num,
+         SELECT a.l_returnflag, registers_csv, n_zero, s_num,
                 round(CAST(${Sketches.HllAlpha} AS DOUBLE)
                       * ${Sketches.HllM.toDouble * Sketches.HllM}
                       * ${(1L << Sketches.HllMaxRank).toDouble}
@@ -2101,7 +2105,8 @@ object SparkEntry {
       """WITH seq AS (
            SELECT user_id, event_type,
                   lag(event_type) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) AS src
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    AS src
            FROM events),
          p AS (SELECT src, event_type AS dst, count(*) AS n
                FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
@@ -2114,19 +2119,19 @@ object SparkEntry {
     // CTE shares q_w3_sessionize's second-granularity gap rule
     "q_seq_paths" -> s"""
          WITH sess AS (
-           SELECT user_id, ts, event_id, event_type,
-                  CAST(sum(CASE WHEN date_diff('second', prev_ts, ts)
+           SELECT user_id, us, event_id, event_type,
+                  CAST(sum(CASE WHEN us // 1000000 - prev_us // 1000000
                                      > ${StreamOps.SessionGapMinutes * 60} THEN 1
                                 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
                     AS session_id
-           FROM (SELECT user_id, event_id, event_type, ts,
-                        lag(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev_ts
+           FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS prev_us
                  FROM events)),
          paths AS (
            SELECT user_id, session_id,
-                  array_to_string(list(event_type ORDER BY ts, event_id), '>')
+                  array_to_string(list(event_type ORDER BY us, event_id), '>')
                     AS path
            FROM sess GROUP BY user_id, session_id)
          SELECT path, count(*) AS n_sessions
@@ -2137,21 +2142,22 @@ object SparkEntry {
     // history CTEs are q_a7d_scd2's; intervals compare in epoch micros
     "q_j10_scd_lookup" ->
       """WITH chg AS (
-           SELECT user_id, event_type, ts, event_id,
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
                   lag(event_type) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    AS prev
            FROM events),
          ver AS (
            SELECT user_id, event_id AS version_id, event_type,
-                  ts AS valid_from
+                  us AS from_us0
            FROM chg
            WHERE prev IS NULL OR prev <> event_type),
          hist AS (
            SELECT user_id AS h_user, version_id,
                   event_type AS version_type,
-                  epoch_us(valid_from) AS from_us,
-                  epoch_us(lead(valid_from) OVER
-                    (PARTITION BY user_id ORDER BY valid_from, version_id))
+                  from_us0 AS from_us,
+                  lead(from_us0) OVER
+                    (PARTITION BY user_id ORDER BY from_us0, version_id)
                     AS to_us
            FROM ver),
          f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

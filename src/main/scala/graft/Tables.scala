@@ -64,13 +64,24 @@ object Tables {
       }
       // only the harness layout needs conversion; an events table written
       // with a real timestamp column passes through untouched
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-        // integer DIV, not `/`: double division loses the low microsecond
-        // on 19-digit nanos values
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      } else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer DIV, not `/`: double division loses the low microsecond
+          // on 19-digit nanos values
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // TIMESTAMP(isAdjustedToUTC=false, MICROS) infers as NTZ; the
+          // harness timeline is logically UTC and every graft session pins
+          // spark.sql.session.timeZone=UTC, so the cast re-tags the same
+          // micros value as an instant — no wall-clock arithmetic happens.
+          // Needed because window/stream/unix_micros operators take
+          // TIMESTAMP, not TIMESTAMP_NTZ.
+          df.withColumn("ts",
+            df("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

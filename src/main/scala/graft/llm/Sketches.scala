@@ -108,7 +108,12 @@ object Sketches {
     sketch.join(broadcast(exact), Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
-        col("registers"),
+        // the registers stay the value-for-value contract, but surface as
+        // a canonical comma-joined string: a raw array<int> column is not
+        // sortable by pandas-style result checkers (a frame with ndarray
+        // cells cannot hash), and every declared query's top-level schema
+        // is atomic-only by repo rule (DeclaredSchemaSpec)
+        array_join(col("registers"), ",").as("registers_csv"),
         size(filter(col("registers"), _ === 0)).as("n_zero"),
         hllSNum(col("registers")).as("s_num"),
         hllEstimate(col("registers")).as("est_distinct"),

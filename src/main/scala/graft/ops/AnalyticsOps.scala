@@ -111,11 +111,16 @@ object AnalyticsOps {
     * triangle. Two aggregations and one join, ALL keyed on user_id /
     * the tiny (cohort, offset) pair — the first-event aggregate and the
     * join reuse one user_id partitioning; the fact table is scanned once.
+    *
+    * The week bucket FLOORS (`floor(days/7)`, matching DuckDB `//`), not
+    * Spark `div` which truncates toward zero: an event dated before
+    * [[CohortOrigin]] has a negative day diff, and truncation would put
+    * days −6..−1 in week 0 while the oracle puts them in week −1.
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("user_id"),
-        expr(s"datediff(CAST(ts AS DATE), DATE '$CohortOrigin') div 7")
+        floor(expr(s"datediff(CAST(ts AS DATE), DATE '$CohortOrigin')") / 7)
           .cast("int").as("wk"))
     val firstWk = ev.groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_wk"))

@@ -95,19 +95,25 @@ object ChangeOps {
     * counts the exchanges). That is the scale property: building the
     * history of a 100 TB change stream costs one shuffle of the stream,
     * not one per window.
+    *
+    * Timestamps order and surface as shared-precision epoch MICROS (the
+    * repo's j8/j9/funnel convention): raw-timestamp ordering is the j9
+    * trap — an engine that keeps parquet nanos and one that truncates to
+    * micros would silently disagree on sub-millisecond source data.
     */
   def scd2History(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     t(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
       .select(col("user_id"), col("event_id").as("version_id"),
-        col("event_type"), col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from", "version_id")
+        col("event_type"), col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us", "version_id")
   }
 
   /** J10 (beyond reference): point-in-time dimension lookup against the
@@ -127,8 +133,8 @@ object ChangeOps {
     val hist = scd2History(s, dir)
       .select(col("user_id").as("h_user"), col("version_id"),
         col("event_type").as("version_type"),
-        unix_micros(col("valid_from")).as("from_us"),
-        unix_micros(col("valid_to")).as("to_us"))
+        col("valid_from_us").as("from_us"),
+        col("valid_to_us").as("to_us"))
     t(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entity-resolution matching — fuzzy string joins with blocking
@@ -15,10 +15,47 @@ object MatchOps {
   /** Candidate-pair edit-distance ceiling. */
   val MaxEditDistance = 4
 
-  /** Fuzzy name matching with blocking: distinct part names, blocked on
-    * their first token, candidate pairs within a block scored by
-    * Levenshtein distance (the full-matrix edit distance — identical
-    * definition in Spark and DuckDB), kept when within
+  /** Length-bucket width for the salted block key. A pair within
+    * [[MaxEditDistance]] edits differs in length by at most
+    * [[MaxEditDistance]], so with bucket = len div [[LenBucket]] the two
+    * buckets differ by AT MOST ONE — the staircase join below is
+    * therefore lossless by construction, not by fixture luck.
+    */
+  val LenBucket = 4
+
+  /** Candidate pairs under the SALTED block key — every same-first-token
+    * pair whose length buckets are equal or adjacent, each produced
+    * exactly once. The inputs must carry `p_name`; callers pass the
+    * distinct name vocabulary.
+    *
+    * Mechanics (the standard staircase/band join): each name emits under
+    * two keys, its own bucket and the next one up; candidates join on
+    * `(blk, k)` EQUALITY — so a hot first-token block subdivides into
+    * per-length-bucket shuffle keys instead of one giant block — and the
+    * residual `k = greatest(bkt_a, bkt_b)` keeps exactly one copy of each
+    * qualifying pair (equal buckets would otherwise match under both
+    * shared keys).
+    */
+  private[graft] def candidatePairs(names: DataFrame): DataFrame = {
+    val keyed = names
+      .select(col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        (length(col("p_name")) / LenBucket).cast("int").as("bkt"))
+      .select(col("p_name"), col("blk"), col("bkt"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("k"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") === col("b.k") &&
+          col("a.k") === greatest(col("a.bkt"), col("b.bkt")) &&
+          col("a.p_name") < col("b.p_name"))
+      .select(col("a.blk").as("blk"), col("a.p_name").as("name_a"),
+        col("b.p_name").as("name_b"))
+  }
+
+  /** Fuzzy name matching with salted blocking: distinct part names,
+    * blocked on (first token, length bucket), candidate pairs within a
+    * block scored by Levenshtein distance (the full-matrix edit distance —
+    * identical definition in Spark and DuckDB), kept when within
     * [[MaxEditDistance]].
     *
     * Scale design, in order of leverage:
@@ -28,22 +65,17 @@ object MatchOps {
     *  2. the block key turns the quadratic all-pairs into an equi-join —
     *     candidates only form inside a block, so cost is Σ |block|², not
     *     |names|²;
-    *  3. `a < b` halves the pair space and canonicalizes output;
-    *  4. a hot block (skewed key) is the residual risk — the standard
-    *     fixes compose: AQE skew-join splitting, or salting the block key
-    *     with a length bucket (blk, len(name) div 4) to subdivide.
+    *  3. the length-bucket SALT subdivides a hot token (think "the"): the
+    *     shuffle key is `(blk, bucket)`, so a skewed block degrades to
+    *     Σ |sub-block|·|adjacent| instead of |block|² — and the staircase
+    *     is LOSSLESS because an edit distance ≤ [[MaxEditDistance]] bounds
+    *     the length gap inside one bucket step (see [[LenBucket]]);
+    *  4. `a < b` halves the pair space and canonicalizes output.
     */
-  def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame = {
-    val blocked = t(s, dir, "part")
-      .select(col("p_name")).distinct()
-      .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
-      .select(col("a.blk").as("blk"), col("a.p_name").as("name_a"),
-        col("b.p_name").as("name_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+  def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(t(s, dir, "part").select(col("p_name")).distinct())
+      .select(col("blk"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
       .filter(col("dist") <= MaxEditDistance)
       .orderBy("blk", "name_a", "name_b")
-  }
 }

@@ -21,9 +21,13 @@ object SequenceOps {
     * any engine.
     */
   def seqTransitions(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // order by shared-precision epoch micros (the j8/j9 convention), not
+    // the raw timestamp — engines that keep different sub-micro precision
+    // would otherwise disagree on the sequence order
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val pairs = t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
       .withColumn("src", lag(col("event_type"), 1).over(w))
       .filter(col("src").isNotNull)
       .select(col("src"), col("event_type").as("dst"))
@@ -47,20 +51,27 @@ object SequenceOps {
     * Shape: the session window and the per-session collapse share one
     * user shuffle; paths aggregate map-side-combined on the path string;
     * the final top-K is a TakeOrdered merge, not a full sort. The
-    * in-session ordering rides an `array_sort` over (ts, event_id, type)
-    * structs — deterministic because the sort key is unique per row.
+    * in-session ordering rides an `array_sort` over (us, event_id, type)
+    * structs — deterministic because the sort key is unique per row, and
+    * in shared-precision epoch micros (the j8/j9 convention) so both
+    * engines sequence sub-millisecond data identically.
     */
   def sessionPaths(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    // the gap compares TRUNCATED SECONDS (us DIV 1e6), matching the
+    // oracle's date_diff('second', …) boundary-crossing count and the
+    // q_w3_sessionize gap rule — ordering is micros, gap stays seconds
+    val sec = expr("us DIV 1000000")
     val newSession = when(
-      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+      sec - lag(sec, 1).over(byUser)
         > StreamOps.SessionGapMinutes * 60L, 1L).otherwise(lit(0L))
     t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
       .withColumn("session_id", sum(newSession).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
       .agg(array_join(
         transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"),
+          array_sort(collect_list(struct(col("us"), col("event_id"),
             col("event_type")))),
           x => x.getField("event_type")), ">").as("path"))
       .groupBy(col("path"))

@@ -159,6 +159,28 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("salted block key bounds a hot block's candidates, losslessly") {
+    import spark.implicits._
+    // a worst-case hot block: every name shares the first token, lengths
+    // spread across ~15 buckets. Unsalted, this block pairs C(60,2)=1770;
+    // the staircase keeps only equal-or-adjacent length buckets — and
+    // loses nothing, because dist<=MaxEditDistance bounds the length gap
+    // inside one bucket step.
+    val all = (1 to 60).map(i => "the " + "x" * i)
+    val got = MatchOps.candidatePairs(all.toDF("p_name")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val gotSet = got.toSet
+    assert(got.length == gotSet.size, "staircase must emit each pair once")
+    def bkt(s: String) = s.length / MatchOps.LenBucket
+    val want = (for { a <- all; b <- all if a < b
+      if math.abs(bkt(a) - bkt(b)) <= 1 } yield (a, b)).toSet
+    assert(gotSet == want)
+    // the scale property: far below the unsalted |block|² pair count
+    val unsalted = all.size * (all.size - 1) / 2
+    assert(gotSet.size * 4 < unsalted,
+      s"${gotSet.size} candidates vs $unsalted unsalted")
+  }
+
   test("join IVM delta expansion equals the flat full recompute") {
     val full = Tables.table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),

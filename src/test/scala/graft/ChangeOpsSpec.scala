@@ -103,19 +103,24 @@ class ChangeOpsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val got = ChangeOps.scd2History(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5)))
 
+    // epoch micros of a java.sql.Timestamp (the repo's shared-precision
+    // convention the operator now emits)
+    def us(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
     val events = Tables.table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), us(r.getTimestamp(2)), r.getLong(3)))
     val want = events.groupBy(_._1).toSeq.flatMap { case (user, es) =>
-      val sorted = es.sortBy(e => (e._3.getTime, e._4))
+      val sorted = es.sortBy(e => (e._3, e._4))
       val compressed = sorted.zip(None +: sorted.map(e => Some(e._2)))
         .collect { case (e, prev) if prev.forall(_ != e._2) => e }
       compressed.zip(compressed.drop(1).map(e => Some(e._3)) :+ None)
         .map { case ((u, et, ts, id), to) => (u, id, et, ts, to, to.isEmpty) }
-    }.sortBy(v => (v._1, v._4.getTime, v._2))
+    }.sortBy(v => (v._1, v._4, v._2))
 
     assert(got.length == want.length,
       s"${got.length} versions vs ${want.length} expected")

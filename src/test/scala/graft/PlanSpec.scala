@@ -487,4 +487,15 @@ class PlanSpec extends AnyFunSuite {
         s"$q must pair via equi-joins (order key / block key / node key)")
     }
   }
+
+  test("fuzzy match shuffles on the SALTED block key, not the raw token") {
+    // the length-bucket salt must reach the join's equi-key — a hot first
+    // token then subdivides across shuffle partitions instead of pairing
+    // |block|² rows on one key (ops/MatchOps.candidatePairs)
+    val p = plan("q_fuzzy_match")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("blk")).getOrElse("")
+    assert(joinLine.contains("k#") || joinLine.contains("k ="),
+      s"the bucket salt k must be part of the join key:\n$joinLine")
+  }
 }
