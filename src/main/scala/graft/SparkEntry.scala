@@ -112,12 +112,14 @@ object SparkEntry {
     "q_embed_hardneg" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
+    "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
     "q_text_entropy" -> (TextAnalysis.charDiversity _),
     "q_text_pretok" -> (TextAnalysis.preTokenize _),
     "q_bpe_merge" -> ((s, dir) => TextAnalysis.bpeMergeStep(s, dir)),
+    "q_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
     "q_text_oov" -> (TextAnalysis.oovRate _),
     "q_text_langid" -> (TextAnalysis.langId _),
@@ -412,12 +414,17 @@ object SparkEntry {
   /** Vocabulary + adjacent-char-pair CTEs (mirror TextAnalysis.vocabTable /
     * pairWeights) — shared by the BPE pair-count and merge oracles.
     */
-  private lazy val bpeCtes: String = s"""
-         vocab AS (
+  /** The term→freq vocabulary CTE alone (mirrors TextAnalysis.vocabTable)
+    * — shared by the pair-count, merge, and training oracles.
+    */
+  private lazy val bpeVocabCte: String = s"""vocab AS (
            SELECT term, count(*) AS freq
            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
                  FROM documents)
-           GROUP BY term),
+           GROUP BY term)"""
+
+  private lazy val bpeCtes: String = s"""
+         $bpeVocabCte,
          pr AS (
            SELECT unnest(CASE WHEN length(term) >= 2
                               THEN list_transform(range(1, length(term)),
@@ -425,6 +432,40 @@ object SparkEntry {
                               ELSE [] END) AS pair,
                   freq
            FROM vocab)"""
+
+  /** Unrolled BPE-training CTE chain (mirrors TextAnalysis.bpeTrain —
+    * the PrIters pattern: the Scala loop generates one CTE triple per
+    * round). `v0` is the space-bounded symbol-string vocabulary
+    * (`" l o w "`); each round `r` counts adjacent symbol pairs (`pR`),
+    * takes the deterministic argmax (`rR`), and rewrites (`vR`) via the
+    * same `" a b " → " ab "` replace() both engines share. Requires a
+    * `vocab(term, freq)` CTE in scope.
+    */
+  private lazy val bpeTrainCtes: String = {
+    val v0 = """v0 AS (SELECT term, freq,
+                   ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS ss
+                 FROM vocab)"""
+    // vR / rR are referenced more than once (pair counting AND the next
+    // rewrite; the rule subquery twice) — MATERIALIZED stops a
+    // CTE-inlining planner from expanding the chain exponentially in K
+    val rounds = (1 to TextAnalysis.BpeTrainK).map { r =>
+      s"""p$r AS (SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS weight
+                FROM (SELECT freq,
+                             unnest(list_transform(range(1, len(syms)),
+                                      i -> syms[i] || ' ' || syms[i+1])) AS pr
+                      FROM (SELECT freq, string_split(trim(ss), ' ') AS syms
+                            FROM v${r - 1}))
+                GROUP BY pr),
+         r$r AS MATERIALIZED (SELECT $r AS round, pair, weight FROM p$r
+                 ORDER BY weight DESC, pair LIMIT 1),
+         v$r AS MATERIALIZED (SELECT term, freq,
+                        replace(ss, ' ' || (SELECT pair FROM r$r) || ' ',
+                                ' ' || replace((SELECT pair FROM r$r), ' ', '')
+                                    || ' ') AS ss
+                 FROM v${r - 1})"""
+    }
+    (v0 +: rounds).mkString(",\n         ")
+  }
 
   /** DuckDB SQL macro for the tag pipeline (odgovlt.py:79-94) applied to an
     * arbitrary string expression, returning the tag LIST (for document
@@ -1035,6 +1076,38 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id
                        ORDER BY adist ASC, vec_id ASC) AS rk
            FROM sc)
+         WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk""",
+    // ADC shortlist -> exact cosine re-rank (mirrors
+    // Similarity.pqSearchRerank): the shortlist CTEs are q_embed_pq_search's
+    // with the wider 10-k cut; only shortlist rows touch the raw vectors
+    "q_embed_pq_rerank" -> s"""
+         WITH $pqTrainCtes,
+         ${pqAssignCte("codes", "u1", "")},
+         q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+               WHERE vec_id < ${Similarity.NQueries}),
+         tbl AS (SELECT q_id, u1.m, u1.code, ${pqL2Sql("q.qsv", "u1.cb")} AS d
+                 FROM q JOIN u1 ON q.m = u1.m),
+         sc AS (SELECT tbl.q_id, codes.vec_id,
+                       CAST(sum(CAST(d AS DECIMAL(20,9))) AS DOUBLE) AS adist
+                FROM codes JOIN tbl
+                  ON codes.m = tbl.m AND codes.code = tbl.code
+                WHERE codes.vec_id <> tbl.q_id
+                GROUP BY tbl.q_id, codes.vec_id),
+         shortlist AS (SELECT q_id, vec_id, adist FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY adist ASC, vec_id ASC) AS ark
+             FROM sc)
+           WHERE ark <= ${Similarity.PqRerankCandidates}),
+         base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         re AS (SELECT s.q_id, s.vec_id, s.adist,
+                       ${cosSql("qb.v", "cb.v")} AS cos
+                FROM shortlist s
+                JOIN base cb ON cb.vec_id = s.vec_id
+                JOIN base qb ON qb.vec_id = s.q_id)
+         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id ASC) AS rk
+           FROM re)
          WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk""",
     // every step is engine-exact double arithmetic: order-insensitive max,
     // floor on identical doubles, left-fold error from a 0.0 seed
@@ -1896,34 +1969,29 @@ object SparkEntry {
     // the same left-to-right non-overlapping rewrites as Spark's
     // aggregate() fold; letter-pairs only, merged symbols uppercased so
     // later rules never match inside an earlier merge
+    // iterated BPE training (mirrors TextAnalysis.bpeTrain): the unrolled
+    // per-round CTE chain — count pairs over the CURRENT segmentation,
+    // argmax, rewrite, recount — emitting the learned rule per round
+    "q_bpe_train" -> s"""
+         WITH $bpeVocabCte,
+         $bpeTrainCtes
+         SELECT round, pair, weight FROM (
+           ${(1 to TextAnalysis.BpeTrainK)
+             .map(r => s"SELECT * FROM r$r")
+             .mkString("\n           UNION ALL ")})
+         ORDER BY round""",
+    // the learned rule table applied in round order (mirrors
+    // TextAnalysis.bpeEncode): fold-encoding from scratch equals the
+    // training chain's end state — same rules, same order, same
+    // replace() semantics — so the oracle reads v{K} directly
     "q_bpe_encode" -> s"""
-         WITH $bpeCtes,
-         mg AS (SELECT list(pair ORDER BY weight DESC, pair) AS merges
-                FROM (SELECT pair, weight
-                      FROM (
-                        -- the candidate table Spark's pairWeights exposes:
-                        -- top-BpeTopN BEFORE the letter-pair filter, so
-                        -- both engines learn rules from the same domain
-                        SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
-                        FROM pr GROUP BY pair
-                        ORDER BY weight DESC, pair
-                        LIMIT ${TextAnalysis.BpeTopN})
-                      WHERE regexp_matches(pair, '^[a-z]{2}$$')
-                      ORDER BY weight DESC, pair
-                      LIMIT ${TextAnalysis.BpeMergeK})),
-         enc AS (SELECT term, freq,
-                        list_reduce(list_concat([lower(term)], merges),
-                          (acc, p) -> replace(acc, p, upper(p))) AS encoded
-                 FROM vocab, mg)
-         SELECT term, CAST(freq AS BIGINT) AS freq, encoded,
-                CAST((length(encoded)
-                      - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) // 2
-                  AS INT) AS n_merged,
-                CAST(length(term)
-                     - (length(encoded)
-                        - length(regexp_replace(encoded, '[A-Z]', '', 'g'))) // 2
-                  AS INT) AS n_syms
-         FROM enc
+         WITH $bpeVocabCte,
+         $bpeTrainCtes
+         SELECT term, CAST(freq AS BIGINT) AS freq, trim(ss) AS encoded,
+                CASE WHEN length(trim(ss)) = 0 THEN 0
+                     ELSE CAST(len(string_split(trim(ss), ' ')) AS INT)
+                END AS n_syms
+         FROM v${TextAnalysis.BpeTrainK}
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
     // KMV distinct users per tumbling window (mirrors

@@ -434,6 +434,21 @@ object Similarity {
     */
   def pqSearch(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    pqAdcScores(s, dir, cache)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PqTopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("adist"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** The shared ADC scoring stage: every (query, corpus vector) pair's
+    * approximate distance from the code words (see [[pqSearch]] for the
+    * economics and determinism notes).
+    */
+  private def pqAdcScores(s: SparkSession, dir: String,
+      cache: Boolean): DataFrame = {
     val c = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // consumed by train + corpus-assign + query side: cache the explode
@@ -449,16 +464,59 @@ object Similarity {
       .join(broadcast(books), Seq("m"))
       .select(col("q_id"), col("m"), col("code"),
         l2sq(col("qsv"), col("cb")).as("d"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     codes.join(broadcast(tables), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d").cast("decimal(20,9)")).as("dsum"))
       .select(col("q_id"), col("vec_id"), col("dsum").cast("double").as("adist"))
-      .withColumn("rk", row_number().over(w))
+  }
+
+  /** ADC shortlist size fed to the exact re-rank: 20·k. Wider than the
+    * textbook 10·k because the shortlist metric (L2 over code words) and
+    * the final metric (cosine over raw vectors) disagree wherever norms
+    * vary — the extra width buys back the neighbors the L2 cut would
+    * drop (recall@3 0.68 at 10·k → ≥0.8 at 20·k on the fixture,
+    * QuantizeSpec).
+    */
+  val PqRerankCandidates = 20 * PqTopK
+
+  /** PQ candidates → EXACT re-rank — the composition that turns the PQ
+    * index into a usable retriever: the ADC scan shortlists
+    * [[PqRerankCandidates]] per query from the 8-byte codes alone, and
+    * only the shortlist — O(queries · 20k) rows — is re-scored against
+    * the RAW vectors by exact cosine (the [[retrieveRerank]] economics:
+    * the expensive signal never touches the corpus). Quantization error
+    * then only costs RECALL (a true neighbor missing from the
+    * shortlist), not ranking precision; measured on this fixture the
+    * re-rank lifts recall@3 vs [[bruteForceTopK]] from ≈0.22 (raw ADC,
+    * the honesty note on [[pqQuantize]]) to ≥0.8 — pinned in
+    * QuantizeSpec.
+    *
+    * Shape: the shortlist BROADCASTS back over the embedding scan (the
+    * corpus streams, it never shuffles); query vectors broadcast as an
+    * NQueries-row table; the final top-k is one window over
+    * O(queries · 20k) rows.
+    */
+  def pqSearchRerank(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = pqAdcScores(s, dir, cache)
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= PqRerankCandidates)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    val c = corpus(s, dir)
+    val queries = broadcast(
+      c.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qq"), col("v").as("qv"), col("nv").as("nq")))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(queries, col("q_id") === col("qq"))
+      .select(col("q_id"), col("vec_id"), col("adist"),
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
+      .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= PqTopK)
       .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"),
-        col("adist"))
+        col("cos"), col("adist"))
       .orderBy("q_id", "rk")
   }
 

@@ -750,61 +750,141 @@ object TextAnalysis {
       .limit(VocabTopN)
   }
 
-  /** Merge rules applied by [[bpeEncode]]: the top of the frequency-ranked
-    * pair table, letter-pairs only (a digit or punctuation pair uppercases
-    * to itself, which would make the merge marking ambiguous).
+  /** Training rounds for [[bpeTrain]] — the size of the learned merge
+    * table (each round contributes one rule).
     */
-  val BpeMergeK = 8
+  val BpeTrainK = 8
 
-  /** The ENCODE half of the tokenizer story ([[bpePairs]] ranks the merge
-    * candidates, [[bpeMergeStep]] is one training step — this applies the
-    * learned rule table): each merge rule, in rank order (weight desc,
-    * pair asc), rewrites every non-overlapping occurrence of its pair
-    * left-to-right — exactly `replace()`'s contract in every engine, so
-    * Spark's `aggregate()` fold and DuckDB's `list_reduce` produce the
-    * same encoding symbol-for-symbol. The encoder CASE-FOLDS its input —
-    * the uppercase plane is reserved for merge markers — so the marking is
-    * collision-free for any vocabulary, which also makes the semantics
-    * one-shot BY CONSTRUCTION: a later lowercase rule can never match
-    * inside an already-merged (uppercase) symbol — the standard "apply
-    * merges in learned order" encoder, not the
-    * recompute-priorities-after-every-merge trainer.
+  /** Space-bounded symbol string of a term — `" l o w "` for `"low"`:
+    * every symbol is flanked by single spaces, so a merge rule `"a b"`
+    * rewrites as the substring `" a b " → " ab "` with no false match
+    * inside a multi-character symbol (symbols never contain spaces — the
+    * vocabulary is whitespace-split and merges concatenate).
+    */
+  private def symString(term: Column): Column =
+    concat(lit(" "), regexp_replace(term, "(.)", "$1 "))
+
+  /** Adjacent symbol pairs (`"a b"`) of a symbol string — EVERY adjacent
+    * index pair, the standard BPE statistic (a run `a a a` contributes
+    * `a a` twice). Built by zipping the two shifted slices (the
+    * [[graft.functions]] trigram trick): indexed element_at over an
+    * inlined split would re-evaluate the split per index — O(n²) per
+    * term — while the slice zip evaluates it a constant number of times.
+    */
+  private def symPairs(ss: Column): Column = {
+    val syms = split(trim(ss), " ")
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Iterated BPE TRAINING — the loop that produces a real merge table,
+    * not one ranking: each of [[BpeTrainK]] rounds counts adjacent-pair
+    * weights over the CURRENT vocabulary segmentation, takes the argmax
+    * (weight desc, pair asc — deterministic), rewrites the vocabulary
+    * with it, and recounts. Output is the rule table `(round, pair,
+    * weight)` in learned order — rules over multi-character symbols
+    * (`"lo w"`) appear in later rounds as earlier merges feed them.
+    *
+    * Scale shape: the corpus is touched ONCE (the shared [[vocabTable]]
+    * aggregation); every training round runs on the cached vocabulary
+    * table — a pair explode + one aggregation whose key space is the
+    * tiny symbol-pair domain, then a 1-row TakeOrdered argmax broadcast
+    * back onto the vocabulary as a scalar. Per-round cost is independent
+    * of corpus size once the vocabulary saturates, the same economics as
+    * [[graft.ops.GraphOps]]'s fixpoints (one bounded shuffle per round,
+    * K rounds).
+    */
+  def bpeTrain(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    import s.implicits._
+    val v0 = vocabTable(s, dir)
+    trainedRules(if (cache) v0.cache() else v0, cache)
+      .toDF("round", "pair", "weight")
+      .orderBy("round")
+  }
+
+  /** The training loop itself, over a `(term, freq)` vocabulary frame,
+    * yielding the driver-local rule list. Each round's argmax is a
+    * ONE-ROW collect — the learned rule is a scalar training artifact
+    * the driver must see to build the next round's plan, the same
+    * driver-boundary class as the streaming centroid table
+    * ([[graft.streaming.StreamOps]]) and the components convergence
+    * probe ([[Dedup]]); everything row-scale stays distributed. Rewrites
+    * apply the rule as a LITERAL projection (no join, fully codegen'd):
+    * `" a b " → " ab "`, greedily left-to-right on non-overlapping
+    * occurrences — exactly `replace()`'s contract in every engine, so the
+    * oracle needs no fold. The one documented edge: back-to-back
+    * occurrences SHARE their boundary space (`" a b a b "`), and
+    * `replace()` resumes scanning after the consumed region, so only the
+    * first of the two merges in that pass — identically in Spark, DuckDB,
+    * and the plain-Scala replay (all inherit the same non-overlapping
+    * scan). Each round's segmentation is cached and the previous round's
+    * cache unpersists as soon as the next materializes, so O(1)
+    * vocabulary copies are live regardless of K.
+    */
+  private def trainedRules(vocabFrame: DataFrame,
+      cache: Boolean): Seq[(Int, String, Long)] = {
+    var vocab = vocabFrame
+      .select(col("freq"), symString(col("term")).as("ss"))
+    (1 to BpeTrainK).map { r =>
+      val top = vocab
+        .select(explode(symPairs(col("ss"))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val (pair, weight) = (top.getString(0), top.getLong(1))
+      if (r < BpeTrainK) { // the last argmax needs no further rewrite
+        val prev = vocab
+        val next = vocab.select(col("freq"),
+          replace(col("ss"), lit(s" $pair "),
+            lit(" " + pair.replace(" ", "") + " ")).as("ss"))
+        vocab = if (cache) next.cache() else next
+        if (cache) {
+          vocab.count() // materialize before dropping the parent
+          if (r > 1) prev.unpersist() // round 1 reads the shared vocabFrame
+        }
+      }
+      (r, pair, weight)
+    }
+  }
+
+  /** The ENCODE half of the tokenizer story, consuming [[bpeTrain]]'s
+    * rule table: each learned rule, in round order, rewrites every
+    * non-overlapping occurrence of its pair left-to-right over the
+    * space-bounded symbol string — so fold-encoding a term from scratch
+    * reproduces EXACTLY the training loop's final segmentation of it
+    * (same rules, same order, same `replace()` semantics; the replay
+    * spec pins the identity and the oracle reads the training chain's
+    * end state).
     *
     * Scale shape: encoding runs over the DISTINCT vocabulary, not the
     * corpus (the corpus re-join is a broadcast of this table when
-    * needed); the K merge rules collapse to ONE array row built by
-    * sort_array over at most [[BpeTopN]] collected structs — fully
-    * order-insensitive, no reliance on limit preserving sort order —
-    * and ride onto the vocabulary as a broadcast scalar. Per-term work is
-    * a row-local K-step string fold.
+    * needed); the K learned rules are driver-local scalars, so the fold
+    * unrolls into ONE static K-step replace chain — a plain codegen'd
+    * projection over the shared cached vocabulary, no join, no
+    * higher-order-function state. Per-term work is a row-local K-step
+    * string fold.
     */
   def bpeEncode(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
     val v0 = vocabTable(s, dir)
     val vocab = if (cache) v0.cache() else v0
-    // (-weight, pair) structs sort ascending == (weight desc, pair asc);
-    // slice takes the top K, transform drops the sort key
-    val merges = broadcast(
-      pairWeights(vocab)
-        .filter(col("pair").rlike("^[a-z]{2}$"))
-        .agg(slice(sort_array(collect_list(
-          struct((-col("weight")).as("nw"), col("pair").as("p")))),
-          1, BpeMergeK).as("top"))
-        .select(transform(col("top"), t => t.getField("p")).as("merges")))
-    val nUpper = length(col("encoded")) -
-      length(regexp_replace(col("encoded"), "[A-Z]", ""))
-    vocab.crossJoin(merges)
-      .select(col("term"), col("freq"),
-        // the encoder CASE-FOLDS its input: the uppercase plane is
-        // reserved for merge markers, so a term with pre-existing
-        // uppercase must not leak fake markers into the symbol counts
-        // (nUpper also stays even by construction — the /2 below is
-        // exact, no truncation-vs-rounding divergence cross-engine)
-        aggregate(col("merges"), lower(col("term")),
-          (acc, p) => replace(acc, p, upper(p))).as("encoded"))
+    // the K learned rules are a driver-local scalar artifact (see
+    // trainedRules); the fold unrolls them into one static K-step
+    // projection — fully codegen'd, no join, no HOF state
+    val encoded = trainedRules(vocab, cache)
+      .foldLeft(symString(col("term"))) { case (acc, (_, pair, _)) =>
+        replace(acc, lit(s" $pair "),
+          lit(" " + pair.replace(" ", "") + " "))
+      }
+    vocab
+      .select(col("term"), col("freq"), trim(encoded).as("encoded"))
       .select(col("term"), col("freq"), col("encoded"),
-        (nUpper / 2).cast("int").as("n_merged"),
-        (length(col("term")) - nUpper / 2).cast("int").as("n_syms"))
+        when(length(col("encoded")) === 0, lit(0))
+          .otherwise(size(split(col("encoded"), " ")))
+          .cast("int").as("n_syms"))
       .orderBy(col("freq").desc, col("term"))
       .limit(VocabTopN)
   }

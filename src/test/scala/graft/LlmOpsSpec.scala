@@ -235,34 +235,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0) && got.exists(g => g._3 > 0))
   }
 
-  test("bpe encode: applies the ranked merge table as a plain-Scala fold would") {
-    val out = TextAnalysis.bpeEncode(spark, sf).cache()
-    // the learned rule table, recomputed independently: letter-pairs of the
-    // ranked pair weights, (weight desc, pair asc), top K
-    val merges = TextAnalysis.bpePairs(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .filter(_._1.matches("^[a-z]{2}$"))
-      .sortBy { case (p, w) => (-w, p) }
-      .take(TextAnalysis.BpeMergeK)
-      .map(_._1)
-    assert(merges.length == TextAnalysis.BpeMergeK,
-      s"fixture vocabulary too small to learn $merges")
-    val rows = out.collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (term, enc, nm, ns) =
-        (r.getString(0), r.getString(2), r.getInt(3), r.getInt(4))
-      // the encoder case-folds its input (uppercase = merge markers only)
-      val want = merges.foldLeft(term.toLowerCase(java.util.Locale.ROOT))(
-        (acc, p) => acc.replace(p, p.toUpperCase(java.util.Locale.ROOT)))
-      assert(enc == want, s"$term encoded to $enc, want $want")
-      val nUpper = enc.count(_.isUpper)
-      assert(nm == nUpper / 2 && ns == term.length - nUpper / 2,
-        s"$term: n_merged=$nm n_syms=$ns from $enc")
-      assert(ns >= 1 && ns <= term.length)
+  test("bpe training replays as a plain-Scala loop; encode equals its end state") {
+    // independent vocabulary rebuild (term -> corpus frequency)
+    val vocab = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // plain-Scala trainer over the same space-bounded symbol strings:
+    // count EVERY adjacent pair, argmax (weight desc, pair asc), rewrite
+    // via String.replace — the identical greedy non-overlapping contract
+    var state = vocab.map { case (t, f) =>
+      (t, " " + t.map(c => s"$c ").mkString, f)
     }
-    assert(rows.exists(_.getInt(3) > 0),
-      "no vocabulary term matched any merge rule — the check is vacuous")
+    val rules = (1 to TextAnalysis.BpeTrainK).map { r =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      state.foreach { case (_, ss, f) =>
+        val syms = ss.trim.split(" ")
+        for (i <- 0 until syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, w) = counts.toSeq.minBy { case (p, wt) => (-wt, p) }
+      state = state.map { case (t, ss, f) =>
+        (t, ss.replace(s" $pair ", " " + pair.replace(" ", "") + " "), f)
+      }
+      (r, pair, w)
+    }
+    val got = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == rules,
+      s"rule table diverged:\n got ${got.toSeq}\nwant $rules")
+    assert(rules.map(_._2).distinct.length == TextAnalysis.BpeTrainK,
+      "degenerate training: a pair was learned twice")
+    // the fold-encoder must reproduce the training loop's final
+    // segmentation exactly (same rules, same order, same replace())
+    val byTerm = state.map { case (t, ss, _) => t -> ss.trim }.toMap
+    val enc = TextAnalysis.bpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (term, e, ns) = (r.getString(0), r.getString(2), r.getInt(3))
+      assert(e == byTerm(term), s"$term: encoded '$e' vs trained '${byTerm(term)}'")
+      assert(ns == (if (e.isEmpty) 0 else e.split(" ", -1).length),
+        s"$term: n_syms $ns vs '$e'")
+    }
+    // at least one top term must actually contain a merged (multi-char)
+    // symbol, or the whole check is vacuous
+    assert(enc.exists(r => r.getString(2).split(" ", -1).exists(_.length > 1)),
+      "no merged symbol in any encoded top term")
     spark.catalog.clearCache()
   }
 

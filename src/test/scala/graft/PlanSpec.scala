@@ -432,12 +432,12 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("bpe encode: one-row merge table broadcasts over a cached vocabulary") {
+  test("bpe encode: unrolled literal fold over a cached vocabulary, no join") {
     val p = plan("q_bpe_encode")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      "the 1-row merge array must broadcast, never shuffle the vocabulary")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "the scalar join must be the broadcast nested-loop scalar pattern")
+    // the learned rules are driver-local literals: the encode must be a
+    // plain projection — no join of any kind between rules and vocabulary
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"rule application must be a literal projection, not a join:\n${p.take(1200)}")
     assert(p.contains("InMemoryTableScan"),
       "the vocabulary aggregation must be cached — it feeds both the " +
         "rule learning and the encode projection")

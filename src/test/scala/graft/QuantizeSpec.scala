@@ -147,6 +147,25 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits > 0, "ADC retrieved none of the exact neighbors — vacuous")
   }
 
+  test("pq rerank recovers >= 0.8 recall@3 vs exact cosine top-3") {
+    // the composition that makes the PQ tier a usable retriever: the ADC
+    // shortlist (10·k from codes alone) re-scored exactly — quantization
+    // error then only costs recall, and the 10·k shortlist recovers most
+    // of it (raw ADC top-3 sits at ~0.22 on this fixture; honesty note
+    // on Similarity.pqQuantize)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = topSet(Similarity.bruteForceTopK(spark, dir)
+      .filter(col("rk") <= Similarity.PqTopK))
+    val reranked = topSet(Similarity.pqSearchRerank(spark, dir))
+    val per = truth.map { case (q, ts) =>
+      reranked.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size }
+    val recall = per.sum / per.size
+    assert(recall >= 0.8, s"reranked recall@3 too low: $recall")
+    spark.catalog.clearCache()
+  }
+
   test("quantize_int8 is SQL-registered; all-zero vectors take zero codes") {
     GraftCatalog.registerFunctions(spark)
     import spark.implicits._
