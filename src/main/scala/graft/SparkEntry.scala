@@ -113,6 +113,7 @@ object SparkEntry {
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
+    "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
@@ -1104,6 +1105,58 @@ object SparkEntry {
                 FROM shortlist s
                 JOIN base cb ON cb.vec_id = s.vec_id
                 JOIN base qb ON qb.vec_id = s.q_id)
+         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id ASC) AS rk
+           FROM re)
+         WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk""",
+    // composed IVF x PQ (mirrors Similarity.ivfPqSearch): the q_embed_ivf2
+    // k-means routing restricted to probed clusters MULTIPLIED by the
+    // q_embed_pq_search ADC scan, then the exact re-rank on the shortlist;
+    // the PQ chain's corpus CTE `c` feeds the k-means macros too
+    "q_embed_ivfpq" -> s"""
+         WITH $pqTrainCtes,
+         ${pqAssignCte("codes", "u1", "")},
+         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
+                WHERE vec_id < ${Similarity.KmeansK}),
+         ${kmAssignCte("ka1", "s0")},
+         ${kmUpdateCte("ks1", "ka1")},
+         ${kmAssignCte("ka2", "ks1")},
+         ${kmUpdateCte("ks2", "ka2")},
+         ${kmAssignCte("members", "ks2")},
+         qv0 AS (SELECT vec_id AS q_id, v AS qv FROM c
+                 WHERE vec_id < ${Similarity.NQueries}),
+         routed AS (SELECT q_id, cid AS probe_cid FROM (
+             SELECT qv0.q_id, ks2.cid,
+                    row_number() OVER (PARTITION BY qv0.q_id
+                      ORDER BY ${cosSql("qv0.qv", "ks2.centroid")} DESC,
+                               ks2.cid) AS crk
+             FROM qv0, ks2)
+           WHERE crk <= ${Similarity.Probes}),
+         q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+               WHERE vec_id < ${Similarity.NQueries}),
+         tbl AS (SELECT q_id, u1.m, u1.code, ${pqL2Sql("q.qsv", "u1.cb")} AS d
+                 FROM q JOIN u1 ON q.m = u1.m),
+         probed AS (SELECT r.q_id, mem.vec_id
+                    FROM routed r JOIN members mem
+                      ON mem.cid = r.probe_cid AND mem.vec_id <> r.q_id),
+         sc AS (SELECT p.q_id, p.vec_id,
+                       CAST(sum(CAST(tbl.d AS DECIMAL(20,9))) AS DOUBLE) AS adist
+                FROM probed p
+                JOIN codes ON codes.vec_id = p.vec_id
+                JOIN tbl ON tbl.q_id = p.q_id AND tbl.m = codes.m
+                        AND tbl.code = codes.code
+                GROUP BY p.q_id, p.vec_id),
+         shortlist AS (SELECT q_id, vec_id, adist FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY adist ASC, vec_id ASC) AS ark
+             FROM sc)
+           WHERE ark <= ${Similarity.PqRerankCandidates}),
+         re AS (SELECT s.q_id, s.vec_id, s.adist,
+                       ${cosSql("qb.v", "cb.v")} AS cos
+                FROM shortlist s
+                JOIN c cb ON cb.vec_id = s.vec_id
+                JOIN c qb ON qb.vec_id = s.q_id)
          SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos, adist FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
                        ORDER BY cos DESC, vec_id ASC) AS rk

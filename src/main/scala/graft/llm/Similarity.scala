@@ -316,12 +316,16 @@ object Similarity {
   private def l2sq(a: Column, b: Column): Column =
     round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 9)
 
-  /** Explode the corpus into (vec_id, m, subvector) rows. */
-  private def pqSubvectors(c: DataFrame): DataFrame =
-    c.select(col("vec_id"), posexplode(
+  /** Explode the corpus into (vec_id, m, subvector) rows. `carry` names
+    * extra per-vector columns to ride along (e.g. the IVF cluster id for
+    * the fused index build).
+    */
+  private def pqSubvectors(c: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    c.select(col("vec_id") +: carry.map(col) :+ posexplode(
       transform(sequence(lit(0), lit(PqM - 1)),
         m => slice(col("v"), m * PqSub + lit(1), lit(PqSub))))
-      .as(Seq("m", "sv")))
+      .as(Seq("m", "sv")): _*)
 
   /** Nearest-code assignment per (vector, subspace): candidates scored
     * against the broadcast codebooks, winner picked by the same
@@ -333,15 +337,18 @@ object Similarity {
     * the min — code is unique per candidate).
     */
   private def pqAssign(sub: DataFrame, books: DataFrame,
-      keepSv: Boolean): DataFrame = {
+      keepSv: Boolean, carry: Seq[String] = Nil): DataFrame = {
     val cand = Seq(l2sq(col("sv"), col("cb")).as("d"), col("code")) ++
       (if (keepSv) Seq(col("sv")) else Nil)
     val out = Seq(col("vec_id"), col("m"), col("best.code").as("code"),
-      col("best.d").as("d")) ++
+      col("best.d").as("d")) ++ carry.map(col) ++
       (if (keepSv) Seq(col("best.sv").as("sv")) else Nil)
     sub.join(broadcast(books), Seq("m"))
-      .select(col("vec_id"), col("m"), struct(cand: _*).as("cand"))
-      .groupBy(col("vec_id"), col("m"))
+      // carried columns are functionally dependent on vec_id, so adding
+      // them to the grouping keys changes nothing but keeps them in scope
+      .select(col("vec_id") +: col("m") +: carry.map(col) :+
+        struct(cand: _*).as("cand"): _*)
+      .groupBy(col("vec_id") +: col("m") +: carry.map(col): _*)
       .agg(min(col("cand")).as("best"))
       .select(out: _*)
   }
@@ -511,6 +518,85 @@ object Similarity {
     val wf = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(shortlist), Seq("vec_id"))
       .join(queries, col("q_id") === col("qq"))
+      .select(col("q_id"), col("vec_id"), col("adist"),
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= PqTopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("cos"), col("adist"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Composed IVF × PQ retrieval — the production ANN stack at 100 TB,
+    * multiplying the two prunings the tiers demonstrate separately:
+    * [[ivfKmeansTopK]]'s cluster routing cuts WHICH vectors are scanned
+    * (probes/k of the corpus, disjoint clusters) and PQ's code words cut
+    * WHAT is read per vector (8 bytes, never the floats); the ADC scan
+    * touches only probed clusters' codes, and only the
+    * [[PqRerankCandidates]] shortlist ever reaches the raw vectors for
+    * the exact re-rank. The persisted artifact is the classic IVFPQ
+    * index: (vec_id, cid, code*) — membership joined onto codes once.
+    *
+    * Recall composes multiplicatively (IVF coverage × shortlist
+    * coverage) — the honest ANN trade, bounded below by the spec against
+    * the probed-cluster exhaustive search.
+    *
+    * Shape: centroids and codebooks broadcast; routing is an
+    * NQueries-row broadcast pruning the index scan to probed clusters
+    * BEFORE the distance-table join; the table join is a broadcast of
+    * queries × M × K rows; one (q_id, vec_id) aggregation carries the
+    * partial ADC sums; the re-rank is [[pqSearchRerank]]'s streaming
+    * corpus join.
+    */
+  def ivfPqSearch(s: SparkSession, dir: String, probes: Int = Probes,
+      cache: Boolean = true): DataFrame = {
+    val c = corpus(s, dir)
+    // consumed twice (membership + routing); cache per the class note
+    val cents = kmeansCentroids(s, dir).cache()
+    // the index builds in ONE corpus pass: the cluster id attaches before
+    // the subvector explode and rides the code assignment as a carried
+    // grouping column — a corpus-sized codes ⨝ membership join (which
+    // Spark would sort-merge) never exists. At rest this index would
+    // persist bucketed by cid; here cid is simply a column of the frame.
+    val sub0 = pqSubvectors(
+      assign(c, cents).select(col("vec_id"), col("v"), col("cid")),
+      carry = Seq("cid"))
+    val sub = if (cache) sub0.cache() else sub0
+    val books0 = pqTrain(sub)
+    val books = if (cache) books0.cache() else books0
+    val index = pqAssign(sub, books, keepSv = false, carry = Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("m"), col("code"))
+    val queries = c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+    val routed = queries.join(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        round(cosPre(dot(col("qv"), col("centroid")), col("nq"), col("cnorm")), 9)
+          .as("ccos"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probes)
+      .select(col("q_id"), col("cid").as("probe_cid"))
+    val tables = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(books), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        l2sq(col("qsv"), col("cb")).as("d"))
+    // routing prunes the index scan BEFORE the distance tables join
+    val probed = index.join(broadcast(routed),
+      col("cid") === col("probe_cid") && col("vec_id") =!= col("q_id"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val shortlist = probed
+      .join(broadcast(tables), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d").cast("decimal(20,9)")).as("dsum"))
+      .select(col("q_id"), col("vec_id"), col("dsum").cast("double").as("adist"))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= PqRerankCandidates)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id").as("qq"), col("qv"), col("nq"))),
+        col("q_id") === col("qq"))
       .select(col("q_id"), col("vec_id"), col("adist"),
         round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
       .withColumn("rk", row_number().over(wf))

@@ -40,6 +40,31 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(r2 >= 0.5, s"recall@3 with 2 probes too low: $r2")
   }
 
+  test("ivfpq returns probed-cluster members and tracks the exact-IVF answer") {
+    import org.apache.spark.sql.functions.col
+    // the exact-scan IVF with the SAME routing is the composition's
+    // ceiling: IVFPQ differs from it only by the PQ shortlist, so the
+    // comparison isolates the quantization loss from the routing loss
+    val exactIvf = topSet(Similarity.ivfKmeansTopK(spark, dir))
+    val ivfpq = topSet(Similarity.ivfPqSearch(spark, dir))
+    assert(ivfpq.nonEmpty)
+    val per = exactIvf.map { case (q, ts) =>
+      ivfpq.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size }
+    val vsExactIvf = per.sum / per.size
+    assert(vsExactIvf >= 0.6,
+      s"ivfpq lost too much of the probed-cluster exact answer: $vsExactIvf")
+    // shape sanity: full k per query, exact cosine in range, and the ADC
+    // column rides along (the consumer's debugging handle)
+    val rows = Similarity.ivfPqSearch(spark, dir).collect()
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ == Similarity.PqTopK))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) >= 0.0 - 1e-9)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("hard negatives: the best sub-threshold co-member, verified brute-force") {
     val negs = Similarity.hardNegatives(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

@@ -488,6 +488,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pq rerank and ivfpq: shortlist broadcasts, corpus never sort-merges") {
+    for (q <- Seq("q_embed_pq_rerank", "q_embed_ivfpq")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: every join side is broadcast-sized (shortlist, tables, " +
+          s"routing, queries) — the corpus must stream:\n${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the shortlist must broadcast back over the embedding scan")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("fuzzy match shuffles on the SALTED block key, not the raw token") {
     // the length-bucket salt must reach the join's equi-key — a hot first
     // token then subdivides across shuffle partitions instead of pairing
