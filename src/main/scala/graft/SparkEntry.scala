@@ -122,6 +122,7 @@ object SparkEntry {
     "q_bpe_merge" -> ((s, dir) => TextAnalysis.bpeMergeStep(s, dir)),
     "q_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
+    "q_bpe_tokenize" -> ((s, dir) => TextAnalysis.bpeTokenizeCorpus(s, dir)),
     "q_text_oov" -> (TextAnalysis.oovRate _),
     "q_text_langid" -> (TextAnalysis.langId _),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
@@ -2047,6 +2048,26 @@ object SparkEntry {
          FROM v${TextAnalysis.BpeTrainK}
          ORDER BY freq DESC, term
          LIMIT ${TextAnalysis.VocabTopN}""",
+    // the trained tokenizer applied over the corpus (mirrors
+    // TextAnalysis.bpeTokenizeCorpus): per-doc word + BPE-token counts
+    // from the training chain's end-state vocabulary
+    "q_bpe_tokenize" -> s"""
+         WITH $bpeVocabCte,
+         $bpeTrainCtes,
+         enc AS (SELECT term,
+                        CASE WHEN length(trim(ss)) = 0 THEN 0
+                             ELSE len(string_split(trim(ss), ' '))
+                        END AS n_syms
+                 FROM v${TextAnalysis.BpeTrainK}),
+         tk AS (SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS term
+                FROM documents)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+         FROM tk JOIN enc USING (term)
+         GROUP BY doc_id
+         ORDER BY doc_id""",
     // KMV distinct users per tumbling window (mirrors
     // StreamOps.distinctPerWindow; same estimate arithmetic as
     // q_sketch_distinct)

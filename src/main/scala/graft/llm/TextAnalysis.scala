@@ -868,7 +868,17 @@ object TextAnalysis {
     * string fold.
     */
   def bpeEncode(s: SparkSession, dir: String,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true): DataFrame =
+    encodedVocab(s, dir, cache)
+      .orderBy(col("freq").desc, col("term"))
+      .limit(VocabTopN)
+
+  /** The full encoded vocabulary (term, freq, encoded, n_syms) — the
+    * trained tokenizer as a TABLE, unlimited and unordered; [[bpeEncode]]
+    * declares its top slice, [[bpeTokenizeCorpus]] broadcasts all of it.
+    */
+  private def encodedVocab(s: SparkSession, dir: String,
+      cache: Boolean): DataFrame = {
     val v0 = vocabTable(s, dir)
     val vocab = if (cache) v0.cache() else v0
     // the K learned rules are a driver-local scalar artifact (see
@@ -885,7 +895,28 @@ object TextAnalysis {
         when(length(col("encoded")) === 0, lit(0))
           .otherwise(size(split(col("encoded"), " ")))
           .cast("int").as("n_syms"))
-      .orderBy(col("freq").desc, col("term"))
-      .limit(VocabTopN)
   }
+
+  /** The trained tokenizer APPLIED to the corpus — the deployment step
+    * the encode table exists for: per-document word and BPE-token counts
+    * (the numbers a training-data pipeline budgets sequences by). Every
+    * corpus token is in the vocabulary by construction (the vocabulary IS
+    * the distinct corpus tokens), so the join is total.
+    *
+    * Scale shape: the per-term symbol counts ride the BROADCAST of the
+    * encoded vocabulary back over the corpus token explode — the corpus
+    * streams through one scan and aggregates per doc_id with map-side
+    * partials; tokenization cost is paid once on the vocabulary (which
+    * saturates), never re-paid per corpus row.
+    */
+  def bpeTokenizeCorpus(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(encodedVocab(s, dir, cache)
+        .select(col("term"), col("n_syms"))), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
 }

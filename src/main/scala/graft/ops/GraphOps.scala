@@ -131,7 +131,7 @@ object GraphOps {
     val nodes = if (cache) nodes0.cache() else nodes0
 
     var pr = nodes.select(col("node"), expr(s"$PrScale div n").as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesDeg.join(pr, edgesDeg("src") === pr("node"))
         .select(col("dst"),
           expr(s"($PrDampNum * (pr div deg)) div $PrDampDen").as("c"))
@@ -141,6 +141,13 @@ object GraphOps {
         .select(col("node"),
           (expr(s"($PrDampDen - $PrDampNum) * ($PrScale div n) div $PrDampDen")
             + coalesce(col("inflow"), lit(0L))).as("pr"))
+      // at the default 5 rounds the lineage is fine; a high-iteration run
+      // would grow an unbounded plan tree (and re-plan it every round), so
+      // truncate it periodically — values are unchanged, only the lineage
+      // resets (localCheckpoint materializes to executor storage; no HDFS
+      // dependency, same guarantee an iterative cluster job would use)
+      if (iters > 8 && i % 8 == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr.orderBy("node")
   }

@@ -57,6 +57,35 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("pagerank checkpointed high-iteration path matches the direct lineage") {
+    // iters > 8 crosses the localCheckpoint boundary (lineage truncation
+    // must never change values); compare against the same recurrence run
+    // without ever hitting the checkpoint by splitting 10 = 5 + 5 is not
+    // possible from outside, so replay plain-Scala at 10 iterations
+    val iters = 10
+    val got = GraphOps.pageRank(spark, dir, iters = iters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val m = SyncPipeline.memberEdges(spark, dir).collect()
+      .map(r => ("u:" + r.getString(0), "g:" + r.getString(1))).distinct
+    val edges = m ++ m.map { case (u, g) => (g, u) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val n = deg.size.toLong
+    var pr: Map[String, Long] = deg.keys.map(_ -> GraphOps.PrScale / n).toMap
+    val base =
+      (GraphOps.PrDampDen - GraphOps.PrDampNum) * (GraphOps.PrScale / n) /
+        GraphOps.PrDampDen
+    (1 to iters).foreach { _ =>
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          GraphOps.PrDampNum * (pr(src) / deg(src)) / GraphOps.PrDampDen
+        }.sum
+      }
+      pr = pr.keys.map(node => node -> (base + inflow.getOrElse(node, 0L))).toMap
+    }
+    assert(got == pr)
+  }
+
   test("pagerank conserves probability mass up to integer truncation") {
     val out = GraphOps.pageRank(spark, dir).collect()
     spark.catalog.clearCache()

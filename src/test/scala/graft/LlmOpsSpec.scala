@@ -283,6 +283,21 @@ class LlmOpsSpec extends AnyFunSuite {
     // symbol, or the whole check is vacuous
     assert(enc.exists(r => r.getString(2).split(" ", -1).exists(_.length > 1)),
       "no merged symbol in any encoded top term")
+    // the corpus application: per-doc word + BPE-token counts from the
+    // same trained vocabulary (the join is total — the vocabulary IS the
+    // corpus's distinct tokens)
+    val nSyms = state.map { case (t, ss, _) =>
+      t -> (if (ss.trim.isEmpty) 0L else ss.trim.split(" ").length.toLong)
+    }.toMap
+    val wantDocs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+", -1).toSeq
+        (r.getLong(0), toks.length.toLong, toks.map(nSyms).sum)
+      }.sortBy(_._1).toSeq
+    val gotDocs = TextAnalysis.bpeTokenizeCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotDocs == wantDocs)
     spark.catalog.clearCache()
   }
 
