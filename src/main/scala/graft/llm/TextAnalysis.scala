@@ -874,11 +874,14 @@ object TextAnalysis {
       .limit(VocabTopN)
 
   /** The full encoded vocabulary (term, freq, encoded, n_syms) — the
-    * trained tokenizer as a TABLE, unlimited and unordered; [[bpeEncode]]
-    * declares its top slice, [[bpeTokenizeCorpus]] broadcasts all of it.
+    * trained tokenizer as a TABLE (the persisted artifact a deployment
+    * freezes), unlimited and unordered; [[bpeEncode]] declares its top
+    * slice, [[bpeTokenizeCorpus]] broadcasts all of it, and
+    * [[graft.streaming.StreamOps.bpeTokenizeStream]] probes it
+    * stream-static.
     */
-  private def encodedVocab(s: SparkSession, dir: String,
-      cache: Boolean): DataFrame = {
+  def encodedVocab(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
     val v0 = vocabTable(s, dir)
     val vocab = if (cache) v0.cache() else v0
     // the K learned rules are a driver-local scalar artifact (see

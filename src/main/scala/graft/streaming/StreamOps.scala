@@ -300,6 +300,30 @@ object StreamOps {
       .filter(col("cos") >= SemDedupThreshold)
   }
 
+  /** Streaming form of [[graft.llm.TextAnalysis.bpeTokenizeCorpus]]:
+    * incoming documents tokenize against the FROZEN encoded vocabulary
+    * ([[graft.llm.TextAnalysis.encodedVocab]] — the persisted tokenizer
+    * artifact) via a stateless stream-static join, emitting one
+    * (doc_id, term, n_syms) row per token in append mode.
+    *
+    * Statelessness is load-bearing, and it shapes the contract: the
+    * batch form's per-doc collapse is a streaming AGGREGATION (stateful,
+    * watermark-bound on a non-time key), so the stream emits the
+    * TOKEN-LEVEL rows — the actual input a training-data writer consumes
+    * — and per-doc counts are a downstream batch fold (the spec pins
+    * that fold equal to the batch operator). An out-of-vocabulary token
+    * (possible on a stream — the frozen vocabulary only saturates the
+    * BASE corpus) simply emits no row, the same drop-unknown contract as
+    * the OOV operator's membership join.
+    */
+  def bpeTokenizeStream(delta: DataFrame, encVocab: DataFrame): DataFrame =
+    delta
+      .select(col("doc_id"),
+        explode(graft.llm.TextHash.tokens(col("text"))).as("term"))
+      .join(broadcast(encVocab.select(col("term"), col("n_syms"))),
+        Seq("term"))
+      .select(col("doc_id"), col("term"), col("n_syms"))
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

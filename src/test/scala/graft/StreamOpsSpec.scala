@@ -476,6 +476,37 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpeTokenizeStream token rows fold to the batch per-doc counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = graft.llm.TextAnalysis.encodedVocab(spark, sf).cache()
+    // stream a slice of the real corpus through the frozen vocabulary
+    val docs = Tables.table(spark, sf, "documents")
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs)
+    val q = StreamOps.bpeTokenizeStream(
+        mem.toDF.toDF("doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("bpetokstream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("bpetokstream").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong))
+      .groupBy(_._1)
+      .map { case (id, rs) => (id, rs.length.toLong, rs.map(_._2).sum) }
+      .toSet
+    // the downstream fold of the token rows IS the batch operator's row
+    val want = graft.llm.TextAnalysis.bpeTokenizeCorpus(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream fold ${got.take(3)} vs batch ${want.take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("incrementalDedupStream probes the static index without state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
