@@ -86,6 +86,16 @@ object GraftCatalog {
       .createOrReplaceTempView("fuzzy_name_match")
     graft.ops.IncrementalOps.ivmJoin(spark, sfDir)
       .createOrReplaceTempView("ivm_join")
+    // retrieval-index tier — lazy plans, cache=false under the standing
+    // view-mount contract
+    graft.llm.TextAnalysis.invertedIndex(spark, sfDir, cache = false)
+      .createOrReplaceTempView("inverted_index")
+    graft.llm.TextAnalysis.bm25Indexed(spark, sfDir, cache = false)
+      .createOrReplaceTempView("bm25_indexed")
+    graft.llm.TextAnalysis.collocations(spark, sfDir, cache = false)
+      .createOrReplaceTempView("collocations")
+    graft.llm.TextAnalysis.bigramCommonness(spark, sfDir, cache = false)
+      .createOrReplaceTempView("bigram_lm")
     registerFunctions(spark)
   }
 

@@ -186,6 +186,10 @@ object SparkEntry {
     "q_seq_transitions" -> (graft.ops.SequenceOps.seqTransitions _),
     "q_seq_paths" -> (graft.ops.SequenceOps.sessionPaths _),
     "q_j10_scd_lookup" -> (ChangeOps.j10ScdLookup _),
+    "q_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
+    "q_bm25_indexed" -> ((s, dir) => TextAnalysis.bm25Indexed(s, dir)),
+    "q_cooc_lift" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
+    "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramCommonness(s, dir)),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -193,6 +197,46 @@ object SparkEntry {
   /** 32-bit md5-prefix hash (mirrors TextHash.md5Long). */
   private def hexIntSql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** The BM25 oracle — ONE string shared by `q_bm25` (in-query retrieval)
+    * and `q_bm25_indexed` (the prebuilt-index probe): the two shapes must
+    * produce the identical ranking, and sharing the oracle makes that the
+    * checked contract rather than a comment.
+    */
+  private lazy val bm25OracleSql: String = {
+    // one definition of the query workload: interpolate Bm25Queries
+    val qvals = TextAnalysis.Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
+         tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+         scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                  FROM dl),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         tf AS (SELECT ex.doc_id, ex.term, count(*)::BIGINT AS tf
+                FROM ex JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+                GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         sc AS (SELECT q.query_id, tf.doc_id,
+                  round(((2*n_docs - 2*df + 1)::DOUBLE / (2*df + 1)::DOUBLE)
+                      * ((22*tf.tf*sum_dl)::DOUBLE /
+                         (10*tf.tf*sum_dl + 3*sum_dl + 9*dl.dl*n_docs)::DOUBLE),
+                      9) AS s9
+                FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id, scal),
+         agg AS (SELECT query_id, doc_id,
+                   sum(CAST(s9 AS DECIMAL(20,9))) AS sd
+                 FROM sc GROUP BY 1, 2),
+         rnk AS (SELECT query_id, doc_id, sd,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sd DESC, doc_id) AS rk
+                 FROM agg)
+         SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
+                CAST(sd AS DOUBLE) AS score
+         FROM rnk WHERE rk <= ${TextAnalysis.Bm25TopK}
+         ORDER BY query_id, rk"""
+  }
 
   /** DuckDB mirror of [[graft.llm.Sketches.kmvEstimate]] — ONE macro per
     * engine, so a KmvK / rounding / hash-space change has a single update
@@ -1353,40 +1397,11 @@ object SparkEntry {
                     tf.term) AS rk
            FROM tf JOIN dfreq USING (term), n)
          WHERE rk <= 3 ORDER BY doc_id, rk""",
-    "q_bm25" -> {
-      // one definition of the query workload: interpolate Bm25Queries
-      val qvals = TextAnalysis.Bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
-         tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                FROM documents),
-         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
-         scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
-                  FROM dl),
-         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-         tf AS (SELECT ex.doc_id, ex.term, count(*)::BIGINT AS tf
-                FROM ex JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-                GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-         sc AS (SELECT q.query_id, tf.doc_id,
-                  round(((2*n_docs - 2*df + 1)::DOUBLE / (2*df + 1)::DOUBLE)
-                      * ((22*tf.tf*sum_dl)::DOUBLE /
-                         (10*tf.tf*sum_dl + 3*sum_dl + 9*dl.dl*n_docs)::DOUBLE),
-                      9) AS s9
-                FROM tf JOIN dfreq USING (term) JOIN q USING (term)
-                     JOIN dl ON dl.doc_id = tf.doc_id, scal),
-         agg AS (SELECT query_id, doc_id,
-                   sum(CAST(s9 AS DECIMAL(20,9))) AS sd
-                 FROM sc GROUP BY 1, 2),
-         rnk AS (SELECT query_id, doc_id, sd,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY sd DESC, doc_id) AS rk
-                 FROM agg)
-         SELECT query_id, CAST(rk AS INT) AS rk, doc_id,
-                CAST(sd AS DOUBLE) AS score
-         FROM rnk WHERE rk <= ${TextAnalysis.Bm25TopK}
-         ORDER BY query_id, rk"""
-    },
+    "q_bm25" -> bm25OracleSql,
+    // the indexed probe computes THE SAME retrieval — one shared oracle
+    // string is the strongest possible parity pin between the in-query
+    // and the build-once/probe-many shapes
+    "q_bm25_indexed" -> bm25OracleSql,
     "q_a7b_prefix_diff" ->
       """WITH g AS (
            SELECT l_orderkey, list_sort(list(DISTINCT p_name)) AS old_list
@@ -2309,5 +2324,61 @@ object SparkEntry {
            ON f.user_id = h.h_user AND h.from_us <= f.ts_us
           AND (h.to_us IS NULL OR f.ts_us < h.to_us)
          ORDER BY event_id""",
+    // the full posting table with df and the corpus scalars denormalized
+    // (mirrors TextAnalysis.bm25Index)
+    "q_inverted_index" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+         scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                  FROM dl),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM ex GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+         SELECT tf.term, dfreq.df, tf.doc_id, tf.tf, dl.dl, n_docs, sum_dl
+         FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), scal
+         ORDER BY tf.term, tf.doc_id""",
+    // adjacent-pair collocations by integer-cleared lift
+    // (mirrors TextAnalysis.collocations)
+    "q_cooc_lift" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+         uc AS (SELECT w, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS t FROM uc),
+         bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+                FROM tk),
+         bc AS (SELECT p.a AS a, p.b AS b, count(*)::BIGINT AS cooc
+                FROM bg GROUP BY 1, 2)
+         SELECT a, b, cooc, ca.c AS ca, cb.c AS cb,
+                round((cooc * t)::DOUBLE / (ca.c * cb.c)::DOUBLE, 9) AS lift
+         FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w, tot
+         WHERE cooc >= ${TextAnalysis.CoocMin}
+         ORDER BY lift DESC, a, b
+         LIMIT ${TextAnalysis.CoocTopK}""",
+    // per-document bigram commonness; `//` floors like the Spark side
+    // (mirrors TextAnalysis.bigramCommonness)
+    "q_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+                FROM tk),
+         dbc AS (SELECT doc_id, p.a AS a, p.b AS b, count(*)::BIGINT AS dcnt
+                 FROM bg GROUP BY 1, 2, 3),
+         cc AS (SELECT a, b, sum(dcnt)::BIGINT AS cooc FROM dbc GROUP BY 1, 2),
+         per AS (SELECT doc_id, sum(dcnt)::BIGINT AS n_bigrams,
+                        sum(dcnt * cooc)::BIGINT AS sum_freq
+                 FROM dbc JOIN cc USING (a, b) GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(per.n_bigrams, 0) AS n_bigrams,
+                coalesce(per.sum_freq, 0) AS sum_freq,
+                CASE WHEN coalesce(per.n_bigrams, 0) = 0 THEN NULL
+                     ELSE (1000 * per.sum_freq) // per.n_bigrams
+                END AS avg_freq_x1000
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
   )
 }

@@ -284,9 +284,44 @@ object TextAnalysis {
     * Top-k per query is the rank-limit window (WindowGroupLimit) with
     * doc_id tie-break.
     */
+  /** The exact integer-cleared BM25 per-term score over the denormalized
+    * posting columns (tf, df, dl, n_docs, sum_dl) — ONE definition feeds
+    * [[bm25TopDocs]], [[bm25Indexed]] and the stream probe
+    * ([[graft.streaming.StreamOps.bm25ProbeStream]]), so a k1/b or idf
+    * change has a single Scala update site (the oracle side is the one
+    * `bm25OracleSql`). Row-local: two correctly-rounded divisions of
+    * exact int64s and one exact double multiply, rounded to 9 dp into
+    * DECIMAL(20,9) for the order-free per-doc sum.
+    */
+  private[graft] def bm25TermScore: Column = {
+    val odds = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+      .cast("double") / (lit(2) * col("df") + lit(1)).cast("double")
+    val sat = (lit(22) * col("tf") * col("sum_dl")).cast("double") /
+      (lit(10) * col("tf") * col("sum_dl") + lit(3) * col("sum_dl") +
+        lit(9) * col("dl") * col("n_docs")).cast("double")
+    round(odds * sat, 9).cast("decimal(20,9)")
+  }
+
+  /** The per-(query, doc) sum → rank → top-k collapse shared by
+    * [[bm25TopDocs]] and [[bm25Indexed]]: input rows carry (query_id,
+    * doc_id, s9).
+    */
+  private def bm25Collapse(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd").desc, col("doc_id"))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s9")).as("sd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("sd").cast("double").as("score"))
+      .orderBy("query_id", "rk")
+  }
+
   def bm25TopDocs(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val docs = t(s, dir, "documents")
     val toks = tokens(col("text"))
@@ -308,25 +343,11 @@ object TextAnalysis {
     // long-lived mounts (the GraftCatalog view contract, as on cacheTf)
     val tf = if (cache) tfPlan.cache() else tfPlan
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val odds = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
-      .cast("double") / (lit(2) * col("df") + lit(1)).cast("double")
-    val sat = (lit(22) * col("tf") * col("sum_dl")).cast("double") /
-      (lit(10) * col("tf") * col("sum_dl") + lit(3) * col("sum_dl") +
-        lit(9) * col("dl") * col("n_docs")).cast("double")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sd").desc, col("doc_id"))
-    tf.join(broadcast(dfT), Seq("term"))
-      .join(qterms, Seq("term"))
-      .crossJoin(scal)
-      .select(col("query_id"), col("doc_id"),
-        round(odds * sat, 9).cast("decimal(20,9)").as("s9"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("s9")).as("sd"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Bm25TopK)
-      .select(col("query_id"), col("rk").cast("int").as("rk"),
-        col("doc_id"), col("sd").cast("double").as("score"))
-      .orderBy("query_id", "rk")
+    bm25Collapse(
+      tf.join(broadcast(dfT), Seq("term"))
+        .join(qterms, Seq("term"))
+        .crossJoin(scal)
+        .select(col("query_id"), col("doc_id"), bm25TermScore.as("s9")))
   }
 
   /** The whole preprocessing chain composed — what a training-data run
@@ -922,4 +943,179 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
+
+  /** The inverted index as a TABLE — the persisted retrieval artifact
+    * [[bm25TopDocs]] recomputes in-query: one posting row per (term,
+    * doc_id) carrying tf, with df and the two corpus scalars (N, Σdl)
+    * DENORMALIZED onto every row. Denormalization is deliberate: a probe
+    * (batch [[bm25Indexed]] or stream
+    * [[graft.streaming.StreamOps.bm25ProbeStream]]) scores row-locally
+    * after ONE equi-join on term — no second lookup into a df table or a
+    * scalars table from inside a stream, the same contract as
+    * [[Dedup.minhashIndex]]'s denormalized signature.
+    *
+    * Scale shape: built in one corpus pass — explode → (term, doc_id)
+    * aggregation with map-side partials (dl rides the exploded rows into
+    * `max(dl)`, never a corpus-sized length-table join); df derives from
+    * the postings by an O(vocab) re-aggregation that BROADCASTS back; the
+    * scalars broadcast from a single-row aggregate over a second pruned
+    * text scan. On a deployment the table is written bucketed by term, so
+    * a probe prunes to its query terms' posting lists — the build cost is
+    * paid once and amortized over every probe, which is the entire reason
+    * an inverted index exists.
+    */
+  def bm25Index(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val scal = broadcast(docs.select(size(toks).cast("bigint").as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl")))
+    val postPlan = docs
+      .select(col("doc_id"), size(toks).cast("bigint").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // two consumers (df derivation + the final projection); cache = false
+    // for long-lived mounts (the GraftCatalog view contract)
+    val post = if (cache) postPlan.cache() else postPlan
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfT), Seq("term"))
+      .crossJoin(scal)
+      .select(col("term"), col("df"), col("doc_id"), col("tf"), col("dl"),
+        col("n_docs"), col("sum_dl"))
+  }
+
+  /** [[bm25Index]] declared: the full posting table in (term, doc_id)
+    * order — what a user materializes before serving retrieval traffic.
+    */
+  def invertedIndex(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame =
+    bm25Index(s, dir, cache).orderBy("term", "doc_id")
+
+  /** BM25 retrieval PROBING the prebuilt index — same queries, same
+    * arithmetic, same output as [[bm25TopDocs]] (the oracle is literally
+    * shared), but the serving-path shape: the corpus text is never
+    * touched; the broadcast query-term list prunes the posting table
+    * (bucket-pruned to the query terms' lists on a deployment), every
+    * per-term score is row-local on the denormalized posting row, and
+    * only O(matched postings) rows reach the per-(query, doc) sum.
+    * This is the build-once/probe-many split that makes term retrieval
+    * viable at 100 TB: [[bm25TopDocs]] pays two corpus scans per query
+    * workload, this pays zero.
+    */
+  def bm25Indexed(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    import s.implicits._
+    val qterms = broadcast(
+      Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "term"))
+    bm25Collapse(
+      bm25Index(s, dir, cache)
+        .join(qterms, Seq("term"))
+        .select(col("query_id"), col("doc_id"), bm25TermScore.as("s9")))
+  }
+
+  /** Adjacent word pairs of a token array — the order-sensitive bigram
+    * stream (zipped-slices, the [[repetition]] construction): n−1 pairs
+    * for an n-token document, empty below two tokens.
+    */
+  private def bigramPairs(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** Collocation floor and report size for [[collocations]]. */
+  val CoocMin = 5L
+  val CoocTopK = 50
+
+  /** Collocation mining: the corpus's top adjacent-word pairs ranked by
+    * LIFT — `cooc·T / (cnt_a·cnt_b)`, the argument of PMI's log with the
+    * probabilities cleared to exact integer counts (same monotone ordering
+    * as PMI for a fixed log base, same libm-avoidance as [[bm25TopDocs]]'s
+    * odds idf). One exact double division per surviving pair, rounded to
+    * 9 dp; exactness holds while cooc·T < 2^53 — comfortably true at any
+    * benchmark SF, and at a genuine 100 TB the counts would come off the
+    * CMS sketch tier anyway.
+    *
+    * Scale shape: bigrams explode adjacent pairs only (2× token count,
+    * never within-document all-pairs); the pair aggregation is the one
+    * real shuffle, map-side-combined and pre-pruned by the [[CoocMin]]
+    * floor before the joins; the unigram count table is O(vocab) and
+    * BROADCASTS onto the survivors; the top-K is an ordered limit —
+    * TakeOrderedAndProject (per-partition heaps), never a global sort of
+    * the bigram vocabulary.
+    */
+  def collocations(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val ucntPlan = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // two consumers (the T scalar + the two broadcast joins); O(vocab)
+    // cached — deriving T from the unigram table keeps the corpus at two
+    // scans total (bigram explode + unigram count), not three
+    val ucnt = if (cache) ucntPlan.cache() else ucntPlan
+    val tot = broadcast(ucnt.agg(sum(col("c")).as("t")))
+    docs.select(explode(bigramPairs(toks)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= CoocMin)
+      .join(broadcast(ucnt.select(col("w").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(ucnt.select(col("w").as("b"), col("c").as("cb"))), Seq("b"))
+      .crossJoin(tot)
+      .select(col("a"), col("b"), col("cooc"), col("ca"), col("cb"),
+        round((col("cooc") * col("t")).cast("double") /
+          (col("ca") * col("cb")).cast("double"), 9).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(CoocTopK)
+  }
+
+  /** Per-document bigram COMMONNESS — the KenLM-style corpus-frequency
+    * quality signal with the log-probabilities cleared to exact integers:
+    * for each document, how common are its adjacent word pairs in the
+    * whole corpus? `sum_freq` is Σ over the document's bigram occurrences
+    * of that bigram's corpus count; `avg_freq_x1000` is the exact integer
+    * mean ×1000 (floor). Low = novel/atypical text, high = boilerplate —
+    * the curation cut this feeds is the [[qualityFilter]] shape.
+    *
+    * Scale shape: ONE bigram explode feeds both sides — the per-document
+    * pair counts (shuffle 1, keyed (doc_id, a, b)) re-aggregate to the
+    * corpus counts (shuffle 2, keyed (a, b), input already one row per
+    * doc-pair); the equi-join back on (a, b) and the final per-doc sum
+    * are the remaining exchanges. The corpus bigram table genuinely can't
+    * broadcast at 100 TB (it is O(observed pair vocabulary)), so the
+    * (a, b) shuffle join is the honest shape; documents with fewer than
+    * two tokens surface with zero bigrams via the left join, not silently
+    * dropped.
+    */
+  def bigramCommonness(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dbcPlan = docs
+      .select(col("doc_id"), explode(bigramPairs(tokens(col("text")))).as("p"))
+      .groupBy(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("dcnt"))
+    // two consumers (corpus re-agg + the score join)
+    val dbc = if (cache) dbcPlan.cache() else dbcPlan
+    val cc = dbc.groupBy(col("a"), col("b"))
+      .agg(sum(col("dcnt")).as("cooc"))
+    val per = dbc.join(cc, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dcnt")).cast("bigint").as("n_bigrams"),
+        sum(col("dcnt") * col("cooc")).cast("bigint").as("sum_freq"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"))
+      // floor division of exact non-negative int64s (DuckDB `//`); the
+      // product stays well under 2^53 so the floor(double) is exact
+      .withColumn("avg_freq_x1000",
+        when(col("n_bigrams") === 0, lit(null).cast("bigint"))
+          .otherwise(floor((lit(1000) * col("sum_freq")).cast("double") /
+            col("n_bigrams").cast("double")).cast("bigint")))
+      .orderBy("doc_id")
+  }
 }

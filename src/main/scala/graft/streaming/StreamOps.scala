@@ -324,6 +324,30 @@ object StreamOps {
         Seq("term"))
       .select(col("doc_id"), col("term"), col("n_syms"))
 
+  /** Streaming form of [[graft.llm.TextAnalysis.bm25Indexed]] — the
+    * serving path of the retrieval tier: a stream of queries
+    * (query_id, term) probes the FROZEN inverted index
+    * ([[graft.llm.TextAnalysis.bm25Index]], the persisted posting table)
+    * via ONE stateless stream-static equi-join on term, emitting each
+    * per-(query, term, doc) score contribution in append mode.
+    *
+    * The index's denormalization is what makes this a single join: df and
+    * the corpus scalars (N, Σdl) ride every posting row, so the score
+    * ([[graft.llm.TextAnalysis.bm25TermScore]] — the same one definition
+    * the batch forms use) is row-local after the probe; nothing else is
+    * looked up from inside the stream. The per-(query, doc) sum and the
+    * top-k rank are aggregations on non-time keys — stateful in a stream —
+    * so they stay a downstream batch fold, and the spec pins that fold
+    * equal to the batch [[graft.llm.TextAnalysis.bm25Indexed]] rows. On a
+    * deployment the static side is bucketed by term, so each micro-batch
+    * probe prunes to its query terms' posting lists.
+    */
+  def bm25ProbeStream(queries: DataFrame, idx: DataFrame): DataFrame =
+    queries
+      .join(idx, Seq("term"))
+      .select(col("query_id"), col("term"), col("doc_id"),
+        graft.llm.TextAnalysis.bm25TermScore.as("s9"))
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

@@ -122,4 +122,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT count(*) FROM length_outliers WHERE is_outlier").head().getLong(0) > 0)
     assert(spark.sql("SELECT count(*) FROM ivm_join").head().getLong(0) > 0)
   }
+
+  test("retrieval-index and collocation views answer SQL end to end") {
+    // the probe view serves a full top-k per standing query (row-level
+    // parity with q_bm25 is pinned in LlmOpsSpec and by the shared oracle)
+    val served = spark.sql("""
+      SELECT query_id, count(*) AS n, max(rk) AS mx
+      FROM bm25_indexed GROUP BY query_id""").collect()
+    assert(served.length == graft.llm.TextAnalysis.Bm25Queries.length)
+    served.foreach { r =>
+      assert(r.getLong(1) == graft.llm.TextAnalysis.Bm25TopK
+        && r.getInt(2) == graft.llm.TextAnalysis.Bm25TopK)
+    }
+    // every posting's df never exceeds the corpus size carried on the row
+    assert(spark.sql(
+      "SELECT count(*) FROM inverted_index WHERE df > n_docs")
+      .head().getLong(0) == 0)
+    // collocations: lift reconstructs from the row's own integer counts
+    val bad = spark.sql("""
+      SELECT count(*) AS n FROM collocations c,
+        (SELECT sum(tf) AS t FROM inverted_index)
+      WHERE abs(lift - round(CAST(cooc * t AS DOUBLE) /
+              CAST(ca * cb AS DOUBLE), 9)) > 0""").head().getLong(0)
+    assert(bad == 0)
+    // bigram commonness covers every document, zero-bigram rows included
+    val cov = spark.sql("""
+      SELECT count(*) AS n,
+             count(CASE WHEN n_bigrams = 0 AND avg_freq_x1000 IS NULL
+                        THEN 1 END) AS zeros_null
+      FROM bigram_lm""").head()
+    assert(cov.getLong(0) == spark.table("documents").count())
+  }
 }

@@ -364,6 +364,93 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(folded == exploded)
   }
 
+  test("bm25Indexed probe reproduces the in-query bm25 retrieval exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = rows(TextAnalysis.bm25TopDocs(spark, sf))
+    val probed = rows(TextAnalysis.bm25Indexed(spark, sf))
+    assert(direct.nonEmpty && probed == direct,
+      s"index probe diverged: ${probed.take(3)} vs ${direct.take(3)}")
+    spark.catalog.clearCache()
+  }
+
+  test("inverted index postings carry exact tf/df/dl and corpus scalars") {
+    // plain-Scala replay of the whole index over the corpus
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+", -1).toSeq)
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => ((t, id), (o.length.toLong, ts.length.toLong)) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    val got = TextAnalysis.invertedIndex(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(2)),
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(got.length == tf.size, s"posting count ${got.length} vs ${tf.size}")
+    for (((term, id), (df, tfv, dl, n, sdl)) <- got) {
+      val (wantTf, wantDl) = tf((term, id))
+      assert(tfv == wantTf && dl == wantDl && df == dfm(term)
+        && n == nDocs && sdl == sumDl,
+        s"posting ($term, $id): ($df,$tfv,$dl,$n,$sdl)")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("collocations replay against plain-Scala lift ranking") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val texts = Tables.table(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).split("\\s+", -1).toSeq)
+    val uc = texts.flatten.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val t = texts.map(_.length.toLong).sum
+    val bc = texts.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+    val want = bc.toSeq
+      .filter(_._2 >= TextAnalysis.CoocMin)
+      .map { case ((a, b), cooc) =>
+        // JBD.valueOf (decimal-string semantics) mirrors Spark's
+        // round-on-double, which goes through BigDecimal.decimal
+        val lift = JBD.valueOf((cooc * t).toDouble / (uc(a) * uc(b)).toDouble)
+          .setScale(9, RoundingMode.HALF_UP).doubleValue
+        (a, b, cooc, uc(a), uc(b), lift)
+      }
+      .sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }
+      .take(TextAnalysis.CoocTopK)
+    val got = TextAnalysis.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(want.nonEmpty && got == want,
+      s"collocations diverge: ${got.take(2)} vs ${want.take(2)}")
+    spark.catalog.clearCache()
+  }
+
+  test("bigramCommonness replay against plain-Scala corpus counts") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+", -1).toSeq)
+    val perDoc = docs.map { case (id, ts) =>
+      id -> ts.zip(ts.drop(1)).groupBy(identity)
+        .map { case (p, o) => p -> o.length.toLong }
+    }.toMap
+    val cc = perDoc.values.flatten
+      .groupBy(_._1).map { case (p, os) => p -> os.map(_._2).sum }
+    val got = TextAnalysis.bigramCommonness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.length == docs.length)
+    for ((id, nBg, sumF, avg) <- got) {
+      val m = perDoc(id)
+      val wantN = m.values.sum
+      val wantS = m.map { case (p, c) => c * cc(p) }.sum
+      val wantAvg = if (wantN == 0) -1L else (1000L * wantS) / wantN
+      assert(nBg == wantN && sumF == wantS && avg == wantAvg,
+        s"doc $id: ($nBg,$sumF,$avg) vs ($wantN,$wantS,$wantAvg)")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("fingerprint is order-sensitive") {
     val a = spark.range(1).select(
       TextHash.fingerprint(TextHash.tokens(lit("alpha beta gamma"))).as("fp"))

@@ -500,6 +500,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted index: df broadcasts back, postings cached, no sort-merge") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "df is O(vocab) and must broadcast onto the postings")
+    assert(p.contains("InMemoryTableScan"),
+      "the posting aggregation must be cached — df derives from it")
+    spark.catalog.clearCache()
+  }
+
+  test("indexed bm25 probe: broadcast term pruning, rank-limited top-k, no corpus rescan") {
+    val p = plan("q_bm25_indexed")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k per query must push the rank limit below the full sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the probe joins are broadcast-sized (query terms, df)")
+    assert(p.contains("BroadcastHashJoin [term"),
+      "the query-term probe must be a broadcast hash join on term")
+    spark.catalog.clearCache()
+  }
+
+  test("collocations: ordered limit is a top-K heap, unigram joins broadcast") {
+    val p = plan("q_cooc_lift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-K must be per-partition heaps, never a global sort:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the O(vocab) unigram count table must broadcast onto the survivors")
+    spark.catalog.clearCache()
+  }
+
+  test("bigram commonness: shuffle joins only, no cartesian, shared bigram agg cached") {
+    val p = plan("q_bigram_lm")
+    assert(!p.contains("CartesianProduct"),
+      "the (a,b) join is an equi-join — the corpus pair table can't broadcast at scale")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-doc pair aggregation must be cached — the corpus counts re-aggregate it")
+    spark.catalog.clearCache()
+  }
+
   test("fuzzy match shuffles on the SALTED block key, not the raw token") {
     // the length-bucket salt must reach the join's equi-key — a hot first
     // token then subdivides across shuffle partitions instead of pairing

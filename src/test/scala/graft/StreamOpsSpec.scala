@@ -507,6 +507,43 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bm25ProbeStream contributions fold to the batch indexed retrieval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the frozen serving artifact: the denormalized posting table
+    val idx = graft.llm.TextAnalysis.bm25Index(spark, sf).cache()
+    // stream the standing query workload as (query_id, term) rows
+    val qrows = graft.llm.TextAnalysis.Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    val mem = MemoryStream[(Int, String)]
+    mem.addData(qrows)
+    val q = StreamOps.bm25ProbeStream(
+        mem.toDF.toDF("query_id", "term"), idx)
+      .writeStream.format("memory").queryName("bm25probestream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // downstream batch fold: per-(query, doc) decimal sum → rank → top-k
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sd").desc, col("doc_id"))
+    val got = spark.table("bm25probestream")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s9")).as("sd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= graft.llm.TextAnalysis.Bm25TopK)
+      .select(col("query_id"), col("rk").cast("int"), col("doc_id"),
+        col("sd").cast("double"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = graft.llm.TextAnalysis.bm25Indexed(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"stream fold ${got.take(3)} vs batch ${want.take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("incrementalDedupStream probes the static index without state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
