@@ -96,6 +96,10 @@ object GraftCatalog {
       .createOrReplaceTempView("collocations")
     graft.llm.TextAnalysis.bigramCommonness(spark, sfDir, cache = false)
       .createOrReplaceTempView("bigram_lm")
+    // leakageSafeSplit stays unmounted like the components it composes
+    // (its fixpoint runs Spark jobs eagerly - the view contract forbids it)
+    graft.llm.Similarity.randomProjection(spark, sfDir)
+      .createOrReplaceTempView("embed_rp")
     registerFunctions(spark)
   }
 

@@ -190,6 +190,8 @@ object SparkEntry {
     "q_bm25_indexed" -> ((s, dir) => TextAnalysis.bm25Indexed(s, dir)),
     "q_cooc_lift" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramCommonness(s, dir)),
+    "q_embed_rp" -> (Similarity.randomProjection _),
+    "q_split_leakage" -> (TextAnalysis.leakageSafeSplit _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2380,5 +2382,46 @@ object SparkEntry {
                 END AS avg_freq_x1000
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
+    // JL random projection onto the md5-seeded hyperplanes (mirrors
+    // Similarity.randomProjection; plane literals from the ONE Scala
+    // definition, dot as the shared left-fold macro)
+    "q_embed_rp" -> {
+      val cols = Similarity.planeComponents(Similarity.EmbedDims)
+        .zipWithIndex.map { case (w, p) =>
+          s"round(${dotSql("v", s"[${w.mkString(", ")}]")}, 9) AS p$p"
+        }.mkString(",\n                ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT vec_id,
+                $cols
+         FROM c ORDER BY vec_id"""
+    },
+    // leakage-safe split: split keyed by the near-dup component label
+    // (mirrors TextAnalysis.leakageSafeSplit; component CTEs are
+    // q_dedup_components')
+    "q_split_leakage" -> s"""
+         WITH RECURSIVE $simhashSkCtes,
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, min(b) AS component
+                  FROM reach GROUP BY a),
+         sp AS (SELECT doc_id, component,
+                  CASE WHEN ${hexIntSql("'split:' || CAST(component AS VARCHAR)")}
+                            % 100 < 90
+                       THEN 'train' ELSE 'val' END AS split,
+                  CASE WHEN ${hexIntSql("'split:' || CAST(doc_id AS VARCHAR)")}
+                            % 100 < 90
+                       THEN 'train' ELSE 'val' END AS naive_split
+                FROM comp)
+         SELECT doc_id, component, split, naive_split,
+                split <> naive_split AS moved
+         FROM sp ORDER BY doc_id""",
   )
 }

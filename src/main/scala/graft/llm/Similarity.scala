@@ -754,4 +754,31 @@ object Similarity {
         col("vec_id"), col("cos"))
       .orderBy("q_id", "rk")
   }
+
+  /** Embedding dimensionality of the harness corpus. */
+  val EmbedDims = 64
+
+  /** Johnson–Lindenstrauss random projection: every 64-dim embedding maps
+    * to [[HyperPlanes]] coordinates — its dot products against the SAME
+    * deterministic hash-derived planes [[embedNearDup]] takes only the
+    * SIGNS of ([[planeComponents]], md5-seeded, reproducible in any
+    * engine). The real-valued projection preserves pairwise distances up
+    * to the JL distortion (uniform[-1,1) components ⇒
+    * E‖P(a−b)‖² = (k/3)·‖a−b‖², spec-pinned on the fixture), where the
+    * sign bucket only preserves angles coarsely.
+    *
+    * Row-local, zero shuffle — a scan-speed re-encode that shrinks every
+    * downstream shuffle (ANN candidate generation, clustering) by
+    * dims/k = 8× at 100 TB; each output coordinate is the plain
+    * left-fold dot (engine-exact), rounded to 9 dp.
+    */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val planes = planeComponents(EmbedDims)
+    val cols = planes.zipWithIndex.map { case (w, p) =>
+      round(dot(col("v"), typedLit(w)), 9).as(s"p$p")
+    }
+    corpus(s, dir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
 }

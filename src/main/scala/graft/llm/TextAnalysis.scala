@@ -370,6 +370,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split assignment: every document inherits the split of
+    * its near-dup COMPONENT (the md5 split keyed by the component label —
+    * the smallest reachable doc_id), so near-duplicates can never straddle
+    * train/val. That is the contamination mode the per-doc hash split
+    * ([[trainValSplit]]) allows whenever duplicates are deliberately KEPT
+    * (eval-set construction, multi-epoch oversampling) — dedup-then-split
+    * ([[preprocessCorpus]]) sidesteps it only by dropping the duplicates.
+    * `naive_split` and `moved` surface exactly where the two assignments
+    * disagree.
+    *
+    * Scale shape: the component fixpoint is the already-audited
+    * pointer-jumping loop ([[Dedup.connectedComponents]], O(log d)
+    * rounds); the split derivation on top is row-local arithmetic on the
+    * component label — no further joins, no extra shuffle beyond the
+    * fixpoint's own.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupComponents(s, dir)
+      .select(col("doc_id"), col("component"),
+        splitCol(col("component"), 90),
+        splitCol(col("doc_id"), 90).as("naive_split"))
+      .withColumn("moved", col("split") =!= col("naive_split"))
+      .orderBy("doc_id")
+
   /** Order-sensitive rolling-hash fingerprint per document — native
     * codegen'd pass ([[graft.functions.RollingFingerprint]]); the
     * declarative fold (TextHash.fingerprint) stays as the pinned spec.

@@ -451,6 +451,67 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("random projection replays in plain Scala and preserves distances JL-style") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val planes = Similarity.planeComponents(Similarity.EmbedDims)
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def fold(v: Array[Double], w: Seq[Double]): Double = {
+      // the same left-to-right IEEE summation as the dot fold
+      var acc = v(0) * w(0)
+      for (i <- 1 until v.length) acc += v(i) * w(i)
+      acc
+    }
+    val got = Similarity.randomProjection(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to Similarity.HyperPlanes)
+        .map(i => r.getDouble(i)).toSeq).toMap
+    assert(got.size == vecs.size)
+    for ((id, ps) <- got; (p, i) <- ps.zipWithIndex) {
+      val want = JBD.valueOf(fold(vecs(id), planes(i)))
+        .setScale(9, RoundingMode.HALF_UP).doubleValue
+      assert(p == want, s"vec $id plane $i: $p vs $want")
+    }
+    // JL distortion: uniform[-1,1) components give E||P(a-b)||^2 =
+    // (k/3)||a-b||^2; the AVERAGE ratio over sampled pairs must sit near
+    // k/3 (loose band - 8 planes is a high-variance estimator per pair)
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      d = l2sq(vecs(a), vecs(b)) if d > 0
+    } yield l2sq(got(a).toArray, got(b).toArray) / d
+    val mean = ratios.sum / ratios.length
+    val expect = Similarity.HyperPlanes / 3.0
+    assert(mean > expect * 0.5 && mean < expect * 2.0,
+      s"mean distortion ratio $mean vs expected ~$expect")
+  }
+
+  test("leakage-safe split never lets a near-dup component straddle splits") {
+    val rows = TextAnalysis.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    // covers the whole corpus
+    assert(rows.length == Tables.table(spark, sf, "documents").count())
+    // one split per component - the leakage-safety invariant itself
+    for ((comp, members) <- rows.groupBy(_._2))
+      assert(members.map(_._3).distinct.length == 1,
+        s"component $comp straddles splits")
+    // the component split is the naive split OF THE LABEL doc (the
+    // smallest member), and moved flags exactly the disagreements
+    val naiveOf = rows.map(r => r._1 -> r._4).toMap
+    for ((id, comp, split, naive, moved) <- rows) {
+      assert(split == naiveOf(comp),
+        s"doc $id: component split $split != label ${naiveOf(comp)}")
+      assert(moved == (split != naive))
+    }
+    // the fixture's planted near-dups make at least one multi-doc
+    // component; the invariant must be non-vacuous
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("fingerprint is order-sensitive") {
     val a = spark.range(1).select(
       TextHash.fingerprint(TextHash.tokens(lit("alpha beta gamma"))).as("fp"))

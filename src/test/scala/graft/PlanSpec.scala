@@ -538,6 +538,15 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("random projection is a pure scan-speed re-encode") {
+    val p = plan("q_embed_rp")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "the projection must be row-local - no joins, no aggregation")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no shuffle may appear besides the final deterministic-order sort")
+    spark.catalog.clearCache()
+  }
+
   test("fuzzy match shuffles on the SALTED block key, not the raw token") {
     // the length-bucket salt must reach the join's equi-key — a hot first
     // token then subdivides across shuffle partitions instead of pairing
