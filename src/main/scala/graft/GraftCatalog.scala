@@ -100,6 +100,8 @@ object GraftCatalog {
     // (its fixpoint runs Spark jobs eagerly - the view contract forbids it)
     graft.llm.Similarity.randomProjection(spark, sfDir)
       .createOrReplaceTempView("embed_rp")
+    graft.llm.TextAnalysis.ivmIndex(spark, sfDir, cache = false)
+      .createOrReplaceTempView("ivm_index")
     registerFunctions(spark)
   }
 

@@ -192,6 +192,7 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramCommonness(s, dir)),
     "q_embed_rp" -> (Similarity.randomProjection _),
     "q_split_leakage" -> (TextAnalysis.leakageSafeSplit _),
+    "q_ivm_index" -> ((s, dir) => TextAnalysis.ivmIndex(s, dir)),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -239,6 +240,25 @@ object SparkEntry {
          FROM rnk WHERE rk <= ${TextAnalysis.Bm25TopK}
          ORDER BY query_id, rk"""
   }
+
+  /** The inverted-index full-recompute oracle — shared by
+    * `q_inverted_index` (the build) and `q_ivm_index` (the merge-
+    * maintained form): incremental ≡ rebuild hash-exact is the checked
+    * delta-rule soundness contract.
+    */
+  private lazy val invertedIndexOracleSql: String =
+    """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+         scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                  FROM dl),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM ex GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+         SELECT tf.term, dfreq.df, tf.doc_id, tf.tf, dl.dl, n_docs, sum_dl
+         FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), scal
+         ORDER BY tf.term, tf.doc_id"""
 
   /** DuckDB mirror of [[graft.llm.Sketches.kmvEstimate]] — ONE macro per
     * engine, so a KmvK / rounding / hash-space change has a single update
@@ -2328,19 +2348,11 @@ object SparkEntry {
          ORDER BY event_id""",
     // the full posting table with df and the corpus scalars denormalized
     // (mirrors TextAnalysis.bm25Index)
-    "q_inverted_index" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-                FROM documents),
-         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
-         scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
-                  FROM dl),
-         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-         tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf
-                FROM ex GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
-         SELECT tf.term, dfreq.df, tf.doc_id, tf.tf, dl.dl, n_docs, sum_dl
-         FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), scal
-         ORDER BY tf.term, tf.doc_id""",
+    "q_inverted_index" -> invertedIndexOracleSql,
+    // the merge-maintained index must equal the full rebuild hash-exact —
+    // sharing the oracle string IS the delta-rule soundness contract
+    // (the q_ivm_agg/q_ivm_join pattern)
+    "q_ivm_index" -> invertedIndexOracleSql,
     // adjacent-pair collocations by integer-cleared lift
     // (mirrors TextAnalysis.collocations)
     "q_cooc_lift" -> s"""

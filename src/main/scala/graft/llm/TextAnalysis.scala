@@ -988,17 +988,26 @@ object TextAnalysis {
     * paid once and amortized over every probe, which is the entire reason
     * an inverted index exists.
     */
+  /** The posting aggregation of one document set — (term, doc_id, tf, dl),
+    * ONE definition for the full build ([[bm25Index]]) and the per-side
+    * builds of the incremental maintenance ([[ivmIndex]]).
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), size(toks).cast("bigint").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
   def bm25Index(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
     val docs = t(s, dir, "documents")
     val toks = tokens(col("text"))
     val scal = broadcast(docs.select(size(toks).cast("bigint").as("dl0"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl")))
-    val postPlan = docs
-      .select(col("doc_id"), size(toks).cast("bigint").as("dl"),
-        explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val postPlan = postingsOf(docs)
     // two consumers (df derivation + the final projection); cache = false
     // for long-lived mounts (the GraftCatalog view contract)
     val post = if (cache) postPlan.cache() else postPlan
@@ -1015,6 +1024,56 @@ object TextAnalysis {
   def invertedIndex(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame =
     bm25Index(s, dir, cache).orderBy("term", "doc_id")
+
+  /** Incremental maintenance of the inverted index — the IVM tier
+    * ([[graft.ops.IncrementalOps]]) applied to the retrieval artifact:
+    * the base index and a new document batch merge by MONOID arithmetic —
+    * posting rows APPEND (doc sets are disjoint), per-term df ADDS
+    * (full-outer over the two O(vocab) df tables), the corpus scalars
+    * (N, Σdl) ADD — and the denormalized columns rebroadcast over the
+    * union. Maintenance cost is O(delta postings) + an O(vocab) df merge;
+    * the base corpus text is NEVER rescanned — the entire point of
+    * maintaining an index instead of rebuilding one at 100 TB.
+    *
+    * The oracle is [[invertedIndex]]'s full-recompute SQL, unchanged:
+    * merged-incremental ≡ full-rebuild hash-exact IS the soundness proof
+    * (the `q_ivm_agg`/`q_ivm_join` contract). The delta is every
+    * [[Dedup.IncrementModulus]]-th doc_id, the library's standing
+    * new-batch convention.
+    */
+  def ivmIndex(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isDelta = col("doc_id") % Dedup.IncrementModulus === 0
+    def sideOf(pred: Column) = {
+      val p = postingsOf(docs.filter(pred))
+      if (cache) p.cache() else p
+    }
+    def dlOf(pred: Column) = {
+      val toks = tokens(col("text"))
+      docs.filter(pred).select(size(toks).cast("bigint").as("dl0"))
+        .agg(count(lit(1)).as("n"), sum(col("dl0")).as("s"))
+    }
+    val base = sideOf(!isDelta)
+    val delta = sideOf(isDelta)
+    val dfMerged = base.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
+      .join(delta.groupBy(col("term")).agg(count(lit(1)).as("df_d")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+          .as("df"))
+    val scalMerged = broadcast(dlOf(!isDelta).crossJoin(dlOf(isDelta)
+        .withColumnRenamed("n", "nd").withColumnRenamed("s", "sd"))
+      .select((col("n") + col("nd")).as("n_docs"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+          .as("sum_dl")))
+    base.unionByName(delta)
+      .join(broadcast(dfMerged), Seq("term"))
+      .crossJoin(scalMerged)
+      .select(col("term"), col("df"), col("doc_id"), col("tf"), col("dl"),
+        col("n_docs"), col("sum_dl"))
+      .orderBy("term", "doc_id")
+  }
 
   /** BM25 retrieval PROBING the prebuilt index — same queries, same
     * arithmetic, same output as [[bm25TopDocs]] (the oracle is literally

@@ -451,6 +451,20 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("merge-maintained index equals the full rebuild row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val full = rows(TextAnalysis.invertedIndex(spark, sf))
+    val merged = rows(TextAnalysis.ivmIndex(spark, sf))
+    assert(merged == full, "incremental maintenance diverged from rebuild")
+    // the delta-rule check is non-vacuous: both sides contribute postings
+    val deltaDocs = merged.map(_._3)
+      .count(_ % graft.llm.Dedup.IncrementModulus == 0)
+    assert(deltaDocs > 0 && deltaDocs < merged.length)
+    spark.catalog.clearCache()
+  }
+
   test("random projection replays in plain Scala and preserves distances JL-style") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val planes = Similarity.planeComponents(Similarity.EmbedDims)

@@ -538,6 +538,17 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivm index: posting union appends, no cartesian, sides cached") {
+    val p = plan("q_ivm_index")
+    assert(!p.contains("CartesianProduct"),
+      "the df merge is a vocab-sized full-outer equi-join, never cartesian")
+    assert(p.contains("InMemoryTableScan"),
+      "each side's postings must be cached - df derives from them")
+    assert(p.contains("Union"),
+      "disjoint-doc posting sets must merge by append, not join")
+    spark.catalog.clearCache()
+  }
+
   test("random projection is a pure scan-speed re-encode") {
     val p = plan("q_embed_rp")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
