@@ -181,6 +181,7 @@ object SparkEntry {
     "q_sample_weighted" -> (graft.ops.AnalyticsOps.weightedSample _),
     "q_text_outlier" -> (graft.ops.AnalyticsOps.lengthOutliers _),
     "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
+    "q_graph_kcore" -> ((s, dir) => graft.ops.GraphOps.kCore(s, dir)),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
     "q_seq_transitions" -> (graft.ops.SequenceOps.seqTransitions _),
@@ -2258,6 +2259,34 @@ object SparkEntry {
          JOIN edges e2 ON e1.pb = e2.pa
          JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
          ORDER BY pa, pb, pc""",
+    // iterative k-core peel unrolled one CTE triple per round — generated
+    // from GraphOps.KCoreRounds so the engines can never disagree on the
+    // peel depth (the PrIters device); the edge CTEs are the triangles'
+    // co-purchase graph verbatim (mirrors GraphOps.kCore)
+    "q_graph_kcore" -> {
+      import graft.ops.GraphOps.{KCoreK, KCoreRounds, TriMinSupport}
+      val steps = (1 to KCoreRounds).map { r =>
+        // MATERIALIZED: each round references the previous twice, so an
+        // inlining planner would expand the chain exponentially (the BPE
+        // unrolled-oracle device)
+        s"""a$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src
+                HAVING count(*) >= $KCoreK),
+         e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+                JOIN a$r x ON e.src = x.src
+                JOIN a$r y ON e.dst = y.src)"""
+      }.mkString(",\n         ")
+      s"""
+         WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2),
+         base AS (SELECT pa, pb FROM pairs WHERE supp >= $TriMinSupport),
+         e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM base
+                UNION ALL SELECT pb AS src, pa AS dst FROM base),
+         $steps
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e$KCoreRounds GROUP BY src ORDER BY node"""
+    },
     // blocked fuzzy name match (mirrors MatchOps.fuzzyNameMatch):
     // levenshtein is the same full-matrix edit distance in both engines
     "q_fuzzy_match" -> s"""

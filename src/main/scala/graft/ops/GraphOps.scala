@@ -82,15 +82,23 @@ object GraphOps {
     * (a<b<c) joins — orientation changes the discovery order, never the
     * set, and the sorted output triple is the proof.
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** The support-pruned co-purchase edge set (pa < pb, distinct) — the ONE
+    * graph both [[triangles]] and [[kCore]] analyze, factored so the two
+    * operators can never disagree on what an edge is.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a")
+    li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= TriMinSupport)
       .select(col("pa"), col("pb"))
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir)
     val deg = edges.select(col("pa").as("v"))
       .union(edges.select(col("pb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -150,5 +158,50 @@ object GraphOps {
         pr = pr.localCheckpoint(true)
     }
     pr.orderBy("node")
+  }
+
+  /** k-core threshold: the densest-subgraph slice where every surviving
+    * part co-purchases with >= 3 other surviving parts.
+    */
+  val KCoreK = 3
+
+  /** Fixed peel-round count. Peeling converges when a round removes no
+    * node; a fixed unroll keeps the computation (and its oracle — one CTE
+    * triple per round, the PrIters device) deterministic without a
+    * data-dependent loop bound, and GraphOpsSpec asserts the fixture has
+    * converged by this depth (round R+1 ≡ round R).
+    */
+  val KCoreRounds = 8
+
+  /** k-core decomposition of the co-purchase graph by iterative peeling:
+    * each round drops every node whose degree over the SURVIVING edge set
+    * is < k, until (by [[KCoreRounds]]) nothing changes; output is each
+    * surviving node with its in-core degree.
+    *
+    * Scale shape: each round is one O(edges) degree aggregation plus two
+    * semi-joins of the edge set against the O(nodes) alive list — all
+    * equi-joins on the node key, nothing quadratic, and the edge set only
+    * shrinks. The edge frame is `localCheckpoint`ed per round: the alive
+    * list derives from the edges themselves, so an uncheckpointed loop
+    * would DOUBLE the logical plan every round (each round references the
+    * previous twice) — the same lineage discipline as the >8-iteration
+    * PageRank path, materializing a strictly shrinking frame.
+    */
+  def kCore(s: SparkSession, dir: String, k: Int = KCoreK,
+      rounds: Int = KCoreRounds): DataFrame = {
+    val base = coPurchaseEdges(s, dir)
+    var e = base.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(base.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+      e = e.join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
   }
 }

@@ -99,6 +99,51 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getLong(1) > 0L))
   }
 
+  test("kcore replays exactly as a plain-Scala peel and has converged") {
+    val got = GraphOps.kCore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+
+    // independent graph build: same co-purchase support-pruned edges
+    val li: Seq[(Long, Long)] = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val basePairs: Seq[(Long, Long)] = li.groupBy(_._1).values.toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2)
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      // filter+keys, NOT collect-to-pair: Map.collect with a pair-typed
+      // body rebuilds a Map and silently dedups by first element
+      .groupBy(identity)
+      .filter(_._2.size >= GraphOps.TriMinSupport).keys.toSeq
+    var edges = (basePairs ++ basePairs.map(_.swap)).toSet
+    var converged = -1
+    (1 to GraphOps.KCoreRounds).foreach { r =>
+      val deg = edges.toSeq.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val alive = deg.collect {
+        case (v, d) if d >= GraphOps.KCoreK => v
+      }.toSet
+      val next = edges.filter { case (a, b) => alive(a) && alive(b) }
+      if (next == edges && converged < 0) converged = r
+      edges = next
+    }
+    val want = edges.toSeq.groupBy(_._1)
+      .map { case (v, es) => v -> es.size.toLong }
+    assert(got == want, {
+      val diff = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k: got ${got.get(k)}, want $v" }
+      s"core mismatch on ${diff.size} nodes:\n${diff.take(5).mkString("\n")}"
+    })
+    // the fixed unroll must have REACHED the fixpoint on this fixture —
+    // otherwise KCoreRounds is lying about being "until nothing changes"
+    assert(converged > 0 && converged <= GraphOps.KCoreRounds,
+      s"peel had not converged within ${GraphOps.KCoreRounds} rounds")
+    // and a converged core is a real k-core: every node keeps >= k edges
+    assert(want.values.forall(_ >= GraphOps.KCoreK))
+    assert(got.nonEmpty, "empty core is a vacuous test")
+  }
+
   test("pagerank gives hub organizations more mass than leaf users") {
     val out = GraphOps.pageRank(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
