@@ -182,6 +182,8 @@ object SparkEntry {
     "q_text_outlier" -> (graft.ops.AnalyticsOps.lengthOutliers _),
     "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
     "q_graph_kcore" -> ((s, dir) => graft.ops.GraphOps.kCore(s, dir)),
+    "q_pareto_front" -> (graft.ops.AnalyticsOps.paretoFront _),
+    "q_w9_ohlc" -> (graft.ops.AnalyticsOps.ohlcResample _),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
     "q_seq_transitions" -> (graft.ops.SequenceOps.seqTransitions _),
@@ -2287,6 +2289,50 @@ object SparkEntry {
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$KCoreRounds GROUP BY src ORDER BY node"""
     },
+    // skyline computed the DIRECT way (one global window over distinct
+    // objective pairs) — matching Spark's two-phase per-lang/global split
+    // proves the phased plan exact (mirrors AnalyticsOps.paretoFront)
+    "q_pareto_front" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+                  CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                    AS INT) AS n_types
+           FROM documents),
+         p AS (SELECT DISTINCT n_chars, n_types FROM d),
+         f AS (SELECT n_chars, n_types,
+                  max(n_types) OVER (ORDER BY n_chars ASC, n_types DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS best_prev
+               FROM p),
+         g AS (SELECT n_chars, n_types FROM f
+               WHERE best_prev IS NULL OR best_prev < n_types)
+         SELECT doc_id, lang, d.n_chars, d.n_types
+         FROM d JOIN g ON d.n_chars = g.n_chars AND d.n_types = g.n_types
+         ORDER BY doc_id""",
+    // OHLC bars on the shared (ts micros, event_id) total order; `//`
+    // floors like Spark div on the non-negative epoch
+    // (mirrors AnalyticsOps.ohlcResample)
+    "q_w9_ohlc" -> s"""
+         WITH ev AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         b AS (SELECT event_type, us // ${graft.ops.AnalyticsOps.OhlcBucketUs}
+                  AS hr, us, event_id, cents
+               FROM ev),
+         r AS (SELECT *,
+                  CAST(row_number() OVER (PARTITION BY event_type, hr
+                    ORDER BY us, event_id) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY event_type, hr)
+                    AS BIGINT) AS cnt
+               FROM b)
+         SELECT event_type, hr,
+                max(CASE WHEN rn = 1 THEN cents END) AS open_cents,
+                max(cents) AS high_cents,
+                min(cents) AS low_cents,
+                max(CASE WHEN rn = cnt THEN cents END) AS close_cents,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS vol_cents
+         FROM r GROUP BY event_type, hr
+         ORDER BY event_type, hr""",
     // blocked fuzzy name match (mirrors MatchOps.fuzzyNameMatch):
     // levenshtein is the same full-matrix edit distance in both engines
     "q_fuzzy_match" -> s"""

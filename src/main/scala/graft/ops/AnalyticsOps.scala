@@ -156,6 +156,87 @@ object AnalyticsOps {
       .orderBy(col("priority").asc, col("doc_id").asc)
       .limit(SampleK)
 
+  /** Pareto frontier (skyline) of the corpus on the curation trade-off
+    * (maximize vocabulary richness `n_types`, minimize cost `n_chars`):
+    * the documents no other document beats on both axes — the "best
+    * quality at every length budget" set a data-mixing run selects from.
+    * Dominance is the standard weak form: B dominates A iff
+    * `types_B >= types_A && chars_B <= chars_A` with at least one strict.
+    *
+    * Shape — the two-phase distributed skyline: the frontier is computed
+    * on DISTINCT objective PAIRS (never doc rows), first per language
+    * partition in parallel (a `partitionBy(lang)` window), then once
+    * globally over the per-language survivors (a tiny set — the global
+    * window's single-partition sort touches O(frontier candidates) rows,
+    * not the corpus). Soundness of the phases: dominance ignores lang, so
+    * a globally non-dominated pair is non-dominated inside every language
+    * it appears in and always survives phase 1. Docs then attach by one
+    * semi-join on the winning pairs. The oracle computes the skyline the
+    * direct single-pass way — matching it proves the phased plan exact.
+    *
+    * The window trick: on distinct pairs ordered by (chars asc, types
+    * desc), a pair is dominated iff any STRICTLY PRECEDING row has
+    * types >= its own (preceding means cheaper, or same cost with more
+    * types), so one running `max(types)` over `rows(-inf, -1)` decides
+    * every pair — no pair self-join.
+    */
+  def paretoFront(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextHash.tokens
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(array_distinct(tokens(col("text")))).cast("int").as("n_types"))
+    def survivors(pairs: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      pairs
+        .withColumn("best_prev",
+          max(col("n_types")).over(w.orderBy(col("n_chars").asc, col("n_types").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("best_prev").isNull || col("best_prev") < col("n_types"))
+        .select(col("n_chars"), col("n_types"))
+    val localFront = survivors(
+      docs.select(col("lang"), col("n_chars"), col("n_types")).distinct(),
+      Window.partitionBy(col("lang")))
+    val globalFront = survivors(localFront.distinct(), Window.partitionBy())
+    docs.join(globalFront, Seq("n_chars", "n_types"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_types"))
+      .orderBy("doc_id")
+  }
+
+  /** OHLC resampling bucket: epoch-micros per hour. */
+  val OhlcBucketUs = 3600000000L
+
+  /** Time-series downsampling to OHLC bars: per (event_type, hour) the
+    * first/highest/lowest/last value (integer cents) plus count and sum —
+    * the resample-then-aggregate shape every metrics store runs. First
+    * and last are defined by the TOTAL order (ts micros, event_id), so
+    * ties on the timestamp cannot flip the bar cross-engine.
+    *
+    * Shape: ONE shuffle on the (type, hour) bar key; `row_number` and the
+    * whole-partition `count` share the same partitioning (the unordered
+    * count window needs no extra sort pass), and the final collapse
+    * reuses it too. Open/close fall out of the ordered pass as
+    * conditional aggregates — no self-join back onto the bar, no
+    * arg_min/arg_max whose tie rule would be engine-private.
+    */
+  def ohlcResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), cents(col("value")).as("cents"))
+      .withColumn("hr", expr(s"us div $OhlcBucketUs"))
+    val part = Window.partitionBy(col("event_type"), col("hr"))
+    val wo = part.orderBy(col("us").asc, col("event_id").asc)
+    ev.withColumn("rn", row_number().over(wo))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        max(when(col("rn") === 1, col("cents"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(when(col("rn") === col("cnt"), col("cents"))).as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("vol_cents"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Integer-exact per-language length outliers: flags documents more than
     * 1.5 population standard deviations from their language's mean length
     * WITHOUT any floating point — `(x-μ)² > (3/2)²σ²` cross-multiplies to

@@ -194,6 +194,49 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc == full)
   }
 
+  test("pareto frontier equals the brute-force dominance scan") {
+    val got = AnalyticsOps.paretoFront(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    val docs: Seq[(Long, Long, Int)] = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), "\\s+"))).as("n_types"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // O(n²) reference: the definition itself, no window trick
+    def dominated(a: (Long, Long, Int)) = docs.exists { b =>
+      b._3 >= a._3 && b._2 <= a._2 && (b._3 > a._3 || b._2 < a._2)
+    }
+    val want = docs.filterNot(dominated).map(_._1).toSet
+    assert(got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    // non-vacuous: the frontier is a strict subset (some doc is dominated)
+    assert(got.nonEmpty && got.size < docs.size)
+  }
+
+  test("OHLC bars replay the total-order first/last and bound the range") {
+    val got = AnalyticsOps.ohlcResample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val ev: Seq[(String, Long, Long, Long)] = Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().toSeq
+      .map(r => (r.getString(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getLong(3)))
+    val want = ev.groupBy(e => (e._1, e._2 / AnalyticsOps.OhlcBucketUs))
+      .map { case (k, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        k -> (sorted.head._4, es.map(_._4).max, es.map(_._4).min,
+          sorted.last._4, es.size.toLong, es.map(_._4).sum)
+      }
+    assert(got == want)
+    // every bar is internally consistent: low <= open/close <= high
+    got.values.foreach { case (o, h, l, c, n, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h && n > 0)
+    }
+  }
+
   test("rank suite: ranks agree with sort positions under the unique key") {
     val rows = AnalyticsOps.w8RankSuite(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
