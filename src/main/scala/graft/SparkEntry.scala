@@ -183,6 +183,7 @@ object SparkEntry {
     "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
     "q_graph_kcore" -> ((s, dir) => graft.ops.GraphOps.kCore(s, dir)),
     "q_pareto_front" -> (graft.ops.AnalyticsOps.paretoFront _),
+    "q_dq_checks" -> (graft.ops.ProfileOps.dqChecks _),
     "q_w9_ohlc" -> (graft.ops.AnalyticsOps.ohlcResample _),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
@@ -2289,6 +2290,52 @@ object SparkEntry {
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$KCoreRounds GROUP BY src ORDER BY node"""
     },
+    // the constraint suite over the same deterministically re-dirtied
+    // frame (mirrors ProfileOps.dqChecks)
+    "q_dq_checks" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 37 = 0 THEN NULL
+                       ELSE o_custkey END AS fk,
+                  CASE WHEN o_orderkey % 53 = 0 THEN 'X'
+                       ELSE o_orderstatus END AS status,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         dirty AS (SELECT * FROM base
+                   UNION ALL SELECT * FROM base WHERE o_orderkey % 101 = 0),
+         rl AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v_null,
+                  CAST(sum(CASE WHEN status IN ('O','F','P') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS v_domain,
+                  CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v_range
+                FROM dirty),
+         uq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd
+                FROM dirty),
+         rf AS (SELECT CAST(count(*) AS BIGINT) AS n_checked,
+                  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+                FROM dirty d
+                LEFT JOIN (SELECT c_custkey FROM customer
+                           WHERE c_custkey % 2 = 0) c
+                  ON d.fk = c.c_custkey
+                WHERE d.fk IS NOT NULL),
+         rows_out AS (
+           SELECT 'orders_fk_complete' AS check_name, n_rows AS n_checked,
+                  v_null AS n_violations FROM rl
+           UNION ALL
+           SELECT 'orders_status_domain', n_rows, v_domain FROM rl
+           UNION ALL
+           SELECT 'orders_cents_nonneg', n_rows, v_range FROM rl
+           UNION ALL
+           SELECT 'orders_pk_unique', n, n - nd FROM uq
+           UNION ALL
+           SELECT 'orders_fk_customer', n_checked, n_violations FROM rf)
+         SELECT check_name, n_checked, n_violations,
+                n_violations = 0 AS pass
+         FROM rows_out ORDER BY check_name""",
     // skyline computed the DIRECT way (one global window over distinct
     // objective pairs) — matching Spark's two-phase per-lang/global split
     // proves the phased plan exact (mirrors AnalyticsOps.paretoFront)

@@ -72,4 +72,71 @@ object ProfileOps {
         col("exact_distinct"), col("min_val"), col("max_val"))
       .orderBy("column_name")
   }
+
+  /** Data-quality constraint suite (the Deequ/dbt-test shape): one row per
+    * declared constraint with how many rows it checked, how many violate,
+    * and the pass verdict — the gate a 100 TB ingest runs before
+    * publishing a partition. Five constraint families: completeness
+    * (NOT NULL), domain (value set), range (non-negative), primary-key
+    * uniqueness, and referential integrity.
+    *
+    * The fixture tables are clean, so the checked frame deterministically
+    * re-dirties them first (modulo-keyed null/domain/duplicate injection —
+    * the q_j11 device): every check must prove it can COUNT violations,
+    * not just emit zeros.
+    *
+    * Shape: the three row-local checks share ONE conditional-aggregate
+    * scan (no per-check re-scan) and unpivot via `inline` from its single
+    * row; uniqueness is count-minus-distinct on the key; referential
+    * integrity is one broadcast LEFT join with a conditional count — no
+    * anti-join-plus-recount double pass. Each verdict row is O(1); the
+    * whole suite costs two scans of the fact table and one of the dim.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 37 === 0, lit(null))
+        .otherwise(col("o_custkey")).cast("long").as("fk"),
+      when(col("o_orderkey") % 53 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // duplicate a keyed slice so the uniqueness check has real violations
+    val dirty = base.union(base.filter(col("o_orderkey") % 101 === 0))
+
+    val rowLocal = dirty
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("status").isin("O", "F", "P"), 0L).otherwise(1L))
+          .as("v_domain"),
+        sum(when(col("cents") < 0, 1L).otherwise(0L)).as("v_range"))
+      .select(inline(array(
+        struct(lit("orders_fk_complete").as("check_name"),
+          col("n_rows").as("n_checked"), col("v_null").as("n_violations")),
+        struct(lit("orders_status_domain").as("check_name"),
+          col("n_rows").as("n_checked"), col("v_domain").as("n_violations")),
+        struct(lit("orders_cents_nonneg").as("check_name"),
+          col("n_rows").as("n_checked"), col("v_range").as("n_violations")))))
+
+    val unique = dirty
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("nd"))
+      .select(lit("orders_pk_unique").as("check_name"),
+        col("n").as("n_checked"), (col("n") - col("nd")).as("n_violations"))
+
+    // referenced dim: the half-present customer set (the repo's standing
+    // c_custkey % 2 = 0 filter) so orphans actually exist
+    val dim = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"))
+    val ref = dirty.filter(col("fk").isNotNull)
+      .join(broadcast(dim), col("fk") === col("c_custkey"), "left_outer")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("orders_fk_customer").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    rowLocal.union(unique).union(ref)
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("check_name")
+  }
 }

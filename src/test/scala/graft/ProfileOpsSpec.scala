@@ -60,4 +60,49 @@ class ProfileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "profile fixture lost its null column — the null count is vacuous")
     df.unpersist(); ()
   }
+
+  test("dq checks replay against plain-Scala counts and catch injected dirt") {
+    val got = ProfileOps.dqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val orders: Seq[(Long, Long, String, Long)] =
+      Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long")).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val custEven = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(_ % 2 == 0).toSet
+    val base = orders.map { case (k, fk, st, c) =>
+      (k, if (k % 37 == 0) None else Some(fk),
+        if (k % 53 == 0) "X" else st, c)
+    }
+    val dirty = base ++ base.filter(_._1 % 101 == 0)
+    val want = Map(
+      "orders_fk_complete" ->
+        (dirty.size.toLong, dirty.count(_._2.isEmpty).toLong),
+      "orders_status_domain" ->
+        (dirty.size.toLong,
+          dirty.count(r => !Set("O", "F", "P")(r._3)).toLong),
+      "orders_cents_nonneg" ->
+        (dirty.size.toLong, dirty.count(_._4 < 0).toLong),
+      "orders_pk_unique" ->
+        (dirty.size.toLong,
+          (dirty.size - dirty.map(_._1).distinct.size).toLong),
+      "orders_fk_customer" -> {
+        val nn = dirty.filter(_._2.isDefined)
+        (nn.size.toLong, nn.count(r => !custEven(r._2.get)).toLong)
+      })
+    assert(got.keySet == want.keySet)
+    for ((name, (nc, nv)) <- want)
+      assert(got(name) == ((nc, nv, nv == 0L)),
+        s"$name: got ${got(name)}, want ($nc, $nv, ${nv == 0L})")
+    // non-vacuous: every injected dirt family was actually caught, and
+    // the clean constraint actually passes
+    assert(got("orders_fk_complete")._2 > 0)
+    assert(got("orders_status_domain")._2 > 0)
+    assert(got("orders_pk_unique")._2 > 0)
+    assert(got("orders_fk_customer")._2 > 0)
+    assert(got("orders_cents_nonneg")._3, "range check should pass clean")
+  }
 }
