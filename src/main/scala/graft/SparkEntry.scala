@@ -184,6 +184,7 @@ object SparkEntry {
     "q_graph_kcore" -> ((s, dir) => graft.ops.GraphOps.kCore(s, dir)),
     "q_pareto_front" -> (graft.ops.AnalyticsOps.paretoFront _),
     "q_dq_checks" -> (graft.ops.ProfileOps.dqChecks _),
+    "q_sketch_histquant" -> (Sketches.histQuantiles _),
     "q_w9_ohlc" -> (graft.ops.AnalyticsOps.ohlcResample _),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
@@ -2289,6 +2290,44 @@ object SparkEntry {
          $steps
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$KCoreRounds GROUP BY src ORDER BY node"""
+    },
+    // fixed-bin histogram quantiles; every threshold is the same integer
+    // cross-multiply in both engines (mirrors Sketches.histQuantiles)
+    "q_sketch_histquant" -> {
+      import Sketches.{HistB, HistQs, HistW}
+      val estCols = HistQs.map(q =>
+        s"CAST(min(CASE WHEN cum*100 >= n*$q THEN bin END) AS INT) AS bin_$q")
+        .mkString(",\n                ")
+      val exCols = HistQs.map(q =>
+        s"min(CASE WHEN rn*100 >= nn*$q THEN n_chars END) AS ex_$q")
+        .mkString(",\n                ")
+      val rowsOut = HistQs.map(q =>
+        s"""SELECT lang, CAST($q AS INT) AS q, n, bin_$q AS bin_est,
+                  CAST((bin_$q + 1) * $HistW AS INT) AS est_hi,
+                  CAST((bin_$q + 1) * $HistW AS BIGINT) - ex_$q AS slack,
+                  ex_$q AS exact_val
+           FROM e JOIN x USING (lang)""").mkString("\n           UNION ALL\n           ")
+      s"""
+         WITH h AS (SELECT lang, least(n_chars // $HistW, ${HistB - 1}) AS bin,
+                  count(*)::BIGINT AS cnt
+               FROM documents GROUP BY 1, 2),
+         c AS (SELECT lang, bin, cnt,
+                  sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                  sum(cnt) OVER (PARTITION BY lang) AS n
+               FROM h),
+         e AS (SELECT lang, CAST(max(n) AS BIGINT) AS n,
+                $estCols
+               FROM c GROUP BY lang),
+         r AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS nn
+               FROM documents),
+         x AS (SELECT lang,
+                $exCols
+               FROM r GROUP BY lang)
+         $rowsOut
+         ORDER BY lang, q"""
     },
     // the constraint suite over the same deterministically re-dirtied
     // frame (mirrors ProfileOps.dqChecks)

@@ -210,6 +210,67 @@ object Sketches {
         col("exact_inter"))
   }
 
+  /** Histogram-quantile geometry: fixed bins of width [[HistW]], the last
+    * bin open-ended — [[HistB]]·W = 640 comfortably covers the corpus
+    * length range with headroom. Fixed GLOBAL bounds are what make the
+    * per-bin counts a mergeable monoid (partial histograms add bin-wise
+    * across partitions/days/shards with zero coordination) — the property
+    * an adaptive binning (t-digest/KLL) pays coordination or determinism
+    * for.
+    */
+  val HistW = 32
+  val HistB = 20
+  /** The estimated quantiles, in percent. */
+  val HistQs: Seq[Int] = Seq(50, 90, 99)
+
+  /** Quantile estimation from a fixed-bin histogram — the bounded-state
+    * answer to "p50/p90/p99 of a 100 TB column": the whole reduction is
+    * O(langs·B) counter state (vs the full sort the exact form needs),
+    * and the estimate is the UPPER EDGE of the first bin whose cumulative
+    * count reaches ⌈q·n/100⌉ — a one-sided bound (est_hi >= exact, the
+    * CMS overcount convention) off by at most one bin width. All
+    * arithmetic is integer cross-multiplication (`cum·100 >= n·q`), so
+    * both engines pick the identical bin; the exact quantile (the
+    * rank-⌈qn/100⌉ value under the (n_chars, doc_id) total order) rides
+    * along to pin the error, and is the column you delete at scale.
+    */
+  def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+    val hist = docs
+      .select(col("lang"),
+        least(expr(s"n_chars div $HistW"), lit(HistB - 1)).cast("int")
+          .as("bin"))
+      .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val wp = Window.partitionBy(col("lang"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wl))
+      .withColumn("n", sum(col("cnt")).over(wp))
+    val est = cum.groupBy(col("lang")).agg(
+      max(col("n")).as("n"),
+      HistQs.map(q => min(when(col("cum") * 100 >= col("n") * q, col("bin")))
+        .as(s"bin_$q")): _*)
+    // exact side: rank under the unique total order, value at ⌈qn/100⌉
+    val ranked = docs
+      .withColumn("rn",
+        row_number().over(wp.orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .withColumn("nn", count(lit(1)).over(wp))
+    val exactAggs = HistQs.map(q =>
+      min(when(col("rn") * 100 >= col("nn") * q, col("n_chars"))).as(s"ex_$q"))
+    val exact = ranked.groupBy(col("lang"))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    est.join(broadcast(exact), Seq("lang"))
+      .select(col("lang"), col("n"), inline(array(HistQs.map(q =>
+        struct(lit(q).as("q"), col(s"bin_$q").as("bin_est"),
+          ((col(s"bin_$q") + 1) * HistW).as("est_hi"),
+          col(s"ex_$q").as("exact_val"))): _*)))
+      .select(col("lang"), col("q"), col("n"), col("bin_est"), col("est_hi"),
+        (col("est_hi").cast("long") - col("exact_val")).as("slack"),
+        col("exact_val"))
+      .orderBy("lang", "q")
+  }
+
   /** Count-min geometry: 4 rows × 256 buckets = 8 KB of counter state.
     * Point-query overestimate ≤ e·N/w per row with prob 1−e^−d — a term-
     * frequency profiler, not a billing counter (same class as [[KmvK]]).

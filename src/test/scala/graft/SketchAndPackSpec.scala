@@ -211,6 +211,42 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("histogram quantiles replay plain-Scala and bound exact one-sidedly") {
+    import graft.llm.Sketches
+    val got = Sketches.histQuantiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val docs: Seq[(String, Long, Long)] = Tables.table(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id")).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    assert(got.keySet ==
+      byLang.keySet.flatMap(l => Sketches.HistQs.map(l -> _)))
+    for (((lang, q), (n, binEst, estHi, slack, exact)) <- got) {
+      val ds = byLang(lang)
+      assert(n == ds.size.toLong)
+      // exact = value at rank ceil(q*n/100) under the (n_chars, id) order
+      val sorted = ds.sortBy(d => (d._2, d._3)).map(_._2)
+      val rank = (q * ds.size + 99) / 100 // ceil
+      assert(exact == sorted(rank - 1),
+        s"$lang p$q exact: got $exact want ${sorted(rank - 1)}")
+      // est bin = first bin whose cumulative reaches the rank
+      val bins = ds.map(d =>
+        math.min(d._2 / Sketches.HistW, (Sketches.HistB - 1).toLong).toInt)
+      val wantBin = (0 until Sketches.HistB)
+        .find(b => bins.count(_ <= b) * 100 >= q * ds.size).get
+      assert(binEst == wantBin)
+      assert(estHi == (wantBin + 1) * Sketches.HistW)
+      // one-sided: the bin's upper edge can never undershoot the exact
+      // value (the CMS overcount convention), and by at most one bin
+      assert(slack == estHi - exact)
+      assert(slack >= 0, s"$lang p$q: est $estHi under exact $exact")
+      assert(slack <= Sketches.HistW,
+        s"$lang p$q: slack $slack exceeds one bin width")
+    }
+  }
+
   test("span dedup keeps first occurrence only and reassembles in order") {
     val out = Dedup.spanDedup(spark, dir).cache()
     val docs = Tables.table(spark, dir, "documents").count()
