@@ -185,6 +185,7 @@ object SparkEntry {
     "q_pareto_front" -> (graft.ops.AnalyticsOps.paretoFront _),
     "q_dq_checks" -> (graft.ops.ProfileOps.dqChecks _),
     "q_sketch_histquant" -> (Sketches.histQuantiles _),
+    "q_tfidf_neighbors" -> ((s, dir) => TextAnalysis.docNeighbors(s, dir)),
     "q_w9_ohlc" -> (graft.ops.AnalyticsOps.ohlcResample _),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
@@ -2291,6 +2292,27 @@ object SparkEntry {
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$KCoreRounds GROUP BY src ORDER BY node"""
     },
+    // shared-term pair generation with the integer-cleared idf weight
+    // (mirrors TextAnalysis.docNeighbors)
+    "q_tfidf_neighbors" -> s"""
+         WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         tfc AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                 FROM ex GROUP BY 1, 2),
+         dfp AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1
+                 HAVING count(*) >= 2
+                    AND count(*) <= ${TextAnalysis.NeighborMaxDf}),
+         w AS (SELECT tfc.term, tfc.doc_id, tfc.tf * (n_docs // df) AS w
+               FROM tfc JOIN dfp USING (term), n)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(sum(a.w * b.w) AS BIGINT) AS dot,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         ORDER BY dot DESC, a_id, b_id
+         LIMIT ${TextAnalysis.NeighborTopK}""",
     // fixed-bin histogram quantiles; every threshold is the same integer
     // cross-multiply in both engines (mirrors Sketches.histQuantiles)
     "q_sketch_histquant" -> {

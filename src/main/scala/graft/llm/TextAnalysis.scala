@@ -1001,6 +1001,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
 
+  /** df band for the similarity join: terms in fewer than 2 documents
+    * cannot create a pair; terms above [[NeighborMaxDf]] are stop-term
+    * noise AND the quadratic hazard — the prune bounds every term's pair
+    * fanout at MaxDf², which is what keeps a posting self-join near-linear
+    * at corpus scale (the same role the LSH band plays for MinHash).
+    */
+  val NeighborMaxDf = 50
+  /** Result size of the pair ranking. */
+  val NeighborTopK = 50
+
+  /** Sparse TF-IDF document-similarity join — "which documents cover the
+    * same rare vocabulary": candidate pairs are generated ONLY through
+    * shared terms (a posting-list self-equi-join on term — never all
+    * pairs), scored by the idf-weighted dot product
+    * `Σ_t tf_a·tf_b·(N div df)²` with the idf cleared to an exact integer
+    * (`N div df` — the bm25/cooc odds-idf trade: log-free, so the ranking
+    * is hash-exact cross-engine), and the global top-K plans as
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: the [[NeighborMaxDf]] band is the whole story — pair
+    * fanout per term is ≤ MaxDf², the df table after the band is the
+    * RARE vocabulary (broadcastable; at extreme scale the same plan holds
+    * with a term-keyed shuffle join), and the corpus text is scanned once
+    * into the shared [[postingsOf]] aggregation.
+    */
+  def docNeighbors(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val postPlan = postingsOf(docs)
+    val post = if (cache) postPlan.cache() else postPlan
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= NeighborMaxDf)
+    val w = post.join(broadcast(dfT), Seq("term"))
+      .crossJoin(nDocs)
+      .select(col("term"), col("doc_id"),
+        (col("tf") * expr("n_docs div df")).as("w"))
+    w.as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("dot").desc, col("a_id"), col("b_id"))
+      .limit(NeighborTopK)
+  }
+
   def bm25Index(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
     val docs = t(s, dir, "documents")

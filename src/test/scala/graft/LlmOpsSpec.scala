@@ -535,4 +535,41 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(a != b)
   }
+
+  test("tfidf neighbors replay the banded integer dot product exactly") {
+    val got = TextAnalysis.docNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val docs: Seq[(Long, Seq[String])] = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val n = docs.size.toLong
+    val tf: Map[(String, Long), Long] = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (t, id) -> o.size.toLong }
+    }.toMap
+    val df = tf.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val band = df.filter { case (_, d) =>
+      d >= 2 && d <= TextAnalysis.NeighborMaxDf }
+    val w = tf.collect { case ((t, id), f) if band.contains(t) =>
+      (t, id) -> f * (n / band(t))
+    }
+    val byTerm = w.keys.toSeq.groupBy(_._1)
+    val pairs = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for ((t, keys) <- byTerm; a <- keys; b <- keys if a._2 < b._2) {
+      val k = (a._2, b._2)
+      val (d0, s0) = pairs.getOrElse(k, (0L, 0L))
+      pairs(k) = (d0 + w(a) * w(b), s0 + 1)
+    }
+    val want = pairs.toSeq.map { case ((a, b), (d, sh)) => (a, b, d, sh) }
+      .sortBy { case (a, b, d, _) => (-d, a, b) }
+      .take(TextAnalysis.NeighborTopK)
+    assert(got.toSeq == want.toSeq)
+    // non-vacuous: the ranking actually differentiates (tf and df vary —
+    // this synthetic corpus has no pair sharing two banded terms, so the
+    // multi-term sum is covered by the exact equality above, vacuously
+    // at this SF but structurally by the same fold)
+    assert(got.nonEmpty && got.map(_._3).distinct.size > 1)
+    // and the band did prune: some vocabulary fell outside [2, MaxDf]
+    assert(band.size < df.size)
+  }
 }
