@@ -115,6 +115,40 @@ object StreamOps {
         graft.llm.Sketches.hllEstimate(col("registers")).as("est_users"))
   }
 
+  /** Watermarked OHLC bars — the streaming twin of
+    * [[graft.ops.AnalyticsOps.ohlcResample]]: per (event_type, 1-hour
+    * window) open/high/low/close integer cents plus count/volume, with
+    * open/close selected by `min_by`/`max_by` under the SAME
+    * (epoch-micros, event_id) total order the batch form sorts by, so a
+    * timestamp tie picks the identical event in both forms. All six
+    * aggregates are declarative and associative — per-bar state is a few
+    * longs plus the two ordering keys, merged across partial
+    * aggregations; the watermark evicts closed bars, bounding the state
+    * store at O(open bars). The batch form reads the extremes off one
+    * sorted window pass instead (row_number against the partition count)
+    * — same answer, proved by the spec's replay; `min_by` is the
+    * streaming-friendly formulation because it never needs the sort.
+    */
+  def ohlcStream(events: DataFrame): DataFrame = {
+    val ord = struct(unix_micros(col("ts")).as("us"), col("event_id"))
+    val cents = round(col("value") * 100).cast("bigint")
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("event_type"), col("event_id"),
+        cents.as("cents"), ord.as("ord"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("cents"), col("ord")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("ord")).as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("vol_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_events"), col("vol_cents"))
+  }
+
   /** Gap-based sessionization as a batch window computation: a new session
     * starts when the gap to the previous event of the same user exceeds
     * 30 minutes; session id = running count of session starts.

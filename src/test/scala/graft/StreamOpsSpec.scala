@@ -61,6 +61,41 @@ class StreamOpsSpec extends AnyFunSuite {
       ("2024-01-01 11:00:00.0", "click", 1L, 400L)))
   }
 
+  test("ohlcStream bars replay the batch total-order fold, ties included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, event_type, value); two events SHARE a timestamp so
+    // only the (us, event_id) total order decides open — and the lower id
+    // carries the larger value, so a value-based or arrival-based pick
+    // would produce a different bar
+    val events = Seq(
+      (5L, ts("2024-01-01 10:00:00"), "click", 9.0), // tie, lower id: open
+      (6L, ts("2024-01-01 10:00:00"), "click", 1.0), // tie, higher id
+      (7L, ts("2024-01-01 10:30:00"), "click", 4.5), // high stays 9.0
+      (8L, ts("2024-01-01 10:59:00"), "click", 0.5), // low + close
+      (9L, ts("2024-01-01 10:20:00"), "view", 2.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(events)
+    mem.addData(Seq((99L, ts("2024-01-02 00:00:00"), "flush", 0.0)))
+    val q = StreamOps.ohlcStream(
+        mem.toDF.toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ohlc")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("window_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // batch definition replayed: sort each bar by (us, event_id), open =
+    // head, close = last (AnalyticsOps.ohlcResample's window form)
+    assert(got.toList == List(
+      ("2024-01-01 10:00:00.0", "click", 900L, 900L, 50L, 50L, 4L, 1500L),
+      ("2024-01-01 10:00:00.0", "view", 200L, 200L, 200L, 200L, 1L, 200L)))
+  }
+
   test("sessionizeStream emits gap-separated sessions matching batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
