@@ -102,6 +102,19 @@ object GraftCatalog {
       .createOrReplaceTempView("embed_rp")
     graft.llm.TextAnalysis.ivmIndex(spark, sfDir, cache = false)
       .createOrReplaceTempView("ivm_index")
+    // round-7 batch — lazy plans; kCore stays UNMOUNTED (its per-round
+    // localCheckpoint runs Spark jobs eagerly, the same exclusion as the
+    // components fixpoint)
+    graft.ops.AnalyticsOps.paretoFront(spark, sfDir)
+      .createOrReplaceTempView("pareto_front")
+    graft.ops.AnalyticsOps.ohlcResample(spark, sfDir)
+      .createOrReplaceTempView("ohlc_bars")
+    graft.ops.ProfileOps.dqChecks(spark, sfDir)
+      .createOrReplaceTempView("dq_checks")
+    graft.llm.Sketches.histQuantiles(spark, sfDir)
+      .createOrReplaceTempView("hist_quantiles")
+    graft.llm.TextAnalysis.docNeighbors(spark, sfDir, cache = false)
+      .createOrReplaceTempView("tfidf_neighbors")
     registerFunctions(spark)
   }
 

@@ -153,4 +153,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       FROM bigram_lm""").head()
     assert(cov.getLong(0) == spark.table("documents").count())
   }
+
+  test("round-7 views answer SQL end to end") {
+    // no frontier doc may dominate another (both-axes-better is impossible
+    // inside a skyline — checked in SQL over the mounted view itself)
+    assert(spark.sql("""
+      SELECT count(*) FROM pareto_front a JOIN pareto_front b
+      ON b.n_types >= a.n_types AND b.n_chars <= a.n_chars
+         AND (b.n_types > a.n_types OR b.n_chars < a.n_chars)""")
+      .head().getLong(0) == 0)
+    // OHLC internal consistency over every bar
+    assert(spark.sql("""
+      SELECT count(*) FROM ohlc_bars
+      WHERE low_cents > open_cents OR low_cents > close_cents
+         OR high_cents < open_cents OR high_cents < close_cents""")
+      .head().getLong(0) == 0)
+    // the dq suite reports all five constraints; injected dirt is caught
+    val dq = spark.sql(
+      "SELECT count(*), sum(CASE WHEN pass THEN 0 ELSE 1 END) FROM dq_checks")
+      .head()
+    assert(dq.getLong(0) == 5 && dq.getLong(1) >= 4)
+    // histogram quantile estimates stay one-sided over the exact value
+    assert(spark.sql(
+      "SELECT count(*) FROM hist_quantiles WHERE slack < 0")
+      .head().getLong(0) == 0)
+    // neighbor pairs are canonical and idf-scored positive
+    assert(spark.sql(
+      "SELECT count(*) FROM tfidf_neighbors WHERE a_id >= b_id OR dot <= 0")
+      .head().getLong(0) == 0)
+  }
 }

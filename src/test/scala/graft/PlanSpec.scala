@@ -568,4 +568,57 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("k#") || joinLine.contains("k ="),
       s"the bucket salt k must be part of the join key:\n$joinLine")
   }
+
+  // ---- round-7 guards ------------------------------------------------------
+
+  test("ohlc bars: window pass and collapse share ONE hash exchange") {
+    val p = plan("q_w9_ohlc")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"ordered pass and bar aggregate must reuse one (type, hr) shuffle, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("dq checks: referential check broadcasts the dim, nothing sort-merges") {
+    val p = plan("q_dq_checks")
+    assert(p.contains("BroadcastHashJoin"), "fk check must broadcast the dim")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("pareto frontier: docs attach by broadcast semi-join on winning pairs") {
+    val p = plan("q_pareto_front")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      "the corpus must semi-join the tiny frontier, not the reverse")
+    // the single-partition pass runs over per-lang survivors, never docs:
+    // the corpus-side exchange keys are the lang partition / pair distinct
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("hist quantiles: the exact side broadcasts onto the O(langs·B) sketch") {
+    val p = plan("q_sketch_histquant")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("tfidf neighbors: term-equi pair join over cached postings, heap top-K") {
+    val p = plan("q_tfidf_neighbors")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${
+      graft.llm.TextAnalysis.NeighborTopK}"),
+      "global top-K must be per-partition heaps, not a full sort")
+    assert(p.contains("InMemoryTableScan"),
+      "the posting aggregation must be computed once and cached")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
+  test("kcore: the per-round checkpoint truncates the fixpoint lineage") {
+    val p = plan("q_graph_kcore")
+    // after 8 peel rounds the final plan must hang off the materialized
+    // round-8 edge set, not re-derive 8 rounds of joins (2^8 leaf scans)
+    assert(p.contains("Scan ExistingRDD"),
+      s"final plan should read the checkpointed edges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"checkpoint must cut the parquet lineage, got $scans")
+  }
 }
