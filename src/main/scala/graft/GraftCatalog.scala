@@ -115,6 +115,9 @@ object GraftCatalog {
       .createOrReplaceTempView("hist_quantiles")
     graft.llm.TextAnalysis.docNeighbors(spark, sfDir, cache = false)
       .createOrReplaceTempView("tfidf_neighbors")
+    // bfs stays unmounted with kCore (eager per-round checkpoints)
+    graft.ops.AnalyticsOps.winsorize(spark, sfDir)
+      .createOrReplaceTempView("winsorized")
     registerFunctions(spark)
   }
 

@@ -183,6 +183,8 @@ object SparkEntry {
     "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
     "q_graph_kcore" -> ((s, dir) => graft.ops.GraphOps.kCore(s, dir)),
     "q_pareto_front" -> (graft.ops.AnalyticsOps.paretoFront _),
+    "q_graph_bfs" -> ((s, dir) => graft.ops.GraphOps.bfs(s, dir)),
+    "q_winsorize" -> (graft.ops.AnalyticsOps.winsorize _),
     "q_dq_checks" -> (graft.ops.ProfileOps.dqChecks _),
     "q_sketch_histquant" -> (Sketches.histQuantiles _),
     "q_tfidf_neighbors" -> ((s, dir) => TextAnalysis.docNeighbors(s, dir)),
@@ -2397,6 +2399,58 @@ object SparkEntry {
          SELECT check_name, n_checked, n_violations,
                 n_violations = 0 AS pass
          FROM rows_out ORDER BY check_name""",
+    // per-group clipping at the exact integer rank values
+    // (mirrors AnalyticsOps.winsorize)
+    "q_winsorize" -> {
+      import graft.ops.AnalyticsOps.{WinsorHiPct, WinsorLoPct}
+      s"""
+         WITH r AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                             o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+               FROM orders),
+         b AS (SELECT *,
+                  min(CASE WHEN rn * 100 >= cnt * $WinsorLoPct
+                           THEN cents END)
+                    OVER (PARTITION BY o_orderpriority) AS lo_cents,
+                  min(CASE WHEN rn * 100 >= cnt * $WinsorHiPct
+                           THEN cents END)
+                    OVER (PARTITION BY o_orderpriority) AS hi_cents
+               FROM r)
+         SELECT o_orderkey, o_orderpriority, cents, lo_cents, hi_cents,
+                least(greatest(cents, lo_cents), hi_cents) AS clipped_cents,
+                cents < lo_cents OR cents > hi_cents AS was_clipped
+         FROM b ORDER BY o_orderkey"""
+    },
+    // iterative BFS relaxation unrolled one MATERIALIZED CTE per round
+    // from GraphOps.BfsRounds; the edge CTEs are the shared co-purchase
+    // graph (mirrors GraphOps.bfs)
+    "q_graph_bfs" -> {
+      import graft.ops.GraphOps.{BfsRounds, TriMinSupport}
+      val steps = (1 to BfsRounds).map { r =>
+        s"""d$r AS MATERIALIZED (
+           SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d${r - 1}
+             UNION ALL
+             SELECT e.dst AS node, d.dist + 1 AS dist
+             FROM d${r - 1} d JOIN e0 e ON d.node = e.src)
+           GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""
+         WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2),
+         base AS (SELECT pa, pb FROM pairs WHERE supp >= $TriMinSupport),
+         e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM base
+                UNION ALL SELECT pb AS src, pa AS dst FROM base),
+         d0 AS MATERIALIZED (SELECT min(src) AS node,
+                CAST(0 AS BIGINT) AS dist FROM e0),
+         $steps
+         SELECT node, dist FROM d$BfsRounds ORDER BY node"""
+    },
     // skyline computed the DIRECT way (one global window over distinct
     // objective pairs) — matching Spark's two-phase per-lang/global split
     // proves the phased plan exact (mirrors AnalyticsOps.paretoFront)

@@ -237,6 +237,46 @@ object AnalyticsOps {
       .orderBy("event_type", "hr")
   }
 
+  /** Winsorization band, in percent: clip below the p05 and above the p95
+    * rank values.
+    */
+  val WinsorLoPct = 5
+  val WinsorHiPct = 95
+
+  /** Per-group winsorization — clip each order's amount to its priority
+    * group's [p05, p95] EXACT rank values (the robust-stats pre-pass that
+    * tames outliers before any mean/σ computation): rank under the unique
+    * (cents, key) total order, bound = first value whose rank reaches
+    * ⌈p·n/100⌉ (integer cross-multiply, the histQuantiles convention), so
+    * both bounds are actual data values and engine-exact.
+    *
+    * Shape: ONE shuffle on the group key and ZERO joins — the ordered
+    * rank pass and the two whole-partition conditional-min bounds all
+    * evaluate inside the same window partitioning, and the verdict is a
+    * row-local projection. (The broadcast-bounds-join formulation costs
+    * a second pass; the window form reads the partition once sorted.)
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("o_orderpriority"))
+    val lo = col("rn") * 100 >= col("cnt") * WinsorLoPct
+    val hi = col("rn") * 100 >= col("cnt") * WinsorHiPct
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("rn", row_number().over(
+        wp.orderBy(col("cents").asc, col("o_orderkey").asc)))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .withColumn("lo_cents", min(when(lo, col("cents"))).over(wp))
+      .withColumn("hi_cents", min(when(hi, col("cents"))).over(wp))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        col("lo_cents"), col("hi_cents"),
+        least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
+          .as("clipped_cents"),
+        (col("cents") < col("lo_cents") || col("cents") > col("hi_cents"))
+          .as("was_clipped"))
+      .orderBy("o_orderkey")
+  }
+
   /** Integer-exact per-language length outliers: flags documents more than
     * 1.5 population standard deviations from their language's mean length
     * WITHOUT any floating point — `(x-μ)² > (3/2)²σ²` cross-multiplies to

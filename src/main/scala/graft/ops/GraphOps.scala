@@ -204,4 +204,45 @@ object GraphOps {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy("node")
   }
+
+  /** Fixed BFS round count: the support-pruned co-purchase graph is dense
+    * (average degree in the tens), so eccentricity from the source is far
+    * below this; GraphOpsSpec asserts convergence inside the unroll (the
+    * KCoreRounds discipline).
+    */
+  val BfsRounds = 6
+
+  /** BFS distances over the co-purchase graph from a deterministic source
+    * (the smallest node id — a scalar the plan derives, no magic literal):
+    * per round the distance frame unions its one-hop expansion and
+    * collapses by `min(dist)` — the standard iterative frontier relaxation
+    * expressed as join + aggregate, reaching exact hop counts because a
+    * node's first appearance is at its true distance and `min` keeps it.
+    *
+    * Scale shape: the static edge table caches once; each round is ONE
+    * equi-join of the O(reached) distance frame onto it plus one min
+    * aggregation (map-side combined). Per-round `localCheckpoint`
+    * truncates the self-referencing lineage (the round plan reads the
+    * previous frame twice — union + join — so an uncheckpointed loop
+    * doubles per round, the kCore discipline). Unreached nodes are absent
+    * rather than ∞ — the frame stays O(reached).
+    */
+  def bfs(s: SparkSession, dir: String, rounds: Int = BfsRounds): DataFrame = {
+    val base = coPurchaseEdges(s, dir)
+    val e = base.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(base.select(col("pb").as("src"), col("pa").as("dst")))
+      .cache()
+    var dist = e.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expand = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(expand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    dist.orderBy("node")
+  }
 }

@@ -149,6 +149,36 @@ object StreamOps {
         col("close_cents"), col("n_events"), col("vol_cents"))
   }
 
+  /** The event-type domain the streaming data-quality monitor accepts —
+    * ONE definition shared with [[dqStream]]'s spec.
+    */
+  val DqEventTypes: Seq[String] =
+    Seq("click", "view", "purchase", "signup", "error")
+
+  /** Streaming data-quality monitor — the
+    * [[graft.ops.ProfileOps.dqChecks]] row-local constraint families
+    * (completeness / domain / range) evaluated per event-time window: the
+    * violation dashboard an ingest watches live, where the batch suite is
+    * the publish gate. Counts are plain conditional sums — associative,
+    * O(1) state per open window, watermark-evicted; the uniqueness and
+    * referential families deliberately stay batch-only (both need
+    * cross-window memory a stream cannot bound).
+    */
+  def dqStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_null_user"),
+        sum(when(col("event_type").isin(DqEventTypes.map(x => x: Any): _*),
+          0L).otherwise(1L)).as("v_domain"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("v_range"))
+      .select(col("window.start").as("window_start"), col("n_rows"),
+        col("v_null_user"), col("v_domain"), col("v_range"),
+        (col("v_null_user") + col("v_domain") + col("v_range") === 0L)
+          .as("pass"))
+
   /** Gap-based sessionization as a batch window computation: a new session
     * starts when the gap to the previous event of the same user exceeds
     * 30 minutes; session id = running count of session starts.

@@ -237,6 +237,37 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winsorize clips at the exact per-group rank bounds") {
+    val got = AnalyticsOps.winsorize(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    val orders: Seq[(Long, String, Long)] = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long")).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byPrio = orders.groupBy(_._2)
+    for ((prio, os) <- byPrio) {
+      val sorted = os.sortBy(o => (o._3, o._1)).map(_._3)
+      val n = sorted.size
+      def bound(p: Int) = sorted((p * n + 99) / 100 - 1) // value at ceil rank
+      val (lo, hi) = (bound(AnalyticsOps.WinsorLoPct),
+        bound(AnalyticsOps.WinsorHiPct))
+      for ((k, _, c) <- os) {
+        val want = (prio, c, lo, hi, math.min(math.max(c, lo), hi),
+          c < lo || c > hi)
+        assert(got(k) == want, s"order $k: got ${got(k)}, want $want")
+      }
+    }
+    // non-vacuous: clipping happened on both sides somewhere
+    assert(got.values.exists(v => v._6 && v._2 < v._3))
+    assert(got.values.exists(v => v._6 && v._2 > v._4))
+    // and clipped values always land inside the band
+    got.values.foreach { case (_, _, lo, hi, cl, _) =>
+      assert(cl >= lo && cl <= hi)
+    }
+  }
+
   test("rank suite: ranks agree with sort positions under the unique key") {
     val rows = AnalyticsOps.w8RankSuite(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),

@@ -144,6 +144,41 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "empty core is a vacuous test")
   }
 
+  test("bfs replays plain-Scala frontier expansion and has converged") {
+    val got = GraphOps.bfs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.catalog.clearCache()
+    val li: Seq[(Long, Long)] = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val basePairs: Seq[(Long, Long)] = li.groupBy(_._1).values.toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2)
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      .groupBy(identity)
+      .filter(_._2.size >= GraphOps.TriMinSupport).keys.toSeq
+    val adj = (basePairs ++ basePairs.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val source = adj.keys.min
+    var dist = Map(source -> 0L)
+    var prev = dist
+    (1 to GraphOps.BfsRounds).foreach { _ =>
+      prev = dist
+      val expand = dist.toSeq.flatMap { case (n, d) =>
+        adj.getOrElse(n, Set.empty).map(_ -> (d + 1)) }
+      dist = (dist.toSeq ++ expand).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist)
+    // converged inside the unroll, and the whole component was reached
+    assert(dist == prev, "BFS had not converged within BfsRounds")
+    assert(got.size > 1 && got(source) == 0L)
+    // every edge respects the triangle inequality |d(u) - d(v)| <= 1
+    for ((u, vs) <- adj; v <- vs)
+      assert(math.abs(got(u) - got(v)) <= 1, s"edge ($u,$v) violates BFS")
+  }
+
   test("pagerank gives hub organizations more mass than leaf users") {
     val out = GraphOps.pageRank(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1))

@@ -96,6 +96,36 @@ class StreamOpsSpec extends AnyFunSuite {
       ("2024-01-01 10:00:00.0", "view", 200L, 200L, 200L, 200L, 1L, 200L)))
   }
 
+  test("dqStream counts per-window violations like the batch row-local suite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (ts, user_id: java.lang.Long, event_type, value) — one null user,
+    // one out-of-domain type, one negative value, spread over two windows
+    val mem = MemoryStream[(Timestamp, java.lang.Long, String, Double)]
+    mem.addData(Seq(
+      (ts("2024-01-01 10:05:00"), 1L: java.lang.Long, "click", 1.0),
+      (ts("2024-01-01 10:10:00"), null, "view", 2.0),
+      (ts("2024-01-01 10:20:00"), 3L: java.lang.Long, "bogus", 1.0),
+      (ts("2024-01-01 11:05:00"), 4L: java.lang.Long, "purchase", -5.0),
+      (ts("2024-01-01 11:15:00"), 5L: java.lang.Long, "signup", 1.0)))
+    mem.addData(Seq(
+      (ts("2024-01-02 00:00:00"), 9L: java.lang.Long, "click", 0.0)))
+    val q = StreamOps.dqStream(
+        mem.toDF.toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("dqmon")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("dqmon")
+      .filter(col("window_start") < ts("2024-01-02 00:00:00"))
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toList == List(
+      ("2024-01-01 10:00:00.0", 3L, 1L, 1L, 0L, false),
+      ("2024-01-01 11:00:00.0", 2L, 0L, 0L, 1L, false)))
+  }
+
   test("sessionizeStream emits gap-separated sessions matching batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
