@@ -611,6 +611,23 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("winsorize: one hash exchange, zero joins — bounds ride the window") {
+    val p = plan("q_winsorize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"rank pass and bounds must share one priority shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"the window form needs no bounds join:\n$p")
+  }
+
+  test("bfs: the per-round checkpoint truncates the relaxation lineage") {
+    val p = plan("q_graph_bfs")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final plan should read the checkpointed distances:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "checkpoint must cut the parquet lineage")
+  }
+
   test("kcore: the per-round checkpoint truncates the fixpoint lineage") {
     val p = plan("q_graph_kcore")
     // after 8 peel rounds the final plan must hang off the materialized
