@@ -118,6 +118,10 @@ object GraftCatalog {
     // bfs stays unmounted with kCore (eager per-round checkpoints)
     graft.ops.AnalyticsOps.winsorize(spark, sfDir)
       .createOrReplaceTempView("winsorized")
+    graft.llm.TextAnalysis.skipgrams(spark, sfDir)
+      .createOrReplaceTempView("skipgrams")
+    graft.llm.TextAnalysis.negativeSamples(spark, sfDir)
+      .createOrReplaceTempView("negative_samples")
     registerFunctions(spark)
   }
 

@@ -188,6 +188,8 @@ object SparkEntry {
     "q_dq_checks" -> (graft.ops.ProfileOps.dqChecks _),
     "q_sketch_histquant" -> (Sketches.histQuantiles _),
     "q_tfidf_neighbors" -> ((s, dir) => TextAnalysis.docNeighbors(s, dir)),
+    "q_skipgrams" -> (TextAnalysis.skipgrams _),
+    "q_negsample" -> (TextAnalysis.negativeSamples _),
     "q_w9_ohlc" -> (graft.ops.AnalyticsOps.ohlcResample _),
     "q_fuzzy_match" -> (graft.ops.MatchOps.fuzzyNameMatch _),
     "q_ivm_join" -> (graft.ops.IncrementalOps.ivmJoin _),
@@ -2294,6 +2296,46 @@ object SparkEntry {
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$KCoreRounds GROUP BY src ORDER BY node"""
     },
+    // row-local windowed pair lists per offset, generated from the ONE
+    // Scala window constant (mirrors TextAnalysis.skipgrams)
+    "q_skipgrams" -> {
+      import TextAnalysis.{SkipgramTopK, SkipgramWindow}
+      val sels = (1 to SkipgramWindow).flatMap { off =>
+        Seq(
+          s"""SELECT unnest(list_transform(range(1, len(toks) - $off + 1),
+               i -> {'w': toks[i], 'c': toks[i + $off]})) AS p FROM tk""",
+          s"""SELECT unnest(list_transform(range(1, len(toks) - $off + 1),
+               i -> {'w': toks[i + $off], 'c': toks[i]})) AS p FROM tk""")
+      }.mkString("\n           UNION ALL\n           ")
+      s"""
+         WITH tk AS (SELECT string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+         pairs AS ($sels)
+         SELECT p.w AS w, p.c AS c, count(*)::BIGINT AS cnt
+         FROM pairs GROUP BY 1, 2
+         ORDER BY cnt DESC, w, c
+         LIMIT $SkipgramTopK"""
+    },
+    // cumulative-range table + broadcast containment probes; probe hashes
+    // are the md5-prefix convention (mirrors TextAnalysis.negativeSamples)
+    "q_negsample" -> s"""
+         WITH uni AS (SELECT term, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                     FROM documents)
+               GROUP BY 1),
+         r AS (SELECT term, cnt,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY term
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS tot
+               FROM uni),
+         pr AS (SELECT probe_id,
+                  ${hexIntSql("'neg:' || probe_id")} AS h0
+                FROM (SELECT unnest(range(0, ${TextAnalysis.NegSampleK}))
+                        AS probe_id))
+         SELECT probe_id, h0 % tot AS h, term, cnt
+         FROM pr JOIN r ON h0 % tot >= start AND h0 % tot < start + cnt
+         ORDER BY probe_id""",
     // shared-term pair generation with the integer-cleared idf weight
     // (mirrors TextAnalysis.docNeighbors)
     "q_tfidf_neighbors" -> s"""

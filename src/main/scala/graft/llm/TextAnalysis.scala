@@ -1001,6 +1001,87 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
 
+  /** Skip-gram window radius and result size. */
+  val SkipgramWindow = 2
+  val SkipgramTopK = 100
+
+  /** Skip-gram (center, context) pair counts within ±[[SkipgramWindow]]
+    * tokens — the training-pair extraction a word2vec/contrastive
+    * embedding run feeds on. Pair generation is ROW-LOCAL: one zipped
+    * slice pass per offset (and its transpose for the negative offsets) —
+    * never a positions self-join — so the only shuffle is the final
+    * (w, c) count aggregation (map-side combined) and the top-K plans as
+    * TakeOrderedAndProject. Directed counts: `n(w→c)` is the number of
+    * times c appears within the window of center w; the ±off transpose
+    * makes the matrix symmetric by construction (spec-pinned).
+    */
+  def skipgrams(s: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    def fwd(off: Int) = when(n > off,
+      zip_with(
+        slice(col("toks"), lit(1), n - lit(off)),
+        slice(col("toks"), lit(1 + off), n - lit(off)),
+        (a, b) => struct(a.as("w"), b.as("c"))))
+      .otherwise(array())
+    def bwd(off: Int) = when(n > off,
+      zip_with(
+        slice(col("toks"), lit(1), n - lit(off)),
+        slice(col("toks"), lit(1 + off), n - lit(off)),
+        (a, b) => struct(b.as("w"), a.as("c"))))
+      .otherwise(array())
+    val offs = 1 to SkipgramWindow
+    t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(concat(
+        (offs.map(fwd) ++ offs.map(bwd)): _*)).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"), col("c"))
+      .limit(SkipgramTopK)
+  }
+
+  /** Negative-sampling probe count. */
+  val NegSampleK = 100
+
+  /** Frequency-proportional negative-sampling table + its probes — the
+    * other half of the skip-gram training-data story: the unigram
+    * distribution becomes a CUMULATIVE RANGE TABLE (term t owns
+    * [start, start+cnt) over total T, ranges from one window sum under
+    * the deterministic term order), and each of the K md5-seeded probes
+    * `h_j = md5("neg:j") mod T` resolves to the owning term — sampling
+    * term t with probability cnt(t)/T exactly. (word2vec raises counts to
+    * 0.75 before normalizing; that needs libm `pow`, so this table uses
+    * exponent 1.0 — the integer-exact trade, same family as the bm25
+    * odds-idf clearing.)
+    *
+    * Shape: the range table is an O(vocab) window pass; the K probes
+    * BROADCAST against it with the half-open containment predicate — a
+    * K×V nested-loop whose small side is K rows (the j9 interval-join
+    * economics: broadcast the tiny side, predicate-prune on the big one).
+    */
+  def negativeSamples(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("term"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranges = uni
+      .withColumn("start", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+    val probes = broadcast(
+      s.range(0, NegSampleK).toDF("probe_id")
+        .select(col("probe_id"),
+          md5Long(concat(lit("neg:"), col("probe_id").cast("string")))
+            .as("h0")))
+    probes.join(ranges,
+        col("h0") % col("tot") >= col("start") &&
+          col("h0") % col("tot") < col("start") + col("cnt"))
+      .select(col("probe_id"), (col("h0") % col("tot")).as("h"),
+        col("term"), col("cnt"))
+      .orderBy("probe_id")
+  }
+
   /** df band for the similarity join: terms in fewer than 2 documents
     * cannot create a pair; terms above [[NeighborMaxDf]] are stop-term
     * noise AND the quadratic hazard — the prune bounds every term's pair

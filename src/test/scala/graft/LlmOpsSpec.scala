@@ -536,6 +536,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("skipgrams replay the windowed pair counts; the matrix is symmetric") {
+    val got = TextAnalysis.skipgrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0).split("\\s+").toSeq)
+    val full = scala.collection.mutable.Map[(String, String), Long]()
+    for (ts <- docs; off <- 1 to TextAnalysis.SkipgramWindow;
+         i <- 0 until ts.length - off) {
+      full((ts(i), ts(i + off))) = full.getOrElse((ts(i), ts(i + off)), 0L) + 1
+      full((ts(i + off), ts(i))) = full.getOrElse((ts(i + off), ts(i)), 0L) + 1
+    }
+    val want = full.toSeq.map { case ((w, c), n) => (w, c, n) }
+      .sortBy { case (w, c, n) => (-n, w, c) }
+      .take(TextAnalysis.SkipgramTopK)
+    assert(got.toSeq == want)
+    // symmetric by construction over the FULL matrix
+    for (((w, c), n) <- full) assert(full((c, w)) == n)
+    assert(got.nonEmpty && got.head._3 > 1)
+  }
+
+  test("negative samples resolve probes through the exact cumulative ranges") {
+    val got = TextAnalysis.negativeSamples(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val toks = Tables.table(spark, sf, "documents")
+      .select(col("text")).collect().flatMap(_.getString(0).split("\\s+"))
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ordered = uni.toSeq.sortBy(_._1)
+    val starts = ordered.scanLeft(0L)(_ + _._2).init
+    val ranges = ordered.zip(starts).map { case ((t, c), s0) => (t, c, s0) }
+    val tot = toks.length.toLong
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    assert(got.size == TextAnalysis.NegSampleK)
+    for (j <- 0L until TextAnalysis.NegSampleK.toLong) {
+      val h = md5Long(s"neg:$j") % tot
+      val (term, cnt, _) = ranges.find { case (_, c, s0) =>
+        h >= s0 && h < s0 + c }.get
+      assert(got(j) == ((h, term, cnt)), s"probe $j: got ${got(j)}")
+    }
+    // the table actually samples WITH replacement: vocab < K probes, so
+    // some term must repeat (pigeonhole — deterministic, unlike any
+    // per-term frequency expectation on this near-uniform closed vocab)
+    val drawn = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(uni.size < TextAnalysis.NegSampleK && drawn.values.max > 1)
+  }
+
   test("tfidf neighbors replay the banded integer dot product exactly") {
     val got = TextAnalysis.docNeighbors(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
