@@ -146,6 +146,7 @@ object SparkEntry {
     "q_mm_features" -> (MultimodalOps.features _),
     "q_mm_decode" -> (MultimodalOps.mmDecode _),
     "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
+    "q_mm_dedup" -> (MultimodalOps.mmDedup _),
     "q_decontaminate" -> (Curation.decontaminate _),
     "q_pii_redact" -> (Curation.piiRedact _),
     "q_source_mix" -> (Curation.sourceMix _),
@@ -2296,6 +2297,20 @@ object SparkEntry {
          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$KCoreRounds GROUP BY src ORDER BY node"""
     },
+    // the blob is the UTF-8 text bytes, so md5(blob) == md5(text) and the
+    // oracle works on the text column directly
+    // (mirrors MultimodalOps.mmDedup)
+    "q_mm_dedup" -> s"""
+         WITH b AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + ${graft.ops.MultimodalOps.ReingestOffset},
+                           text
+                    FROM documents WHERE doc_id % 7 = 0)
+         SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS digest
+         FROM b GROUP BY md5(text), octet_length(encode(text))
+         ORDER BY keep_id""",
     // row-local windowed pair lists per offset, generated from the ONE
     // Scala window constant (mirrors TextAnalysis.skipgrams)
     "q_skipgrams" -> {

@@ -210,4 +210,34 @@ object MultimodalOps {
         col("pos").cast("int").as("frame_idx"),
         md5(col("col")).as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
+
+  /** Id offset for the deterministically re-ingested asset slice — far
+    * above every real doc_id so the injected copies are distinguishable.
+    */
+  val ReingestOffset = 1000000L
+
+  /** Exact media dedup — the binary tier's `q_dedup_exact`: assets group
+    * by content digest (+ byte length as the cheap pre-key), keeping the
+    * smallest id. The corpus has no repeated blobs, so a re-ingested
+    * slice (every 7th asset re-appears under a shifted id — the standing
+    * modulo-injection device) plants real duplicates the query must
+    * collapse.
+    *
+    * Scale shape: the digest is a row-local projection (the blob never
+    * shuffles — only the 16-byte digest and two longs travel), one count
+    * aggregation, map-side combined. This is what asset-dedup at 100 TB
+    * looks like: bytes stay in their row groups; hashes move.
+    */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = blobTable(s, dir).select(col("doc_id"), col("blob"))
+    val reingested = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + ReingestOffset).as("doc_id"), col("blob"))
+    base.union(reingested)
+      .select(col("doc_id"), md5(col("blob")).as("digest"),
+        length(col("blob")).cast("bigint").as("n_bytes"))
+      .groupBy(col("digest"), col("n_bytes"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("n_bytes"), col("digest"))
+      .orderBy("keep_id")
+  }
 }

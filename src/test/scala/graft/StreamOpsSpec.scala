@@ -302,6 +302,30 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: asset dedup collapses the re-ingested slice onto originals") {
+    import graft.ops.MultimodalOps
+    val got = MultimodalOps.mmDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // keep_id is always an ORIGINAL id (min beats every offset copy)
+    assert(got.keySet.forall(_ < MultimodalOps.ReingestOffset))
+    // group count = distinct texts; total copies = originals + injected
+    val byText = texts.groupBy(_._2)
+    assert(got.size == byText.size)
+    assert(got.values.sum ==
+      texts.length + texts.count(_._1 % 7 == 0))
+    // each group's copy count replays: its docs + those re-ingested
+    for ((text, ds) <- byText) {
+      val keep = ds.map(_._1).min
+      val want = ds.length + ds.count(_._1 % 7 == 0)
+      assert(got(keep) == want.toLong, s"group of doc $keep")
+    }
+    // non-vacuous: real multi-copy groups exist
+    assert(got.values.exists(_ > 1))
+  }
+
   test("multimodal: batched mapPartitions decode parses the synthesized headers") {
     // the expression path computes dimensions from n_chars; the decode path
     // must recover the SAME numbers by parsing the container bytes
