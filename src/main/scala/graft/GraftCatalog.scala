@@ -122,6 +122,12 @@ object GraftCatalog {
       .createOrReplaceTempView("skipgrams")
     graft.llm.TextAnalysis.negativeSamples(spark, sfDir)
       .createOrReplaceTempView("negative_samples")
+    graft.ops.AnalyticsOps.anomalyMad(spark, sfDir)
+      .createOrReplaceTempView("anomaly_mad")
+    graft.ops.AsofOps.interpFill(spark, sfDir)
+      .createOrReplaceTempView("interp_fill")
+    // dedupCanonical stays unmounted with the components it composes
+    // (eager fixpoint, the standing view-contract exclusion)
     registerFunctions(spark)
   }
 

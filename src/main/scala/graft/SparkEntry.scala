@@ -204,6 +204,9 @@ object SparkEntry {
     "q_embed_rp" -> (Similarity.randomProjection _),
     "q_split_leakage" -> (TextAnalysis.leakageSafeSplit _),
     "q_ivm_index" -> ((s, dir) => TextAnalysis.ivmIndex(s, dir)),
+    "q_anomaly_mad" -> (graft.ops.AnalyticsOps.anomalyMad _),
+    "q_w10_interp" -> (graft.ops.AsofOps.interpFill _),
+    "q_dedup_canonical" -> (Dedup.dedupCanonical _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2729,5 +2732,97 @@ object SparkEntry {
          SELECT doc_id, component, split, naive_split,
                 split <> naive_split AS moved
          FROM sp ORDER BY doc_id""",
+    // exact rank-value median and MAD via the winsorize cross-multiply
+    // device (rn*2 >= cnt selects the value at rank ceil(n/2)); mirrors
+    // AnalyticsOps.anomalyMad
+    "q_anomaly_mad" -> {
+      import graft.ops.AnalyticsOps.MadK
+      s"""
+         WITH r AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY CAST(round(value * 100) AS BIGINT),
+                             event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM events),
+         m AS (SELECT *,
+                  min(CASE WHEN rn * 2 >= cnt THEN cents END)
+                    OVER (PARTITION BY event_type) AS med_cents
+               FROM r),
+         d AS (SELECT *, abs(cents - med_cents) AS abs_dev,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs(cents - med_cents), event_id) AS dn
+               FROM m),
+         f AS (SELECT *,
+                  min(CASE WHEN dn * 2 >= cnt THEN abs_dev END)
+                    OVER (PARTITION BY event_type) AS mad_cents
+               FROM d)
+         SELECT event_id, event_type, cents, med_cents, mad_cents,
+                abs_dev > $MadK * mad_cents AS is_anomaly
+         FROM f ORDER BY event_id"""
+    },
+    // time-weighted linear interpolation between the surrounding
+    // observations; floor division spelled out as (a - ((a%b + b)%b)) // b
+    // so the negative-numerator semantics are engine-identical (mirrors
+    // AsofOps.interpFill)
+    "q_w10_interp" -> s"""
+         WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN event_id % 3 = 0
+                       THEN CAST(round(value * 100) AS BIGINT)
+                  END AS reading_cents
+               FROM events),
+         w AS (SELECT *,
+                  last_value(reading_cents IGNORE NULLS) OVER pb
+                    AS prev_cents,
+                  last_value(CASE WHEN reading_cents IS NOT NULL
+                                  THEN ts_us END IGNORE NULLS) OVER pb
+                    AS prev_ts,
+                  first_value(reading_cents IGNORE NULLS) OVER pf
+                    AS next_cents,
+                  first_value(CASE WHEN reading_cents IS NOT NULL
+                                   THEN ts_us END IGNORE NULLS) OVER pf
+                    AS next_ts
+               FROM e
+               WINDOW pb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      pf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id, ts_us, reading_cents,
+                CASE WHEN reading_cents IS NOT NULL THEN reading_cents
+                     WHEN prev_cents IS NULL THEN next_cents
+                     WHEN next_cents IS NULL THEN prev_cents
+                     WHEN next_ts = prev_ts THEN prev_cents
+                     ELSE prev_cents +
+                       ((next_cents - prev_cents) * (ts_us - prev_ts)
+                        - ((((next_cents - prev_cents) * (ts_us - prev_ts))
+                             % (next_ts - prev_ts) + (next_ts - prev_ts))
+                           % (next_ts - prev_ts)))
+                       // (next_ts - prev_ts)
+                END AS interp_cents,
+                reading_cents IS NULL AS was_filled
+         FROM w ORDER BY event_id""",
+    // the component closure (shared CTE chain with q_dedup_components)
+    // plus keep-longest selection under the unique (n_chars desc, doc_id)
+    // order; mirrors Dedup.dedupCanonical
+    "q_dedup_canonical" -> s"""
+         WITH RECURSIVE $simhashSkCtes,
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, min(b) AS component
+                  FROM reach GROUP BY a),
+         j AS (SELECT c.doc_id, c.component, d.n_chars
+               FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         SELECT doc_id, component, n_chars,
+                row_number() OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+         FROM j ORDER BY doc_id""",
   )
 }

@@ -384,6 +384,39 @@ object Dedup {
     connectedComponents(nodes, pairs).orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection — the policy layer on top of
+    * [[nearDupComponents]]: instead of the label convention's "keep the
+    * smallest doc_id", each near-dup cluster keeps its BEST member. A real
+    * curation pipeline wants this because near-dup clusters are typically
+    * one full document plus its truncated/mangled copies — min-id keeps
+    * whichever was crawled first; keep-richest keeps the most content. The
+    * policy here is the standard keep-longest heuristic under the unique
+    * (n_chars desc, doc_id asc) total order, so selection is deterministic
+    * and engine-exact; any row-local score column slots into the same
+    * window unchanged.
+    *
+    * Shape: the component fixpoint (already audited) plus one narrow
+    * doc_id equi-join attaching n_chars to the (doc_id, component) label
+    * table — two long columns a side, co-partitioned — and ONE window
+    * shuffle on `component` for the per-cluster rank. The corpus text
+    * never moves; only ids, labels, and one length column shuffle, which
+    * is what keeps canonical selection viable when the documents
+    * themselves are 100 TB.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = simhashPairsUnsorted(s, dir).select(col("a_id"), col("b_id"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val comp = connectedComponents(docs.select(col("doc_id")), pairs)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comp.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("n_chars"),
+        (col("rn") === 1).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Generic connected components: every node gets the smallest `doc_id`
     * reachable through the undirected `pairs` graph. The iterative core of
     * [[nearDupComponents]], reusable for any near-dup pair source (and

@@ -277,6 +277,63 @@ object AnalyticsOps {
       .orderBy("o_orderkey")
   }
 
+  /** Anomaly threshold: a value is anomalous when its absolute deviation
+    * from the group median exceeds `MadK` times the group MAD.
+    */
+  val MadK = 3
+
+  /** Per-type robust anomaly detection by median absolute deviation — the
+    * outlier rule that survives the skew a mean/σ z-score drowns in (one
+    * fat tail drags μ and inflates σ until nothing flags; the median and
+    * MAD are 50%-breakdown estimators). Both statistics are EXACT rank
+    * values under the unique (value, key) total order — the lower median
+    * at rank ⌈n/2⌉ (`rn*2 >= cnt`, the winsorize cross-multiply device) —
+    * so every number is an actual data value in integer cents and the
+    * verdict `|x − med| > MadK·mad` is engine-exact with no floating
+    * point anywhere.
+    *
+    * Shape: ONE shuffle on the group key, ZERO joins — the median rank
+    * pass, the deviation rank pass, and both whole-partition conditional
+    * mins evaluate inside the same window partitioning (two sorts over
+    * one exchange; Spark chains the Window operators without
+    * re-shuffling because the partitioning expression is identical).
+    * The verdict is a row-local projection. [[madStats]] freezes the
+    * per-type (median, MAD) pair as the serving artifact the streaming
+    * twin ([[graft.streaming.StreamOps.anomalyStream]]) probes.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame =
+    anomalyCore(s, dir)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"),
+        (col("abs_dev") > lit(MadK) * col("mad_cents")).as("is_anomaly"))
+      .orderBy("event_id")
+
+  private def anomalyCore(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("event_type"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        cents(col("value")).as("cents"))
+      .withColumn("rn", row_number().over(
+        wp.orderBy(col("cents").asc, col("event_id").asc)))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .withColumn("med_cents",
+        min(when(col("rn") * 2 >= col("cnt"), col("cents"))).over(wp))
+      .withColumn("abs_dev", abs(col("cents") - col("med_cents")))
+      .withColumn("dn", row_number().over(
+        wp.orderBy(col("abs_dev").asc, col("event_id").asc)))
+      .withColumn("mad_cents",
+        min(when(col("dn") * 2 >= col("cnt"), col("abs_dev"))).over(wp))
+  }
+
+  /** The frozen per-type (median, MAD) table — O(types) rows, the
+    * trained-statistics artifact a deployment persists and the live
+    * anomaly monitor broadcasts against incoming events.
+    */
+  def madStats(s: SparkSession, dir: String): DataFrame =
+    anomalyCore(s, dir)
+      .select(col("event_type"), col("med_cents"), col("mad_cents"))
+      .distinct()
+
   /** Integer-exact per-language length outliers: flags documents more than
     * 1.5 population standard deviations from their language's mean length
     * WITHOUT any floating point — `(x-μ)² > (3/2)²σ²` cross-multiplies to

@@ -120,4 +120,69 @@ object AsofOps {
         last(col("reading_cents"), ignoreNulls = true).over(w))
       .orderBy("event_id")
   }
+
+  /** Linear interpolation between observations — [[gapFill]]'s carry
+    * upgraded to time-weighted reconstruction: a missing reading takes
+    * `prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`, the value the
+    * straight line between the surrounding observations passes through at
+    * this row's timestamp. Series edges degrade gracefully: before the
+    * first observation the fill is the next one (backfill), after the
+    * last it is the carry, and a key with no observations stays null.
+    *
+    * Determinism: the division is integer FLOOR division written as
+    * `(a − ((a%b + b)%b)) / b` — `%` is C-style (sign follows the
+    * dividend) in both engines, so the expression is engine-identical
+    * for the negative numerators a falling line produces, with no
+    * floating point anywhere. The weight numerator
+    * `(next−prev)·(t−t_prev)` stays in BIGINT — exact while
+    * |Δcents|·Δmicros < 2^63 (a 10^5-cent swing over a month-long gap is
+    * ~2.6·10^17; wider regimes lift the product to DECIMAL(38,0)
+    * unchanged, the lengthOutliers convention).
+    *
+    * Shape: ONE shuffle on the key — the backward-looking carry pair and
+    * the forward-looking fill pair are two frames over the SAME window
+    * sort, so Spark evaluates all four in one Window pass; the
+    * interpolation itself is a row-local projection. Sparsity is
+    * synthesized as in [[gapFill]] (a reading survives on every third
+    * event_id).
+    */
+  def interpFill(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("reading_cents").isNotNull, col("ts_us"))
+    // floor division, engine-identical for negative numerators; the final
+    // division runs in INTEGER arithmetic (`div` here, `//` in the
+    // oracle) on the already-exactly-divisible numerator — a double `/`
+    // would round the >2^53 numerator before dividing
+    def floorDiv(a: Column, b: Column): Column =
+      call_function("div", a - ((a % b + b) % b), b)
+    val num = (col("next_cents") - col("prev_cents")) *
+      (col("ts_us") - col("prev_ts"))
+    val den = col("next_ts") - col("prev_ts")
+    graft.Tables.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_id") % 3 === 0,
+          round(col("value") * 100).cast("long")).as("reading_cents"))
+      .withColumn("prev_cents",
+        last(col("reading_cents"), ignoreNulls = true).over(back))
+      .withColumn("prev_ts", last(obsTs, ignoreNulls = true).over(back))
+      .withColumn("next_cents",
+        first(col("reading_cents"), ignoreNulls = true).over(fwd))
+      .withColumn("next_ts", first(obsTs, ignoreNulls = true).over(fwd))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("reading_cents"),
+        when(col("reading_cents").isNotNull, col("reading_cents"))
+          .when(col("prev_cents").isNull, col("next_cents"))
+          .when(col("next_cents").isNull, col("prev_cents"))
+          // equal surrounding timestamps (a micros tie) make the line
+          // degenerate AND the division a ÷0 — carry, before dividing
+          .when(col("next_ts") === col("prev_ts"), col("prev_cents"))
+          .otherwise(col("prev_cents") + floorDiv(num, den).cast("long"))
+          .as("interp_cents"),
+        col("reading_cents").isNull.as("was_filled"))
+      .orderBy("event_id")
+  }
 }

@@ -412,6 +412,30 @@ object StreamOps {
       .select(col("query_id"), col("term"), col("doc_id"),
         graft.llm.TextAnalysis.bm25TermScore.as("s9"))
 
+  /** Streaming form of [[graft.ops.AnalyticsOps.anomalyMad]] — the live
+    * anomaly monitor: incoming events probe the FROZEN per-type
+    * (median, MAD) statistics table ([[graft.ops.AnalyticsOps.madStats]],
+    * the trained artifact a deployment refreshes on the batch cadence)
+    * via one stateless broadcast stream-static join; the
+    * `|x − med| > MadK·mad` verdict is row-local integer arithmetic, so
+    * the stream is pure append with zero state. Recomputing the medians
+    * IN the stream would be a stateful aggregation on a non-time key
+    * (and would let today's anomalies drag today's threshold) — the
+    * freeze-and-probe split is the deliberate semantics, same as the
+    * semDedup and bm25 probes. Events of a type absent from the stats
+    * table emit no row (the membership-join drop-unknown contract).
+    */
+  def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"),
+        (abs(col("cents") - col("med_cents")) >
+          lit(graft.ops.AnalyticsOps.MadK) * col("mad_cents"))
+          .as("is_anomaly"))
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

@@ -303,4 +303,31 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(((gid & 1) != 0) == (p == "(all)"), s"gid $gid vs priority $p")
     }
   }
+
+  test("anomaly MAD: exact rank medians replay; verdicts are |x-med| > k*mad") {
+    val got = AnalyticsOps.anomalyMad(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    for ((_, es) <- got.groupBy(_._2)) {
+      val n = es.length
+      // lower median: the value at rank ceil(n/2) of the unique
+      // (value, key) total order — an actual data value, no interpolation
+      def rankMedian(xs: Seq[(Long, Long)]): Long =
+        xs.sortBy(identity).map(_._1)((n + 1) / 2 - 1)
+      val med = rankMedian(es.map(e => (e._3, e._1)).toSeq)
+      val mad = rankMedian(es.map(e => (math.abs(e._3 - med), e._1)).toSeq)
+      es.foreach { case (k, _, c, m, d, a) =>
+        assert(m == med && d == mad, s"event $k: stats ($m,$d) want ($med,$mad)")
+        assert(a == (math.abs(c - med) > AnalyticsOps.MadK * mad), s"event $k")
+      }
+    }
+    // the skewed value distribution makes the rule non-vacuous: flagged
+    // rows exist, and only in the far tail
+    assert(got.exists(_._6) && got.exists(!_._6))
+    // the frozen serving stats are exactly the per-type pairs
+    val stats = AnalyticsOps.madStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == got.map(e => (e._2, e._4, e._5)).toSet)
+  }
 }

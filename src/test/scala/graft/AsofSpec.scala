@@ -100,6 +100,54 @@ class AsofSpec extends AnyFunSuite {
     assert(got.exists(e => e._5.isEmpty))
   }
 
+  test("interpFill reconstructs the line between surrounding observations") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AsofOps.interpFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5)))
+    assert(got.nonEmpty)
+    // replay: per user in (ts, event_id) order, track the surrounding
+    // observations and interpolate with Math.floorDiv (floor semantics,
+    // the same contract the distributed form spells out)
+    val want = got.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1)).toSeq
+      def sweep(rows: Seq[(Long, Long, Long, Option[Long], Option[Long], Boolean)]) = {
+        var cur: Option[(Long, Long)] = None
+        rows.map { e => if (e._4.nonEmpty) cur = Some((e._4.get, e._3)); cur }
+      }
+      val prev = sweep(sorted)
+      val next = sweep(sorted.reverse).reverse
+      sorted.zipWithIndex.map { case (e, i) =>
+        val v = (e._4, prev(i), next(i)) match {
+          case (Some(r), _, _) => Some(r)
+          case (_, None, nx) => nx.map(_._1)
+          case (_, pv, None) => pv.map(_._1)
+          case (_, Some((pc, pt)), Some((nc, nt))) =>
+            if (nt == pt) Some(pc)
+            else Some(pc + Math.floorDiv((nc - pc) * (e._3 - pt), nt - pt))
+        }
+        e._1 -> v
+      }
+    }.toMap
+    got.foreach { e =>
+      assert(e._5 == want(e._1), s"event ${e._1}: got ${e._5}, want ${want(e._1)}")
+      assert(e._6 == e._4.isEmpty)
+    }
+    // every edge mode occurred: true two-sided interpolation strictly
+    // between its bounds, a leading backfill, and a trailing carry
+    val byUser = got.groupBy(_._2)
+    val ord = Ordering.Tuple2[Long, Long]
+    def obsBefore(e: (Long, Long, Long, Option[Long], Option[Long], Boolean)) =
+      byUser(e._2).exists(o => o._4.nonEmpty && ord.lt((o._3, o._1), (e._3, e._1)))
+    def obsAfter(e: (Long, Long, Long, Option[Long], Option[Long], Boolean)) =
+      byUser(e._2).exists(o => o._4.nonEmpty && ord.gt((o._3, o._1), (e._3, e._1)))
+    assert(got.exists(e => e._4.isEmpty && obsBefore(e) && obsAfter(e)))
+    assert(got.exists(e => e._4.isEmpty && !obsBefore(e) && obsAfter(e)))
+    assert(got.exists(e => e._4.isEmpty && obsBefore(e) && !obsAfter(e)))
+  }
+
   test("moving average replays as a plain-Scala sliding frame") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.ops.CoreOps.w7MovingAvg(spark, dir).collect()

@@ -44,4 +44,27 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi > 0, "fixture should contain at least one near-dup cluster")
     spark.catalog.clearCache()
   }
+
+  test("canonical selection keeps exactly the longest member per cluster") {
+    val rows = Dedup.dedupCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // same clustering as the label convention (the policy layer must not
+    // perturb the components underneath)
+    val labels = Dedup.nearDupComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (d, c, _, _) => assert(labels(d) == c, s"doc $d") }
+    for ((c, ms) <- rows.groupBy(_._2)) {
+      val canon = ms.filter(_._4)
+      assert(canon.length == 1, s"component $c: ${canon.length} canonicals")
+      // the winner is the unique max under (n_chars desc, doc_id asc)
+      val want = ms.minBy(m => (-m._3, m._1))
+      assert(canon.head == want, s"component $c: ${canon.head} vs $want")
+    }
+    // the policy is non-vacuous on the fixture: a multi-member cluster
+    // exists, and keep-longest genuinely disagrees with keep-min-id
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+    assert(rows.exists(r => r._4 && r._1 != r._2),
+      "fixture should contain a canonical that is not the min-id member")
+    spark.catalog.clearCache()
+  }
 }

@@ -182,4 +182,27 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT count(*) FROM tfidf_neighbors WHERE a_id >= b_id OR dot <= 0")
       .head().getLong(0) == 0)
   }
+
+  test("anomaly and interpolation views answer SQL end to end") {
+    // every anomaly verdict honors its own published threshold, and the
+    // skewed fixture produces real anomalies
+    val an = spark.sql(s"""
+      SELECT count(*),
+             sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END),
+             sum(CASE WHEN is_anomaly !=
+                   (abs(cents - med_cents) >
+                    ${graft.ops.AnalyticsOps.MadK} * mad_cents)
+                 THEN 1 ELSE 0 END)
+      FROM anomaly_mad""").head()
+    assert(an.getLong(0) > 0 && an.getLong(1) > 0 && an.getLong(2) == 0)
+    // interpolated values never leave the [prev, next] envelope: a filled
+    // reading lies between the min and max observed reading of its user
+    assert(spark.sql("""
+      SELECT count(*) FROM interp_fill f
+      JOIN (SELECT user_id, min(reading_cents) lo, max(reading_cents) hi
+            FROM interp_fill WHERE reading_cents IS NOT NULL
+            GROUP BY user_id) b USING (user_id)
+      WHERE f.interp_cents NOT BETWEEN b.lo AND b.hi""")
+      .head().getLong(0) == 0)
+  }
 }

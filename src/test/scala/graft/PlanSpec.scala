@@ -638,4 +638,34 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 0, s"checkpoint must cut the parquet lineage, got $scans")
   }
+
+  test("anomaly mad: one hash exchange, zero joins — both rank passes share it") {
+    val p = plan("q_anomaly_mad")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"median and MAD passes must share one type shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"the window form needs no stats join:\n$p")
+  }
+
+  test("interp fill: one key shuffle; the division is integer `div`") {
+    val p = plan("q_w10_interp")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"carry and fill frames must share one user shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Join"))
+    // a double `/` would round the >2^53 numerator before dividing
+    assert(p.contains(" div "), s"floor division must stay integral:\n$p")
+  }
+
+  test("dedup canonical: broadcast length attach, pruned scan, no cartesian") {
+    val p = plan("q_dedup_canonical")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the narrow n_chars attach must not sort-merge at fixture scale:\n$p")
+    // the selection stage must read lengths only — document text stays in
+    // its row groups (the component fixpoint reads it separately upstream)
+    val finalScan = p.split("Scan ExistingRDD")(1)
+    assert(finalScan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"selection-stage scan should prune to (doc_id, n_chars):\n$p")
+  }
 }

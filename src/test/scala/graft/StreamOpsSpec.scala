@@ -720,4 +720,37 @@ class StreamOpsSpec extends AnyFunSuite {
         Some(us("2024-01-01 10:05:00")),
         Some(us("2024-01-01 10:10:00")), 3)))
   }
+
+  test("anomalyStream verdicts match the batch rows against frozen stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the frozen serving artifact: per-type (median, MAD) trained in batch
+    val stats = graft.ops.AnalyticsOps.madStats(spark, sf).cache()
+    // stream a slice of the real events, plus one event of a type the
+    // stats table has never seen (must emit nothing)
+    val evs = Tables.table(spark, sf, "events")
+      .orderBy("event_id").limit(50)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(evs :+ (999999L, "unknown_type", 42.0))
+    val q = StreamOps.anomalyStream(
+        mem.toDF.toDF("event_id", "event_type", "value"), stats)
+      .writeStream.format("memory").queryName("anomstream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("anomstream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val want = graft.ops.AnalyticsOps.anomalyMad(spark, sf)
+      .filter(col("event_id").isin(evs.map(_._1): _*)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == want, s"stream ${got.take(3)} vs batch ${want.take(3)}")
+    assert(!got.exists(_._1 == 999999L),
+      "an unseen type must drop by the membership-join contract")
+    spark.catalog.clearCache()
+  }
 }
