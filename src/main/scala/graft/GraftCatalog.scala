@@ -126,8 +126,11 @@ object GraftCatalog {
       .createOrReplaceTempView("anomaly_mad")
     graft.ops.AsofOps.interpFill(spark, sfDir)
       .createOrReplaceTempView("interp_fill")
-    // dedupCanonical stays unmounted with the components it composes
-    // (eager fixpoint, the standing view-contract exclusion)
+    graft.ops.ProfileOps.dqDrift(spark, sfDir)
+      .createOrReplaceTempView("dq_drift")
+    // dedupCanonical and entityResolve stay unmounted with the components
+    // fixpoint they compose (eager jobs, the standing view-contract
+    // exclusion)
     registerFunctions(spark)
   }
 

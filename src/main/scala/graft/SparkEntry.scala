@@ -207,6 +207,8 @@ object SparkEntry {
     "q_anomaly_mad" -> (graft.ops.AnalyticsOps.anomalyMad _),
     "q_w10_interp" -> (graft.ops.AsofOps.interpFill _),
     "q_dedup_canonical" -> (Dedup.dedupCanonical _),
+    "q_entity_resolve" -> (graft.ops.MatchOps.entityResolve _),
+    "q_dq_drift" -> (graft.ops.ProfileOps.dqDrift _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2824,5 +2826,64 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY component
                   ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
          FROM j ORDER BY doc_id""",
+    // the fuzzy-pair closure on min-partkey surrogate ids; the oracle
+    // blocks on first token only (unsalted) — matching proves the salted
+    // staircase plan lossless, the q_fuzzy_match contract extended to
+    // the transitive clustering (mirrors MatchOps.entityResolve)
+    "q_entity_resolve" -> s"""
+         WITH RECURSIVE nm AS (SELECT p_name, min(p_partkey) AS nid
+                               FROM part GROUP BY p_name),
+         blocked AS (SELECT p_name, nid,
+                            string_split(p_name, ' ')[1] AS blk FROM nm),
+         prs AS (SELECT a.nid AS a_id, b.nid AS b_id
+                 FROM blocked a JOIN blocked b
+                   ON a.blk = b.blk AND a.p_name < b.p_name
+                 WHERE levenshtein(a.p_name, b.p_name)
+                         <= ${graft.ops.MatchOps.MaxEditDistance}),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                   UNION ALL SELECT b_id, a_id FROM prs),
+         reach(a, b) AS (
+           SELECT nid, nid FROM nm
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS name_id, min(b) AS entity_id
+                  FROM reach GROUP BY a)
+         SELECT n.p_name, c.name_id, c.entity_id,
+                cn.p_name AS canonical_name,
+                c.name_id = c.entity_id AS is_canonical
+         FROM comp c JOIN nm n ON c.name_id = n.nid
+                     JOIN nm cn ON c.entity_id = cn.nid
+         ORDER BY name_id""",
+    // share-delta drift with the probabilities cleared to integer
+    // cross-products (mirrors ProfileOps.dqDrift)
+    "q_dq_drift" -> {
+      import graft.ops.ProfileOps.{DriftBins, DriftDenom}
+      s"""
+         WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         g AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi,
+                      max(cents) AS mc FROM e),
+         b AS (SELECT event_type,
+                      CASE WHEN ts_us * 2 < lo + hi THEN 0 ELSE 1 END
+                        AS half,
+                      least($DriftBins - 1, cents * $DriftBins // (mc + 1))
+                        AS bin
+               FROM e, g),
+         c AS (SELECT event_type, bin,
+                      CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS c2
+               FROM b GROUP BY 1, 2),
+         tt AS (SELECT *,
+                      CAST(sum(c1) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS n1,
+                      CAST(sum(c2) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS n2
+                FROM c)
+         SELECT event_type, bin, c1, c2, n1, n2,
+                abs(c1 * n2 - c2 * n1) * $DriftDenom > n1 * n2 AS drifted
+         FROM tt ORDER BY event_type, bin"""
+    },
   )
 }

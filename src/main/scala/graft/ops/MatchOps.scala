@@ -78,4 +78,46 @@ object MatchOps {
         levenshtein(col("name_a"), col("name_b")).as("dist"))
       .filter(col("dist") <= MaxEditDistance)
       .orderBy("blk", "name_a", "name_b")
+
+  /** Entity resolution end to end — [[fuzzyNameMatch]]'s pair stage
+    * completed into ENTITIES, the way [[graft.llm.Dedup.dedupCanonical]]
+    * completes SimHash pairs: fuzzy-similar names cluster by transitive
+    * connectivity ("Smlth" links "Smith" to "Smyth" even when those two
+    * sit 5 edits apart), every name gets an `entity_id`, and the entity's
+    * canonical spelling is its label member's — the master-data golden
+    * record a harvest sync would reconcile misspelled sources against.
+    *
+    * The closure runs on LONG surrogates, not strings: each distinct name
+    * takes `min(p_partkey)` of its rows as node id (one aggregate — no
+    * global row_number bottleneck, no hash-collision risk), which is
+    * exactly the shape [[graft.llm.Dedup.connectedComponents]] already
+    * audits at scale (O(log diameter) pointer-jumping rounds over
+    * two-long rows). Pair generation inherits the salted staircase
+    * blocking; the canonical-name attach is two vocabulary-sized narrow
+    * joins. The corpus (part table) contributes one distinct + min
+    * aggregate and is never touched again.
+    */
+  def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("nid"))
+      .cache()
+    val edges = candidatePairs(names.select(col("p_name")))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxEditDistance)
+      .join(names.select(col("p_name").as("name_a"), col("nid").as("a_id")),
+        Seq("name_a"))
+      .join(names.select(col("p_name").as("name_b"), col("nid").as("b_id")),
+        Seq("name_b"))
+      .select(col("a_id"), col("b_id"))
+    val comp = graft.llm.Dedup.connectedComponents(
+      names.select(col("nid").as("doc_id")), edges)
+    comp
+      .join(names.select(col("nid").as("doc_id"), col("p_name")),
+        Seq("doc_id"))
+      .join(names.select(col("nid").as("component"),
+        col("p_name").as("canonical_name")), Seq("component"))
+      .select(col("p_name"), col("doc_id").as("name_id"),
+        col("component").as("entity_id"), col("canonical_name"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+      .orderBy("name_id")
+  }
 }

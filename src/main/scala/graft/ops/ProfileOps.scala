@@ -139,4 +139,55 @@ object ProfileOps {
         (col("n_violations") === 0L).as("pass"))
       .orderBy("check_name")
   }
+
+  /** Drift histogram resolution and alert threshold: a bucket drifts when
+    * its population share moved by more than `1/DriftDenom` (2 percentage
+    * points) between the two halves.
+    */
+  val DriftBins = 10
+  val DriftDenom = 50
+
+  /** Distribution-drift monitor — the [[dqChecks]] suite's longitudinal
+    * sibling (the PSI/KS check of a model-monitoring stack): per event
+    * type, the value distribution of the dataset's FIRST time half is
+    * compared bucket-by-bucket against the second half, flagging any
+    * bucket whose population share moved by more than 1/[[DriftDenom]].
+    * The share comparison `|c₁/n₁ − c₂/n₂| > 1/D` is cross-multiplied to
+    * `|c₁·n₂ − c₂·n₁| · D > n₁·n₂` — all BIGINT, no division, engine-
+    * exact (PSI's log-ratio needs libm; the share-delta rule is the same
+    * alert with the probabilities cleared to integers — the bm25/cooc
+    * trade). Buckets are [[DriftBins]] fixed-width cents bins (the
+    * histQuantiles monoid device); the time split is the midpoint of the
+    * observed range. Both derive from ONE tiny global aggregate broadcast
+    * back over the scan — a second, column-pruned pass over events (the
+    * unavoidable bounds pre-pass of any fixed-bin scheme whose bounds
+    * aren't known a priori; a deployment pins bounds in config and drops
+    * it). The counting pass shuffles only the O(types·bins) rows.
+    */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val g = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"),
+      max(col("cents")).as("mc"))
+    val half = when(col("ts_us") * 2 < col("lo") + col("hi"), 0L)
+      .otherwise(1L)
+    val bin = least(lit(DriftBins - 1L),
+      call_function("div", col("cents") * DriftBins, col("mc") + 1))
+      .cast("long")
+    val wp = Window.partitionBy(col("event_type"))
+    e.crossJoin(broadcast(g))
+      .select(col("event_type"), half.as("half"), bin.as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+      .withColumn("n1", sum(col("c1")).over(wp))
+      .withColumn("n2", sum(col("c2")).over(wp))
+      .select(col("event_type"), col("bin"), col("c1"), col("c2"),
+        col("n1"), col("n2"),
+        (abs(col("c1") * col("n2") - col("c2") * col("n1")) * DriftDenom >
+          col("n1") * col("n2")).as("drifted"))
+      .orderBy("event_type", "bin")
+  }
 }

@@ -159,6 +159,46 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("entity resolution: BFS closure over fuzzy pairs replays exactly") {
+    val names = Tables.table(spark, dir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("nid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = MatchOps.fuzzyNameMatch(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // independent closure: adjacency + BFS, entity label = min member id
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) =>
+      val (x, y) = (names(a), names(b))
+      adj(x) = y :: adj(x); adj(y) = x :: adj(y)
+    }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (start <- names.values.toSeq.sorted if !label.contains(start)) {
+      val comp = scala.collection.mutable.Set(start)
+      var frontier = List(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj).filterNot(comp)
+        comp ++= frontier
+      }
+      comp.foreach(c => label(c) = comp.min)
+    }
+    val byId = names.map(_.swap)
+    val got = MatchOps.entityResolve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))
+    assert(got.length == names.size, "every distinct name gets a row")
+    got.foreach { case (n, nid, eid, cn, isc) =>
+      assert(names(n) == nid, s"$n: surrogate id")
+      assert(label(nid) == eid, s"$n: entity label")
+      assert(cn == byId(eid), s"$n: canonical spelling")
+      assert(isc == (nid == eid), s"$n: canonical flag")
+    }
+    // non-vacuous: a multi-name entity exists, so resolution merged
+    // genuinely distinct spellings
+    assert(got.groupBy(_._3).exists(_._2.length > 1))
+    spark.catalog.clearCache()
+  }
+
   test("salted block key bounds a hot block's candidates, losslessly") {
     import spark.implicits._
     // a worst-case hot block: every name shares the first token, lengths

@@ -204,5 +204,16 @@ class GraftCatalogSpec extends AnyFunSuite {
             GROUP BY user_id) b USING (user_id)
       WHERE f.interp_cents NOT BETWEEN b.lo AND b.hi""")
       .head().getLong(0) == 0)
+    // drift rows: per-type bucket counts add to the type totals, and the
+    // verdict column honors the published cross-multiplied rule
+    assert(spark.sql(s"""
+      SELECT count(*) FROM (
+        SELECT event_type, max(n1) n1, max(n2) n2, sum(c1) s1, sum(c2) s2,
+               sum(CASE WHEN drifted !=
+                     (abs(c1*n2 - c2*n1) * ${graft.ops.ProfileOps.DriftDenom}
+                      > n1*n2) THEN 1 ELSE 0 END) bad
+        FROM dq_drift GROUP BY event_type)
+      WHERE s1 != n1 OR s2 != n2 OR bad > 0""")
+      .head().getLong(0) == 0)
   }
 }

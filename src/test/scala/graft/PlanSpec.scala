@@ -657,6 +657,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains(" div "), s"floor division must stay integral:\n$p")
   }
 
+  test("dq drift: single-row bounds broadcast, tiny count shuffle, no SMJ") {
+    val p = plan("q_dq_drift")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row bounds aggregate must broadcast onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"),
+      "the half counters must combine map-side before the (type,bin) shuffle")
+  }
+
+  test("entity resolve: checkpointed closure, no cartesian in the attach") {
+    val p = plan("q_entity_resolve")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final plan should read the checkpointed entity labels:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("dedup canonical: broadcast length attach, pruned scan, no cartesian") {
     val p = plan("q_dedup_canonical")
     assert(!p.contains("CartesianProduct"))

@@ -105,4 +105,39 @@ class ProfileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("orders_fk_customer")._2 > 0)
     assert(got("orders_cents_nonneg")._3, "range check should pass clean")
   }
+
+  test("drift monitor replays the half-split bucket shares exactly") {
+    import graft.ops.ProfileOps
+    val evs = Tables.table(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = evs.map(_._2).min
+    val hi = evs.map(_._2).max
+    val mc = evs.map(_._3).max
+    def half(us: Long) = if (us * 2 < lo + hi) 0 else 1
+    def bin(c: Long) =
+      math.min(ProfileOps.DriftBins - 1L, c * ProfileOps.DriftBins / (mc + 1))
+    val counts = evs.groupBy(e => (e._1, bin(e._3))).map { case (k, es) =>
+      k -> (es.count(e => half(e._2) == 0).toLong,
+        es.count(e => half(e._2) == 1).toLong)
+    }
+    val tot = evs.groupBy(_._1).map { case (t, es) =>
+      t -> (es.count(e => half(e._2) == 0).toLong,
+        es.count(e => half(e._2) == 1).toLong)
+    }
+    val got = ProfileOps.dqDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.length == counts.size, "one row per observed (type, bin)")
+    got.foreach { case (t, b, c1, c2, n1, n2, dr) =>
+      assert((c1, c2) == counts((t, b)), s"($t,$b) counts")
+      assert((n1, n2) == tot(t), s"($t,$b) totals")
+      assert(dr ==
+        (math.abs(c1 * n2 - c2 * n1) * ProfileOps.DriftDenom > n1 * n2))
+    }
+    // the alert is live in both directions on the fixture: some buckets
+    // moved more than the threshold, most did not
+    assert(got.exists(_._7) && got.count(!_._7) > got.count(_._7))
+  }
 }
