@@ -128,6 +128,8 @@ object GraftCatalog {
       .createOrReplaceTempView("interp_fill")
     graft.ops.ProfileOps.dqDrift(spark, sfDir)
       .createOrReplaceTempView("dq_drift")
+    graft.llm.TextAnalysis.vocabCoverage(spark, sfDir)
+      .createOrReplaceTempView("vocab_coverage")
     // dedupCanonical and entityResolve stay unmounted with the components
     // fixpoint they compose (eager jobs, the standing view-contract
     // exclusion)

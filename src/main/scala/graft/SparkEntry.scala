@@ -209,6 +209,7 @@ object SparkEntry {
     "q_dedup_canonical" -> (Dedup.dedupCanonical _),
     "q_entity_resolve" -> (graft.ops.MatchOps.entityResolve _),
     "q_dq_drift" -> (graft.ops.ProfileOps.dqDrift _),
+    "q_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2885,5 +2886,28 @@ object SparkEntry {
                 abs(c1 * n2 - c2 * n1) * $DriftDenom > n1 * n2 AS drifted
          FROM tt ORDER BY event_type, bin"""
     },
+    // monotone-cumulative knee per coverage target (mirrors
+    // TextAnalysis.vocabCoverage)
+    "q_vocab_coverage" -> s"""
+         WITH v AS (SELECT term, count(*)::BIGINT AS freq
+               FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                     FROM documents)
+               GROUP BY 1),
+         r AS (SELECT CAST(row_number() OVER
+                        (ORDER BY freq DESC, term) AS BIGINT) AS rn,
+                  CAST(sum(freq) OVER (ORDER BY freq DESC, term
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(freq) OVER () AS BIGINT) AS tot
+               FROM v),
+         p AS (SELECT unnest([${TextAnalysis.CoveragePcts.mkString(", ")}])
+                 AS pct)
+         SELECT pct,
+                min(CASE WHEN cum * 100 >= tot * pct THEN rn END)
+                  AS vocab_size,
+                min(CASE WHEN cum * 100 >= tot * pct THEN cum END)
+                  AS covered_cnt,
+                max(tot) AS total_cnt
+         FROM p, r GROUP BY pct ORDER BY pct""",
   )
 }

@@ -1082,6 +1082,44 @@ object TextAnalysis {
       .orderBy("probe_id")
   }
 
+  /** Coverage targets for [[vocabCoverage]], in percent of corpus tokens. */
+  val CoveragePcts = Seq(50, 90, 95, 99)
+
+  /** Vocabulary-coverage curve — the tokenizer-sizing question ("how many
+    * vocabulary entries cover 99% of the running corpus?") answered
+    * exactly: terms rank by (freq desc, term asc) and each target
+    * percentage reports the MINIMAL vocabulary size whose cumulative
+    * frequency reaches it, with the coverage attained there and the
+    * corpus total. The threshold test is the integer cross-multiply
+    * (`cum·100 ≥ tot·pct`, the histQuantiles convention), and because
+    * `cum` is monotone along the rank, `min(case when … then rn)` is the
+    * exact knee — no join, no second pass.
+    *
+    * Shape: one vocab aggregation, one O(vocab) global-order window pass
+    * (the negativeSamples range-table convention — vocab-bounded; the
+    * CORPUS never sorts), then a |pcts|×vocab explode collapsed by one
+    * aggregate.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("freq").desc, col("term").asc)
+    vocabTable(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("freq")).over(Window.partitionBy()))
+      .select(explode(typedLit(CoveragePcts)).as("pct"), col("rn"),
+        col("cum"), col("tot"))
+      .groupBy(col("pct"))
+      .agg(
+        min(when(col("cum") * 100 >= col("tot") * col("pct"), col("rn")))
+          .as("vocab_size"),
+        min(when(col("cum") * 100 >= col("tot") * col("pct"), col("cum")))
+          .as("covered_cnt"),
+        max(col("tot")).as("total_cnt"))
+      .orderBy("pct")
+  }
+
   /** df band for the similarity join: terms in fewer than 2 documents
     * cannot create a pair; terms above [[NeighborMaxDf]] are stop-term
     * noise AND the quadratic hazard — the prune bounds every term's pair

@@ -147,6 +147,29 @@ object ProfileOps {
   val DriftBins = 10
   val DriftDenom = 50
 
+  /** The shared drift verdict — ONE definition feeding the batch monitor,
+    * the catalog view check, and the streaming fold: bucket share moved
+    * by more than `1/DriftDenom`, cross-multiplied to BIGINT.
+    */
+  def driftVerdict(c1: Column, n1: Column, c2: Column, n2: Column): Column =
+    abs(c1 * n2 - c2 * n1) * DriftDenom > n1 * n2
+
+  /** The shared bucket arithmetic: fixed-width cents bin against the
+    * broadcast upper bound (`//` floor semantics via integer `div`).
+    */
+  private[graft] def driftBin(cents: Column, mc: Column): Column =
+    least(lit(DriftBins - 1L),
+      call_function("div", cents * DriftBins, mc + 1)).cast("long")
+
+  /** The 1-row binning-bounds artifact a deployment persists beside the
+    * baseline histogram and broadcasts onto live streams — the stream
+    * must bucket NEW data with the SAME bin edges the baseline used or
+    * the comparison is meaningless.
+    */
+  def driftBounds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(max(round(col("value") * 100).cast("long")).as("mc"))
+
   /** Distribution-drift monitor — the [[dqChecks]] suite's longitudinal
     * sibling (the PSI/KS check of a model-monitoring stack): per event
     * type, the value distribution of the dataset's FIRST time half is
@@ -173,9 +196,7 @@ object ProfileOps {
       max(col("cents")).as("mc"))
     val half = when(col("ts_us") * 2 < col("lo") + col("hi"), 0L)
       .otherwise(1L)
-    val bin = least(lit(DriftBins - 1L),
-      call_function("div", col("cents") * DriftBins, col("mc") + 1))
-      .cast("long")
+    val bin = driftBin(col("cents"), col("mc"))
     val wp = Window.partitionBy(col("event_type"))
     e.crossJoin(broadcast(g))
       .select(col("event_type"), half.as("half"), bin.as("bin"))
@@ -186,8 +207,8 @@ object ProfileOps {
       .withColumn("n2", sum(col("c2")).over(wp))
       .select(col("event_type"), col("bin"), col("c1"), col("c2"),
         col("n1"), col("n2"),
-        (abs(col("c1") * col("n2") - col("c2") * col("n1")) * DriftDenom >
-          col("n1") * col("n2")).as("drifted"))
+        driftVerdict(col("c1"), col("n1"), col("c2"), col("n2"))
+          .as("drifted"))
       .orderBy("event_type", "bin")
   }
 }

@@ -436,6 +436,30 @@ object StreamOps {
           lit(graft.ops.AnalyticsOps.MadK) * col("mad_cents"))
           .as("is_anomaly"))
 
+  /** Streaming form of [[graft.ops.ProfileOps.dqDrift]]'s counting side —
+    * the live distribution monitor: incoming events bucket against the
+    * FROZEN bin bounds ([[graft.ops.ProfileOps.driftBounds]], broadcast —
+    * new data MUST bucket with the baseline's bin edges or the comparison
+    * is meaningless) and aggregate to per-(event-time window, type, bin)
+    * counts with watermark-bounded state: O(open windows · types · bins)
+    * counters, evicted on close. The drift VERDICT (each window's shares
+    * vs the persisted baseline histogram, via the shared
+    * [[graft.ops.ProfileOps.driftVerdict]] rule) stays a downstream
+    * batch fold — it needs the window's per-type total, a second
+    * aggregation level one streaming query cannot stack; the spec pins
+    * the fold against a plain replay.
+    */
+  def driftStream(events: DataFrame, bounds: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .crossJoin(broadcast(bounds))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        graft.ops.ProfileOps.driftBin(
+          round(col("value") * 100).cast("long"), col("mc")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("bin"), col("n"))
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

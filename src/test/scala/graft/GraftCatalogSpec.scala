@@ -215,5 +215,11 @@ class GraftCatalogSpec extends AnyFunSuite {
         FROM dq_drift GROUP BY event_type)
       WHERE s1 != n1 OR s2 != n2 OR bad > 0""")
       .head().getLong(0) == 0)
+    // the coverage curve is monotone in both coordinates
+    assert(spark.sql("""
+      SELECT count(*) FROM vocab_coverage a JOIN vocab_coverage b
+      ON a.pct < b.pct
+      WHERE a.vocab_size > b.vocab_size OR a.covered_cnt > b.covered_cnt""")
+      .head().getLong(0) == 0)
   }
 }

@@ -622,4 +622,28 @@ class LlmOpsSpec extends AnyFunSuite {
     // and the band did prune: some vocabulary fell outside [2, MaxDf]
     assert(band.size < df.size)
   }
+
+  test("vocab coverage knees replay against the sorted cumulative curve") {
+    val freqs = Tables.table(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split("\\s+", -1)) // -1: Spark's split keeps empties
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val ranked = freqs.toSeq.sortBy { case (t, f) => (-f, t) }
+    val tot = ranked.map(_._2).sum
+    val cums = ranked.scanLeft(0L)(_ + _._2).tail
+    val got = TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == TextAnalysis.CoveragePcts)
+    got.foreach { case (pct, vs, cov, t) =>
+      assert(t == tot, s"pct $pct: total")
+      val idx = cums.indexWhere(c => c * 100 >= tot * pct)
+      assert(vs == idx + 1, s"pct $pct: knee at ${idx + 1}, got $vs")
+      assert(cov == cums(idx), s"pct $pct: coverage")
+      // minimality: one fewer vocabulary entry misses the target
+      if (idx > 0) assert(cums(idx - 1) * 100 < tot * pct)
+    }
+    // the curve is a real curve: strictly fewer entries cover 50% than 99%
+    val bySize = got.map(g => g._1 -> g._2).toMap
+    assert(bySize(50) < bySize(99))
+  }
 }

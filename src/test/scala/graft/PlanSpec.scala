@@ -674,6 +674,14 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("vocab coverage: pure window-and-aggregate — no joins anywhere") {
+    val p = plan("q_vocab_coverage")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the knee must come from the monotone cumulative, not a join:\n$p")
+    assert(p.contains("Generate explode"),
+      "coverage targets fan out as a literal explode over the ranked vocab")
+  }
+
   test("dedup canonical: broadcast length attach, pruned scan, no cartesian") {
     val p = plan("q_dedup_canonical")
     assert(!p.contains("CartesianProduct"))

@@ -753,4 +753,44 @@ class StreamOpsSpec extends AnyFunSuite {
       "an unseen type must drop by the membership-join contract")
     spark.catalog.clearCache()
   }
+
+  test("driftStream window counts bucket against the frozen bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ProfileOps
+    val bounds = ProfileOps.driftBounds(spark, sf).cache()
+    val mc = bounds.head().getLong(0)
+    // a slice of the real events plus a far-future flush to close windows
+    val evs = Tables.table(spark, sf, "events")
+      .orderBy("event_id").limit(200)
+      .select(col("ts"), col("event_type"), col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+    val flush = (ts("2030-01-01 00:00:00"), "flush", 0.0)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(evs :+ flush)
+    val q = StreamOps.driftStream(
+        mem.toDF.toDF("ts", "event_type", "value"), bounds)
+      .writeStream.format("memory").queryName("driftstream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("driftstream")
+      .filter(col("event_type") =!= "flush").collect()
+      .map(r => ((r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    // replay: hour-truncate, bucket with the SAME bin arithmetic
+    def bin(v: Double): Long = {
+      val cents = math.round(v * 100)
+      math.min(ProfileOps.DriftBins - 1L,
+        cents * ProfileOps.DriftBins / (mc + 1))
+    }
+    val want = evs.groupBy(e =>
+        (e._1.getTime / 3600000L * 3600000L, e._2, bin(e._3)))
+      .map { case (k, es) => k -> es.size.toLong }
+    assert(got == want, s"stream ${got.take(3)} vs replay ${want.take(3)}")
+    // real bucket spread, not one degenerate bin
+    assert(got.keys.map(_._3).toSet.size > 1)
+    spark.catalog.clearCache()
+  }
 }
