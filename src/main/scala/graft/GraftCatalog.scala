@@ -130,6 +130,8 @@ object GraftCatalog {
       .createOrReplaceTempView("dq_drift")
     graft.llm.TextAnalysis.vocabCoverage(spark, sfDir)
       .createOrReplaceTempView("vocab_coverage")
+    graft.ops.ZOrderOps.zorderPrune(spark, sfDir)
+      .createOrReplaceTempView("zorder_prune")
     // dedupCanonical and entityResolve stay unmounted with the components
     // fixpoint they compose (eager jobs, the standing view-contract
     // exclusion)

@@ -210,6 +210,7 @@ object SparkEntry {
     "q_entity_resolve" -> (graft.ops.MatchOps.entityResolve _),
     "q_dq_drift" -> (graft.ops.ProfileOps.dqDrift _),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    "q_zorder_prune" -> (ZOrderOps.zorderPrune _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2909,5 +2910,39 @@ object SparkEntry {
                   AS covered_cnt,
                 max(tot) AS total_cnt
          FROM p, r GROUP BY pct ORDER BY pct""",
+    // both layouts' file envelopes + the box-overlap scan count; the
+    // z-value macro is the ONE ZOrderOps definition (mirrors
+    // ZOrderOps.zorderPrune)
+    "q_zorder_prune" -> {
+      import graft.ops.ZOrderOps._
+      s"""
+         WITH b AS (SELECT o_orderkey,
+                  o_custkey % ${1L << DimBits} AS x,
+                  CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                       % ${1 << DimBits} AS BIGINT) AS y
+               FROM orders),
+         zz AS (SELECT *, ${zvalueSql("x", "y")} AS z FROM b),
+         files AS (
+           SELECT 'natural' AS layout,
+                  ntile($PruneFiles) OVER (ORDER BY o_orderkey) AS f, x, y
+           FROM zz
+           UNION ALL
+           SELECT 'zorder',
+                  ntile($PruneFiles) OVER (ORDER BY z, o_orderkey), x, y
+           FROM zz),
+         fs AS (SELECT layout, f,
+                  min(x) AS x_lo, max(x) AS x_hi,
+                  min(y) AS y_lo, max(y) AS y_hi,
+                  CAST(sum(CASE WHEN x BETWEEN $BoxXLo AND $BoxXHi
+                                 AND y BETWEEN $BoxYLo AND $BoxYHi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_box
+               FROM files GROUP BY 1, 2)
+         SELECT layout, count(*) AS n_files,
+                CAST(sum(CASE WHEN x_lo <= $BoxXHi AND x_hi >= $BoxXLo
+                               AND y_lo <= $BoxYHi AND y_hi >= $BoxYLo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                CAST(sum(rows_in_box) AS BIGINT) AS rows_matched
+         FROM fs GROUP BY layout ORDER BY layout"""
+    },
   )
 }

@@ -101,4 +101,60 @@ object ZOrderOps {
       .sortWithinPartitions(col(zName))
       .drop(zName)
   }
+
+  /** Simulated file count and the benchmark box predicate for
+    * [[zorderPrune]].
+    */
+  val PruneFiles = 64
+  val BoxXLo = 50L
+  val BoxXHi = 100L
+  val BoxYLo = 2000L
+  val BoxYHi = 2200L
+
+  /** WHY z-order, quantified — the skipping diagnostic that turns the
+    * layout claim into a measured number: the same orders land in
+    * [[PruneFiles]] equal files under (a) the natural o_orderkey order
+    * and (b) the z-order, each file keeps its (min, max) envelope on
+    * BOTH dimensions (exactly the stats a parquet footer publishes), and
+    * the benchmark box predicate counts how many files each layout must
+    * read. Natural order scatters customers uniformly, so every file's x
+    * envelope spans the domain and NOTHING prunes; the z-order gives
+    * tight envelopes on both axes and skips most files. One row per
+    * layout: files total / files scanned / rows actually matching.
+    *
+    * The ntile file assignment REPLAYS the writer's range partitioner
+    * ([[zorderLayout]]'s repartitionByRange) as a window so the file
+    * boundaries are deterministic and oracle-checkable; it is an O(rows)
+    * single-ordering diagnostic — the production write path IS
+    * [[zorderLayout]], where the range exchange does the same assignment
+    * distributed, and the envelopes come free from parquet footers.
+    */
+  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_custkey") % (1L << DimBits)).as("x"),
+        (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          % (1 << DimBits)).cast("long").as("y"))
+      .withColumn("z", zvalue(col("x"), col("y")))
+    def layout(name: String, ord: Seq[Column]): DataFrame = base
+      .withColumn("f", ntile(PruneFiles).over(Window.orderBy(ord: _*)))
+      .groupBy(col("f"))
+      .agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"),
+        sum(when(col("x").between(BoxXLo, BoxXHi) &&
+          col("y").between(BoxYLo, BoxYHi), 1L).otherwise(0L))
+          .as("rows_in_box"))
+      .select(lit(name).as("layout"), col("f"), col("x_lo"), col("x_hi"),
+        col("y_lo"), col("y_hi"), col("rows_in_box"))
+    layout("natural", Seq(col("o_orderkey")))
+      .union(layout("zorder", Seq(col("z"), col("o_orderkey"))))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("x_lo") <= BoxXHi && col("x_hi") >= BoxXLo &&
+          col("y_lo") <= BoxYHi && col("y_hi") >= BoxYLo, 1L)
+          .otherwise(0L)).as("files_scanned"),
+        sum(col("rows_in_box")).as("rows_matched"))
+      .orderBy("layout")
+  }
 }

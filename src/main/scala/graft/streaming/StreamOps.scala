@@ -460,6 +460,45 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("bin"), col("n"))
 
+  /** Attribution window of the stream-stream interval join, matching the
+    * batch default ([[graft.ops.IntervalOps.viewClickAttribution]]'s
+    * 600 s).
+    */
+  val IntervalJoinWindowSeconds = 600L
+
+  /** Streaming form of [[graft.ops.IntervalOps.viewClickAttribution]]
+    * (q_j9_interval) — the STREAM-STREAM event-time range join, the one
+    * Structured Streaming join mode the stream-static twins don't
+    * exercise: two live streams (views, clicks) join per user on
+    * `v_ts < c_ts <= v_ts + window`, each side watermarked so the engine
+    * can bound the join state — a view is held only until the watermark
+    * passes the end of its attribution window, a click until its own
+    * event time ages out; without BOTH watermarks and the two-sided time
+    * constraint the state would grow forever, which is why the range
+    * condition is part of the JOIN predicate rather than a post-filter.
+    * Emits the same (view_id, click_id, user_id, delay_s) rows as the
+    * batch operator in append mode; the spec replays a batch of real
+    * events through both and pins row equality.
+    */
+  def intervalJoinStream(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    v.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") +
+            expr(s"INTERVAL $IntervalJoinWindowSeconds SECONDS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        floor((unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+          / lit(1000000L)).as("delay_s"))
+  }
+
   /** Incremental sync via foreachBatch (SURVEY.md §2.9: the batch
     * diff-and-merge upgraded to a stream): every micro-batch is merged into
     * the Parquet target — new keys appended, existing keys rewritten with

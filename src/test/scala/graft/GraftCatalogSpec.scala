@@ -221,5 +221,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       ON a.pct < b.pct
       WHERE a.vocab_size > b.vocab_size OR a.covered_cnt > b.covered_cnt""")
       .head().getLong(0) == 0)
+    // the layout diagnostic: both layouts see the same matching rows and
+    // z-order scans strictly fewer files
+    assert(spark.sql("""
+      SELECT count(*) FROM zorder_prune n JOIN zorder_prune z
+      ON n.layout = 'natural' AND z.layout = 'zorder'
+      WHERE n.rows_matched != z.rows_matched
+         OR z.files_scanned >= n.files_scanned""")
+      .head().getLong(0) == 0)
   }
 }

@@ -682,6 +682,12 @@ class PlanSpec extends AnyFunSuite {
       "coverage targets fan out as a literal explode over the ranked vocab")
   }
 
+  test("zorder prune: window-and-aggregate diagnostic — no joins") {
+    val p = plan("q_zorder_prune")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"envelopes and skip counts ride the ntile windows, not a join:\n$p")
+  }
+
   test("dedup canonical: broadcast length attach, pruned scan, no cartesian") {
     val p = plan("q_dedup_canonical")
     assert(!p.contains("CartesianProduct"))

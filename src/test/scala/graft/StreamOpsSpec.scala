@@ -793,4 +793,46 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.keys.map(_._3).toSet.size > 1)
     spark.catalog.clearCache()
   }
+
+  test("intervalJoinStream emits exactly the batch attribution pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // enough real events that views and clicks genuinely interleave
+    val evs = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .orderBy("event_id").limit(400)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .toSeq
+    val vmem = MemoryStream[(Long, Long, Timestamp)]
+    val cmem = MemoryStream[(Long, Long, Timestamp)]
+    vmem.addData(evs.filter(_._4 == "view").map(e => (e._1, e._2, e._3)))
+    cmem.addData(evs.filter(_._4 == "click").map(e => (e._1, e._2, e._3)))
+    val q = StreamOps.intervalJoinStream(
+        vmem.toDF.toDF("event_id", "user_id", "ts"),
+        cmem.toDF.toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ivjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the batch operator on the same rows (the q_j9_interval semantics)
+    val views = evs.filter(_._4 == "view")
+      .map(e => (e._1, e._2, e._3.getTime * 1000L))
+      .toDF("view_id", "user_id", "v_us")
+    val clicks = evs.filter(_._4 == "click")
+      .map(e => (e._1, e._2, e._3.getTime * 1000L))
+      .toDF("click_id", "c_user", "c_us")
+    val want = graft.ops.IntervalOps.intervalJoinMicros(views, clicks,
+        StreamOps.IntervalJoinWindowSeconds * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"stream ${got.take(3)} vs batch ${want.take(3)}")
+    assert(got.nonEmpty, "the slice must produce real attribution pairs")
+  }
 }

@@ -86,4 +86,46 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zTouched <= zTotal / 2,
       s"z layout should skip most files on a y band: touched $zTouched/$zTotal")
   }
+
+  test("zorderPrune replays the ntile file assignment and the skip counts") {
+    import ZOrderOps._
+    val rows = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), (col("o_custkey") % (1L << DimBits)).as("x"),
+        (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          % (1 << DimBits)).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def morton(x: Long, y: Long): Long = {
+      def sp(v: Long) = (0 until DimBits).map(i => ((v >> i) & 1L) << (2 * i)).sum
+      sp(x) | (sp(y) << 1)
+    }
+    def inBox(x: Long, y: Long) =
+      x >= BoxXLo && x <= BoxXHi && y >= BoxYLo && y <= BoxYHi
+    // SQL ntile: first (n mod F) tiles take ceil(n/F) rows
+    def replay(sorted: Seq[(Long, Long, Long)]): (Long, Long) = {
+      val n = sorted.size
+      val (big, base) = (n % PruneFiles, n / PruneFiles)
+      val files = sorted.zipWithIndex.groupBy { case (_, i) =>
+        if (i < big * (base + 1)) i / (base + 1)
+        else (i - big * (base + 1)) / base + big
+      }
+      val scanned = files.values.count { f =>
+        val (xs, ys) = (f.map(_._1._2), f.map(_._1._3))
+        xs.min <= BoxXHi && xs.max >= BoxXLo &&
+          ys.min <= BoxYHi && ys.max >= BoxYLo
+      }
+      (scanned.toLong, sorted.count(r => inBox(r._2, r._3)).toLong)
+    }
+    val wantNat = replay(rows.sortBy(_._1).toSeq)
+    val wantZ = replay(rows.sortBy(r => (morton(r._2, r._3), r._1)).toSeq)
+    val got = ZOrderOps.zorderPrune(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("natural") == ((PruneFiles.toLong, wantNat._1, wantNat._2)))
+    assert(got("zorder") == ((PruneFiles.toLong, wantZ._1, wantZ._2)))
+    // the point, measured: same matching rows, far fewer files touched
+    assert(got("natural")._3 == got("zorder")._3)
+    assert(got("zorder")._2 * 2 < got("natural")._2,
+      s"z-order should skip most files: ${got("zorder")._2} vs ${got("natural")._2}")
+    assert(got("natural")._3 > 0, "the benchmark box must match real rows")
+  }
 }
