@@ -132,6 +132,10 @@ object GraftCatalog {
       .createOrReplaceTempView("vocab_coverage")
     graft.ops.ZOrderOps.zorderPrune(spark, sfDir)
       .createOrReplaceTempView("zorder_prune")
+    graft.ops.CoreOps.a14Unpivot(spark, sfDir)
+      .createOrReplaceTempView("unpivoted_counts")
+    graft.ops.CoreOps.j12FullOuter(spark, sfDir)
+      .createOrReplaceTempView("snapshot_reconciliation")
     // dedupCanonical and entityResolve stay unmounted with the components
     // fixpoint they compose (eager jobs, the standing view-contract
     // exclusion)

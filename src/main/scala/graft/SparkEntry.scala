@@ -211,6 +211,8 @@ object SparkEntry {
     "q_dq_drift" -> (graft.ops.ProfileOps.dqDrift _),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "q_zorder_prune" -> (ZOrderOps.zorderPrune _),
+    "q_a14_unpivot" -> (CoreOps.a14Unpivot _),
+    "q_j12_full_outer" -> (CoreOps.j12FullOuter _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2944,5 +2946,44 @@ object SparkEntry {
                 CAST(sum(rows_in_box) AS BIGINT) AS rows_matched
          FROM fs GROUP BY layout ORDER BY layout"""
     },
+    // the pivot matrix melted back to rows — one UNION ALL branch per
+    // priority literal, generated from the ONE Priorities list (mirrors
+    // CoreOps.a14Unpivot's stack)
+    "q_a14_unpivot" -> {
+      val cells = CoreOps.Priorities.map(p =>
+        s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS "$p"""").mkString(",\n                ")
+      val branches = CoreOps.Priorities.map(p =>
+        s"""SELECT o_orderstatus, '$p' AS o_orderpriority,
+                "$p" AS n_orders FROM p""").mkString("\n         UNION ALL\n         ")
+      s"""
+         WITH p AS (SELECT o_orderstatus,
+                $cells
+               FROM orders GROUP BY 1)
+         $branches
+         ORDER BY o_orderstatus, o_orderpriority"""
+    },
+    // odd/even snapshot halves reconciled as SETS (mirrors
+    // CoreOps.j12FullOuter)
+    "q_j12_full_outer" -> """
+         WITH a AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS ca,
+                  CAST(count(*) AS BIGINT) AS na
+               FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+         b AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cb,
+                  CAST(count(*) AS BIGINT) AS nb
+               FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+         SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                coalesce(ca, 0) AS cents_a, coalesce(na, 0) AS n_a,
+                coalesce(cb, 0) AS cents_b, coalesce(nb, 0) AS n_b,
+                CASE WHEN ca IS NULL THEN 'right_only'
+                     WHEN cb IS NULL THEN 'left_only'
+                     ELSE 'both' END AS presence,
+                coalesce(cb, 0) - coalesce(ca, 0) AS delta_cents
+         FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+         ORDER BY o_custkey""",
   )
 }

@@ -278,6 +278,57 @@ object CoreOps {
       .orderBy("o_orderstatus")
   }
 
+  /** A14 (beyond reference): UNPIVOT — the inverse reshape of [[a11Pivot]]
+    * (melt wide per-priority count columns back to (status, priority, n)
+    * rows) via `stack`, which Catalyst plans as one Generate over the
+    * pivoted row: no shuffle beyond the pivot's own aggregate, no union of
+    * N re-scans. Zero counts are kept (a pivot cell is a real 0, not an
+    * absent row) so the roundtrip `unpivot(pivot(x)) = groupBy(x)+zeros`
+    * is checkable, and the spec pins exactly that identity.
+    */
+  def a14Unpivot(s: SparkSession, dir: String): DataFrame =
+    a11Pivot(s, dir)
+      .select(col("o_orderstatus"), expr(
+        s"stack(${Priorities.size}, " +
+          Priorities.map(p => s"'$p', `$p`").mkString(", ") +
+          ") AS (o_orderpriority, n_orders)"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** J12 (beyond reference): FULL OUTER reconciliation — the snapshot
+    * diff report every sync pipeline ends with: per-customer order totals
+    * of two halves of the fact table (the deterministic odd/even orderkey
+    * split — the re-dirty/modulo device) joined full-outer, each customer
+    * classified `both` / `left_only` / `right_only` with the integer-cents
+    * delta. Completes the declared join surface (inner, left+defaults,
+    * semi, anti, as-of, interval, and now full outer).
+    *
+    * Shape: two aggregates over one scan (conditional sums split the
+    * halves — the table is NOT read twice) would be ideal, but halves must
+    * reconcile as SETS (a customer may exist in one half only), so the
+    * plan aggregates each half and full-outer-joins on the grouping key:
+    * both sides are already reduced to O(customers) rows before the join
+    * shuffle, which is the honest cost of a reconciliation at any scale.
+    */
+  def j12FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def half(m: Int) = orders.filter(col("o_orderkey") % 2 === m)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as(s"cents_$m"),
+        count(lit(1)).as(s"n_$m"))
+    half(0).join(half(1), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("cents_0"), lit(0L)).as("cents_a"),
+        coalesce(col("n_0"), lit(0L)).as("n_a"),
+        coalesce(col("cents_1"), lit(0L)).as("cents_b"),
+        coalesce(col("n_1"), lit(0L)).as("n_b"),
+        when(col("cents_0").isNull, "right_only")
+          .when(col("cents_1").isNull, "left_only")
+          .otherwise("both").as("presence"),
+        (coalesce(col("cents_1"), lit(0L)) -
+          coalesce(col("cents_0"), lit(0L))).as("delta_cents"))
+      .orderBy("o_custkey")
+  }
+
   // ---- set operations ------------------------------------------------------
 
   /** SO1: set difference (stale-group delete set, odgovlt.py:312):

@@ -344,6 +344,48 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unpivot inverts the pivot back to grouped counts, zeros kept") {
+    val got = graft.ops.CoreOps.a14Unpivot(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val statuses = direct.keySet.map(_._1)
+    // full matrix: every (status, priority) cell present, absent = 0
+    assert(got.size == statuses.size * graft.ops.CoreOps.Priorities.size)
+    got.foreach { case (k, n) => assert(n == direct.getOrElse(k, 0L), s"$k") }
+    assert(direct.values.sum == got.values.sum, "totals preserved")
+  }
+
+  test("full-outer reconciliation classifies both one-sided directions") {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def half(m: Int) = orders.filter(_._1 % 2 == m).groupBy(_._2)
+      .map { case (c, os) => c -> (os.map(_._3).sum, os.size.toLong) }
+    val (a, b) = (half(0), half(1))
+    val got = graft.ops.CoreOps.j12FullOuter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    assert(got.map(_._1).toSet == a.keySet ++ b.keySet)
+    got.foreach { case (c, ca, na, cb, nb, pres, delta) =>
+      val (wa, wb) = (a.get(c), b.get(c))
+      assert((ca, na) == wa.getOrElse((0L, 0L)), s"cust $c left")
+      assert((cb, nb) == wb.getOrElse((0L, 0L)), s"cust $c right")
+      assert(pres == ((wa, wb) match {
+        case (None, _) => "right_only"
+        case (_, None) => "left_only"
+        case _ => "both"
+      }), s"cust $c presence")
+      assert(delta == cb - ca)
+    }
+    // the fixture exercises all three classes
+    assert(got.exists(_._6 == "left_only") && got.exists(_._6 == "right_only")
+      && got.exists(_._6 == "both"))
+  }
+
   test("anomaly MAD: exact rank medians replay; verdicts are |x-med| > k*mad") {
     val got = AnalyticsOps.anomalyMad(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

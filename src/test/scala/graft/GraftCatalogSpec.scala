@@ -229,5 +229,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       WHERE n.rows_matched != z.rows_matched
          OR z.files_scanned >= n.files_scanned""")
       .head().getLong(0) == 0)
+    // melt × reconciliation compose in one statement: total orders agree
+    val tot = spark.sql("""
+      SELECT (SELECT sum(n_orders) FROM unpivoted_counts) AS a,
+             (SELECT sum(n_a) + sum(n_b) FROM snapshot_reconciliation) AS b
+      """).head()
+    assert(tot.getLong(0) == tot.getLong(1), "order counts must reconcile")
   }
 }

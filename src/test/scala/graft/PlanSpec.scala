@@ -682,6 +682,26 @@ class PlanSpec extends AnyFunSuite {
       "coverage targets fan out as a literal explode over the ranked vocab")
   }
 
+  test("unpivot plans as one Generate over the pivoted rows, not N scans") {
+    val p = plan("q_a14_unpivot")
+    assert(p.contains("Generate stack"),
+      s"the melt must be a generator, not a union of re-scans:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"orders must be read exactly once:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("full-outer reconciliation joins reduced sides on the grouping key") {
+    val p = plan("q_j12_full_outer")
+    assert(p.contains("FullOuter"), s"must be a genuine full outer:\n$p")
+    // both inputs aggregate to O(customers) BEFORE the join shuffle
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0 &&
+      p.substring(joinIdx).contains("HashAggregate"),
+      s"sides must reduce before joining:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("zorder prune: window-and-aggregate diagnostic — no joins") {
     val p = plan("q_zorder_prune")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
