@@ -136,6 +136,10 @@ object GraftCatalog {
       .createOrReplaceTempView("unpivoted_counts")
     graft.ops.CoreOps.j12FullOuter(spark, sfDir)
       .createOrReplaceTempView("snapshot_reconciliation")
+    graft.ops.GraphOps.nodeSimilarity(spark, sfDir)
+      .createOrReplaceTempView("node_similarity")
+    graft.ops.ZOrderOps.ivmZonemap(spark, sfDir)
+      .createOrReplaceTempView("ivm_zonemap")
     // dedupCanonical and entityResolve stay unmounted with the components
     // fixpoint they compose (eager jobs, the standing view-contract
     // exclusion)

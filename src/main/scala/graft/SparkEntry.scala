@@ -213,6 +213,8 @@ object SparkEntry {
     "q_zorder_prune" -> (ZOrderOps.zorderPrune _),
     "q_a14_unpivot" -> (CoreOps.a14Unpivot _),
     "q_j12_full_outer" -> (CoreOps.j12FullOuter _),
+    "q_graph_jaccard" -> (graft.ops.GraphOps.nodeSimilarity _),
+    "q_ivm_zonemap" -> (ZOrderOps.ivmZonemap _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -2985,5 +2987,55 @@ object SparkEntry {
                 coalesce(cb, 0) - coalesce(ca, 0) AS delta_cents
          FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
          ORDER BY o_custkey""",
+    // induced-subgraph common neighbors + integer-cleared Jaccard
+    // (mirrors GraphOps.nodeSimilarity; edge CTEs shared with the
+    // triangle/bfs oracles' co-purchase build)
+    "q_graph_jaccard" -> {
+      import graft.ops.GraphOps.{SimMaxDeg, SimTopK, TriMinSupport}
+      s"""
+         WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         prs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY 1, 2),
+         base AS (SELECT pa, pb FROM prs WHERE supp >= $TriMinSupport),
+         sym AS (SELECT pa AS node, pb AS nbr FROM base
+                 UNION ALL SELECT pb, pa FROM base),
+         keep AS (SELECT node FROM sym GROUP BY node
+                  HAVING count(*) <= $SimMaxDeg),
+         se AS (SELECT s.node, s.nbr FROM sym s
+                JOIN keep k1 ON s.node = k1.node
+                JOIN keep k2 ON s.nbr = k2.node),
+         sdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                  FROM se GROUP BY node),
+         it AS (SELECT l.node AS a, r.node AS b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM se l JOIN se r
+                  ON l.nbr = r.nbr AND l.node < r.node
+                GROUP BY 1, 2)
+         SELECT a, b, inter, da.deg AS da, db.deg AS db,
+                inter * 1000 // (da.deg + db.deg - inter) AS jac_x1000
+         FROM it JOIN sdeg da ON it.a = da.node
+                 JOIN sdeg db ON it.b = db.node
+         ORDER BY jac_x1000 DESC, a, b LIMIT $SimTopK"""
+    },
+    // base + delta stats merged by the min/max/count monoid; the oracle
+    // is the FULL recompute — merged = rebuilt is the delta-rule proof
+    // (mirrors ZOrderOps.ivmZonemap)
+    "q_ivm_zonemap" -> {
+      import graft.ops.ZOrderOps.{ZonemapShift, DimBits}
+      s"""
+         WITH b AS (SELECT o_orderkey,
+                  o_custkey % ${1L << DimBits} AS x,
+                  CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                       % ${1 << DimBits} AS BIGINT) AS y
+               FROM orders),
+         zz AS (SELECT *, ${graft.ops.ZOrderOps.zvalueSql("x", "y")} AS z
+                FROM b)
+         SELECT z >> $ZonemapShift AS f,
+                min(x) AS x_lo, max(x) AS x_hi,
+                min(y) AS y_lo, max(y) AS y_hi,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM zz GROUP BY 1 ORDER BY f"""
+    },
   )
 }

@@ -245,4 +245,59 @@ object GraphOps {
     e.unpersist()
     dist.orderBy("node")
   }
+
+  /** Hub ceiling for [[nodeSimilarity]]: nodes above this degree leave the
+    * induced subgraph entirely. The wedge enumeration is quadratic in the
+    * CENTER's degree, so one hub center contributes deg² candidate pairs —
+    * the df-band argument from the TF-IDF neighbor join transplanted to
+    * graphs: hub-mediated similarity ("both touch the bestseller") is
+    * noise, and dropping it is what bounds the fanout at [[SimMaxDeg]]²
+    * per center. The prune is part of the SEMANTICS (deterministic,
+    * mirrored in the oracle), not a sampling shortcut.
+    */
+  val SimMaxDeg = 32
+  /** Result size of the similarity ranking. */
+  val SimTopK = 50
+
+  /** Common-neighbor node similarity (link prediction) over the
+    * co-purchase graph: for every part pair sharing ≥1 neighbor in the
+    * hub-pruned induced subgraph, the intersection size and the Jaccard
+    * of their neighbor sets — `|N(a)∩N(b)| / |N(a)∪N(b)|` with the union
+    * cleared by inclusion-exclusion to `da + db − inter`, the ratio
+    * scaled to an integer (`·1000 div`, the bigram-lm flooring
+    * convention) so the ranking is hash-exact cross-engine.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * neighbors (a posting-style self-equi-join on the center node —
+    * never all-pairs); both endpoints and the center live in the induced
+    * subgraph (two semi-joins against the O(nodes) keep-list), so
+    * per-center fanout is bounded by [[SimMaxDeg]]²; degrees re-derive
+    * on the SAME subgraph so the Jaccard is exact on what was actually
+    * joined; the global top-K plans as TakeOrderedAndProject.
+    */
+  def nodeSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val base = coPurchaseEdges(s, dir)
+    val sym = base.select(col("pa").as("node"), col("pb").as("nbr"))
+      .union(base.select(col("pb").as("node"), col("pa").as("nbr")))
+    val keep = sym.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= SimMaxDeg).select(col("node"))
+    val se = sym
+      .join(keep, Seq("node"), "left_semi")
+      .join(keep.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+      .cache()
+    val sdeg = se.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val inter = se.as("l")
+      .join(se.as("r"),
+        col("l.nbr") === col("r.nbr") && col("l.node") < col("r.node"))
+      .groupBy(col("l.node").as("a"), col("r.node").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sdeg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(sdeg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"), col("da"), col("db"),
+        call_function("div", col("inter") * 1000,
+          col("da") + col("db") - col("inter")).as("jac_x1000"))
+      .orderBy(col("jac_x1000").desc, col("a"), col("b"))
+      .limit(SimTopK)
+  }
 }

@@ -129,14 +129,21 @@ object ZOrderOps {
     * [[zorderLayout]], where the range exchange does the same assignment
     * distributed, and the envelopes come free from parquet footers.
     */
-  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = t(s, dir, "orders")
+  /** The (key, x, y, z) projection of orders both layout diagnostics
+    * ([[zorderPrune]], [[ivmZonemap]]) analyze — one definition so they
+    * cannot disagree on the dimensions.
+    */
+  private def zBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .select(col("o_orderkey"),
         (col("o_custkey") % (1L << DimBits)).as("x"),
         (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
           % (1 << DimBits)).cast("long").as("y"))
       .withColumn("z", zvalue(col("x"), col("y")))
+
+  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = zBase(s, dir)
     def layout(name: String, ord: Seq[Column]): DataFrame = base
       .withColumn("f", ntile(PruneFiles).over(Window.orderBy(ord: _*)))
       .groupBy(col("f"))
@@ -156,5 +163,49 @@ object ZOrderOps {
           .otherwise(0L)).as("files_scanned"),
         sum(col("rows_in_box")).as("rows_matched"))
       .orderBy("layout")
+  }
+
+  /** Fixed z-range bucket width for [[ivmZonemap]] (`z >> 18`, sized to
+    * the POPULATED z-range: order days span ~12 bits and custkeys ~11, so
+    * z stays under 2^24 and 2^18-wide buckets give a few dozen live zone
+    * rows). FIXED boundaries — not ntile — because the maintenance story
+    * needs the bucket function to be a pure function of the row:
+    * data-dependent boundaries would move when the delta arrives and
+    * invalidate every persisted stat.
+    */
+  val ZonemapShift = 18
+
+  /** Incremental zone-map maintenance — the IVM tier applied to the
+    * layout artifact: the per-bucket (min/max x, min/max y, row count)
+    * statistics table that drives [[zorderPrune]]-style file skipping,
+    * maintained under batch arrivals by MONOID arithmetic — min/min,
+    * max/max, count-add per bucket — instead of a rebuild. The harness
+    * splits orders into a base slice and a delta slice (the modulo
+    * device), computes each side's stats, and merges; the oracle is the
+    * FULL recompute over all rows, so merged ≡ rebuilt hash-exact is the
+    * checked delta-rule soundness (the ivm_agg / ivm_index contract). On
+    * a deployment the base stats are the persisted table and only the
+    * delta's O(delta + buckets) side runs — the base parquet is never
+    * rescanned, which is the whole point of maintaining zone maps rather
+    * than re-deriving them at 100 TB.
+    *
+    * Deletions break the min/max monoid (a removed extremum forces a
+    * bucket rescan) — append-only by contract, documented rather than
+    * hidden.
+    */
+  def ivmZonemap(s: SparkSession, dir: String): DataFrame = {
+    val b = zBase(s, dir)
+      .withColumn("f", shiftrightunsigned(col("z"), ZonemapShift))
+    def stats(df: DataFrame): DataFrame = df.groupBy(col("f"))
+      .agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"),
+        count(lit(1)).as("n_rows"))
+    stats(b.filter(col("o_orderkey") % 7 =!= 0))
+      .union(stats(b.filter(col("o_orderkey") % 7 === 0)))
+      .groupBy(col("f"))
+      .agg(min(col("x_lo")).as("x_lo"), max(col("x_hi")).as("x_hi"),
+        min(col("y_lo")).as("y_lo"), max(col("y_hi")).as("y_hi"),
+        sum(col("n_rows")).as("n_rows"))
+      .orderBy("f")
   }
 }

@@ -235,5 +235,19 @@ class GraftCatalogSpec extends AnyFunSuite {
              (SELECT sum(n_a) + sum(n_b) FROM snapshot_reconciliation) AS b
       """).head()
     assert(tot.getLong(0) == tot.getLong(1), "order counts must reconcile")
+    // similarity rows respect their own algebra: inter bounds and the
+    // published scaled-Jaccard arithmetic
+    assert(spark.sql("""
+      SELECT count(*) FROM node_similarity
+      WHERE inter < 1 OR inter > least(da, db)
+         OR jac_x1000 != inter * 1000 div (da + db - inter)""")
+      .head().getLong(0) == 0)
+    // zone rows: envelopes ordered and counts sum to the table size
+    assert(spark.sql("""
+      SELECT count(*) FROM ivm_zonemap
+      WHERE x_lo > x_hi OR y_lo > y_hi OR n_rows <= 0""")
+      .head().getLong(0) == 0)
+    assert(spark.sql("SELECT sum(n_rows) FROM ivm_zonemap").head().getLong(0)
+      == spark.table("orders").count())
   }
 }

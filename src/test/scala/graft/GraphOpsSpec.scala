@@ -191,4 +191,39 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orgs.max > users.max,
       s"top org ${orgs.max} should out-rank top user ${users.max}")
   }
+
+  test("node similarity replays the induced-subgraph Jaccard exactly") {
+    val got = GraphOps.nodeSimilarity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    spark.catalog.clearCache()
+    // independent build: co-purchase edges, hub prune, common neighbors
+    val li: Seq[(Long, Long)] = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val basePairs: Seq[(Long, Long)] = li.groupBy(_._1).values.toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2)
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      .groupBy(identity)
+      .filter(_._2.size >= GraphOps.TriMinSupport).keys.toSeq
+    val adj0 = (basePairs ++ basePairs.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val keep = adj0.collect {
+      case (n, nb) if nb.size <= GraphOps.SimMaxDeg => n
+    }.toSet
+    val adj = adj0.collect { case (n, nb) if keep(n) =>
+      n -> nb.filter(keep)
+    }.filter(_._2.nonEmpty)
+    val pairs = for {
+      (a, na) <- adj.toSeq; (b, nb) <- adj.toSeq if a < b
+      inter = (na & nb).size.toLong if inter > 0
+    } yield (a, b, inter, na.size.toLong, nb.size.toLong,
+      inter * 1000 / (na.size + nb.size - inter))
+    val want = pairs.sortBy(p => (-p._6, p._1, p._2)).take(GraphOps.SimTopK)
+    assert(got.toSeq == want)
+    // the fixture exercises real overlap, not just single-wedge pairs
+    assert(got.exists(_._3 > 1) && got.map(_._6).distinct.length > 1)
+  }
 }

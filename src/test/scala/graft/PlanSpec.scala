@@ -702,6 +702,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("node similarity: equi-joins through shared neighbors, heap top-K") {
+    val p = plan("q_graph_jaccard")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${
+      graft.ops.GraphOps.SimTopK}"),
+      "global top-K must be per-partition heaps, not a full sort")
+    assert(!p.contains("CartesianProduct"),
+      s"pairs must come from the center equi-join, never all-pairs:\n$p")
+  }
+
+  test("zonemap maintenance: union-merge aggregate, zero joins") {
+    val p = plan("q_ivm_zonemap")
+    assert(p.contains("Union"), s"base and delta stats must union-merge:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the monoid merge is an aggregate, not a join:\n$p")
+  }
+
   test("zorder prune: window-and-aggregate diagnostic — no joins") {
     val p = plan("q_zorder_prune")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

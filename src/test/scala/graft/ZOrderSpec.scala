@@ -128,4 +128,31 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order should skip most files: ${got("zorder")._2} vs ${got("natural")._2}")
     assert(got("natural")._3 > 0, "the benchmark box must match real rows")
   }
+
+  test("zone-map maintenance merge equals the direct recompute") {
+    import ZOrderOps._
+    val rows = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), (col("o_custkey") % (1L << DimBits)).as("x"),
+        (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          % (1 << DimBits)).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def sp(v: Long) = (0 until DimBits).map(i => ((v >> i) & 1L) << (2 * i)).sum
+    val keyed = rows.map { case (k, x, y) =>
+      ((sp(x) | (sp(y) << 1)) >> ZonemapShift, k, x, y)
+    }
+    val want = keyed.groupBy(_._1).map { case (f, rs) =>
+      f -> (rs.map(_._3).min, rs.map(_._3).max, rs.map(_._4).min,
+        rs.map(_._4).max, rs.size.toLong)
+    }
+    val got = ZOrderOps.ivmZonemap(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want, "merged stats must equal the direct recompute")
+    // the merge is non-vacuous: some bucket receives rows from BOTH the
+    // base and the delta slice, so min/min-max/max-add actually combined
+    assert(keyed.groupBy(_._1).exists { case (_, rs) =>
+      rs.exists(_._2 % 7 == 0) && rs.exists(_._2 % 7 != 0)
+    })
+    assert(got.size > 1, "the populated z-range must span several buckets")
+  }
 }
