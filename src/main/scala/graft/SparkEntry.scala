@@ -215,6 +215,7 @@ object SparkEntry {
     "q_j12_full_outer" -> (CoreOps.j12FullOuter _),
     "q_graph_jaccard" -> (graft.ops.GraphOps.nodeSimilarity _),
     "q_ivm_zonemap" -> (ZOrderOps.ivmZonemap _),
+    "q_mm_neardup" -> (MultimodalOps.mmNearDup _),
   )
 
   // ---- DuckDB oracle SQL macros shared by the LLM-operator oracles ------
@@ -3037,5 +3038,27 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows
          FROM zz GROUP BY 1 ORDER BY f"""
     },
+    // byte-shingle `sh` CTE + the SAME shared minhashCtes the text tier
+    // uses — one update site per engine for the signature/band arithmetic
+    // (mirrors MultimodalOps.mmNearDup through Dedup.lshVerifiedPairs)
+    "q_mm_neardup" -> s"""
+         WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(hx) >= 16
+                       THEN list_distinct(list_transform(
+                              range(1, len(hx) - 14, 2),
+                              i -> substr(hx, CAST(i AS INT), 16)))
+                       ELSE [hx] END AS grams
+                FROM hx),
+         $minhashCtes,
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bands x JOIN bands y
+                    ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+                       AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, jac FROM (
+           SELECT a_id, b_id, ${jaccardSql("ga.grams", "gb.grams")} AS jac
+           FROM cand JOIN sh ga ON cand.a_id = ga.doc_id
+                     JOIN sh gb ON cand.b_id = gb.doc_id)
+         WHERE jac >= 0.5 ORDER BY a_id, b_id""",
   )
 }

@@ -128,8 +128,19 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: banded signatures → bucket join →
     * exact-Jaccard verification of candidates only.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).cache()
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(shingled(s, dir), 0.5)
+
+  /** The content-type-agnostic LSH chain over ANY (doc_id, grams) shingle
+    * table: signature → band → bucket join → exact-Jaccard verify. One
+    * definition feeding the text tier ([[minhashLsh]]) and the binary
+    * tier ([[graft.ops.MultimodalOps.mmNearDup]]'s byte shingles) — the
+    * machinery never looks inside a gram, so what a "document" is stays
+    * the caller's business.
+    */
+  private[graft] def lshVerifiedPairs(shIn: DataFrame,
+      threshold: Double): DataFrame = {
+    val sh = shIn.cache()
     // cache: both sides of the candidate self-join read bands; without the
     // cache the whole explode+md5+groupBy signature pipeline runs twice
     val bands = bandTable(signatureTable(sh)).cache()
@@ -145,7 +156,7 @@ object Dedup {
       .join(sh.select(col("doc_id"), col("grams").as("b_grams")), col("b_id") === col("doc_id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_grams"), col("b_grams")).as("jac"))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= threshold)
       .orderBy("a_id", "b_id")
   }
 

@@ -240,4 +240,28 @@ object MultimodalOps {
       .select(col("keep_id"), col("n_copies"), col("n_bytes"), col("digest"))
       .orderBy("keep_id")
   }
+
+  /** Byte-level NEAR-dup over the binary tier — [[mmDedup]]'s exact
+    * digest grouping extended to assets that share most of their bytes
+    * but no digest (re-encodes, metadata stamps, truncations): sliding
+    * 8-byte shingles of each blob (byte-aligned 16-char windows of the
+    * hex encoding) feed the SAME MinHash → LSH band → bucket join →
+    * exact-Jaccard chain the text tier runs
+    * ([[graft.llm.Dedup.lshVerifiedPairs]] — the machinery never looks
+    * inside a gram, so one dedup stack serves text AND media; blobs are
+    * read once at scan to shingle and never shuffle whole). The
+    * fixture's planted near-dup documents supply genuinely similar byte
+    * streams; verification keeps pairs at Jaccard ≥ 0.5.
+    */
+  def mmNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hx = blobTable(s, dir)
+      .select(col("doc_id"), hex(col("blob")).as("hx"))
+    val grams = when(length(col("hx")) >= 16,
+      array_distinct(transform(
+        sequence(lit(1), length(col("hx")) - 15, lit(2)),
+        i => col("hx").substr(i, lit(16)))))
+      .otherwise(array(col("hx")))
+    graft.llm.Dedup.lshVerifiedPairs(
+      hx.select(col("doc_id"), grams.as("grams")), 0.5)
+  }
 }

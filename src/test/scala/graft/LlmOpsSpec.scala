@@ -646,4 +646,28 @@ class LlmOpsSpec extends AnyFunSuite {
     val bySize = got.map(g => g._1 -> g._2).toMap
     assert(bySize(50) < bySize(99))
   }
+
+  test("byte-level media near-dup matches the unblocked byte ground truth") {
+    // ground truth: all-pairs Jaccard over the byte shingle sets, no LSH
+    def grams(text: String): Set[String] = {
+      val hx = text.getBytes("UTF-8").map("%02X".format(_)).mkString
+      if (hx.length >= 16) (1 to hx.length - 15 by 2)
+        .map(i => hx.substring(i - 1, i + 15)).toSet
+      else Set(hx)
+    }
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), grams(r.getString(1))))
+    val truth = (for {
+      (a, ga) <- docs; (b, gb) <- docs if a < b
+      jac = (ga & gb).size.toDouble / (ga | gb).size if jac >= 0.5
+    } yield (a, b, jac)).toSet
+    val got = graft.ops.MultimodalOps.mmNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "planted near-dup texts must be byte near-dups")
+    // verified candidates are exact, and at j>=0.5 the 8x4 banding catches
+    // every fixture pair (miss probability (1 - j^4)^8, ~0 at planted j)
+    assert(got == truth, s"got ${got.size} vs truth ${truth.size}")
+    spark.catalog.clearCache()
+  }
 }

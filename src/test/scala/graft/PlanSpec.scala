@@ -718,6 +718,15 @@ class PlanSpec extends AnyFunSuite {
       s"the monoid merge is an aggregate, not a join:\n$p")
   }
 
+  test("media near-dup: banded equi-join candidates, cached shingles") {
+    val p = plan("q_mm_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the band bucket join, never all-pairs:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      "the shingle/band pipeline must be computed once and cached")
+    spark.catalog.clearCache()
+  }
+
   test("zorder prune: window-and-aggregate diagnostic — no joins") {
     val p = plan("q_zorder_prune")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
