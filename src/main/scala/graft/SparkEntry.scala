@@ -205,6 +205,7 @@ object SparkEntry {
     "q_split_leakage" -> (TextAnalysis.leakageSafeSplit _),
     "q_ivm_index" -> ((s, dir) => TextAnalysis.ivmIndex(s, dir)),
     "q_anomaly_mad" -> (graft.ops.AnalyticsOps.anomalyMad _),
+    "q_w11_weighted_median" -> (graft.ops.AnalyticsOps.weightedMedian _),
     "q_w10_interp" -> (graft.ops.AsofOps.interpFill _),
     "q_dedup_canonical" -> (Dedup.dedupCanonical _),
     "q_entity_resolve" -> (graft.ops.MatchOps.entityResolve _),
@@ -2770,6 +2771,30 @@ object SparkEntry {
                 abs_dev > $MadK * mad_cents AS is_anomaly
          FROM f ORDER BY event_id"""
     },
+    // exact weighted median: smallest value whose cumulative synthetic
+    // weight (event_id % 7 + 1) reaches half the total — the MAD
+    // cross-multiply device lifted from counts to weights (mirrors
+    // AnalyticsOps.weightedMedian)
+    "q_w11_weighted_median" -> s"""
+         WITH r AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  event_id % 7 + 1 AS w
+               FROM events),
+         c AS (SELECT *,
+                  sum(w) OVER (PARTITION BY event_type
+                    ORDER BY cents, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                  sum(w) OVER (PARTITION BY event_type) AS totw,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY cents, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM r)
+         SELECT event_type,
+                CAST(max(cnt) AS BIGINT) AS n,
+                CAST(max(totw) AS BIGINT) AS tot_w,
+                min(CASE WHEN rn * 2 >= cnt THEN cents END) AS med_cents,
+                min(CASE WHEN cumw * 2 >= totw THEN cents END) AS wmed_cents
+         FROM c GROUP BY event_type ORDER BY event_type""",
     // time-weighted linear interpolation between the surrounding
     // observations; floor division spelled out as (a - ((a%b + b)%b)) // b
     // so the negative-numerator semantics are engine-identical (mirrors

@@ -358,4 +358,49 @@ object AnalyticsOps {
           .as("is_outlier"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic surrogate importance weight for [[weightedMedian]]:
+    * 1..7 from the key — the fixture carries no weight column, and the
+    * synthesis convention (document it, mirror it in the oracle) is the
+    * same one `q_j11_null_skew` uses for its null FKs.
+    */
+  def rowWeight(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (key % 7 + 1).cast("bigint")
+
+  /** W11: exact weighted median per group — the importance-weighted
+    * percentile an up/down-sampled corpus needs where the unweighted
+    * median misreports the resampled distribution (each row counts
+    * [[rowWeight]] times, as if physically replicated). The statistic is
+    * the smallest value whose cumulative weight reaches half the total
+    * (`2·cumw >= totw` — the winsorize/MAD cross-multiply device lifted
+    * from counts to weights; weights are integers, so the comparison is
+    * engine-exact, and the result is always an actual data value). The
+    * unweighted median rides along so the fixture proves the weighting
+    * MOVES the statistic (spec-pinned), not just reproduces it.
+    *
+    * Shape: ONE shuffle on the group key, ZERO joins — the running
+    * weight sum (ordered frame), both whole-partition totals, and both
+    * conditional mins evaluate inside the same window partitioning, the
+    * [[anomalyMad]] discipline. The output is O(groups) rows.
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy(col("event_type"))
+    val wo = wp.orderBy(col("cents").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        cents(col("value")).as("cents"), rowWeight(col("event_id")).as("w"))
+      .withColumn("cumw", sum(col("w")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(wp))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("cnt")).as("n"),
+        max(col("totw")).as("tot_w"),
+        min(when(col("rn") * 2 >= col("cnt"), col("cents"))).as("med_cents"),
+        min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+          .as("wmed_cents"))
+      .orderBy("event_type")
+  }
 }

@@ -412,4 +412,30 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(stats == got.map(e => (e._2, e._4, e._5)).toSet)
   }
+
+  test("weighted median: first value reaching half the total weight") {
+    val rows = Tables.table(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val got = AnalyticsOps.weightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = rows.groupBy(_._2).map { case (tpe, es) =>
+      val sorted = es.map(e => (e._3, e._1)).sortBy(identity)
+      val n = sorted.length.toLong
+      val med = sorted.map(_._1).apply(((n + 1) / 2 - 1).toInt)
+      def w(id: Long): Long = id % 7 + 1
+      val totw = es.map(e => w(e._1)).sum
+      // walk the unique (value, key) order until 2*cumw >= totw
+      val cum = sorted.scanLeft(0L) { case (acc, (_, id)) => acc + w(id) }.tail
+      val wmed = sorted.zip(cum)
+        .find { case (_, cw) => cw * 2 >= totw }.get._1._1
+      tpe -> (n, totw, med, wmed)
+    }
+    assert(got == want)
+    // the synthetic weights genuinely MOVE the statistic somewhere
+    assert(want.exists { case (_, (_, _, m, wm)) => m != wm },
+      "fixture must exercise a weighted median differing from unweighted")
+  }
 }

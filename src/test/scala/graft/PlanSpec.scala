@@ -647,6 +647,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the window form needs no stats join:\n$p")
   }
 
+  test("weighted median: window and final aggregate share one type shuffle") {
+    val p = plan("q_w11_weighted_median")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"weight sweep and group collapse must share one shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"the window form needs no stats join:\n$p")
+  }
+
   test("interp fill: one key shuffle; the division is integer `div`") {
     val p = plan("q_w10_interp")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
