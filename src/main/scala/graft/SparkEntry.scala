@@ -168,6 +168,8 @@ object SparkEntry {
     "q_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "q_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
     "q_quality_model" -> (TextAnalysis.modelQualityScore _),
+    "q_model_perceptron" -> (graft.llm.Training.perceptronTrain _),
+    "q_model_pr_curve" -> (graft.llm.Training.prCurve _),
     "q_minhash_est" -> (Dedup.minhashEstimate _),
     "q_zorder_key" -> (ZOrderOps.zorderKey _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -426,6 +428,64 @@ object SparkEntry {
                            CAST(${hexIntSql(s"'${graft.llm.TextAnalysis.ModelSalt}' || t")} % ${graft.llm.TextAnalysis.ModelBuckets} AS INT) + 1]))
                          AS BIGINT) AS raw_score
                 FROM tkm)"""
+
+  /** Integer training features + the ±1 distilled label (mirrors
+    * Training.trainingRows: the qualityFilter thresholds cross-multiplied
+    * onto raw counts — the SAME inequalities, so the label derivation has
+    * one definition per engine).
+    */
+  private lazy val trainFeatureCtes: String = s"""
+         tkt AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                 FROM documents),
+         ftr AS (SELECT doc_id,
+                  CAST(1 AS BIGINT) AS x0,
+                  CAST(len(toks) AS BIGINT) AS x1,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS x2,
+                  CAST(len(list_filter(toks,
+                         w -> list_contains(['the','a','of','and'], w)))
+                    AS BIGINT) AS x3,
+                  CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS x4
+                 FROM tkt),
+         lbl AS (SELECT *,
+                  CASE WHEN x1 >= 10 AND x1 <= 100000
+                        AND x2 * 10 >= x1
+                        AND x3 * 100 >= x1 AND x3 * 10 <= x1 * 6
+                        AND x4 >= x1 * 2 AND x4 <= x1 * 12
+                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT)
+                  END AS y
+                 FROM ftr)"""
+
+  /** Epoch-unrolled batch-perceptron chain over `lbl` (mirrors
+    * Training.perceptronTrain): each epoch CTE carries the misclassified
+    * count under the PRE-update weights and the POST-update weights —
+    * all integer sums, order-insensitive, so the trajectory is
+    * engine-exact. The pagerank/bpe-train unrolling convention.
+    */
+  private lazy val perceptronCtes: String = {
+    val names = graft.llm.Training.FeatureNames
+    val rounds = (1 to graft.llm.Training.Epochs).map { r =>
+      val wx =
+        if (r == 1) names.map(f => s"0 * $f").mkString(" + ")
+        else names.map(f => s"e${r - 1}.w_$f * $f").mkString(" + ")
+      val miss = s"y * ($wx) <= 0"
+      val dws = names.map(f =>
+        s"""CAST(${if (r == 1) "0" else s"e${r - 1}.w_$f"}
+              + coalesce(sum(CASE WHEN $miss THEN y * $f END), 0)
+            AS BIGINT) AS w_$f""").mkString(",\n                  ")
+      val from =
+        if (r == 1) "lbl"
+        else s"lbl CROSS JOIN e${r - 1}"
+      val grp =
+        if (r == 1) ""
+        else s"\n               GROUP BY ${names.map(f => s"e${r - 1}.w_$f").mkString(", ")}"
+      s"""e$r AS (SELECT
+                  CAST(count(CASE WHEN $miss THEN 1 END) AS BIGINT) AS n_miss,
+                  $dws
+                 FROM $from$grp)"""
+    }
+    rounds.mkString(",\n         ")
+  }
 
   /** Left-fold dot product — list_reduce guarantees the same left-to-right
     * double summation as Spark's aggregate() fold.
@@ -2012,6 +2072,45 @@ object SparkEntry {
                 round(raw_score::DOUBLE / n_tokens, 6) AS score,
                 raw_score > 0 AS keep
          FROM sc ORDER BY doc_id""",
+    // batch-perceptron training trajectory: epoch-unrolled integer
+    // updates w += sum_miss y*x from w = 0 (mirrors
+    // Training.perceptronTrain; label/features from trainFeatureCtes)
+    "q_model_perceptron" -> {
+      val names = graft.llm.Training.FeatureNames
+      val epochs = (1 to graft.llm.Training.Epochs).map { r =>
+        s"SELECT $r AS epoch, n_miss, ${
+          names.map(f => s"w_$f AS w${f.drop(1)}").mkString(", ")} FROM e$r"
+      }.mkString("\n         UNION ALL ")
+      s"""
+         WITH $trainFeatureCtes,
+         $perceptronCtes
+         $epochs
+         ORDER BY epoch"""
+    },
+    // precision/recall/F1 sweep of the hashed model score against the
+    // distilled gate label, one point per distinct score, integer ppm
+    // ratios (mirrors Training.prCurve)
+    "q_model_pr_curve" -> s"""
+         WITH $modelScoreCtes, $trainFeatureCtes,
+         j AS (SELECT sc.raw_score,
+                      CASE WHEN lbl.y > 0 THEN 1 ELSE 0 END AS pos
+               FROM sc JOIN lbl USING (doc_id)),
+         g AS (SELECT raw_score, count(*) AS n, sum(pos) AS np
+               FROM j GROUP BY raw_score),
+         c AS (SELECT raw_score,
+                  CAST(sum(n) OVER (ORDER BY raw_score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS k,
+                  CAST(sum(np) OVER (ORDER BY raw_score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp,
+                  CAST(sum(np) OVER () AS BIGINT) AS p
+               FROM g)
+         SELECT raw_score AS thr, k, tp, k - tp AS fp,
+                (tp * ${graft.llm.Training.Ppm}) // k AS precision_ppm,
+                (tp * ${graft.llm.Training.Ppm}) // p AS recall_ppm,
+                (tp * 2 * ${graft.llm.Training.Ppm}) // (k + p) AS f1_ppm
+         FROM c ORDER BY thr DESC""",
     // distribution-calibrated quality cut: P25 of the raw model score as a
     // scalar, broadcast back as the keep verdict (mirrors
     // TextAnalysis.calibratedQualityCut; scoring CTE is q_quality_model's)

@@ -16,6 +16,11 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and")
 
+  /** The stopword list, shared with the training tier ([[Training]]) so
+    * the distilled label and the heuristic gate cannot drift apart.
+    */
+  private[llm] def stopwordList: Seq[String] = stopwords
+
   /** Marker vocab per language, from which the char-trigram profiles are
     * derived (the harness corpus is a closed 31-word vocabulary, so real
     * language profiles would never fire; the MECHANISM is the point).

@@ -647,6 +647,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the window form needs no stats join:\n$p")
   }
 
+  test("pr curve: one corpus scan, no joins — sweep runs on the score aggregate") {
+    val p = plan("q_model_pr_curve")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"score and label must ride one documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"no corpus self-join for row-local signals:\n$p")
+    // the global-order cumulative window runs AFTER the groupBy(raw_score)
+    // collapse — a single-partition exchange over the distinct-score frame
+    // is the deliberate small-frame plan, but there must be exactly one
+    // hash exchange feeding it (the score aggregation)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one score-collapse shuffle, got $hashEx:\n$p")
+  }
+
   test("weighted median: window and final aggregate share one type shuffle") {
     val p = plan("q_w11_weighted_median")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
