@@ -113,6 +113,7 @@ object SparkEntry {
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
+    "q_retrieve_mmr" -> (Similarity.mmrDiversify _),
     "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
@@ -1101,6 +1102,58 @@ object SparkEntry {
                        ORDER BY overlap DESC, cos DESC, vec_id) AS rk
            FROM rr)
          WHERE rk <= ${Similarity.RerankTopK} ORDER BY q_id, rk""",
+    // maximal-marginal-relevance diversified top-k: greedy rounds
+    // unrolled as CTEs, each picking argmax(2*rel - max_sim_to_selected)
+    // per query with (mmr DESC, vec_id) tie-break (mirrors
+    // Similarity.mmrDiversify; shared embedScoredCtes)
+    "q_retrieve_mmr" -> {
+      val rounds = (2 to Similarity.MmrK).map { r =>
+        val sel = (1 until r).map(i => s"SELECT q_id, vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$r AS MATERIALIZED (
+           SELECT q_id, $r AS rank, vec_id, rel, maxsim, mmr FROM (
+             SELECT cnd.q_id, cnd.vec_id, cnd.rel, m.maxsim,
+                    2 * cnd.rel - m.maxsim AS mmr,
+                    row_number() OVER (PARTITION BY cnd.q_id
+                      ORDER BY 2 * cnd.rel - m.maxsim DESC, cnd.vec_id) AS rn
+             FROM cand cnd
+             JOIN (SELECT p.q_id, p.a_id, max(p.sim) AS maxsim
+                   FROM pairs p JOIN ($sel) sel
+                     ON p.q_id = sel.q_id AND p.b_id = sel.vec_id
+                   GROUP BY p.q_id, p.a_id) m
+               ON cnd.q_id = m.q_id AND cnd.vec_id = m.a_id
+             WHERE NOT EXISTS (SELECT 1 FROM ($sel) ex
+                               WHERE ex.q_id = cnd.q_id
+                                 AND ex.vec_id = cnd.vec_id))
+           WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      val all = (1 to Similarity.MmrK).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""
+         WITH $embedScoredCtes,
+         cand AS MATERIALIZED (SELECT q_id, vec_id, cos AS rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, vec_id) AS crk
+             FROM scored)
+           WHERE crk <= ${Similarity.MmrCandidates}),
+         pairs AS MATERIALIZED (
+           SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${cosSql("ca.v", "cb.v")} AS sim
+           FROM cand a JOIN cand b ON a.q_id = b.q_id
+                                  AND a.vec_id <> b.vec_id
+                JOIN c ca ON ca.vec_id = a.vec_id
+                JOIN c cb ON cb.vec_id = b.vec_id),
+         s1 AS MATERIALIZED (
+           SELECT q_id, 1 AS rank, vec_id, rel, 0.0 AS maxsim,
+                  2 * rel AS mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY 2 * rel DESC, vec_id) AS rn
+             FROM cand)
+           WHERE rn = 1),
+         $rounds
+         SELECT q_id, CAST(rank AS INT) AS rank, vec_id, rel, maxsim, mmr
+         FROM ($all) ORDER BY q_id, rank"""
+    },
     "q_embed_ivf" -> s"""
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          px AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM c),

@@ -149,6 +149,97 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Candidates per query considered by [[mmrDiversify]] / selections kept. */
+  val MmrCandidates = 10
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance diversified top-k — the result-page
+    * operator between retrieval and consumption: pure cosine top-k returns
+    * near-duplicate neighbors (the corpus HAS near-dup embeddings —
+    * [[embedNearDup]] exists because of them), so each greedy round picks
+    * the candidate maximizing `2·rel − max_sim_to_already_selected`
+    * (λ = 1/2, scaled ×2 so no fractional constant enters the arithmetic;
+    * round 1 has no selected set and reduces to max relevance,
+    * maxsim = 0 by convention). Ties break to the smallest vec_id.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s broadcast-
+    * queries corpus scan (the IVF variants are the drop-in at corpus
+    * scale); everything after it runs on O(queries·[[MmrCandidates]])
+    * rows — the pairwise-sim table ([[MmrCandidates]]² per query) is
+    * computed ONCE and cached, and each greedy round is two broadcast
+    * joins plus a per-query argmax window over that tiny frame. The
+    * inherently sequential part of MMR never touches the corpus; rounds
+    * for ALL queries advance simultaneously inside one window per round
+    * (no per-query driver loop).
+    *
+    * Determinism: rel and sim are cosines rounded to 9 dp before any
+    * comparison; `2·rel − maxsim` is one exact IEEE subtract of those
+    * rounded doubles — identical in any engine.
+    */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val queries = broadcast(
+      c.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq")))
+    val cand = c.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("rel"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("crk") <= MmrCandidates)
+      .select(col("q_id"), col("vec_id"), col("rel"))
+      .cache()
+    // candidate-pair similarity matrix: MmrCandidates² rows per query,
+    // vectors re-attached by broadcast of the tiny candidate set — the
+    // corpus streams, it never shuffles
+    val cv = c.select(col("vec_id"), col("v"), col("nv"))
+      .join(broadcast(cand.select(col("q_id"), col("vec_id"))), "vec_id")
+    val a = cv.select(col("q_id"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nv").as("na"))
+    val b = cv.select(col("q_id").as("bq"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nv").as("nb"))
+    val pairs = a.join(broadcast(b),
+        col("q_id") === col("bq") && col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(cosPre(dot(col("av"), col("bv")), col("na"), col("nb")), 9)
+          .as("sim"))
+      .cache()
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("mmr").desc, col("vec_id"))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(rank).as("rank"), col("vec_id"),
+          col("rel"), col("maxsim"), col("mmr"))
+    // per-round localCheckpoint (the BFS/kCore discipline): each round
+    // reads `selected` THREE times (maxsim probe, left_anti, union), so an
+    // uncheckpointed chain re-executes earlier rounds ~3^r times — 40s of
+    // recompute on a 100-row frame; checkpointed, the loop is linear and
+    // each round materializes ~queries rows eagerly
+    var selected = pick(cand.select(col("q_id"), col("vec_id"), col("rel"),
+      lit(0.0).as("maxsim"), (col("rel") * 2).as("mmr")), 1).localCheckpoint()
+    (2 to MmrK).foreach { r =>
+      val selIds = selected.select(col("q_id").as("sq"), col("vec_id").as("b_id"))
+      val maxsim = pairs.join(broadcast(selIds),
+          col("q_id") === col("sq") && pairs("b_id") === selIds("b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim")).as("maxsim"))
+      val rem = cand.join(
+        selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"),
+        "left_anti")
+      val scored = rem.join(broadcast(maxsim),
+          rem("q_id") === maxsim("q_id") && col("vec_id") === col("a_id"))
+        .select(rem("q_id"), col("vec_id"), col("rel"), col("maxsim"),
+          (col("rel") * 2 - col("maxsim")).as("mmr"))
+      selected = selected.union(pick(scored, r)).localCheckpoint()
+    }
+    cand.unpersist()
+    pairs.unpersist()
+    selected
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("rel"), col("maxsim"), col("mmr"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-label centroid directions as exact decimal sums (unnormalized —
     * cosine is scale-invariant, so the sum direction equals the mean
     * direction and no order-sensitive division is needed).

@@ -122,6 +122,66 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("mmr: plain-Scala greedy over the candidate/pair frames replays exactly") {
+    import graft.llm.Similarity
+    import graft.functions.DotProduct
+    import org.apache.spark.sql.expressions.Window
+    // stage-1 candidates and the pairwise sim matrix, derived with the
+    // same rounding/tie-break as the operator's own fragments — the REPLAY
+    // target is the sequential greedy itself
+    val c = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nv", sqrt(DotProduct(col("v"), col("v"))))
+    val q = c.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val cand = c.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(DotProduct(col("qv"), col("v")) / (col("nq") * col("nv")), 9)
+          .as("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rk") <= Similarity.MmrCandidates)
+      .select("q_id", "vec_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = c.select("vec_id", "v", "nv").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    def cos(a: Long, b: Long): Double = {
+      val ((va, na), (vb, nb)) = (vecs(a), vecs(b))
+      val d = va.zip(vb).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      BigDecimal(d / (na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // greedy MMR per query in plain Scala
+    val want = cand.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      var remaining = cs.map(t => (t._2, t._3)).toSeq
+      var sel = Vector.empty[(Long, Int, Long, Double, Double, Double)]
+      (1 to Similarity.MmrK).foreach { r =>
+        val scored = remaining.map { case (id, rel) =>
+          val maxsim = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(id, s._3)).max
+          (id, rel, maxsim, 2 * rel - maxsim)
+        }
+        val pick = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+        sel :+= ((qid, r, pick._1, pick._2, pick._3, pick._4))
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      sel
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.mmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // diversification BITES on the fixture: for some query the selection
+    // order departs from the pure-relevance order
+    val departed = got.groupBy(_._1).exists { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3).toSeq
+      val byRel = rs.sortBy(r => (-r._4, r._3)).map(_._3).toSeq
+      byRank != byRel
+    }
+    assert(departed, "MMR never re-ordered anything — the fixture is vacuous")
+  }
+
   test("brute-force top-k: ranks are 1..5, self excluded, cosine in [-1,1]") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

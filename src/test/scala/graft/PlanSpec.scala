@@ -647,6 +647,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the window form needs no stats join:\n$p")
   }
 
+  test("mmr: per-round checkpoint truncates the greedy lineage") {
+    val p = plan("q_retrieve_mmr")
+    // each round reads `selected` three times; without the checkpoint the
+    // final plan would re-derive every earlier round ~3^r times
+    assert(p.contains("Scan ExistingRDD"),
+      s"final plan should read the checkpointed selections:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "checkpoint must cut the corpus lineage")
+  }
+
   test("pr curve: one corpus scan, no joins — sweep runs on the score aggregate") {
     val p = plan("q_model_pr_curve")
     val scans = "Scan parquet".r.findAllIn(p).length
