@@ -156,6 +156,7 @@ object SparkEntry {
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_sketch_hll" -> (Sketches.hllDistinct _),
     "q_sketch_cms" -> (Sketches.cmsTermFreq _),
+    "q_sketch_cms_topk" -> (Sketches.cmsTopK _),
     "q_profile_table" -> (graft.ops.ProfileOps.profileTable _),
     "q_sketch_overlap" -> (Sketches.kmvOverlap _),
     "q_a7d_scd2" -> (graft.ops.ChangeOps.scd2History _),
@@ -1973,6 +1974,30 @@ object SparkEntry {
          SELECT term, est_freq, exact_freq,
                 est_freq - exact_freq AS overcount
          FROM est ORDER BY term""",
+    // heavy hitters FROM the sketch: whole vocabulary ranked by its
+    // count-min estimate, top N by (est DESC, term) (mirrors
+    // Sketches.cmsTopK; counter CTEs shared with q_sketch_cms)
+    "q_sketch_cms_topk" -> s"""
+         WITH tk AS (SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                     FROM documents),
+         rows_ AS (SELECT unnest(range(${Sketches.CmsD})) AS i),
+         cn AS (SELECT r.i,
+                       ${hexIntSql("'cms' || r.i || ':' || term")}
+                         % ${Sketches.CmsW} AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM tk CROSS JOIN rows_ r
+                GROUP BY r.i, bucket),
+         vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_freq
+                   FROM tk GROUP BY term),
+         est AS (SELECT v.term, v.exact_freq, min(c.c) AS est_freq
+                 FROM vocab v CROSS JOIN rows_ r
+                 JOIN cn c ON c.i = r.i
+                  AND c.bucket = ${hexIntSql("'cms' || r.i || ':' || v.term")}
+                        % ${Sketches.CmsW}
+                 GROUP BY v.term, v.exact_freq)
+         SELECT term, est_freq, exact_freq,
+                est_freq - exact_freq AS overcount
+         FROM est ORDER BY est_freq DESC, term LIMIT ${Sketches.CmsTopN}""",
     // KMV sketch algebra (mirrors Sketches.kmvOverlap): the k smallest of
     // two sketches' union IS the union's sketch (exact identity), so
     // union/intersection cardinalities answer from the sketches alone;

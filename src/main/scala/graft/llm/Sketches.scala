@@ -309,13 +309,54 @@ object Sketches {
       .agg(count(lit(1)).as("exact_freq"))
       .orderBy(col("exact_freq").desc, col("term"))
       .limit(CmsProbeK)
-    val est = least((0 until CmsD).map(i =>
+    probes.crossJoin(sk)
+      .select(col("term"), cmsProbe.as("est_freq"), col("exact_freq"),
+        (cmsProbe - col("exact_freq")).as("overcount"))
+      .orderBy("term")
+  }
+
+  /** The min-of-d-counters point estimate read from a broadcast `cms`
+    * column for the current row's `term` — shared by [[cmsTermFreq]] and
+    * [[cmsTopK]] so the probe arithmetic has one definition.
+    */
+  private def cmsProbe: org.apache.spark.sql.Column =
+    least((0 until CmsD).map(i =>
       element_at(col("cms"),
         (md5Long(concat(lit(s"cms$i:"), col("term"))) % CmsW).cast("int")
           + lit(i * CmsW) + lit(1))): _*)
-    probes.crossJoin(sk)
-      .select(col("term"), est.as("est_freq"), col("exact_freq"),
-        (est - col("exact_freq")).as("overcount"))
-      .orderBy("term")
+
+  /** Heavy hitters kept by [[cmsTopK]]. */
+  val CmsTopN = 10
+
+  /** Heavy hitters FROM the sketch: rank the entire vocabulary by its
+    * count-min estimate and keep the top [[CmsTopN]] — the
+    * decision-from-the-sketch complement of [[cmsTermFreq]] (which probes
+    * terms already chosen by exact count). Deterministic because CMS
+    * counters are order-insensitive integer sums: the (est DESC, term)
+    * ranking is identical in any engine, no matter how partitions merged.
+    *
+    * Scale shape: the corpus reduces ONCE into the 8 KB counter matrix
+    * (mergeable across shards/days — the property that lets yesterday's
+    * sketch absorb today's without rescanning either corpus); the ranking
+    * explodes over the DISTINCT VOCABULARY (the BPE economics — bounded,
+    * corpus-growth-independent), probes the broadcast matrix row-locally,
+    * and plans as TakeOrderedAndProject (per-partition heaps, never a
+    * full sort). The exact count rides along so the oracle pins the
+    * one-sided error (`overcount >= 0`) — it is the column you delete at
+    * 100 TB, and with it the second token aggregation.
+    */
+  def cmsTopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sk = broadcast(
+      toks.agg(CmsSketch(cmsBuckets(col("term")), CmsD, CmsW).as("cms")))
+    val vocab = toks
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_freq"))
+    vocab.crossJoin(sk)
+      .select(col("term"), cmsProbe.as("est_freq"), col("exact_freq"),
+        (cmsProbe - col("exact_freq")).as("overcount"))
+      .orderBy(col("est_freq").desc, col("term"))
+      .limit(CmsTopN)
   }
 }

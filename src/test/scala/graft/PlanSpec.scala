@@ -647,6 +647,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the window form needs no stats join:\n$p")
   }
 
+  test("cms topk: heap top-N over the vocabulary, matrix broadcast") {
+    val p = plan("q_sketch_cms_topk")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${
+      graft.llm.Sketches.CmsTopN}"),
+      "vocabulary ranking must be per-partition heaps, not a full sort")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 8KB counter matrix must broadcast, never shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("mmr: per-round checkpoint truncates the greedy lineage") {
     val p = plan("q_retrieve_mmr")
     // each round reads `selected` three times; without the checkpoint the

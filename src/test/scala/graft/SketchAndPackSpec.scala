@@ -211,6 +211,29 @@ class SketchAndPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cms top-k ranks by estimate, never undercounts, and finds the true heads") {
+    import graft.llm.TextHash
+    val got = Sketches.cmsTopK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == Sketches.CmsTopN)
+    // ranking is by (est DESC, term) and the one-sided CMS bound holds
+    val keys = got.map { case (t, e, _, _) => (-e, t) }.toSeq
+    assert(keys == keys.sorted, "rows must arrive in (est DESC, term) order")
+    got.foreach { case (t, e, x, o) =>
+      assert(e >= x && o == e - x, s"$t: CMS can never undercount")
+    }
+    // every exact head with frequency above the sketch's worst-case
+    // overcount must surface: its estimate is >= its exact count, and
+    // nothing below it can out-rank CmsTopN such heads
+    val exact = Tables.table(spark, dir, "documents")
+      .select(explode(TextHash.tokens(col("text"))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val heads = exact.sortBy { case (t, n) => (-n, t) }.take(5).map(_._1).toSet
+    assert(heads.subsetOf(got.map(_._1).toSet),
+      s"true top-5 $heads must appear in the sketch top-${Sketches.CmsTopN}")
+  }
+
   test("histogram quantiles replay plain-Scala and bound exact one-sidedly") {
     import graft.llm.Sketches
     val got = Sketches.histQuantiles(spark, dir).collect()
