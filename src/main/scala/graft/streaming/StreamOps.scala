@@ -115,6 +115,33 @@ object StreamOps {
         graft.llm.Sketches.hllEstimate(col("registers")).as("est_users"))
   }
 
+  /** Per-window count-min frequency monitor — the streaming twin of
+    * [[graft.llm.Sketches.cmsTermFreq]]/[[graft.llm.Sketches.cmsTopK]]:
+    * each event-time window reduces into ONE d·w counter matrix (8 KB of
+    * mergeable aggregation state per open window, independent of key
+    * cardinality — the property that lets the same plan monitor a
+    * million-key stream), and the [[DqEventTypes]] estimates are row-local
+    * reads of the matrix with constant-folded bucket indexes. One-sided
+    * by construction (est >= true count); the watermark evicts closed
+    * windows. Spec pins stream ≡ the batch matrix window-for-window.
+    */
+  def cmsPerWindowStream(events: DataFrame): DataFrame = {
+    import graft.llm.Sketches.{cmsBuckets, CmsD, CmsW}
+    import graft.llm.TextHash.md5Long
+    def probe(tpe: String) =
+      least((0 until CmsD).map(i =>
+        element_at(col("cms"),
+          (md5Long(concat(lit(s"cms$i:"), lit(tpe))) % CmsW).cast("int")
+            + lit(i * CmsW) + lit(1))): _*)
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), cmsBuckets(col("event_type")).as("bk"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.CmsSketch(col("bk"), CmsD, CmsW).as("cms"))
+      .select(col("window.start").as("window_start") +:
+        DqEventTypes.map(tpe => probe(tpe).as(s"est_$tpe")): _*)
+  }
+
   /** Watermarked OHLC bars — the streaming twin of
     * [[graft.ops.AnalyticsOps.ohlcResample]]: per (event_type, 1-hour
     * window) open/high/low/close integer cents plus count/volume, with

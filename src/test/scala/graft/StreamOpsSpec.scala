@@ -494,6 +494,62 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 > 0.0))
   }
 
+  test("cmsPerWindowStream estimates match the batch matrix per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Sketches.{CmsD, CmsW}
+    val events = (
+      (1 to 60).map(i => (ts("2024-01-01 10:05:00"),
+        StreamOps.DqEventTypes(i % 5))) ++
+      (1 to 7).map(_ => (ts("2024-01-01 11:10:00"), "click"))).toList
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(events)
+    mem.addData(Seq((ts("2024-01-02 00:00:00"), "flush")))
+    val q = StreamOps.cmsPerWindowStream(mem.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("cmswin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cmswin")
+      .filter(col("window_start") < ts("2024-01-02 00:00:00"))
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).toString,
+        StreamOps.DqEventTypes.indices.map(i => r.getLong(i + 1))))
+    assert(got.length == 2)
+    // the estimates are one-sided over the true per-window counts and
+    // exact when the probe's d buckets are collision-free
+    val exact = events.groupBy(_._1.toLocalDateTime.getHour)
+      .map { case (h, es) =>
+        h -> StreamOps.DqEventTypes.map(tpe => es.count(_._2 == tpe).toLong)
+      }
+    got.foreach { case (w, ests) =>
+      val ex = exact(w.substring(11, 13).toInt)
+      ests.zip(ex).zip(StreamOps.DqEventTypes).foreach { case ((e, x), tpe) =>
+        assert(e >= x, s"window $w $tpe: CMS can never undercount")
+      }
+    }
+    // batch recompute with the same aggregate must agree exactly
+    val batch = events.toDF("ts", "event_type")
+      .filter(col("ts") < ts("2024-01-02 00:00:00"))
+      .select(window(col("ts"), "1 hour").getField("start").as("w"),
+        graft.llm.Sketches.cmsBuckets(col("event_type")).as("bk"))
+      .groupBy("w")
+      .agg(graft.functions.CmsSketch(col("bk"), CmsD, CmsW).as("cms"))
+      .select(col("w") +: StreamOps.DqEventTypes.indices.map { i =>
+        import graft.llm.TextHash.md5Long
+        least((0 until CmsD).map(d =>
+          element_at(col("cms"),
+            (md5Long(concat(lit(s"cms$d:"),
+              lit(StreamOps.DqEventTypes(i)))) % CmsW).cast("int")
+              + lit(d * CmsW) + lit(1))): _*).as(s"e$i")
+      }: _*)
+      .orderBy("w").collect()
+      .map(r => (r.getTimestamp(0).toString,
+        StreamOps.DqEventTypes.indices.map(i => r.getLong(i + 1))))
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("mixTempStream admits exactly the docs the batch mix keeps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
