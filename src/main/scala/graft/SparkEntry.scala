@@ -114,6 +114,8 @@ object SparkEntry {
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
     "q_retrieve_mmr" -> (Similarity.mmrDiversify _),
+    "q_retrieve_rrf" -> (Similarity.rrfFusion _),
+    "q_retrieve_maxsim" -> (Similarity.maxSimLate _),
     "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
@@ -1154,6 +1156,65 @@ object SparkEntry {
          $rounds
          SELECT q_id, CAST(rank AS INT) AS rank, vec_id, rel, maxsim, mmr
          FROM ($all) ORDER BY q_id, rank"""
+    },
+    // hybrid dense+sparse reciprocal-rank fusion: integer-ppm
+    // 1000000 div (C + rank) summed over both rank lists, absent = 0
+    // (mirrors Similarity.rrfFusion; shared shingledCte/embedScoredCtes)
+    "q_retrieve_rrf" -> s"""
+         WITH $shingledCte, $embedScoredCtes,
+         d AS (SELECT q_id, vec_id AS doc_id, CAST(rn AS INT) AS d_rank
+               FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id) AS rn
+                     FROM scored)
+               WHERE rn <= ${Similarity.RrfDepth}),
+         qs AS (SELECT doc_id AS q_id, grams AS qg FROM sh
+                WHERE doc_id < ${Similarity.NQueries}),
+         sp0 AS (SELECT qs.q_id, sh.doc_id,
+                        round(${jaccardSql("qg", "grams")}, 9) AS jw
+                 FROM sh JOIN qs ON sh.doc_id <> qs.q_id),
+         sp AS (SELECT q_id, doc_id, CAST(rn AS INT) AS s_rank
+                FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY jw DESC, doc_id) AS rn
+                      FROM sp0)
+                WHERE rn <= ${Similarity.RrfDepth}),
+         f AS (SELECT coalesce(d.q_id, sp.q_id) AS q_id,
+                      coalesce(d.doc_id, sp.doc_id) AS doc_id,
+                      d.d_rank AS dense_rank, sp.s_rank AS sparse_rank,
+                      CAST(coalesce(1000000 // (${Similarity.RrfC} + d.d_rank), 0)
+                         + coalesce(1000000 // (${Similarity.RrfC} + sp.s_rank), 0)
+                        AS BIGINT) AS rrf_ppm
+               FROM d FULL OUTER JOIN sp
+                 ON d.q_id = sp.q_id AND d.doc_id = sp.doc_id)
+         SELECT q_id, CAST(rn AS INT) AS rank, doc_id,
+                dense_rank, sparse_rank, rrf_ppm
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf_ppm DESC, doc_id) AS rn
+               FROM f)
+         WHERE rn <= ${Similarity.RrfTopK} ORDER BY q_id, rank""",
+    // late-interaction maxsim: 4x16-dim sub-vector slices, score =
+    // sum_i max_j cos(q_i, d_j) in fixed part order (mirrors
+    // Similarity.maxSimLate)
+    "q_retrieve_maxsim" -> {
+      val partLen = 64 / Similarity.MaxSimParts
+      def pt(v: String, p: Int) =
+        s"list_slice($v, ${p * partLen + 1}, ${(p + 1) * partLen})"
+      val partMax = (0 until Similarity.MaxSimParts).map { i =>
+        s"greatest(${(0 until Similarity.MaxSimParts).map(j =>
+          cosSql(pt("qv", i), pt("v", j))).mkString(", ")})"
+      }.mkString(" + ")
+      s"""
+         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM c
+               WHERE vec_id < ${Similarity.NQueries}),
+         scored AS (SELECT q_id, vec_id,
+                           $partMax AS maxsim,
+                           ${cosSql("qv", "v")} AS cos
+                    FROM c, q WHERE vec_id <> q_id)
+         SELECT q_id, CAST(rn AS INT) AS rank, vec_id, maxsim, cos
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY maxsim DESC, vec_id) AS rn
+               FROM scored)
+         WHERE rn <= ${Similarity.MaxSimTopK} ORDER BY q_id, rank"""
     },
     "q_embed_ivf" -> s"""
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -240,6 +240,130 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Per-list depth fed into [[rrfFusion]] / the standard RRF damping
+    * constant / results kept per query.
+    */
+  val RrfDepth = 10
+  val RrfC = 60
+  val RrfTopK = 5
+
+  /** Hybrid dense+sparse retrieval by reciprocal-rank fusion — the RAG
+    * deployment shape: an embedding ranking and a lexical ranking each
+    * see what the other misses (paraphrase vs exact-term queries), and
+    * RRF fuses them WITHOUT score calibration (ranks only, so the two
+    * incomparable score scales never meet):
+    * `rrf = Σ_list 1000000 div (C + rank)` — integer parts-per-million,
+    * engine-exact, absent-from-a-list contributes 0.
+    *
+    * Scale shape: the dense list is [[bruteForceTopK]]'s broadcast-
+    * queries corpus scan (IVF is the at-scale drop-in); the sparse list
+    * broadcasts the query gram sets over the document scan (row-local
+    * Jaccard — the LSH band index is ITS at-scale drop-in,
+    * [[Dedup]]'s chain). The fusion itself touches only the two
+    * O(queries·[[RrfDepth]]) rank lists: one full-outer join on
+    * (q_id, doc_id) and one per-query top-k window. vec_id ≡ doc_id in
+    * the harness corpus (the [[retrieveRerank]] contract).
+    */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import TextHash.{jaccard, shingles3, tokens}
+    val c = corpus(s, dir)
+    val queries = broadcast(
+      c.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq")))
+    val wRank = Window.partitionBy(col("q_id"))
+    val dense = c.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("cos"))
+      .withColumn("d_rank", row_number().over(
+        wRank.orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      .filter(col("d_rank") <= RrfDepth)
+      .select(col("q_id"), col("doc_id"), col("d_rank"))
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
+    val qsh = broadcast(sh.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("grams").as("qg")))
+    val sparse = sh.join(qsh, col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(jaccard(col("qg"), col("grams")), 9).as("jw"))
+      .withColumn("s_rank", row_number().over(
+        wRank.orderBy(col("jw").desc, col("doc_id"))).cast("int"))
+      .filter(col("s_rank") <= RrfDepth)
+      .select(col("q_id"), col("doc_id"), col("s_rank"))
+    val fused = dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000 div ($RrfC + d_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfC + s_rank)"), lit(0L)))
+    fused
+      .withColumn("rank", row_number().over(
+        wRank.orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        col("d_rank").as("dense_rank"), col("s_rank").as("sparse_rank"),
+        col("rrf_ppm"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Sub-vectors per embedding for [[maxSimLate]] (64 dims → 4×16) /
+    * results kept per query.
+    */
+  val MaxSimParts = 4
+  val MaxSimTopK = 5
+
+  /** Late-interaction scoring (the multi-vector/ColBERT shape): each
+    * embedding is treated as [[MaxSimParts]] sub-vectors (contiguous
+    * 16-dim slices — the harness corpus carries one vector per doc, so
+    * the slicing is the documented synthetic stand-in for true per-token
+    * vectors, the [[graft.ops.AnalyticsOps.rowWeight]] convention), and
+    * `score(q,d) = Σ_i max_j cos(q_i, d_j)`: every query part finds its
+    * best-matching document part instead of one global direction —
+    * the match survives when only PART of a document answers the query.
+    *
+    * Determinism: each part cosine is rounded to 9 dp, the max-over-parts
+    * is an exact comparison of those rounded doubles, and the final sum
+    * adds the [[MaxSimParts]] maxima in fixed part order — the identical
+    * IEEE chain in any engine. Scale shape: queries broadcast, the
+    * [[MaxSimParts]]² part cosines are row-local scan arithmetic, and the
+    * per-query top-k is one window — the corpus never shuffles. The flat
+    * 64-dim cosine rides along so the spec can pin where late interaction
+    * genuinely re-orders the ranking.
+    */
+  def maxSimLate(s: SparkSession, dir: String): DataFrame = {
+    val partLen = 64 / MaxSimParts
+    def parts(v: Column): Seq[Column] =
+      (0 until MaxSimParts).map(p => slice(v, p * partLen + 1, partLen))
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withParts = base.select(
+      col("vec_id") +: col("v") +: norm(col("v")).as("nv") +:
+        parts(col("v")).zipWithIndex.flatMap { case (p, i) =>
+          Seq(p.as(s"p$i"), norm(p).as(s"np$i"))
+        }: _*)
+    val queries = broadcast(withParts.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
+        col("nv").as("nq") +:
+        (0 until MaxSimParts).flatMap(i =>
+          Seq(col(s"p$i").as(s"qp$i"), col(s"np$i").as(s"qnp$i"))): _*))
+    val partMax = (0 until MaxSimParts).map { i =>
+      greatest((0 until MaxSimParts).map(j =>
+        round(cosPre(dot(col(s"qp$i"), col(s"p$j")),
+          col(s"qnp$i"), col(s"np$j")), 9)): _*)
+    }
+    val score = partMax.reduce(_ + _)
+    val scored = withParts.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        score.as("maxsim"),
+        round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9)
+          .as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("maxsim").desc, col("vec_id"))).cast("int"))
+      .filter(col("rank") <= MaxSimTopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("maxsim"),
+        col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-label centroid directions as exact decimal sums (unnormalized —
     * cosine is scale-invariant, so the sum direction equals the mean
     * direction and no order-sensitive division is needed).

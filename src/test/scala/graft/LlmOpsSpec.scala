@@ -182,6 +182,112 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(departed, "MMR never re-ordered anything — the fixture is vacuous")
   }
 
+  test("rrf: fusion replays from independent rank lists; both lists contribute") {
+    import graft.llm.{Similarity, TextHash}
+    import graft.functions.DotProduct
+    import org.apache.spark.sql.expressions.Window
+    // independent dense list
+    val c = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nv", sqrt(DotProduct(col("v"), col("v"))))
+    val q = c.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val dense = c.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("id"),
+        round(DotProduct(col("qv"), col("v")) / (col("nq") * col("nv")), 9).as("sc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sc").desc, col("id"))))
+      .filter(col("rk") <= Similarity.RrfDepth)
+      .select("q_id", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // independent sparse list
+    val sh = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), TextHash.shingles3(TextHash.tokens(col("text"))).as("g"))
+    val qg = sh.filter(col("doc_id") < Similarity.NQueries)
+      .select(col("doc_id").as("q_id"), col("g").as("qg"))
+    val sparse = sh.join(qg, col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("id"),
+        round(TextHash.jaccard(col("qg"), col("g")), 9).as("sc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sc").desc, col("id"))))
+      .filter(col("rk") <= Similarity.RrfDepth)
+      .select("q_id", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // plain-Scala fusion
+    val want = (dense.keySet ++ sparse.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        val fused = keys.toSeq.map { k =>
+          val rrf = dense.get(k).map(r => 1000000L / (Similarity.RrfC + r))
+            .getOrElse(0L) +
+            sparse.get(k).map(r => 1000000L / (Similarity.RrfC + r))
+              .getOrElse(0L)
+          (k._2, dense.get(k), sparse.get(k), rrf)
+        }.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+          .take(Similarity.RrfTopK)
+        fused.zipWithIndex.map { case ((id, dr, sr, rrf), i) =>
+          (qid, i + 1, id, dr, sr, rrf)
+        }
+    }.toSet
+    val got = Similarity.rrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        r.getLong(5))).toSet
+    assert(got == want)
+    // the fixture must exercise genuine hybrid behavior: results that only
+    // one of the two retrievers surfaced
+    assert(got.exists(_._4.isEmpty) && got.exists(_._5.isEmpty),
+      "fusion never saw a single-list result — the two rankings are identical")
+  }
+
+  test("maxsim: late-interaction replays plain Scala and re-orders vs flat cosine") {
+    import graft.llm.Similarity
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Vector[Double], b: Vector[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      def n(v: Vector[Double]) =
+        math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      r9(d / (n(a) * n(b)))
+    }
+    val partLen = 64 / Similarity.MaxSimParts
+    def parts(v: Vector[Double]) =
+      (0 until Similarity.MaxSimParts).map(p =>
+        v.slice(p * partLen, (p + 1) * partLen))
+    def maxsim(qv: Vector[Double], dv: Vector[Double]): Double =
+      parts(qv).map(qp => parts(dv).map(dp => cos(qp, dp)).max)
+        .reduceLeft(_ + _)
+    val got = Similarity.maxSimLate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, id, ms, cs) =>
+      assert(ms == maxsim(vecs(qid), vecs(id)), s"maxsim($qid,$id)")
+      assert(cs == cos(vecs(qid), vecs(id)), s"cos($qid,$id)")
+    }
+    // full replay of the per-query top-k ranking
+    for ((qid, rows) <- got.groupBy(_._1)) {
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .map(id => (id, maxsim(vecs(qid), vecs(id))))
+        .sortBy { case (id, ms) => (-ms, id) }
+        .take(Similarity.MaxSimTopK).map(_._1)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == want, s"query $qid ranking")
+    }
+    // late interaction genuinely re-orders: for some query the maxsim
+    // order differs from the flat-cosine order of the same rows
+    val departed = got.groupBy(_._1).exists { case (_, rs) =>
+      val byMs = rs.sortBy(_._2).map(_._3).toSeq
+      val byCos = rs.sortBy(r => (-r._5, r._3)).map(_._3).toSeq
+      byMs != byCos
+    }
+    assert(departed, "maxsim never departed from flat cosine — vacuous fixture")
+  }
+
   test("brute-force top-k: ranks are 1..5, self excluded, cosine in [-1,1]") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -658,6 +658,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("rrf: broadcast query sides, no cartesian; fusion joins rank lists only") {
+    val p = plan("q_retrieve_rrf")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"),
+      "query gram/vector sets must broadcast over the corpus scans")
+    // both rank lists cut to RrfDepth below the exchange — the fusion
+    // join's inputs are O(queries x depth), never the scored corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-list cut must push partial limits below the exchange:\n$p")
+  }
+
+  test("maxsim: row-local part cosines on a broadcast-queries scan") {
+    val p = plan("q_retrieve_maxsim")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastExchange"),
+      "the query part-vectors must broadcast; the corpus never shuffles")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must cut below the exchange:\n$p")
+  }
+
   test("mmr: per-round checkpoint truncates the greedy lineage") {
     val p = plan("q_retrieve_mmr")
     // each round reads `selected` three times; without the checkpoint the
