@@ -143,6 +143,19 @@ object GraftCatalog {
     // dedupCanonical and entityResolve stay unmounted with the components
     // fixpoint they compose (eager jobs, the standing view-contract
     // exclusion)
+    // training/eval + retrieval-fusion batch — lazy plans;
+    // perceptronTrain (per-epoch scalar collects) and mmrDiversify
+    // (per-round localCheckpoint) stay unmounted with kCore/BFS
+    graft.ops.AnalyticsOps.weightedMedian(spark, sfDir)
+      .createOrReplaceTempView("weighted_median")
+    graft.llm.Training.prCurve(spark, sfDir)
+      .createOrReplaceTempView("pr_curve")
+    graft.llm.Sketches.cmsTopK(spark, sfDir)
+      .createOrReplaceTempView("cms_topk")
+    graft.llm.Similarity.rrfFusion(spark, sfDir)
+      .createOrReplaceTempView("rrf_fusion")
+    graft.llm.Similarity.maxSimLate(spark, sfDir)
+      .createOrReplaceTempView("maxsim_results")
     registerFunctions(spark)
   }
 

@@ -250,4 +250,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(n_rows) FROM ivm_zonemap").head().getLong(0)
       == spark.table("orders").count())
   }
+
+  test("training/eval and retrieval-fusion views answer SQL end to end") {
+    // weighted median: an actual data value, bracketed by group extremes,
+    // and the weight total exceeds the count (weights are 1..7)
+    assert(spark.sql("""
+      SELECT count(*) FROM weighted_median
+      WHERE tot_w < n OR wmed_cents IS NULL OR med_cents IS NULL""")
+      .head().getLong(0) == 0)
+    // PR sweep: k and tp are non-decreasing as the threshold loosens,
+    // recall ends at exactly 1e6, and the ppm arithmetic self-checks
+    assert(spark.sql("""
+      SELECT count(*) FROM pr_curve
+      WHERE precision_ppm != tp * 1000000 div k
+         OR tp > k OR fp != k - tp""").head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT max(recall_ppm) FROM pr_curve").head().getLong(0) == 1000000L)
+    // sketch top-k: one-sided overcount, ranked by estimate
+    assert(spark.sql("""
+      SELECT count(*) FROM cms_topk
+      WHERE overcount < 0 OR est_freq != exact_freq + overcount""")
+      .head().getLong(0) == 0)
+    // rrf: every fused row cites at least one source list, and the ppm
+    // value honors the published formula
+    assert(spark.sql(s"""
+      SELECT count(*) FROM rrf_fusion
+      WHERE (dense_rank IS NULL AND sparse_rank IS NULL)
+         OR rrf_ppm != coalesce(1000000 div (${
+           graft.llm.Similarity.RrfC} + dense_rank), 0)
+                     + coalesce(1000000 div (${
+           graft.llm.Similarity.RrfC} + sparse_rank), 0)""")
+      .head().getLong(0) == 0)
+    // maxsim: a sum of MaxSimParts cosines stays inside [-P, P], and the
+    // flat cosine rides along as a sane unit-interval score
+    assert(spark.sql(s"""
+      SELECT count(*) FROM maxsim_results
+      WHERE abs(maxsim) > ${graft.llm.Similarity.MaxSimParts}.0 + 1e-9
+         OR abs(cos) > 1.0 + 1e-9""").head().getLong(0) == 0)
+  }
 }
