@@ -62,6 +62,22 @@ object SparkEntry {
           col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
+    "q_j13_bloom_join" -> ((s, dir) => {
+      import graft.ops.SkewOps
+      import org.apache.spark.sql.functions._
+      val fact = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      // shuffle_hash models the 100 TB regime: the dim outgrew the
+      // broadcast threshold (else a bloom is pointless), but its 16 KB
+      // bloom still ships to every probe task
+      val dim = Tables.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name")).hint("shuffle_hash")
+      SkewOps.bloomJoin(fact, dim, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
     "q_skew_join" -> ((s, dir) => {
       import graft.ops.SkewOps
       import org.apache.spark.sql.functions._
@@ -749,6 +765,14 @@ object SparkEntry {
       """SELECT event_id, user_id, c_name, c_mktsegment, event_type
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+    // bloom runtime-filter join (SkewOps.bloomJoin): the bloom pre-filter
+    // only changes what the shuffle carries — false positives are removed
+    // by the exact join, so the oracle is the PLAIN equi-join
+    "q_j13_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_orderpriority
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY o_orderkey""",
     "q_a8_group_stats" ->
       """SELECT o_orderpriority,
                 count(*) AS n_orders,

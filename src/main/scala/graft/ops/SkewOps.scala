@@ -85,4 +85,40 @@ object SkewOps {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("s"))
+
+  /** Hash salt prefixing every bloom-join key (mirrored in the oracle-free
+    * spec; the result is key-transparent so no oracle sees it).
+    */
+  private val BloomJoinSalt = "bj:"
+
+  private def bloomKey(key: org.apache.spark.sql.Column) =
+    graft.llm.TextHash.md5Long(concat(lit(BloomJoinSalt), key.cast("string")))
+
+  /** Runtime-filter join: when the build side is too big to broadcast but
+    * its BLOOM isn't (16 KB vs GBs — the regime every star-schema join at
+    * 100 TB lives in once the dim outgrows `autoBroadcastJoinThreshold`),
+    * ship the bloom of the build keys to the probe scan and drop
+    * non-matching fact rows BEFORE the shuffle: the exchange then carries
+    * only (matches + bloom false positives) instead of the whole fact
+    * table. The exact equi-join afterwards removes the false positives,
+    * so the result is IDENTICAL to the plain join — the bloom only
+    * changes what the shuffle carries (the saltedJoin contract). This is
+    * the manual form of the runtime-filter/DPP family Spark applies to
+    * partition columns; here it works on arbitrary keys.
+    *
+    * The probe predicate is the codegen'd [[graft.functions.BloomContains]]
+    * — scan-speed, the decontamination economics applied to a join.
+    */
+  def bloomJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
+    import graft.functions.{BloomBuild, BloomContains}
+    val bloom = build
+      .select(bloomKey(col(buildKey)).as("__h"))
+      .agg(BloomBuild(col("__h"), bits, hashes).as("__bits"))
+    probe
+      .crossJoin(broadcast(bloom))
+      .filter(BloomContains(col("__bits"), bloomKey(col(probeKey))))
+      .drop("__bits")
+      .join(build, col(probeKey) === col(buildKey))
+  }
 }

@@ -658,6 +658,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("bloom join: probe scan filters through the bloom BELOW the shuffle join") {
+    val p = plan("q_j13_bloom_join")
+    assert(p.contains("bloom_contains"),
+      s"the runtime filter must reach the probe side:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      "the hint must model the broadcast-averse dim regime")
+    // the bloom filter must sit BELOW the join: its bloom_contains
+    // predicate appears before the first join operator in the plan text
+    assert(p.indexOf("bloom_contains") > p.indexOf("ShuffledHashJoin"),
+      s"pre-filter must be on the join's input side, not above it:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("rrf: broadcast query sides, no cartesian; fusion joins rank lists only") {
     val p = plan("q_retrieve_rrf")
     assert(!p.contains("CartesianProduct"))

@@ -62,6 +62,37 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(salted.toList == plain.toList)
   }
 
+  test("bloomJoin equals the plain join and the pre-filter genuinely prunes") {
+    import graft.functions.{BloomBuild, BloomContains}
+    import graft.llm.TextHash.md5Long
+    val fact = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey")
+    val dim = Tables.table(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val plain = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val bloomed = SkewOps.bloomJoin(fact, dim, "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(bloomed.toList == plain.toList)
+    // what the shuffle would carry: bloom survivors are a strict subset of
+    // the fact (the point of the filter) but a superset of the true matches
+    // (bloom errors are one-sided)
+    val bloom = dim
+      .select(md5Long(concat(lit("bj:"), col("c_custkey").cast("string"))).as("h"))
+      .agg(BloomBuild(col("h"), 1 << 17, 5).as("bits"))
+    val survivors = fact.crossJoin(broadcast(bloom))
+      .filter(BloomContains(col("bits"),
+        md5Long(concat(lit("bj:"), col("o_custkey").cast("string")))))
+      .count()
+    assert(survivors < fact.count(),
+      "bloom pre-filter must cut shuffle input on the selective dim")
+    assert(survivors >= plain.length.toLong,
+      "bloom may never drop a true match")
+  }
+
   test("saltedCount equals the plain groupBy count") {
     val orders = Tables.table(spark, sf, "orders")
     val plain = orders.groupBy("o_custkey").count().collect()
