@@ -180,6 +180,8 @@ object SparkEntry {
     "q_a7d_scd2" -> (graft.ops.ChangeOps.scd2History _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
+    "q_epoch_shuffle" -> (Curation.epochShuffle _),
+    "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
     "q_vocab_top" -> (TextAnalysis.vocabulary _),
     "q_w5_distinct" -> (StreamOps.distinctPerWindow _),
@@ -2391,6 +2393,45 @@ object SparkEntry {
          FROM tk JOIN enc USING (term)
          GROUP BY doc_id
          ORDER BY doc_id""",
+    // per-language tokenizer fertility of the trained BPE rules (mirrors
+    // TextAnalysis.bpeFertility; shared bpe training chain)
+    "q_bpe_fertility" -> s"""
+         WITH $bpeVocabCte,
+         $bpeTrainCtes,
+         enc AS (SELECT term,
+                        CASE WHEN length(trim(ss)) = 0 THEN 0
+                             ELSE len(string_split(trim(ss), ' '))
+                        END AS n_syms
+                 FROM v${TextAnalysis.BpeTrainK}),
+         tk AS (SELECT lang,
+                       unnest(string_split_regex(text, '\\s+')) AS term
+                FROM documents),
+         agg AS (SELECT lang,
+                        CAST(count(*) AS BIGINT) AS n_words,
+                        CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+                 FROM tk JOIN enc USING (term)
+                 GROUP BY lang)
+         SELECT lang, n_words, n_bpe_tokens,
+                (n_bpe_tokens * 1000000) // n_words AS fertility_ppm
+         FROM agg ORDER BY lang""",
+    // deterministic multi-epoch training order: md5 priorities scatter
+    // docs to shards, positions numbered within (epoch, shard) (mirrors
+    // Curation.epochShuffle)
+    "q_epoch_shuffle" -> s"""
+         WITH e AS (SELECT doc_id, unnest(range(1, ${Curation.ShuffleEpochs} + 1))
+                      AS epoch
+                    FROM documents),
+         p AS (SELECT CAST(epoch AS INT) AS epoch, doc_id,
+                      ${hexIntSql("'ep:' || epoch || ':' || doc_id")} AS pri
+               FROM e),
+         sh AS (SELECT epoch, doc_id, pri,
+                       CAST(pri % ${Curation.ShuffleShards} AS INT) AS shard
+                FROM p)
+         SELECT epoch, shard,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                       ORDER BY pri, doc_id) AS INT) AS shard_pos,
+                doc_id
+         FROM sh ORDER BY epoch, shard, shard_pos""",
     // KMV distinct users per tumbling window (mirrors
     // StreamOps.distinctPerWindow; same estimate arithmetic as
     // q_sketch_distinct)

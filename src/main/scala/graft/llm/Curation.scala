@@ -194,6 +194,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Epochs laid out / shards per epoch by [[epochShuffle]]. */
+  val ShuffleEpochs = 3
+  val ShuffleShards = 8
+
+  /** Deterministic multi-epoch training order — the "shuffle each epoch"
+    * a trainer needs, expressed as a reproducible query instead of a
+    * stateful RNG: every (epoch, doc) gets an md5 priority, docs scatter
+    * to [[ShuffleShards]] shards by priority and are position-numbered
+    * within their (epoch, shard) — exactly the files-per-epoch +
+    * order-within-file layout a data loader consumes. Same inputs → the
+    * identical byte-for-byte order in any engine and on any cluster (the
+    * property an RNG-seeded shuffle loses the moment partitioning
+    * changes); different epochs draw different priorities, so orders
+    * decorrelate across epochs (spec-pinned, not assumed).
+    *
+    * Scale shape: the epoch explode multiplies the (doc_id-only) scan by
+    * [[ShuffleEpochs]] — a narrow projection, not the text; position
+    * assignment windows over (epoch, shard), giving epochs×shards-way
+    * parallelism with per-shard sorts (a single global order per epoch
+    * would range-partition the whole corpus per epoch instead).
+    */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5Long(concat(lit("ep:"), col("epoch").cast("string"),
+      lit(":"), col("doc_id").cast("string")))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(ShuffleEpochs))).as("epoch"))
+      .withColumn("pri", pri)
+      .withColumn("shard", (col("pri") % ShuffleShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("pri"), col("doc_id"))).cast("int"))
+      .select(col("epoch").cast("int").as("epoch"), col("shard"),
+        col("shard_pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "shard_pos")
+  }
+
   /** Token window / stride for [[chunkDocuments]]. */
   val ChunkTokens = 24
   val ChunkStride = 16

@@ -973,6 +973,33 @@ object TextAnalysis {
         sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Tokenizer FERTILITY per language — pieces-per-word of the trained
+    * BPE rules, the standard tokenizer-evaluation statistic (a language
+    * whose fertility runs high pays proportionally more sequence length
+    * for the same text, which is a training-cost and context-budget
+    * question, not a style one). Integer parts-per-million
+    * (`pieces·10^6 div words`) so the ratio is engine-exact; always
+    * ≥ 10^6 since every word is at least one piece.
+    *
+    * Scale shape: same economics as [[bpeTokenizeCorpus]] — the corpus
+    * contributes one explode→join→aggregate pass against the BROADCAST
+    * encoded vocabulary (per-term piece counts are a vocabulary-sized
+    * artifact, not a corpus-sized one), collapsed to O(langs) rows with
+    * map-side partials.
+    */
+  def bpeFertility(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(encodedVocab(s, dir, cache)
+        .select(col("term"), col("n_syms"))), Seq("term"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"))
+      .orderBy("lang")
+
   /** The inverted index as a TABLE — the persisted retrieval artifact
     * [[bm25TopDocs]] recomputes in-query: one posting row per (term,
     * doc_id) carrying tf, with df and the two corpus scalars (N, Σdl)

@@ -149,4 +149,50 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("epoch shuffle: per-epoch permutations that decorrelate across epochs") {
+    val rows = Curation.epochShuffle(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val allDocs = Tables.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (1 to Curation.ShuffleEpochs).toSet)
+    byEpoch.foreach { case (e, es) =>
+      // every doc exactly once per epoch — a permutation, not a sample
+      assert(es.map(_._4).toSet == allDocs && es.length == allDocs.size,
+        s"epoch $e is not a permutation")
+      // positions are contiguous 1..n within each (epoch, shard)
+      es.groupBy(_._2).foreach { case (sh, ss) =>
+        assert(ss.map(_._3).sorted.toSeq == (1 to ss.length),
+          s"epoch $e shard $sh positions not contiguous")
+      }
+    }
+    // epochs genuinely reshuffle: the (shard, pos) layout of epoch 1 is
+    // not the layout of epoch 2
+    def layout(e: Int) = byEpoch(e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(layout(1) != layout(2) && layout(2) != layout(3),
+      "epochs must draw different orders")
+    // reproducible: a second run is byte-identical
+    val again = Curation.epochShuffle(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("bpe fertility: consistent with the per-doc tokenization, >= 1 piece/word") {
+    val fert = graft.llm.TextAnalysis.bpeFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val perDoc = graft.llm.TextAnalysis.bpeTokenizeCorpus(spark, dir)
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert.nonEmpty && fert.keySet == perDoc.keySet)
+    fert.foreach { case (lang, (w, t, ppm)) =>
+      assert((w, t) == perDoc(lang), s"$lang totals disagree with per-doc")
+      assert(ppm == t * 1000000L / w && ppm >= 1000000L, s"$lang fertility")
+    }
+    spark.catalog.clearCache()
+  }
 }

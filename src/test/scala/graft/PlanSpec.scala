@@ -658,6 +658,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("epoch shuffle: narrow doc_id scan, one (epoch, shard) exchange") {
+    val p = plan("q_epoch_shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the shuffle plan must never read the text column:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"position numbering must ride one (epoch, shard) shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("bpe fertility: corpus joins the broadcast vocabulary, no SMJ") {
+    val p = plan("q_bpe_fertility")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-term piece counts must broadcast over the corpus explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("bloom join: probe scan filters through the bloom BELOW the shuffle join") {
     val p = plan("q_j13_bloom_join")
     assert(p.contains("bloom_contains"),
