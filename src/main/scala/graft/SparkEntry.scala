@@ -201,11 +201,13 @@ object SparkEntry {
     "q_pipeline_curate" -> ((s, dir) => Curation.pipelineCurate(s, dir)),
     "q_w8_rank_suite" -> (graft.ops.AnalyticsOps.w8RankSuite _),
     "q_a12_cube" -> (graft.ops.AnalyticsOps.a12Cube _),
+    "q_a15_grouping_sets" -> (graft.ops.AnalyticsOps.a15GroupingSets _),
     "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
     "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),
     "q_sample_weighted" -> (graft.ops.AnalyticsOps.weightedSample _),
     "q_text_outlier" -> (graft.ops.AnalyticsOps.lengthOutliers _),
     "q_graph_triangles" -> (graft.ops.GraphOps.triangles _),
+    "q_graph_lpa" -> (graft.ops.GraphOps.labelPropagation _),
     "q_graph_kcore" -> ((s, dir) => graft.ops.GraphOps.kCore(s, dir)),
     "q_pareto_front" -> (graft.ops.AnalyticsOps.paretoFront _),
     "q_graph_bfs" -> ((s, dir) => graft.ops.GraphOps.bfs(s, dir)),
@@ -2515,6 +2517,19 @@ object SparkEntry {
          FROM orders
          GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY status, priority, gid""",
+    // explicit GROUPING SETS — the three requested rollups, no grand
+    // total (mirrors AnalyticsOps.a15GroupingSets)
+    "q_a15_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS priority,
+                CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), (o_orderpriority))
+         ORDER BY status, priority, gid""",
     // chained-min funnel (mirrors AnalyticsOps.funnelStages); epoch micros
     // on both sides — the j9 shared-precision convention
     "q_funnel" ->
@@ -2585,6 +2600,41 @@ object SparkEntry {
          JOIN edges e2 ON e1.pb = e2.pa
          JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
          ORDER BY pa, pb, pc""",
+    // weighted synchronous label propagation unrolled one CTE triple per
+    // round (mirrors GraphOps.labelPropagation): neighbor votes weighted
+    // by co-purchase support, weight-1 self-vote, argmax =
+    // (weight DESC, label) row_number; edge CTEs are the triangles'
+    // co-purchase graph
+    "q_graph_lpa" -> {
+      import graft.ops.GraphOps.{LpaRounds, TriMinSupport}
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""v$r AS (SELECT e.src AS node, l.label, e.w
+                FROM e0 e JOIN l${r - 1} l ON e.dst = l.node
+                UNION ALL SELECT node, label, 1 AS w FROM l${r - 1}),
+         c$r AS (SELECT node, label, sum(w) AS cnt FROM v$r GROUP BY 1, 2),
+         l$r AS MATERIALIZED (SELECT node, label FROM (
+                SELECT *, row_number() OVER (PARTITION BY node
+                            ORDER BY cnt DESC, label) AS rn
+                FROM c$r)
+              WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      s"""
+         WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2),
+         base AS (SELECT pa, pb, supp FROM pairs WHERE supp >= $TriMinSupport),
+         e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst, supp AS w FROM base
+                UNION ALL SELECT pb AS src, pa AS dst, supp AS w FROM base),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+                FROM e0),
+         $rounds,
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
+                FROM l$LpaRounds GROUP BY label)
+         SELECT l.node AS part, l.label AS community, sz.csize
+         FROM l$LpaRounds l JOIN sz USING (label)
+         ORDER BY part"""
+    },
     // iterative k-core peel unrolled one CTE triple per round — generated
     // from GraphOps.KCoreRounds so the engines can never disagree on the
     // peel depth (the PrIters device); the edge CTEs are the triangles'

@@ -62,6 +62,28 @@ object AnalyticsOps {
         col("gid"), col("n_orders"), col("total_cents"))
       .orderBy("status", "priority", "gid")
 
+  /** A15: explicit GROUPING SETS — the reporting case CUBE over-delivers
+    * on: exactly the (status, priority), (status), (priority) rollups,
+    * WITHOUT the grand total a dashboard does not want to pay for or
+    * filter out. Same single-pass Expand + hash-aggregate physical shape
+    * as [[a12Cube]] (one scan, one shuffle, one Expand row per requested
+    * set instead of 2^k); `grouping_id` disambiguates coalesced rows.
+    */
+  def a15GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("n_orders"), col("total_cents"))
+      .orderBy("status", "priority", "gid")
+
   /** Funnel stage analysis (signup → view → purchase per user): t1 is the
     * user's first signup, t2 the first view strictly after t1, t3 the
     * first purchase strictly after t2 — the chained-min definition, so a

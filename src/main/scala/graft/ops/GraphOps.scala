@@ -86,7 +86,7 @@ object GraphOps {
     * graph both [[triangles]] and [[kCore]] analyze, factored so the two
     * operators can never disagree on what an edge is.
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     li.as("a")
@@ -94,8 +94,10 @@ object GraphOps {
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= TriMinSupport)
-      .select(col("pa"), col("pb"))
   }
+
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(s, dir).select(col("pa"), col("pb"))
 
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(s, dir)
@@ -121,6 +123,66 @@ object GraphOps {
         element_at(col("k"), 2).as("pb"),
         element_at(col("k"), 3).as("pc"))
       .orderBy("pa", "pb", "pc")
+  }
+
+  /** Synchronous label-propagation rounds (fixed unroll — the
+    * KCoreRounds/PrIters device; LPA can oscillate on bipartite-ish
+    * structure, and a fixed synchronous round count keeps the answer
+    * deterministic where "run until stable" would not terminate).
+    */
+  val LpaRounds = 4
+
+  /** Community detection by WEIGHTED label propagation over the
+    * co-purchase graph — the density-grouping complement of the
+    * connectivity components ([[graft.llm.Dedup.components]] answers
+    * "reachable?"; this answers "which basket cluster?"): every node
+    * starts as its own label, and each synchronous round adopts the
+    * label with the highest co-purchase-support-weighted vote among its
+    * neighbors plus a weight-1 self-vote, ties to the SMALLEST label.
+    * Support weighting is load-bearing for the semantics: with
+    * unweighted votes, round 1 (all labels distinct) is pure min-label
+    * propagation and a connected graph collapses to ONE community within
+    * diameter rounds (measured on the sf0.001 fixture — 200 nodes, one
+    * label); the edge weights differentiate the counts from the first
+    * round, so dense baskets hold together and sparse bridges do not
+    * merge. Every vote is an exact integer sum — the whole trajectory
+    * is engine-exact.
+    *
+    * Scale shape: per round ONE equi-join (labels onto the cached
+    * symmetric weighted edges, shuffled on the node key) + one
+    * (node, label) weight-sum with map-side partials + one
+    * arg-min-by-struct collapse (an aggregate, not a window — no
+    * per-node sort). Per-round localCheckpoint truncates the lineage:
+    * each round reads the label frame twice (neighbor join + self-vote
+    * union), so the uncheckpointed chain would re-derive earlier rounds
+    * ~2^r times (the MMR lesson).
+    */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(s, dir)
+    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("supp").as("w"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("supp").as("w")))
+      .cache()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    (1 to LpaRounds).foreach { _ =>
+      val nb = sym.join(lab.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"), col("w"))
+      val votes = nb.union(lab.select(col("node"), col("label"), lit(1L).as("w")))
+      val counts = votes.groupBy(col("node"), col("label"))
+        .agg(sum(col("w")).as("cnt"))
+      lab = counts.groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("label"))
+        .localCheckpoint(true)
+    }
+    val size = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    val out = lab.join(size, "label")
+      .select(col("node").as("part"), col("label").as("community"),
+        col("csize"))
+      .orderBy("part")
+    sym.unpersist()
+    out
   }
 
   def pageRank(s: SparkSession, dir: String, iters: Int = PrIters,

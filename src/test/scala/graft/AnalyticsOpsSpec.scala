@@ -413,6 +413,27 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == got.map(e => (e._2, e._4, e._5)).toSet)
   }
 
+  test("grouping sets: exactly the three requested rollups, no grand total") {
+    val got = AnalyticsOps.a15GroupingSets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    val orders = Tables.table(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    def agg(key: ((String, String, Long)) => (String, String), gid: Int) =
+      orders.groupBy(key).map { case ((s, p), rows) =>
+        (s, p, gid, rows.length.toLong, rows.map(_._3).sum)
+      }.toSet
+    val want =
+      agg(r => (r._1, r._2), 0) ++
+        agg(r => (r._1, "(all)"), 1) ++
+        agg(r => ("(all)", r._2), 2)
+    assert(got.toSet == want)
+    // no grand-total row — the point of explicit sets over CUBE
+    assert(!got.exists(_._3 == 3))
+  }
+
   test("weighted median: first value reaching half the total weight") {
     val rows = Tables.table(spark, dir, "events")
       .select("event_id", "event_type", "value").collect()

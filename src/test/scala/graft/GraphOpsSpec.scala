@@ -226,4 +226,43 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fixture exercises real overlap, not just single-wedge pairs
     assert(got.exists(_._3 > 1) && got.map(_._6).distinct.length > 1)
   }
+
+  test("label propagation replays plain-Scala synchronous rounds exactly") {
+    val got = GraphOps.labelPropagation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    // independent graph build (same support-pruned co-purchase edges)
+    val li: Seq[(Long, Long)] = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val weighted: Seq[((Long, Long), Long)] = li.groupBy(_._1).values.toSeq
+      .flatMap { rows =>
+        val ps = rows.map(_._2)
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      .groupBy(identity).toSeq
+      .collect { case (p, os) if os.size >= GraphOps.TriMinSupport =>
+        (p, os.size.toLong) }
+    val nbrs = (weighted ++ weighted.map { case ((a, b), w) => ((b, a), w) })
+      .groupBy(_._1._1)
+      .map { case (v, es) => v -> es.map { case ((_, u), w) => (u, w) } }
+    var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    (1 to GraphOps.LpaRounds).foreach { _ =>
+      lab = nbrs.map { case (v, ns) =>
+        // synchronous: all votes read the PREVIOUS round's labels;
+        // support-weighted, weight-1 self-vote; argmax by
+        // (weight DESC, label ASC)
+        val votes = (ns.map { case (u, w) => (lab(u), w) } :+ (lab(v), 1L))
+          .groupBy(_._1).map { case (l, vs) => (l, vs.map(_._2).sum) }
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    val want = lab.toSeq.map { case (v, l) => (v, l, sizes(l)) }
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // communities are non-trivial: labels genuinely merged and more than
+    // one community survived
+    assert(got.exists(_._3 > 1) && got.map(_._2).distinct.length > 1)
+  }
 }

@@ -658,6 +658,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("grouping sets: one Expand pass, one scan — no per-set rescan") {
+    val p = plan("q_a15_grouping_sets")
+    assert("Expand".r.findAllIn(p).length >= 1 &&
+      "Scan parquet".r.findAllIn(p).length == 1,
+      s"all requested sets must come from one Expand over one scan:\n$p")
+    assert(!p.contains("Union"), "sets must not union separate aggregates")
+  }
+
+  test("lpa: per-round checkpoint truncates the propagation lineage") {
+    val p = plan("q_graph_lpa")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final plan should read the checkpointed labels:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "checkpoint must cut the parquet lineage")
+  }
+
   test("epoch shuffle: narrow doc_id scan, one (epoch, shard) exchange") {
     val p = plan("q_epoch_shuffle")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
