@@ -1203,7 +1203,7 @@ object SparkEntry {
          sp AS (SELECT q_id, doc_id, CAST(rn AS INT) AS s_rank
                 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                         ORDER BY jw DESC, doc_id) AS rn
-                      FROM sp0)
+                      FROM sp0 WHERE jw > 0)
                 WHERE rn <= ${Similarity.RrfDepth}),
          f AS (SELECT coalesce(d.q_id, sp.q_id) AS q_id,
                       coalesce(d.doc_id, sp.doc_id) AS doc_id,

@@ -257,8 +257,9 @@ object Similarity {
     *
     * Scale shape: the dense list is [[bruteForceTopK]]'s broadcast-
     * queries corpus scan (IVF is the at-scale drop-in); the sparse list
-    * broadcasts the query gram sets over the document scan (row-local
-    * Jaccard — the LSH band index is ITS at-scale drop-in,
+    * is a POSTING join — broadcast query gram postings meet one corpus
+    * gram explode, |A∩B| falls out of a count (the inverted-index
+    * economics; the LSH band index is the at-scale drop-in,
     * [[Dedup]]'s chain). The fusion itself touches only the two
     * O(queries·[[RrfDepth]]) rank lists: one full-outer join on
     * (q_id, doc_id) and one per-query top-k window. vec_id ≡ doc_id in
@@ -278,13 +279,30 @@ object Similarity {
         wRank.orderBy(col("cos").desc, col("doc_id"))).cast("int"))
       .filter(col("d_rank") <= RrfDepth)
       .select(col("q_id"), col("doc_id"), col("d_rank"))
+    // sparse side as a POSTING join, not a per-pair array intersection:
+    // the query gram sets broadcast as (gram → q_id, |Q|) postings, the
+    // corpus explodes its grams once, and |A∩B| falls out of a count per
+    // (q, doc) — the same integers the full jaccard() computes (grams are
+    // distinct per doc, so |A∪B| = |Q|+|D|−∩), at a fraction of the work
+    // (measured 4.4 s → the 20×corpus array_intersect was the bench line).
+    // Docs sharing NO gram get no sparse rank (they carry no lexical
+    // signal to fuse; the oracle applies the same jw > 0 cut).
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
-    val qsh = broadcast(sh.filter(col("doc_id") < NQueries)
-      .select(col("doc_id").as("q_id"), col("grams").as("qg")))
-    val sparse = sh.join(qsh, col("doc_id") =!= col("q_id"))
+    val qPost = broadcast(sh.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), size(col("grams")).as("qsz"),
+        explode(col("grams")).as("gram")))
+    val sparse = sh
+      .select(col("doc_id"), size(col("grams")).as("dsz"),
+        explode(col("grams")).as("gram"))
+      .join(qPost, "gram")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"), col("qsz"), col("dsz"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("q_id"), col("doc_id"),
-        round(jaccard(col("qg"), col("grams")), 9).as("jw"))
+        round(col("inter").cast("double") /
+          (col("qsz") + col("dsz") - col("inter")).cast("double"), 9)
+          .as("jw"))
       .withColumn("s_rank", row_number().over(
         wRank.orderBy(col("jw").desc, col("doc_id"))).cast("int"))
       .filter(col("s_rank") <= RrfDepth)

@@ -209,6 +209,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val sparse = sh.join(qg, col("doc_id") =!= col("q_id"))
       .select(col("q_id"), col("doc_id").as("id"),
         round(TextHash.jaccard(col("qg"), col("g")), 9).as("sc"))
+      // zero-overlap docs carry no lexical signal and get no sparse rank
+      .filter(col("sc") > 0)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sc").desc, col("id"))))
       .filter(col("rk") <= Similarity.RrfDepth)
