@@ -156,6 +156,14 @@ object GraftCatalog {
       .createOrReplaceTempView("rrf_fusion")
     graft.llm.Similarity.maxSimLate(spark, sfDir)
       .createOrReplaceTempView("maxsim_results")
+    // batch 2 — lazy plans; labelPropagation stays unmounted with
+    // kCore/BFS/MMR (eager per-round checkpoints)
+    graft.ops.AnalyticsOps.a15GroupingSets(spark, sfDir)
+      .createOrReplaceTempView("grouping_sets_report")
+    graft.llm.Curation.epochShuffle(spark, sfDir)
+      .createOrReplaceTempView("epoch_shuffle")
+    graft.llm.TextAnalysis.bpeFertility(spark, sfDir, cache = false)
+      .createOrReplaceTempView("bpe_fertility")
     registerFunctions(spark)
   }
 

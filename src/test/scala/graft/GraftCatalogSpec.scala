@@ -287,5 +287,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       SELECT count(*) FROM maxsim_results
       WHERE abs(maxsim) > ${graft.llm.Similarity.MaxSimParts}.0 + 1e-9
          OR abs(cos) > 1.0 + 1e-9""").head().getLong(0) == 0)
+    // grouping sets: per-gid totals reconcile with the base table, and no
+    // grand-total row exists
+    val gs = spark.sql("""
+      SELECT (SELECT sum(n_orders) FROM grouping_sets_report WHERE gid = 0),
+             (SELECT sum(n_orders) FROM grouping_sets_report WHERE gid = 1),
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM grouping_sets_report WHERE gid = 3)""")
+      .head()
+    assert(gs.getLong(0) == gs.getLong(2) && gs.getLong(1) == gs.getLong(2)
+      && gs.getLong(3) == 0)
+    // epoch shuffle: every epoch is a full permutation of the corpus
+    val es = spark.sql("""
+      SELECT count(DISTINCT epoch),
+             count(*),
+             count(DISTINCT (epoch, doc_id)),
+             (SELECT count(*) FROM documents)
+      FROM epoch_shuffle""").head()
+    assert(es.getLong(0) == graft.llm.Curation.ShuffleEpochs.toLong
+      && es.getLong(1) == es.getLong(0) * es.getLong(3)
+      && es.getLong(2) == es.getLong(1))
+    // fertility: at least one piece per word, totals positive
+    assert(spark.sql("""
+      SELECT count(*) FROM bpe_fertility
+      WHERE fertility_ppm < 1000000 OR n_words <= 0
+         OR n_bpe_tokens < n_words""").head().getLong(0) == 0)
+    spark.catalog.clearCache()
   }
 }
