@@ -202,6 +202,8 @@ object SparkEntry {
     "q_w8_rank_suite" -> (graft.ops.AnalyticsOps.w8RankSuite _),
     "q_a12_cube" -> (graft.ops.AnalyticsOps.a12Cube _),
     "q_a15_grouping_sets" -> (graft.ops.AnalyticsOps.a15GroupingSets _),
+    "q_basket_rules" -> (graft.ops.AnalyticsOps.basketRules _),
+    "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
     "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),
     "q_sample_weighted" -> (graft.ops.AnalyticsOps.weightedSample _),
@@ -2530,6 +2532,53 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), (o_orderpriority))
          ORDER BY status, priority, gid""",
+    // directed association rules over distinct baskets; integer ppm/ppk
+    // confidence and lift (mirrors AnalyticsOps.basketRules)
+    "q_basket_rules" -> s"""
+         WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+         ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt
+                FROM li GROUP BY pk),
+         pr AS (SELECT a.pk AS antecedent, b.pk AS consequent,
+                       CAST(count(*) AS BIGINT) AS supp
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+                GROUP BY 1, 2
+                HAVING count(*) >= ${graft.ops.AnalyticsOps.RuleMinSupport})
+         SELECT antecedent, consequent, supp,
+                ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+                (supp * 1000000) // ca.cnt AS conf_ppm,
+                (supp * n_orders * 1000) // (ca.cnt * cb.cnt) AS lift_ppk
+         FROM pr JOIN ic ca ON ca.pk = antecedent
+                 JOIN ic cb ON cb.pk = consequent, n
+         ORDER BY lift_ppk DESC, antecedent, consequent
+         LIMIT ${graft.ops.AnalyticsOps.RuleTopK}""",
+    // RFM quintile segmentation; ceil(5*rank/cnt) cross-multiply, NOT
+    // ntile (mirrors AnalyticsOps.rfmSegments)
+    "q_rfm_segments" -> """
+         WITH base AS (SELECT o_custkey,
+                  max(epoch_us(o_orderdate)) AS last_us,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS life_cents
+               FROM orders GROUP BY o_custkey),
+         rk AS (SELECT *, count(*) OVER () AS cnt,
+                  row_number() OVER (ORDER BY last_us DESC, o_custkey) AS rn_r,
+                  row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rn_f,
+                  row_number() OVER (ORDER BY life_cents DESC, o_custkey) AS rn_m
+               FROM base),
+         sc AS (SELECT *,
+                  CAST((rn_r * 5 + cnt - 1) // cnt AS INT) AS r,
+                  CAST((rn_f * 5 + cnt - 1) // cnt AS INT) AS f,
+                  CAST((rn_m * 5 + cnt - 1) // cnt AS INT) AS m
+               FROM rk)
+         SELECT o_custkey, last_us, n_orders, life_cents, r, f, m,
+                CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+                     WHEN r >= 4 AND f <= 2 THEN 'at_risk'
+                     WHEN f = 1 THEN 'loyal'
+                     WHEN r = 1 THEN 'recent'
+                     ELSE 'regular' END AS segment
+         FROM sc ORDER BY o_custkey""",
     // chained-min funnel (mirrors AnalyticsOps.funnelStages); epoch micros
     // on both sides — the j9 shared-precision convention
     "q_funnel" ->

@@ -381,6 +381,102 @@ object AnalyticsOps {
       .orderBy("doc_id")
   }
 
+  /** Pair-support floor for [[basketRules]] (the co-purchase prune) and
+    * rules kept.
+    */
+  val RuleMinSupport = 2
+  val RuleTopK = 100
+
+  /** Market-basket association rules over distinct order baskets: for
+    * each directed pair a→b co-purchased in ≥ [[RuleMinSupport]] distinct
+    * orders, `confidence = P(b|a)` and `lift = P(b|a)/P(b)` in integer
+    * ppm/ppk (`supp·10^6 div cnt_a`, `supp·N·10^3 div (cnt_a·cnt_b)`) —
+    * engine-exact, no doubles. Counting is over DISTINCT (order, part)
+    * pairs — a part twice in one order is one basket membership — which
+    * is why the rule counts do not reuse the graph tier's edge aggregate
+    * (its per-row support serves connectivity, not probability).
+    *
+    * Scale shape: one distinct projection of the fact table, a self
+    * equi-join on the order key (per-order fanout bounded by basket
+    * size), the support prune killing the quadratic tail, item counts
+    * broadcast back over the surviving pairs, and the final top-K by
+    * (lift DESC) planning as TakeOrderedAndProject.
+    */
+  def basketRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .cache()
+    val n = broadcast(li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("antecedent"), col("b.pk").as("consequent"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= RuleMinSupport)
+    val out = pairs
+      .join(broadcast(itemCnt.select(col("pk").as("antecedent"),
+        col("cnt").as("cnt_a"))), "antecedent")
+      .join(broadcast(itemCnt.select(col("pk").as("consequent"),
+        col("cnt").as("cnt_b"))), "consequent")
+      .crossJoin(n)
+      .select(col("antecedent"), col("consequent"), col("supp"),
+        col("cnt_a"), col("cnt_b"),
+        expr("(supp * 1000000) div cnt_a").as("conf_ppm"),
+        expr("(supp * n_orders * 1000) div (cnt_a * cnt_b)").as("lift_ppk"))
+    li.unpersist()
+    out.orderBy(col("lift_ppk").desc, col("antecedent"), col("consequent"))
+      .limit(RuleTopK)
+  }
+
+  /** RFM customer segmentation — recency (last order), frequency (order
+    * count), monetary (lifetime cents) collapsed to quintile scores
+    * (1 = best) and a coarse segment label. The fact table collapses
+    * FIRST (one groupBy to O(customers) rows); the three global-order
+    * rank passes then run over the customer DIMENSION — the deliberate
+    * small-frame plan of the histQuantiles/prCurve family (a dimension
+    * is orders of magnitude smaller than its fact table; at the scale
+    * where even the dim is huge, the thresholds move to broadcast
+    * percentile scalars, the calibratedCut economics).
+    *
+    * All three scores are `ceil(5·rank/cnt)` integer cross-multiplies
+    * under unique (metric DESC, key) orders — engine-exact, no ntile
+    * convention dependence, no doubles. Recency ranks on epoch-micros
+    * (the j9 shared-precision rule).
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC, so the
+      // cast is identity and epoch micros match DuckDB's epoch_us
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("life_cents"))
+    // quintile = ceil(5·rank/cnt) by integer cross-multiply (BIGINT
+    // `div`) — deliberately NOT ntile, whose remainder-distribution
+    // convention would have to be trusted to match across engines; 1 = best
+    def rank(metric: String) = row_number().over(
+      Window.orderBy(col(metric).desc, col("o_custkey").asc)).cast("bigint")
+    base
+      .withColumn("cnt", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn_r", rank("last_us"))
+      .withColumn("rn_f", rank("n_orders"))
+      .withColumn("rn_m", rank("life_cents"))
+      .withColumn("r", expr("cast((rn_r * 5 + cnt - 1) div cnt as int)"))
+      .withColumn("f", expr("cast((rn_f * 5 + cnt - 1) div cnt as int)"))
+      .withColumn("m", expr("cast((rn_m * 5 + cnt - 1) div cnt as int)"))
+      .select(col("o_custkey"), col("last_us"), col("n_orders"),
+        col("life_cents"), col("r"), col("f"), col("m"),
+        when(col("r") === 1 && col("f") === 1 && col("m") === 1, "champion")
+          .when(col("r") >= 4 && col("f") <= 2, "at_risk")
+          .when(col("f") === 1, "loyal")
+          .when(col("r") === 1, "recent")
+          .otherwise("regular").as("segment"))
+      .orderBy("o_custkey")
+  }
+
   /** Deterministic surrogate importance weight for [[weightedMedian]]:
     * 1..7 from the key — the fixture carries no weight column, and the
     * synthesis convention (document it, mirror it in the oracle) is the

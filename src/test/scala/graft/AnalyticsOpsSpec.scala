@@ -413,6 +413,58 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == got.map(e => (e._2, e._4, e._5)).toSet)
   }
 
+  test("basket rules replay distinct-basket counting; lift arithmetic exact") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val n = li.map(_._1).distinct.length.toLong
+    val cnt = li.groupBy(_._2).map { case (p, rs) => p -> rs.length.toLong }
+    val pairs = li.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).toSeq.collect {
+      case ((a, b), os) if os.size >= AnalyticsOps.RuleMinSupport =>
+        (a, b, os.size.toLong)
+    }
+    val want = pairs.map { case (a, b, supp) =>
+      (a, b, supp, cnt(a), cnt(b), supp * 1000000L / cnt(a),
+        supp * n * 1000L / (cnt(a) * cnt(b)))
+    }.toSeq.sortBy { case (a, b, _, _, _, _, lift) => (-lift, a, b) }
+      .take(AnalyticsOps.RuleTopK)
+    val got = AnalyticsOps.basketRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // the fixture carries genuinely positive associations (lift > 1)
+    assert(got.exists(_._7 > 1000L))
+  }
+
+  test("rfm: quintiles replay the cross-multiply; segments honor their rules") {
+    val got = AnalyticsOps.rfmSegments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    assert(got.nonEmpty)
+    val n = got.length.toLong
+    def quint(rn: Long): Int = ((rn * 5 + n - 1) / n).toInt
+    def ranks[T](key: ((Long, Long, Long, Long, Int, Int, Int, String)) => Long) =
+      got.sortBy(r => (-key(r), r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> quint(i + 1L) }.toMap
+    val (rr, ff, mm) = (ranks(_._2), ranks(_._3), ranks(_._4))
+    got.foreach { case (k, _, _, _, r, f, m, seg) =>
+      assert(r == rr(k) && f == ff(k) && m == mm(k), s"cust $k scores")
+      val want =
+        if (r == 1 && f == 1 && m == 1) "champion"
+        else if (r >= 4 && f <= 2) "at_risk"
+        else if (f == 1) "loyal"
+        else if (r == 1) "recent"
+        else "regular"
+      assert(seg == want, s"cust $k segment")
+    }
+    // quintiles are balanced: bucket sizes differ by at most one
+    val sizes = got.groupBy(_._5).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("grouping sets: exactly the three requested rollups, no grand total") {
     val got = AnalyticsOps.a15GroupingSets(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2),

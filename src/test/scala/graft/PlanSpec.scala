@@ -658,6 +658,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("basket rules: heap top-K, broadcast item counts, no cartesian blowup") {
+    val p = plan("q_basket_rules")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${
+      graft.ops.AnalyticsOps.RuleTopK}"),
+      "rule ranking must be per-partition heaps, not a full sort")
+    assert(p.contains("BroadcastExchange"),
+      "item counts and the order-count scalar must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("rfm: fact collapses before the dimension-frame rank passes; no joins") {
+    val p = plan("q_rfm_segments")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one orders scan, collapsed before ranking:\n$p")
+    assert(!p.contains("Join"))
+    // the rank passes run AFTER the per-customer aggregate — the
+    // single-partition windows touch the dim frame, never the fact rows
+    assert(p.indexOf("HashAggregate") > p.indexOf("Window"),
+      s"aggregate must sit below the windows in the tree:\n$p")
+  }
+
   test("grouping sets: one Expand pass, one scan — no per-set rescan") {
     val p = plan("q_a15_grouping_sets")
     assert("Expand".r.findAllIn(p).length >= 1 &&
