@@ -164,6 +164,10 @@ object GraftCatalog {
       .createOrReplaceTempView("epoch_shuffle")
     graft.llm.TextAnalysis.bpeFertility(spark, sfDir, cache = false)
       .createOrReplaceTempView("bpe_fertility")
+    graft.ops.AnalyticsOps.basketRules(spark, sfDir, cache = false)
+      .createOrReplaceTempView("basket_rules")
+    graft.ops.AnalyticsOps.rfmSegments(spark, sfDir)
+      .createOrReplaceTempView("rfm_segments")
     registerFunctions(spark)
   }
 

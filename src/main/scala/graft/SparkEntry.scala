@@ -202,7 +202,7 @@ object SparkEntry {
     "q_w8_rank_suite" -> (graft.ops.AnalyticsOps.w8RankSuite _),
     "q_a12_cube" -> (graft.ops.AnalyticsOps.a12Cube _),
     "q_a15_grouping_sets" -> (graft.ops.AnalyticsOps.a15GroupingSets _),
-    "q_basket_rules" -> (graft.ops.AnalyticsOps.basketRules _),
+    "q_basket_rules" -> ((s, dir) => graft.ops.AnalyticsOps.basketRules(s, dir)),
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
     "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),

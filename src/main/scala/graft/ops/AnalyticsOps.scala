@@ -402,11 +402,15 @@ object AnalyticsOps {
     * broadcast back over the surviving pairs, and the final top-K by
     * (lift DESC) planning as TakeOrderedAndProject.
     */
-  def basketRules(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+  def basketRules(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    // cache: the distinct basket table feeds the order count, the item
+    // counts, AND the pair join; cache = false for the view mount (a
+    // cache pinned inside a session-lifetime view is never unpersisted)
+    val liPlan = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .cache()
+    val li = if (cache) liPlan.cache() else liPlan
     val n = broadcast(li.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders")))
     val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
@@ -425,7 +429,9 @@ object AnalyticsOps {
         col("cnt_a"), col("cnt_b"),
         expr("(supp * 1000000) div cnt_a").as("conf_ppm"),
         expr("(supp * n_orders * 1000) div (cnt_a * cnt_b)").as("lift_ppk"))
-    li.unpersist()
+    // no unpersist here: the returned plan is lazy, so the cache must
+    // outlive this call — callers clear it when done (the Dedup module's
+    // cache-lifecycle contract)
     out.orderBy(col("lift_ppk").desc, col("antecedent"), col("consequent"))
       .limit(RuleTopK)
   }

@@ -312,6 +312,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       SELECT count(*) FROM bpe_fertility
       WHERE fertility_ppm < 1000000 OR n_words <= 0
          OR n_bpe_tokens < n_words""").head().getLong(0) == 0)
+    // basket rules: confidence never exceeds 1, support bounded by both
+    // item counts, and the published div arithmetic holds
+    assert(spark.sql("""
+      SELECT count(*) FROM basket_rules
+      WHERE conf_ppm > 1000000 OR supp > least(cnt_a, cnt_b)
+         OR conf_ppm != (supp * 1000000) div cnt_a""")
+      .head().getLong(0) == 0)
+    // rfm: scores in 1..5 and each segment row re-derives from its scores
+    assert(spark.sql("""
+      SELECT count(*) FROM rfm_segments
+      WHERE r NOT BETWEEN 1 AND 5 OR f NOT BETWEEN 1 AND 5
+         OR m NOT BETWEEN 1 AND 5
+         OR segment != CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+                            WHEN r >= 4 AND f <= 2 THEN 'at_risk'
+                            WHEN f = 1 THEN 'loyal'
+                            WHEN r = 1 THEN 'recent'
+                            ELSE 'regular' END""").head().getLong(0) == 0)
     spark.catalog.clearCache()
   }
 }
