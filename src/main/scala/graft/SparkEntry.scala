@@ -204,6 +204,9 @@ object SparkEntry {
     "q_a15_grouping_sets" -> (graft.ops.AnalyticsOps.a15GroupingSets _),
     "q_basket_rules" -> ((s, dir) => graft.ops.AnalyticsOps.basketRules(s, dir)),
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
+    "q_cal_spine" -> (CoreOps.calSpine _),
+    "q_privacy_kanon" -> (graft.ops.PrivacyOps.kAnonymity _),
+    "q_dedup_containment" -> (Dedup.containmentPairs _),
     "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
     "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),
     "q_sample_weighted" -> (graft.ops.AnalyticsOps.weightedSample _),
@@ -2532,6 +2535,73 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), (o_orderpriority))
          ORDER BY status, priority, gid""",
+    // gap-free calendar spine between observed order-date bounds;
+    // day-of-week by the epoch-day formula, not each engine's dayofweek
+    // numbering (mirrors CoreOps.calSpine)
+    "q_cal_spine" -> """
+         WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                           CAST(max(o_orderdate) AS DATE) AS d1
+                    FROM orders),
+         days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM b),
+         e AS (SELECT day,
+                  CAST(date_diff('day', DATE '1970-01-01', day) AS INT)
+                    AS epoch_day
+               FROM days),
+         d AS (SELECT *, CAST((epoch_day + 4) % 7 AS INT) AS dow FROM e)
+         SELECT strftime(day, '%Y-%m-%d') AS day, epoch_day, dow,
+                dow IN (0, 6) AS is_weekend,
+                CAST(year(day) AS INT) AS yr,
+                CAST(quarter(day) AS INT) AS qtr,
+                CAST(month(day) AS INT) AS mon,
+                day = last_day(day) AS is_month_end
+         FROM d ORDER BY day""",
+    // k-anonymity / l-diversity classes over (segment, nationkey);
+    // sensitive bucket shifted positive before the integer div (mirrors
+    // PrivacyOps.kAnonymity)
+    "q_privacy_kanon" -> {
+      import graft.ops.PrivacyOps.{KAnonK, SensitiveBucket}
+      s"""
+         WITH cls AS (SELECT c_mktsegment AS segment,
+                  CAST(c_nationkey AS BIGINT) AS nationkey,
+                  CAST(count(*) AS BIGINT) AS class_size,
+                  CAST(count(DISTINCT
+                    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)
+                      // $SensitiveBucket) AS BIGINT) AS l_diversity
+               FROM customer GROUP BY 1, 2)
+         SELECT segment, nationkey, class_size, l_diversity,
+                class_size < $KAnonK AS at_risk,
+                l_diversity = 1 AS homogeneous
+         FROM cls ORDER BY segment, nationkey"""
+    },
+    // asymmetric containment pairs (|A-intersect-B| / |A| >= 0.8, banded
+    // candidates through df-capped shared shingles, exact re-verify on
+    // the full gram sets) (mirrors Dedup.containmentPairs; shared
+    // shingledCte)
+    "q_dedup_containment" -> s"""
+         WITH $shingledCte,
+         post AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+         dfb AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM post
+                                   GROUP BY gram)
+                 WHERE c <= ${Dedup.ContainMaxDf}),
+         bp AS (SELECT p.doc_id, p.gram FROM post p JOIN dfb USING (gram)),
+         cand AS (SELECT x.doc_id AS inner_id, y.doc_id AS outer_id
+                  FROM bp x JOIN bp y ON x.gram = y.gram
+                                     AND x.doc_id <> y.doc_id
+                  GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(grams) AS sz, grams FROM sh)
+         SELECT inner_id, outer_id,
+                CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS inter,
+                CAST(a.sz AS INT) AS sz_in, CAST(b.sz AS INT) AS sz_out,
+                (CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                   * 1000000) // a.sz AS cont_ppm
+         FROM cand JOIN sz a ON a.doc_id = inner_id
+                   JOIN sz b ON b.doc_id = outer_id
+         WHERE a.sz <= b.sz
+           AND len(list_intersect(a.grams, b.grams)) * 100 >= a.sz *
+               ${math.round(Dedup.ContainThreshold * 100)}
+         ORDER BY inner_id, outer_id""",
     // directed association rules over distinct baskets; integer ppm/ppk
     // confidence and lift (mirrors AnalyticsOps.basketRules)
     "q_basket_rules" -> s"""

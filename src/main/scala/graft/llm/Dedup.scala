@@ -99,6 +99,55 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Containment threshold / stop-gram df cap for [[containmentPairs]]. */
+  val ContainThreshold = 0.8
+  val ContainMaxDf = 50
+
+  /** ASYMMETRIC containment dedup — `C(A,B) = |A∩B| / |A|`: the
+    * quote/truncation detector resemblance misses (a short document fully
+    * embedded in a long one has tiny Jaccard but containment ≈ 1 — the
+    * case [[dedupCanonical]]'s clusters are made of). Emits (inner,
+    * outer) pairs with `C(inner ⊆ outer) ≥` [[ContainThreshold]] where
+    * the inner set is no larger than the outer (the asymmetric reading),
+    * integer-ppm containment, ties impossible (pair key is unique).
+    *
+    * Scale shape: candidates ONLY through shared shingles — one posting
+    * self-equi-join on the gram (the rrf/tfidf inverted-index economics)
+    * with grams above [[ContainMaxDf]] df excluded from pairing
+    * (boilerplate shingles are the quadratic hazard AND carry no
+    * containment evidence — the tfidf df-band argument; the prune is part
+    * of the declared semantics, mirrored in the oracle). |A∩B| falls out
+    * of the pair count restricted to banded grams, so the UNBANDED
+    * containment is re-verified exactly against the full gram sets on the
+    * surviving candidates only (the LSH-then-exact two-stage shape).
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).select(col("doc_id"), col("grams")).cache()
+    val post = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val dfT = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainMaxDf)
+    val banded = post.join(dfT.select(col("gram")), "gram")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("inner_id"), col("y.doc_id").as("outer_id"))
+      .agg(count(lit(1)).as("shared_banded"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).as("sz"),
+      col("grams"))
+    cand
+      .join(sizes.select(col("doc_id").as("inner_id"), col("sz").as("sz_in"),
+        col("grams").as("g_in")), "inner_id")
+      .join(sizes.select(col("doc_id").as("outer_id"), col("sz").as("sz_out"),
+        col("grams").as("g_out")), "outer_id")
+      .filter(col("sz_in") <= col("sz_out"))
+      .withColumn("inter", size(array_intersect(col("g_in"), col("g_out"))))
+      .filter(col("inter") * 100 >= col("sz_in") * math.round(ContainThreshold * 100))
+      .select(col("inner_id"), col("outer_id"), col("inter"),
+        col("sz_in"), col("sz_out"),
+        expr("(cast(inter as bigint) * 1000000) div sz_in").as("cont_ppm"))
+      .orderBy("inner_id", "outer_id")
+  }
+
   val MinhashK = 32
   val Bands = 8
   val RowsPerBand: Int = MinhashK / Bands

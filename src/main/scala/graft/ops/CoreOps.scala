@@ -382,4 +382,40 @@ object CoreOps {
         round(col("win_sum_cents") / col("win_n"), 4))
       .orderBy("event_id")
   }
+
+  /** Calendar date spine spanning the fact table — the generated time
+    * dimension every warehouse joins against (gap-free days between the
+    * observed min/max order dates, with the flags a report needs). The
+    * day-of-week comes from the epoch-day formula `(days + 4) % 7`
+    * (0 = Sunday; 1970-01-01 was a Thursday) rather than each engine's
+    * dayofweek builtin, whose numbering conventions differ — the
+    * rfm-vs-ntile trust argument applied to dates. Month/quarter/year
+    * extraction is proleptic-Gregorian in both engines.
+    *
+    * Scale shape: ONE single-row bounds aggregate over the pruned date
+    * column, then a generated dimension (one `sequence` explode from a
+    * 1-row frame) — the spine is O(days), independent of fact size.
+    */
+  def calSpine(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.{table => t}
+    val bounds = t(s, dir, "orders")
+      .agg(min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+    bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("int"))
+      .withColumn("dow", ((col("epoch_day") + 4) % 7).cast("int"))
+      .select(
+        // ISO string, not DATE: the driver's pandas compare reads Spark
+        // dates as objects and DuckDB dates as datetime64 (the SF8
+        // zero-date convention applied to the spine key)
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("epoch_day"), col("dow"),
+        (col("dow") === 0 || col("dow") === 6).as("is_weekend"),
+        year(col("day")).cast("int").as("yr"),
+        quarter(col("day")).cast("int").as("qtr"),
+        month(col("day")).cast("int").as("mon"),
+        (col("day") === last_day(col("day"))).as("is_month_end"))
+      .orderBy("day")
+  }
 }

@@ -413,6 +413,51 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == got.map(e => (e._2, e._4, e._5)).toSet)
   }
 
+  test("calendar spine: gap-free, java.time-verified flags, epoch-day dow") {
+    val got = graft.ops.CoreOps.calSpine(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getBoolean(7)))
+    assert(got.nonEmpty)
+    // contiguous: every consecutive pair differs by exactly one day
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 - a._2 == 1, s"gap between ${a._1} and ${b._1}")
+    }
+    got.foreach { case (day, ed, dow, wknd, yr, qtr, mon, mEnd) =>
+      val d = LocalDate.parse(day)
+      assert(ed == d.toEpochDay.toInt, s"$day epoch")
+      // java.time DayOfWeek: MONDAY=1..SUNDAY=7; ours: SUNDAY=0..SATURDAY=6
+      assert(dow == d.getDayOfWeek.getValue % 7, s"$day dow")
+      assert(wknd == (dow == 0 || dow == 6))
+      assert(yr == d.getYear && qtr == (d.getMonthValue + 2) / 3
+        && mon == d.getMonthValue, s"$day parts")
+      assert(mEnd == (d.getDayOfMonth == d.lengthOfMonth), s"$day month end")
+    }
+    // the spine brackets the fact table exactly
+    val bounds = Tables.table(spark, dir, "orders")
+      .agg(min(col("o_orderdate").cast("date")), max(col("o_orderdate").cast("date")))
+      .head()
+    assert(got.head._1 == bounds.getDate(0).toString
+      && got.last._1 == bounds.getDate(1).toString)
+  }
+
+  test("k-anonymity classes replay; the fixture carries real risk") {
+    import graft.ops.PrivacyOps
+    val got = graft.ops.PrivacyOps.kAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    val rows = Tables.table(spark, dir, "customer")
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong,
+        (math.round(r.getDouble(2) * 100) + 100000000L) / PrivacyOps.SensitiveBucket))
+    val want = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map(_._3).distinct.length.toLong,
+        rs.length < PrivacyOps.KAnonK, rs.map(_._3).distinct.length == 1)
+    }
+    assert(got == want)
+    // the assessment is non-vacuous: at-risk classes exist AND safe ones do
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("basket rules replay distinct-basket counting; lift arithmetic exact") {
     val li = Tables.table(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey").collect()

@@ -122,6 +122,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("containment pairs replay plain-Scala; truncation dups surface") {
+    import graft.llm.{Dedup, TextHash}
+    val sh = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextHash.shingles3(TextHash.tokens(col("text"))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity)
+      .map { case (g, os) => g -> os.size }
+    val banded: Map[Long, Set[String]] =
+      sh.map { case (id, gs) => id -> gs.filter(df(_) <= Dedup.ContainMaxDf) }
+    val thr = math.round(Dedup.ContainThreshold * 100)
+    val want = (for {
+      (a, ga) <- sh.toSeq; (b, gb) <- sh.toSeq
+      if a != b && sh(a).size <= sh(b).size
+      // candidates only through df-banded shared shingles (declared
+      // semantics: boilerplate grams cannot create a pair)
+      if banded(a).intersect(banded(b)).nonEmpty
+      inter = ga.intersect(gb).size
+      if inter * 100 >= ga.size * thr
+    } yield (a, b, inter, ga.size, gb.size,
+      inter.toLong * 1000000L / ga.size)).sortBy(t => (t._1, t._2))
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want)
+    // the corpus really contains truncation dups: full-containment pairs
+    // with strictly larger outers exist (the fixture's truncations are
+    // shallow, so Jaccard also sees them — the operator's value is the
+    // deep-truncation case, pinned by semantics rather than this corpus)
+    assert(got.exists(p => p._6 == 1000000L && p._4 < p._5))
+    assert(got.forall(p => p._6 >= thr * 10000L))
+  }
+
   test("mmr: plain-Scala greedy over the candidate/pair frames replays exactly") {
     import graft.llm.Similarity
     import graft.functions.DotProduct

@@ -658,6 +658,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("cal spine: a generated dimension off one single-row bounds aggregate") {
+    val p = plan("q_cal_spine")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one pruned date-column scan feeds the bounds:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderdate"),
+      "the bounds scan must prune to the date column")
+    assert(!p.contains("Join"))
+  }
+
+  test("privacy kanon: one QI shuffle, distinct folded into the aggregate") {
+    val p = plan("q_privacy_kanon")
+    assert(!p.contains("Join"))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("containment: banded posting candidates, no cartesian") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      "the shingle pipeline must be computed once and cached")
+    spark.catalog.clearCache()
+  }
+
   test("basket rules: heap top-K, broadcast item counts, no cartesian blowup") {
     val p = plan("q_basket_rules")
     assert(p.contains(s"TakeOrderedAndProject(limit=${
