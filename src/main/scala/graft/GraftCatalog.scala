@@ -168,6 +168,12 @@ object GraftCatalog {
       .createOrReplaceTempView("basket_rules")
     graft.ops.AnalyticsOps.rfmSegments(spark, sfDir)
       .createOrReplaceTempView("rfm_segments")
+    graft.ops.CoreOps.calSpine(spark, sfDir)
+      .createOrReplaceTempView("cal_spine")
+    graft.ops.PrivacyOps.kAnonymity(spark, sfDir)
+      .createOrReplaceTempView("privacy_kanon")
+    graft.llm.Dedup.containmentPairs(spark, sfDir, cache = false)
+      .createOrReplaceTempView("containment_pairs")
     registerFunctions(spark)
   }
 

@@ -206,7 +206,7 @@ object SparkEntry {
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_cal_spine" -> (CoreOps.calSpine _),
     "q_privacy_kanon" -> (graft.ops.PrivacyOps.kAnonymity _),
-    "q_dedup_containment" -> (Dedup.containmentPairs _),
+    "q_dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
     "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),
     "q_sample_weighted" -> (graft.ops.AnalyticsOps.weightedSample _),

@@ -121,8 +121,11 @@ object Dedup {
     * containment is re-verified exactly against the full gram sets on the
     * surviving candidates only (the LSH-then-exact two-stage shape).
     */
-  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).select(col("doc_id"), col("grams")).cache()
+  def containmentPairs(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    // cache = false for the view mount (the standing view-mount contract)
+    val shPlan = shingled(s, dir).select(col("doc_id"), col("grams"))
+    val sh = if (cache) shPlan.cache() else shPlan
     val post = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
     val dfT = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainMaxDf)

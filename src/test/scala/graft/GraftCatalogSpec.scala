@@ -319,6 +319,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       WHERE conf_ppm > 1000000 OR supp > least(cnt_a, cnt_b)
          OR conf_ppm != (supp * 1000000) div cnt_a""")
       .head().getLong(0) == 0)
+    // calendar spine: row count equals the inclusive day span, weekend
+    // flags consistent with dow
+    val cs = spark.sql("""
+      SELECT count(*),
+             CAST(max(epoch_day) - min(epoch_day) + 1 AS BIGINT),
+             sum(CASE WHEN is_weekend != (dow IN (0, 6)) THEN 1 ELSE 0 END)
+      FROM cal_spine""").head()
+    assert(cs.getLong(0) == cs.getLong(1) && cs.getLong(2) == 0)
+    // k-anonymity: class sizes sum to the table, verdicts honor k
+    assert(spark.sql("SELECT sum(class_size) FROM privacy_kanon")
+      .head().getLong(0) == spark.table("customer").count())
+    assert(spark.sql(s"""
+      SELECT count(*) FROM privacy_kanon
+      WHERE at_risk != (class_size < ${graft.ops.PrivacyOps.KAnonK})
+         OR l_diversity > class_size""").head().getLong(0) == 0)
+    // containment: the published threshold and div arithmetic hold
+    assert(spark.sql(s"""
+      SELECT count(*) FROM containment_pairs
+      WHERE sz_in > sz_out OR inter > sz_in
+         OR cont_ppm != (CAST(inter AS BIGINT) * 1000000) div sz_in
+         OR inter * 100 < sz_in * ${math.round(
+           graft.llm.Dedup.ContainThreshold * 100)}""")
+      .head().getLong(0) == 0)
     // rfm: scores in 1..5 and each segment row re-derives from its scores
     assert(spark.sql("""
       SELECT count(*) FROM rfm_segments
