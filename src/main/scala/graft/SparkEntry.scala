@@ -156,6 +156,8 @@ object SparkEntry {
     "q_a10_quantiles" -> (CoreOps.a10Quantiles _),
     "q_a11_pivot" -> (CoreOps.a11Pivot _),
     "q_j8_asof" -> (AsofOps.asofClick _),
+    "q_j8b_asof_tol" -> (AsofOps.asofClickTol _),
+    "q_w15_range_frame" -> (CoreOps.w15RangeFrame _),
     "q_w6_gap_fill" -> (AsofOps.gapFill _),
     "q_w7_moving_avg" -> (CoreOps.w7MovingAvg _),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
@@ -1754,6 +1756,49 @@ object SparkEntry {
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY e.event_id""",
+    // as-of with a match tolerance (mirrors AsofOps.asofClickTol): the
+    // ASOF join plus a row-local freshness verdict in shared-precision
+    // epoch micros
+    "q_j8b_asof_tol" -> {
+      import graft.ops.AsofOps.AsofTolMicros
+      s"""WITH clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_event_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         errors AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         m AS (
+           SELECT e.event_id, e.user_id, e.ts,
+                  c.click_event_id, c.ts AS c_ts,
+                  c.ts IS NOT NULL AND
+                    epoch_us(e.ts) - epoch_us(c.ts) <= $AsofTolMicros
+                    AS matched
+           FROM errors e ASOF LEFT JOIN clicks c
+             ON e.user_id = c.user_id AND e.ts >= c.ts)
+         SELECT event_id, user_id, ts,
+                coalesce(CASE WHEN matched THEN click_event_id END, -1)
+                  AS click_event_id,
+                coalesce(CASE WHEN matched THEN c_ts END,
+                         TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+                matched
+         FROM m ORDER BY event_id"""
+    },
+    // value-range window frame: trailing 1 hour of event time per type
+    // (mirrors CoreOps.w15RangeFrame)
+    "q_w15_range_frame" -> {
+      import graft.ops.CoreOps.RangeFrameMicros
+      s"""WITH src AS (
+           SELECT event_id, event_type, epoch_us(ts) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT event_id, event_type, us, cents,
+                CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                CAST(sum(cents) OVER w AS BIGINT) AS sum_1h_cents
+         FROM src
+         WINDOW w AS (PARTITION BY event_type ORDER BY us
+                      RANGE BETWEEN $RangeFrameMicros PRECEDING
+                            AND CURRENT ROW)
+         ORDER BY event_id"""
+    },
     // forward fill (mirrors AsofOps.gapFill): last non-null reading per
     // user stream, running frame — the same IGNORE NULLS window operator
     // in both engines

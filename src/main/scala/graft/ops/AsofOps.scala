@@ -94,6 +94,40 @@ object AsofOps {
       .orderBy("event_id")
   }
 
+  /** Match tolerance for [[asofClickTol]] (micros): a click older than
+    * this is stale context, not attribution.
+    */
+  val AsofTolMicros: Long = 3600000000L
+
+  /** The tolerance variant of [[asofClick]] (pandas `merge_asof`'s
+    * `tolerance=`): the latest preceding click still matches ONLY when it
+    * happened within [[AsofTolMicros]] of the error — beyond that the row
+    * degrades to the no-match defaults. Same composed one-window plan;
+    * the tolerance is a row-local verdict on the carried payload
+    * (comparison in shared-precision epoch micros, the j8/j9 convention),
+    * so the variant costs nothing over the plain as-of.
+    */
+  def asofClickTol(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+      .withColumn("click_ts", col("ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val inTol = col("click_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("click_ts")) <= AsofTolMicros
+    asofJoin(errors, clicks, "user_id", "ts", Seq("click_event_id", "click_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        coalesce(when(inTol, col("click_event_id")), lit(-1L))
+          .as("click_event_id"),
+        coalesce(when(inTol, col("click_ts")),
+          lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"),
+        inTol.as("matched"))
+      .orderBy("event_id")
+  }
+
   /** Forward fill (last observation carried forward) — the within-stream
     * sibling of the as-of join: a sparse reading column fills from the
     * most recent non-null value of the SAME key's stream, via

@@ -383,6 +383,35 @@ object CoreOps {
       .orderBy("event_id")
   }
 
+  /** Trailing event-time horizon for [[w15RangeFrame]] (micros). */
+  val RangeFrameMicros: Long = 3600000000L
+
+  /** W15: a VALUE-RANGE window frame — `RANGE BETWEEN 1 hour PRECEDING
+    * AND CURRENT ROW` over event-time micros, per event type: the
+    * trailing-hour running count/sum every rate-limit or rolling-exposure
+    * question needs. Deliberately distinct from the ROWS frames the suite
+    * already covers (`q_w7_moving_avg` counts ROWS; a RANGE frame widens
+    * and narrows with the actual timestamps, and all rows tied on the
+    * ordering value share one frame — which also makes the result
+    * independent of tie order, no unique-key crutch needed).
+    *
+    * Shape: one shuffle on the type key, one sorted pass; Spark and
+    * DuckDB implement the sliding range frame with the same
+    * two-pointer walk over the sorted partition. Sums in integer cents.
+    */
+  def w15RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-RangeFrameMicros, 0)
+    graft.Tables.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h_cents", sum(col("cents")).over(w))
+      .orderBy("event_id")
+  }
+
   /** Calendar date spine spanning the fact table — the generated time
     * dimension every warehouse joins against (gap-free days between the
     * observed min/max order dates, with the flags a report needs). The

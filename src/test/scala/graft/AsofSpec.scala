@@ -170,4 +170,50 @@ class AsofSpec extends AnyFunSuite {
     // frames genuinely slide: early rows have short frames, later full ones
     assert(got.exists(_._5 < 5L) && got.exists(_._5 == 5L))
   }
+
+  test("asof tolerance: plain asof filtered by freshness, both verdicts occur") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = AsofOps.asofClick(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(2), r.getLong(3),
+        r.getTimestamp(4))).toMap
+    val got = AsofOps.asofClickTol(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3),
+        r.getTimestamp(4), r.getBoolean(5)))
+    assert(got.nonEmpty && got.length == plain.size)
+    val epoch = ts("1970-01-01 00:00:00")
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    got.foreach { case (id, t, clickId, clickTs, matched) =>
+      val (pt, pId, pTs) = plain(id)
+      assert(t == pt)
+      val freshEnough = pId != -1L && us(t) - us(pTs) <= AsofOps.AsofTolMicros
+      assert(matched == freshEnough, s"event $id verdict")
+      if (matched) assert(clickId == pId && clickTs == pTs,
+        s"event $id must keep the plain asof match")
+      else assert(clickId == -1L && clickTs == epoch,
+        s"event $id must degrade to the no-match defaults")
+    }
+    // the tolerance genuinely bites on the fixture: some plain matches
+    // survive it and some are rejected as stale
+    assert(got.exists(_._5) &&
+      got.exists(g => !g._5 && plain(g._1)._2 != -1L))
+  }
+
+  test("range frame replays the trailing-hour two-pointer walk exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ops.CoreOps.w15RangeFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val byType = got.groupBy(_._2)
+    byType.foreach { case (_, es) =>
+      es.foreach { case (id, _, us, _, n, sum) =>
+        val frame = es.filter(e => e._3 >= us - graft.ops.CoreOps.RangeFrameMicros
+          && e._3 <= us)
+        assert(n == frame.length.toLong && sum == frame.map(_._4).sum,
+          s"event $id frame")
+      }
+    }
+    // the frame genuinely varies with event density
+    assert(got.map(_._5).distinct.length > 1)
+  }
 }

@@ -658,6 +658,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("asof tolerance: same one-exchange window plan as the plain asof") {
+    val p = plan("q_j8b_asof_tol")
+    assert(!p.contains("Join"), "the composed asof needs no join operator")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"carry window + click collapse only, got $hashEx:\n$p")
+  }
+
+  test("range frame: one type shuffle, no joins") {
+    val p = plan("q_w15_range_frame")
+    assert(!p.contains("Join"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"both range aggregates must share one type shuffle, got $hashEx:\n$p")
+  }
+
   test("cal spine: a generated dimension off one single-row bounds aggregate") {
     val p = plan("q_cal_spine")
     assert("Scan parquet".r.findAllIn(p).length == 1,
