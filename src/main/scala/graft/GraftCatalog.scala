@@ -174,6 +174,10 @@ object GraftCatalog {
       .createOrReplaceTempView("privacy_kanon")
     graft.llm.Dedup.containmentPairs(spark, sfDir, cache = false)
       .createOrReplaceTempView("containment_pairs")
+    graft.ops.AsofOps.asofClickTol(spark, sfDir)
+      .createOrReplaceTempView("asof_tolerance")
+    graft.ops.CoreOps.w15RangeFrame(spark, sfDir)
+      .createOrReplaceTempView("range_frame_1h")
     registerFunctions(spark)
   }
 

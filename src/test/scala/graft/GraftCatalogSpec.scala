@@ -342,6 +342,21 @@ class GraftCatalogSpec extends AnyFunSuite {
          OR inter * 100 < sz_in * ${math.round(
            graft.llm.Dedup.ContainThreshold * 100)}""")
       .head().getLong(0) == 0)
+    // asof tolerance: unmatched rows carry exactly the defaults; matched
+    // rows honor the freshness bound
+    assert(spark.sql(s"""
+      SELECT count(*) FROM asof_tolerance
+      WHERE (NOT matched AND (click_event_id != -1
+               OR click_ts != TIMESTAMP '1970-01-01 00:00:00'))
+         OR (matched AND unix_micros(ts) - unix_micros(click_ts) >
+               ${graft.ops.AsofOps.AsofTolMicros})""").head().getLong(0) == 0)
+    // range frame: every frame contains at least its own row, and the
+    // count never exceeds the type's population
+    assert(spark.sql("""
+      SELECT count(*) FROM range_frame_1h r
+      JOIN (SELECT event_type, count(*) AS tot FROM range_frame_1h
+            GROUP BY event_type) t USING (event_type)
+      WHERE n_1h < 1 OR n_1h > tot""").head().getLong(0) == 0)
     // rfm: scores in 1..5 and each segment row re-derives from its scores
     assert(spark.sql("""
       SELECT count(*) FROM rfm_segments
