@@ -205,6 +205,7 @@ object SparkEntry {
     "q_a12_cube" -> (graft.ops.AnalyticsOps.a12Cube _),
     "q_a15_grouping_sets" -> (graft.ops.AnalyticsOps.a15GroupingSets _),
     "q_basket_rules" -> ((s, dir) => graft.ops.AnalyticsOps.basketRules(s, dir)),
+    "q_flagship_revenue" -> (graft.ops.AnalyticsOps.flagshipRevenue _),
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_cal_spine" -> (CoreOps.calSpine _),
     "q_privacy_kanon" -> (graft.ops.PrivacyOps.kAnonymity _),
@@ -2647,6 +2648,24 @@ object SparkEntry {
            AND len(list_intersect(a.grams, b.grams)) * 100 >= a.sz *
                ${math.round(Dedup.ContainThreshold * 100)}
          ORDER BY inner_id, outer_id""",
+    // TPC-H Q3-shape star join: revenue of building-segment urgent
+    // orders, exact integer discount arithmetic — one div at the END of
+    // the scaled sum (mirrors AnalyticsOps.flagshipRevenue)
+    "q_flagship_revenue" -> s"""
+         WITH li AS (SELECT l_orderkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    AS rev_scaled
+               FROM lineitem)
+         SELECT o_orderkey, c_name,
+                CAST(sum(rev_scaled) AS BIGINT) // 100 AS revenue_cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN li ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+         GROUP BY o_orderkey, c_name
+         ORDER BY revenue_cents DESC, o_orderkey
+         LIMIT ${graft.ops.AnalyticsOps.FlagshipTopK}""",
     // directed association rules over distinct baskets; integer ppm/ppk
     // confidence and lift (mirrors AnalyticsOps.basketRules)
     "q_basket_rules" -> s"""

@@ -381,6 +381,48 @@ object AnalyticsOps {
       .orderBy("doc_id")
   }
 
+  /** Rows kept by [[flagshipRevenue]]. */
+  val FlagshipTopK = 10
+
+  /** The classic star-schema analytical query (the TPC-H Q3 shape):
+    * revenue of building-segment customers' urgent orders, top
+    * [[FlagshipTopK]] by revenue — three tables, two joins, one
+    * aggregation, one top-k, exercising the whole declarative pipeline
+    * in a single statement the way a BI tool would.
+    *
+    * Scale shape: the customer dim filters FIRST and BROADCASTS (the
+    * selective side never shuffles the fact); orders prune on the
+    * priority predicate at the scan (PushedFilters); the lineitem join
+    * runs on the orderkey with revenue aggregated in integer cents
+    * (map-side partials); the final top-k is TakeOrderedAndProject.
+    * Revenue = Σ price·(100−disc%)/100 in cents — the money convention
+    * with the discount applied in EXACT integer arithmetic
+    * (`cents·(100−d) div 100` would truncate per row; instead the sum
+    * carries `cents·(100−d)` and divides ONCE at the end, keeping every
+    * intermediate an exact integer).
+    */
+  def flagshipRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_scaled"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("c_name"))
+      .agg(sum(col("rev_scaled")).as("rev_scaled"))
+      .select(col("o_orderkey"), col("c_name"),
+        expr("rev_scaled div 100").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(FlagshipTopK)
+  }
+
   /** Pair-support floor for [[basketRules]] (the co-purchase prune) and
     * rules kept.
     */

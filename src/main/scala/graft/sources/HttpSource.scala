@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Paginated REST SOURCE — the pull half of the REST tier ([[HttpSink]] is
+  * the push half): the reference's gather stage enumerates the remote
+  * system's rows before importing them (`/root/reference/odgovlt.py:355-367`
+  * reads the legacy DB; a CKAN-side harvester does the same through the
+  * paginated search API). Endpoint shape: GET
+  * `{baseUrl}/{action}?offset=N&limit=M` returning
+  * `{"count": total, "<rowsField>": [ {...}, ... ]}` — the CKAN
+  * `package_search` convention.
+  *
+  * Execution shape: ONE driver-side probe (offset 0, limit 1) discovers
+  * the total count — the gather stage's "how much work" call — then the
+  * page range parallelizes as a `spark.range(nPages)` and every TASK
+  * fetches its own pages with a keep-alive client ([[HttpSink]]'s
+  * foreachPartition economics, direction reversed): N executors pull
+  * concurrently, no page body ever passes through the driver. Page bodies
+  * land as a `Dataset[String]` and the JSON decoding stays DECLARATIVE —
+  * `spark.read.json` infers the schema (the reference's
+  * `meta.reflect()` reflection posture, `odgovlt.py:147-148`) and the
+  * record array explodes with `inline`-style column expansion, so the
+  * source never hand-parses JSON.
+  *
+  * Transient failures (I/O, 5xx) retry per page with exponential backoff
+  * (bounded, idempotent — a page GET is naturally replayable, so Spark
+  * task retries are safe by construction).
+  */
+final case class HttpSource(
+    baseUrl: String,
+    action: String = "package_search",
+    rowsField: String = "results",
+    countField: String = "count",
+    pageSize: Int = 100,
+    maxRetries: Int = 3,
+    retryBaseMs: Long = 50L,
+    timeoutMs: Long = 30000L) {
+
+  import HttpSource._
+
+  /** The remote row set as a DataFrame with an inferred schema. */
+  def load(spark: SparkSession): DataFrame = {
+    val (base, act, rf, cf, psz, retries, backoff, timeout) =
+      (baseUrl, action, rowsField, countField, pageSize, maxRetries,
+        retryBaseMs, timeoutMs)
+    // driver-side probe: one bounded request for the total
+    val probeClient = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(timeout)).build()
+    val probe = get(probeClient, base, act, 0, 1, retries, backoff, timeout)
+    import spark.implicits._
+    val total = spark.read.json(Seq(probe).toDS)
+      .select(col(cf).cast("long")).head().getLong(0)
+    val nPages = ((total + psz - 1) / psz).toInt.max(1)
+    // one task per page band: pages fetch concurrently on executors
+    val bodies = spark.range(nPages)
+      .repartition(nPages.min(spark.sparkContext.defaultParallelism))
+      .mapPartitions { pages =>
+        val client = HttpClient.newBuilder()
+          .connectTimeout(Duration.ofMillis(timeout)).build()
+        pages.map(p => get(client, base, act, p * psz, psz, retries,
+          backoff, timeout))
+      }
+      // cached: read.json's schema-inference pass is an action of its own
+      // — uncached, every page would be FETCHED twice (inference + read).
+      // The cached page bodies are exactly the reference's staged
+      // HarvestObjects (odgovlt.py:362-366) living in executor storage;
+      // callers unpersist via spark.catalog.clearCache() when done
+      .cache()
+    spark.read.json(bodies)
+      .select(explode(col(rf)).as("__r"))
+      .select(col("__r.*"))
+  }
+}
+
+object HttpSource {
+
+  /** One GET with bounded retry — [[HttpSink.send]]'s ladder for the read
+    * path: transient failures (I/O, 5xx) retry with exponential backoff;
+    * any other non-2xx throws (a 4xx on a page read is a contract
+    * violation, not a semantic answer).
+    */
+  private[sources] def get(client: HttpClient, baseUrl: String,
+      action: String, offset: Long, limit: Int, maxRetries: Int,
+      retryBaseMs: Long, timeoutMs: Long): String = {
+    val req = HttpRequest
+      .newBuilder(URI.create(s"$baseUrl/$action?offset=$offset&limit=$limit"))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .GET().build()
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      if (attempt > 0) Thread.sleep(retryBaseMs << (attempt - 1))
+      var status = -1
+      var body: String = null
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        status = resp.statusCode()
+        body = resp.body()
+      } catch {
+        case e: InterruptedException => throw e
+        case e: java.io.IOException => lastErr = e
+      }
+      // routed OUTSIDE the try so the 4xx throw is not swallowed by the
+      // transient-error catch and retried
+      if (status / 100 == 2) return body
+      if (status >= 0 && status / 100 != 5) throw new java.io.IOException(
+        s"$action?offset=$offset returned $status")
+      if (status >= 0) lastErr = new java.io.IOException(
+        s"$action?offset=$offset returned $status")
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"$action?offset=$offset failed after $maxRetries retries", lastErr)
+  }
+}

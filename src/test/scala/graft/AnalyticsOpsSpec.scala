@@ -413,6 +413,31 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == got.map(e => (e._2, e._4, e._5)).toSet)
   }
 
+  test("flagship revenue: replay with exact integer discount arithmetic") {
+    val cust = Tables.table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ord = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(o => cust.contains(o._2)).toMap
+    val rev = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100) *
+          (100L - math.round(r.getDouble(2) * 100))))
+      .filter(l => ord.contains(l._1))
+      .groupBy(_._1).map { case (ok, ls) =>
+        (ok, cust(ord(ok)), ls.map(_._2).sum / 100L) }
+    val want = rev.toSeq.sortBy { case (ok, _, c) => (-c, ok) }
+      .take(AnalyticsOps.FlagshipTopK)
+    val got = AnalyticsOps.flagshipRevenue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("calendar spine: gap-free, java.time-verified flags, epoch-day dow") {
     val got = graft.ops.CoreOps.calSpine(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3),

@@ -696,6 +696,18 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("flagship revenue: dim broadcast, filters pushed, heap top-K") {
+    val p = plan("q_flagship_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      "the filtered customer dim must broadcast, never shuffle the fact")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${
+      graft.ops.AnalyticsOps.FlagshipTopK}"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)")
+      || p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the priority predicate must reach the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("basket rules: heap top-K, broadcast item counts, no cartesian blowup") {
     val p = plan("q_basket_rules")
     assert(p.contains(s"TakeOrderedAndProject(limit=${
