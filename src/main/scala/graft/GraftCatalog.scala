@@ -178,6 +178,8 @@ object GraftCatalog {
       .createOrReplaceTempView("asof_tolerance")
     graft.ops.CoreOps.w15RangeFrame(spark, sfDir)
       .createOrReplaceTempView("range_frame_1h")
+    graft.ops.AnalyticsOps.flagshipRevenue(spark, sfDir)
+      .createOrReplaceTempView("flagship_revenue")
     registerFunctions(spark)
   }
 

@@ -342,6 +342,13 @@ class GraftCatalogSpec extends AnyFunSuite {
          OR inter * 100 < sz_in * ${math.round(
            graft.llm.Dedup.ContainThreshold * 100)}""")
       .head().getLong(0) == 0)
+    // flagship: exactly top-K rows, descending revenue, all positive
+    val fr = spark.sql("""
+      SELECT count(*),
+             sum(CASE WHEN revenue_cents <= 0 THEN 1 ELSE 0 END)
+      FROM flagship_revenue""").head()
+    assert(fr.getLong(0) == graft.ops.AnalyticsOps.FlagshipTopK.toLong
+      && fr.getLong(1) == 0)
     // asof tolerance: unmatched rows carry exactly the defaults; matched
     // rows honor the freshness bound
     assert(spark.sql(s"""
