@@ -180,6 +180,10 @@ object GraftCatalog {
       .createOrReplaceTempView("range_frame_1h")
     graft.ops.AnalyticsOps.flagshipRevenue(spark, sfDir)
       .createOrReplaceTempView("flagship_revenue")
+    graft.llm.TextAnalysis.langIdConfusion(spark, sfDir)
+      .createOrReplaceTempView("langid_confusion")
+    graft.llm.Curation.curateBudget(spark, sfDir, cache = false)
+      .createOrReplaceTempView("curate_budget")
     registerFunctions(spark)
   }
 

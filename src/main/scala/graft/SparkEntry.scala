@@ -144,6 +144,8 @@ object SparkEntry {
     "q_bpe_tokenize" -> ((s, dir) => TextAnalysis.bpeTokenizeCorpus(s, dir)),
     "q_text_oov" -> (TextAnalysis.oovRate _),
     "q_text_langid" -> (TextAnalysis.langId _),
+    "q_langid_confusion" -> (TextAnalysis.langIdConfusion _),
+    "q_curate_budget" -> ((s, dir) => Curation.curateBudget(s, dir)),
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_sample_split" -> ((s, dir) => TextAnalysis.trainValSplit(s, dir)),
     "q_text_quality" -> (TextAnalysis.qualityFilter _),
@@ -444,6 +446,37 @@ object SparkEntry {
                WHERE vec_id < ${Similarity.NQueries}),
          scored AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cos
                     FROM c, q WHERE vec_id <> q_id)"""
+
+  /** Trigram language-detection CTEs ending in `lid(doc_id, labeled_lang,
+    * pred_lang, score)` (mirrors TextAnalysis.langId) — shared by the
+    * langid and confusion oracles.
+    */
+  private lazy val langidCtes: String = {
+    def profileSql(lang: String): String =
+      TextAnalysis.langProfile(lang).map(g => s"'$g'").mkString("[", ", ", "]")
+    s"""cg AS (SELECT doc_id, lang, string_split(lower(text), '') AS cs
+                      FROM documents),
+         gr AS (SELECT doc_id, lang AS labeled_lang,
+                  CASE WHEN len(cs) >= 3
+                       THEN list_distinct(list_transform(range(1, len(cs) - 1),
+                              i -> cs[i] || cs[i+1] || cs[i+2]))
+                       ELSE [array_to_string(cs, '')] END AS grams
+                FROM cg),
+         lsc AS (SELECT doc_id, labeled_lang,
+                  len(list_intersect(grams, ${profileSql("de")})) AS s_de,
+                  len(list_intersect(grams, ${profileSql("en")})) AS s_en,
+                  len(list_intersect(grams, ${profileSql("es")})) AS s_es,
+                  len(list_intersect(grams, ${profileSql("fr")})) AS s_fr,
+                  len(list_intersect(grams, ${profileSql("zh")})) AS s_zh
+                FROM gr),
+         lid AS (SELECT doc_id, labeled_lang,
+                  CASE WHEN s_de = smax THEN 'de' WHEN s_en = smax THEN 'en'
+                       WHEN s_es = smax THEN 'es' WHEN s_fr = smax THEN 'fr'
+                       ELSE 'zh' END AS pred_lang,
+                  CAST(smax AS INT) AS score
+                 FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh)
+                         AS smax FROM lsc))"""
+  }
 
   /** Hashed-feature model-scoring CTEs ending in `sc` (mirrors
     * TextAnalysis.modelScored) — shared by the model-score and
@@ -1563,32 +1596,25 @@ object SparkEntry {
                 round(CAST(top AS DOUBLE) / CAST(nc AS DOUBLE), 6)
                   AS top_char_ratio
          FROM agg ORDER BY doc_id""",
-    "q_text_langid" -> {
-      def profileSql(lang: String): String =
-        TextAnalysis.langProfile(lang).map(g => s"'$g'").mkString("[", ", ", "]")
-      s"""WITH cg AS (SELECT doc_id, lang, string_split(lower(text), '') AS cs
-                      FROM documents),
-         gr AS (SELECT doc_id, lang AS labeled_lang,
-                  CASE WHEN len(cs) >= 3
-                       THEN list_distinct(list_transform(range(1, len(cs) - 1),
-                              i -> cs[i] || cs[i+1] || cs[i+2]))
-                       ELSE [array_to_string(cs, '')] END AS grams
-                FROM cg),
-         sc AS (SELECT doc_id, labeled_lang,
-                  len(list_intersect(grams, ${profileSql("de")})) AS s_de,
-                  len(list_intersect(grams, ${profileSql("en")})) AS s_en,
-                  len(list_intersect(grams, ${profileSql("es")})) AS s_es,
-                  len(list_intersect(grams, ${profileSql("fr")})) AS s_fr,
-                  len(list_intersect(grams, ${profileSql("zh")})) AS s_zh
-                FROM gr)
-         SELECT doc_id, labeled_lang,
-                CASE WHEN s_de = smax THEN 'de' WHEN s_en = smax THEN 'en'
-                     WHEN s_es = smax THEN 'es' WHEN s_fr = smax THEN 'fr'
-                     ELSE 'zh' END AS pred_lang,
-                CAST(smax AS INT) AS score
-         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS smax FROM sc)
-         ORDER BY doc_id"""
-    },
+    "q_text_langid" -> s"""
+         WITH $langidCtes
+         SELECT doc_id, labeled_lang, pred_lang, score
+         FROM lid ORDER BY doc_id""",
+    // confusion matrix of the trigram detector vs the label, integer-ppm
+    // class recall (mirrors TextAnalysis.langIdConfusion; shared
+    // langidCtes)
+    "q_langid_confusion" -> s"""
+         WITH $langidCtes,
+         cells AS (SELECT labeled_lang, pred_lang,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM lid GROUP BY 1, 2),
+         tot AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS class_total
+                 FROM cells GROUP BY labeled_lang)
+         SELECT labeled_lang, pred_lang, n, class_total,
+                labeled_lang = pred_lang AS is_correct,
+                (n * 1000000) // class_total AS recall_ppm
+         FROM cells JOIN tot USING (labeled_lang)
+         ORDER BY labeled_lang, pred_lang""",
     "q_text_fingerprint" -> s"""
          WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                      FROM documents)
@@ -2329,6 +2355,30 @@ object SparkEntry {
                 (tp * ${graft.llm.Training.Ppm}) // p AS recall_ppm,
                 (tp * 2 * ${graft.llm.Training.Ppm}) // (k + p) AS f1_ppm
          FROM c ORDER BY thr DESC""",
+    // token-budget curation: admit by descending score until the budget
+    // line, boundary bucket in doc_id order; cumulative walk over the
+    // distinct-score aggregate (mirrors Curation.curateBudget; shared
+    // modelScoreCtes)
+    "q_curate_budget" -> s"""
+         WITH $modelScoreCtes,
+         g AS (SELECT raw_score, CAST(sum(n_tokens) AS BIGINT) AS btoks
+               FROM sc GROUP BY raw_score),
+         c AS (SELECT raw_score,
+                  CAST(sum(btoks) OVER (ORDER BY raw_score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - btoks AS BIGINT) AS cum_before
+               FROM g),
+         w AS (SELECT sc.doc_id, sc.raw_score, sc.n_tokens, c.cum_before,
+                  CAST(sum(sc.n_tokens) OVER (PARTITION BY sc.raw_score
+                    ORDER BY sc.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS within_cum
+               FROM sc JOIN c USING (raw_score))
+         SELECT doc_id, raw_score, n_tokens,
+                cum_before + within_cum AS cum_tokens,
+                cum_before + within_cum <= ${Curation.CurateBudgetTokens}
+                  AS keep
+         FROM w ORDER BY doc_id""",
     // distribution-calibrated quality cut: P25 of the raw model score as a
     // scalar, broadcast back as the keep verdict (mirrors
     // TextAnalysis.calibratedQualityCut; scoring CTE is q_quality_model's)

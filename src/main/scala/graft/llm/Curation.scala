@@ -194,6 +194,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Token budget selected by [[curateBudget]]. */
+  val CurateBudgetTokens = 20000L
+
+  /** Token-budget curation — "spend a fixed training budget on the best
+    * documents": admit documents in descending model-score order until
+    * [[CurateBudgetTokens]] tokens are claimed, the boundary score
+    * admitting its documents in doc_id order until the budget line.
+    * Every verdict is exact integer arithmetic on running token sums.
+    *
+    * Scale shape: NOT a global corpus sort — the corpus contributes the
+    * scoring scan and one groupBy(raw_score) collapse; the descending
+    * cumulative walk runs on the O(distinct scores) aggregate (the
+    * prCurve economics) and broadcasts back as per-score offsets; the
+    * only per-document ordering is WITHIN each score bucket (one window
+    * partitioned by score), so no stage ever totally orders the corpus.
+    */
+  def curateBudget(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: the scored frame feeds BOTH the per-score collapse and the
+    // verdict join — uncached, the tokenize + per-token md5 scoring scan
+    // runs twice; cache = false for the view mount (standing contract)
+    val scoredPlan = TextAnalysis.modelScored(s, dir)
+    val scored = if (cache) scoredPlan.cache() else scoredPlan
+    val g = scored.groupBy(col("raw_score"))
+      .agg(sum(col("n_tokens")).cast("bigint").as("btoks"))
+    val wDesc = Window.orderBy(col("raw_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = g
+      .withColumn("cum_before", sum(col("btoks")).over(wDesc) - col("btoks"))
+      .select(col("raw_score"), col("cum_before"))
+    val wIn = Window.partitionBy(col("raw_score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(offsets), "raw_score")
+      .withColumn("within_cum", sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("raw_score"), col("n_tokens"),
+        (col("cum_before") + col("within_cum")).as("cum_tokens"),
+        (col("cum_before") + col("within_cum") <= CurateBudgetTokens)
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Epochs laid out / shards per epoch by [[epochShuffle]]. */
   val ShuffleEpochs = 3
   val ShuffleShards = 8

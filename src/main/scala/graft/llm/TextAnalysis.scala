@@ -199,6 +199,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Confusion matrix of the trigram language detector against the
+    * labeled language — the evaluation half of [[langId]] (the prCurve
+    * pattern applied to classification): one cell per (labeled,
+    * predicted) pair with the count and the integer-ppm class recall
+    * (`n·10^6 div class_total`). The detector output collapses from
+    * O(corpus) rows to O(langs²) cells with map-side partials; class
+    * totals ride a broadcast re-aggregation of the cells themselves, so
+    * the corpus is scanned exactly once.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = langId(s, dir)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("labeled_lang"))
+      .agg(sum(col("n")).as("class_total"))
+    cells.join(broadcast(totals), "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        col("class_total"),
+        (col("labeled_lang") === col("pred_lang")).as("is_correct"),
+        expr("(n * 1000000) div class_total").as("recall_ppm"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
   /** Deterministic train/val split: assignment derives from the md5 of the
     * salted doc_id, never from RNG state — reproducible across engines,
     * runs, and partitionings (the property a training pipeline needs so a

@@ -178,6 +178,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("budget curation replays the greedy admit; the budget line is tight") {
+    val rows = Curation.curateBudget(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // greedy replay: admit in (score DESC, doc_id ASC) order
+    val order = rows.sortBy(r => (-r._2, r._1))
+    var cum = 0L
+    order.foreach { case (id, _, nt, cumTok, keep) =>
+      cum += nt
+      assert(cumTok == cum, s"doc $id cumulative")
+      assert(keep == (cum <= Curation.CurateBudgetTokens), s"doc $id verdict")
+    }
+    val kept = rows.filter(_._5)
+    val keptTokens = kept.map(_._3.toLong).sum
+    assert(kept.nonEmpty && kept.length < rows.length,
+      "budget must genuinely select a strict subset")
+    assert(keptTokens <= Curation.CurateBudgetTokens)
+    // tight: the first rejected doc would have burst the budget
+    val firstRejected = order.find(!_._5).get
+    assert(keptTokens + firstRejected._3 > Curation.CurateBudgetTokens)
+    spark.catalog.clearCache()
+  }
+
   test("bpe fertility: consistent with the per-doc tokenization, >= 1 piece/word") {
     val fert = graft.llm.TextAnalysis.bpeFertility(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -342,6 +342,20 @@ class GraftCatalogSpec extends AnyFunSuite {
          OR inter * 100 < sz_in * ${math.round(
            graft.llm.Dedup.ContainThreshold * 100)}""")
       .head().getLong(0) == 0)
+    // langid confusion: cells sum to the corpus, recall arithmetic holds
+    val lc = spark.sql("""
+      SELECT sum(n), (SELECT count(*) FROM documents),
+             sum(CASE WHEN recall_ppm != (n * 1000000) div class_total
+                 THEN 1 ELSE 0 END)
+      FROM langid_confusion""").head()
+    assert(lc.getLong(0) == lc.getLong(1) && lc.getLong(2) == 0)
+    // budget: kept tokens within budget, tight at the boundary
+    val cb = spark.sql(s"""
+      SELECT sum(CASE WHEN keep THEN n_tokens ELSE 0 END),
+             sum(CASE WHEN keep THEN 0 ELSE 1 END)
+      FROM curate_budget""").head()
+    assert(cb.getLong(0) <= graft.llm.Curation.CurateBudgetTokens
+      && cb.getLong(1) > 0)
     // flagship: exactly top-K rows, descending revenue, all positive
     val fr = spark.sql("""
       SELECT count(*),

@@ -122,6 +122,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("langid confusion cells replay from the detector output") {
+    import graft.llm.TextAnalysis
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = preds.groupBy(identity).map { case ((l, p), xs) =>
+      (l, p) -> xs.length.toLong }
+    val totals = preds.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val got = TextAnalysis.langIdConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    assert(got.map(g => (g._1, g._2) -> g._3).toMap == want)
+    got.foreach { case (l, p, n, tot, correct, ppm) =>
+      assert(tot == totals(l) && correct == (l == p)
+        && ppm == n * 1000000L / tot, s"cell ($l,$p)")
+    }
+    // non-vacuous: the detector gets some right and some wrong
+    assert(got.exists(_._5) && got.exists(!_._5))
+    // cells sum back to the corpus
+    assert(got.map(_._3).sum == preds.length.toLong)
+  }
+
   test("containment pairs replay plain-Scala; truncation dups surface") {
     import graft.llm.{Dedup, TextHash}
     val sh = Tables.table(spark, sf, "documents")

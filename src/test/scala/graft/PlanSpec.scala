@@ -696,6 +696,17 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("curate budget: offsets broadcast back; no global corpus sort") {
+    val p = plan("q_curate_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-score offsets must broadcast over the scored corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the only single-partition exchange feeds the distinct-score walk,
+    // never the corpus: the corpus-side window partitions by raw_score
+    assert(p.contains("Window [sum") || p.contains("RunningWindowFunction")
+      || p.contains("Window"), s"within-bucket walk must be a window:\n$p")
+  }
+
   test("flagship revenue: dim broadcast, filters pushed, heap top-K") {
     val p = plan("q_flagship_revenue")
     assert(p.contains("BroadcastHashJoin"),
