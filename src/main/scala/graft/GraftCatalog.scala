@@ -184,6 +184,10 @@ object GraftCatalog {
       .createOrReplaceTempView("langid_confusion")
     graft.llm.Curation.curateBudget(spark, sfDir, cache = false)
       .createOrReplaceTempView("curate_budget")
+    graft.ops.PrivacyOps.erasurePropagation(spark, sfDir)
+      .createOrReplaceTempView("erasure_report")
+    graft.ops.IncrementalOps.ivmSketch(spark, sfDir)
+      .createOrReplaceTempView("ivm_sketch")
     registerFunctions(spark)
   }
 

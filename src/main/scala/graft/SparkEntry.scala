@@ -211,6 +211,8 @@ object SparkEntry {
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_cal_spine" -> (CoreOps.calSpine _),
     "q_privacy_kanon" -> (graft.ops.PrivacyOps.kAnonymity _),
+    "q_privacy_erasure" -> (graft.ops.PrivacyOps.erasurePropagation _),
+    "q_ivm_sketch" -> (graft.ops.IncrementalOps.ivmSketch _),
     "q_dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_funnel" -> (graft.ops.AnalyticsOps.funnelStages _),
     "q_cohort_retention" -> (graft.ops.AnalyticsOps.cohortRetention _),
@@ -2053,6 +2055,62 @@ object SparkEntry {
     // KMV sketch reproduced value-for-value: k smallest distinct 32-bit
     // md5 hashes per group + the estimate they imply (mirrors
     // Sketches.kmvDistinct / functions.KMinValues)
+    // right-to-erasure cascade report: per-table erase/retain counts,
+    // lineitems transitively through the erased orders (mirrors
+    // PrivacyOps.erasurePropagation)
+    "q_privacy_erasure" -> {
+      import graft.ops.PrivacyOps.ErasureModulus
+      s"""
+         WITH subj AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey % $ErasureModulus = 0),
+         eo AS (SELECT o_orderkey AS k FROM orders
+                WHERE o_custkey IN (SELECT k FROM subj))
+         SELECT tbl, action, n FROM (
+           SELECT 'customer' AS tbl, 'erase' AS action,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM customer WHERE c_custkey IN (SELECT k FROM subj)
+           UNION ALL
+           SELECT 'customer', 'retain', CAST(count(*) AS BIGINT)
+           FROM customer WHERE c_custkey NOT IN (SELECT k FROM subj)
+           UNION ALL
+           SELECT 'orders', 'erase', CAST(count(*) AS BIGINT)
+           FROM orders WHERE o_custkey IN (SELECT k FROM subj)
+           UNION ALL
+           SELECT 'orders', 'retain', CAST(count(*) AS BIGINT)
+           FROM orders WHERE o_custkey NOT IN (SELECT k FROM subj)
+           UNION ALL
+           SELECT 'events', 'erase', CAST(count(*) AS BIGINT)
+           FROM events WHERE user_id IN (SELECT k FROM subj)
+           UNION ALL
+           SELECT 'events', 'retain', CAST(count(*) AS BIGINT)
+           FROM events WHERE user_id NOT IN (SELECT k FROM subj)
+           UNION ALL
+           SELECT 'lineitem', 'erase', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_orderkey IN (SELECT k FROM eo)
+           UNION ALL
+           SELECT 'lineitem', 'retain', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_orderkey NOT IN (SELECT k FROM eo))
+         ORDER BY tbl, action"""
+    },
+    // KMV-sketch IVM for distinct counts: the oracle REBUILDS the sketch
+    // flat over base-union-delta — merged ≡ rebuilt is the kmvUnion
+    // identity, the ivm family's proof shape (mirrors
+    // IncrementalOps.ivmSketch)
+    "q_ivm_sketch" -> s"""
+         WITH hs AS (SELECT event_type,
+                            ${hexIntSql("'kmv:' || user_id")} AS h,
+                            user_id
+                     FROM events),
+         g AS (SELECT event_type,
+                      list_sort(list(DISTINCT h))[1 : ${Sketches.KmvK}] AS kmv,
+                      count(DISTINCT user_id) AS exact_distinct
+               FROM hs GROUP BY event_type)
+         SELECT event_type,
+                CAST(len(kmv) AS INT) AS n_hashes,
+                kmv[len(kmv)] AS max_hash,
+                ${kmvEstSql("kmv")} AS est_distinct,
+                exact_distinct
+         FROM g ORDER BY event_type""",
     "q_sketch_distinct" -> s"""
          WITH hs AS (SELECT l_returnflag,
                             ${hexIntSql("'kmv:' || l_orderkey")} AS h,

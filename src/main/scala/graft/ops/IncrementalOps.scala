@@ -52,6 +52,52 @@ object IncrementalOps {
       .orderBy("event_type")
   }
 
+  /** Incremental maintenance of a DISTINCT-COUNT view through KMV
+    * sketches — what [[ivmMergeAgg]]'s monoid rule cannot do (distinct
+    * counts don't add), solved the way a 100 TB pipeline solves it: the
+    * per-group KMV sketch IS mergeable ([[graft.llm.Sketches.kmvUnion]]
+    * — the k smallest of two sketches' union is EXACTLY the union's
+    * sketch, an identity, not an approximation), so yesterday's persisted
+    * sketch absorbs today's delta without rescanning either side.
+    * Output per event_type: the merged sketch's scalars and estimate
+    * beside the exact distinct count over base∪delta — merged ≡ rebuilt
+    * is the oracle contract (the ivm family's proof shape), and the
+    * exact column is the one you delete at scale.
+    *
+    * Scale shape: base and delta each reduce to k longs per group; the
+    * merge is row-local array algebra on the O(groups) frame.
+    */
+  def ivmSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Sketches
+    import graft.functions.KMinValues
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        Sketches.kmvHash(col("user_id")).as("h"), col("user_id"))
+    def sketch(part: DataFrame): DataFrame = part
+      .groupBy(col("event_type"))
+      .agg(KMinValues(col("h"), Sketches.KmvK).as("kmv"))
+    val base = sketch(ev.filter(col("event_id") % DeltaModulus =!= 0))
+      .withColumnRenamed("kmv", "kmv_base")
+    val delta = sketch(ev.filter(col("event_id") % DeltaModulus === 0))
+      .withColumnRenamed("kmv", "kmv_delta")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    // full outer: a group may exist only in the delta (or only the base)
+    val merged = base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        Sketches.kmvUnion(
+          coalesce(col("kmv_base"), array().cast("array<bigint>")),
+          coalesce(col("kmv_delta"), array().cast("array<bigint>")))
+          .as("kmv"))
+    merged.join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"),
+        size(col("kmv")).as("n_hashes"),
+        element_at(col("kmv"), size(col("kmv"))).as("max_hash"),
+        Sketches.kmvEstimate(col("kmv")).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
   /** Delta split for the join view's dimension side (coprime to
     * [[DeltaModulus]] so the two deltas overlap on some rows — the
     * ΔR⋈ΔS term is genuinely exercised, not vacuously empty).

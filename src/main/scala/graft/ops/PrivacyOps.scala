@@ -36,6 +36,64 @@ object PrivacyOps {
     * loop a release pipeline runs (coarsen QI until every class passes)
     * is this same query re-evaluated per lattice level.
     */
+  /** Deterministic erasure-request synthesis for [[erasurePropagation]]
+    * (the fixture carries no request table — the j11/rowWeight synthesis
+    * convention, mirrored in the oracle): every customer whose key is
+    * divisible by this modulus has asked to be forgotten.
+    */
+  val ErasureModulus = 11
+
+  /** Right-to-erasure propagation — the "delete me" request cascaded
+    * through the star schema: the requesting customer keys drive a
+    * broadcast semi/anti split of every referencing table (orders by
+    * custkey, events by user_id, lineitems transitively through the
+    * erased orders), and the report is one row per (table, action) with
+    * the affected row count — the audit artifact a deletion job files
+    * BEFORE it mutates anything. The transitive lineitem cascade is the
+    * point: a fact can reference the subject only through another fact,
+    * and the propagation must follow the FK chain, not just direct
+    * references.
+    *
+    * Scale shape: the request set broadcasts (erasure batches are tiny
+    * against 100 TB facts); every per-table split is one broadcast
+    * semi/anti join pair over that table's scan; counts collapse
+    * map-side. Nothing shuffles but the final O(tables) report union.
+    */
+  def erasurePropagation(s: SparkSession, dir: String): DataFrame = {
+    val subjects = broadcast(
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % ErasureModulus === 0)
+        .select(col("c_custkey").as("k")))
+    def split(df: DataFrame, key: String, table: String): DataFrame = {
+      val del = df.join(subjects, col(key) === col("k"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(table).as("tbl"), lit("erase").as("action"), col("n"))
+      val keep = df.join(subjects, col(key) === col("k"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(table).as("tbl"), lit("retain").as("action"), col("n"))
+      del.union(keep)
+    }
+    val erasedOrders = broadcast(
+      t(s, dir, "orders")
+        .join(subjects, col("o_custkey") === col("k"), "left_semi")
+        .select(col("o_orderkey").as("k")))
+    val liSplit = {
+      val li = t(s, dir, "lineitem")
+      val del = li.join(erasedOrders, col("l_orderkey") === col("k"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitem").as("tbl"), lit("erase").as("action"), col("n"))
+      val keep = li.join(erasedOrders, col("l_orderkey") === col("k"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitem").as("tbl"), lit("retain").as("action"), col("n"))
+      del.union(keep)
+    }
+    split(t(s, dir, "customer"), "c_custkey", "customer")
+      .union(split(t(s, dir, "orders"), "o_custkey", "orders"))
+      .union(split(t(s, dir, "events"), "user_id", "events"))
+      .union(liSplit)
+      .orderBy("tbl", "action")
+  }
+
   def kAnonymity(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select(col("c_mktsegment").as("segment"),

@@ -115,6 +115,32 @@ object StreamOps {
         graft.llm.Sketches.hllEstimate(col("registers")).as("est_users"))
   }
 
+  /** Row-local streaming language detection — the 20th twin
+    * ([[graft.llm.TextAnalysis.langId]]'s classify-in-flight form): each
+    * arriving document scores against every language profile via
+    * `array_intersect` with the profile as a LITERAL (the formulation
+    * the batch operator deliberately avoids at corpus scale in favor of
+    * the broadcast-profile join — in a stream the per-row literal is
+    * exactly right: stateless, append-mode, zero shuffle, no state
+    * store). Ties resolve to the alphabetically first language, the
+    * batch tie rule; the spec pins stream ≡ batch prediction-for-
+    * prediction.
+    */
+  def langidStream(docs: DataFrame): DataFrame = {
+    import graft.llm.TextAnalysis.{charTrigrams, langMarkers, langProfile}
+    val langs = langMarkers.keys.toSeq.sorted
+    val grams = charTrigrams(col("text"))
+    val sCols = langs.map(l => size(array_intersect(grams,
+      array(langProfile(l).map(lit): _*))).cast("long"))
+    val smax = greatest(sCols: _*)
+    val pred = langs.zip(sCols).tail.foldLeft(
+      when(sCols.head === smax, langs.head)) {
+      case (acc, (lang, sc)) => acc.when(sc === smax, lang)
+    }
+    docs.select(col("doc_id"), pred.as("pred_lang"),
+      smax.cast("int").as("score"))
+  }
+
   /** Per-window count-min frequency monitor — the streaming twin of
     * [[graft.llm.Sketches.cmsTermFreq]]/[[graft.llm.Sketches.cmsTopK]]:
     * each event-time window reduces into ONE d·w counter matrix (8 KB of

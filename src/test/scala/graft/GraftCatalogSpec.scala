@@ -342,6 +342,22 @@ class GraftCatalogSpec extends AnyFunSuite {
          OR inter * 100 < sz_in * ${math.round(
            graft.llm.Dedup.ContainThreshold * 100)}""")
       .head().getLong(0) == 0)
+    // erasure: per-table erase+retain reconciles with the table counts
+    assert(spark.sql("""
+      SELECT count(*) FROM (
+        SELECT tbl, sum(n) AS tot FROM erasure_report GROUP BY tbl) r
+      JOIN (SELECT 'customer' AS tbl, count(*) AS cnt FROM customer
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem) t
+        USING (tbl)
+      WHERE tot != cnt""").head().getLong(0) == 0)
+    // ivm sketch: estimate exact below capacity, one-sided arithmetic sane
+    assert(spark.sql(s"""
+      SELECT count(*) FROM ivm_sketch
+      WHERE n_hashes < ${graft.llm.Sketches.KmvK}
+        AND est_distinct != CAST(exact_distinct AS DOUBLE)""")
+      .head().getLong(0) == 0)
     // langid confusion: cells sum to the corpus, recall arithmetic holds
     val lc = spark.sql("""
       SELECT sum(n), (SELECT count(*) FROM documents),

@@ -696,6 +696,21 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("erasure: broadcast semi/anti splits, counts collapse map-side") {
+    val p = plan("q_privacy_erasure")
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftSemi") && p.contains("LeftAnti")),
+      s"the request set must broadcast into semi/anti splits:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ivm sketch: bounded KMV partial state through the shuffle") {
+    val p = plan("q_ivm_sketch")
+    assert(p.contains("partial_kmin_values"),
+      s"the sketch must partially aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("curate budget: offsets broadcast back; no global corpus sort") {
     val p = plan("q_curate_budget")
     assert(p.contains("BroadcastHashJoin"),

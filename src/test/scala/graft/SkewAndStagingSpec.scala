@@ -62,6 +62,65 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(salted.toList == plain.toList)
   }
 
+  test("ivm sketch: merged KMV equals the flat rebuild (union identity)") {
+    import graft.llm.Sketches
+    val got = graft.ops.IncrementalOps.ivmSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(u: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"kmv:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val ev = Tables.table(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val hashes = rows.map(r => h(r._2)).distinct.sorted
+      val kmv = hashes.take(Sketches.KmvK)
+      val est =
+        if (kmv.length < Sketches.KmvK) kmv.length.toDouble
+        else BigDecimal((Sketches.KmvK - 1) * Sketches.KmvHashSpace /
+          kmv.last.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      tpe -> (kmv.length, kmv.last, est, hashes.length.toLong)
+    }
+    got.foreach { case (tpe, n, mx, est, exact) =>
+      assert((n, mx, est, exact) == want(tpe), s"type $tpe")
+    }
+  }
+
+  test("erasure propagation: semi/anti counts replay; the cascade is transitive") {
+    import graft.ops.PrivacyOps
+    val got = PrivacyOps.erasurePropagation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val subj = Tables.table(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .filter(_ % PrivacyOps.ErasureModulus == 0).toSet
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val erasedOrders = orders.filter(o => subj(o._2)).map(_._1).toSet
+    val custN = Tables.table(spark, sf, "customer").count()
+    val evU = Tables.table(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    val liO = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val want = Map(
+      ("customer", "erase") -> subj.size.toLong,
+      ("customer", "retain") -> (custN - subj.size),
+      ("orders", "erase") -> orders.count(o => subj(o._2)).toLong,
+      ("orders", "retain") -> orders.count(o => !subj(o._2)).toLong,
+      ("events", "erase") -> evU.count(subj).toLong,
+      ("events", "retain") -> evU.count(u => !subj(u)).toLong,
+      ("lineitem", "erase") -> liO.count(erasedOrders).toLong,
+      ("lineitem", "retain") -> liO.count(o => !erasedOrders(o)).toLong)
+    assert(got == want)
+    // the request set genuinely cascades: every table has erased rows,
+    // including the TRANSITIVE lineitem tier
+    assert(want.forall { case ((_, a), n) => a == "retain" || n > 0 })
+  }
+
   test("bloomJoin equals the plain join and the pre-filter genuinely prunes") {
     import graft.functions.{BloomBuild, BloomContains}
     import graft.llm.TextHash.md5Long

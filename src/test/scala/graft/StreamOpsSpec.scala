@@ -494,6 +494,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 > 0.0))
   }
 
+  test("langidStream predictions equal the batch detector doc-for-doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs)
+    val q = StreamOps.langidStream(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("langid_stream").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val want = graft.llm.TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(got.size == docs.size && got == want)
+    // the in-flight classifier genuinely discriminates on the fixture
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
+
   test("cmsPerWindowStream estimates match the batch matrix per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
