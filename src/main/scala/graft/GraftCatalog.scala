@@ -188,6 +188,11 @@ object GraftCatalog {
       .createOrReplaceTempView("erasure_report")
     graft.ops.IncrementalOps.ivmSketch(spark, sfDir)
       .createOrReplaceTempView("ivm_sketch")
+    graft.ops.IntervalOps.firstTouchAttribution(spark, sfDir,
+        windowSeconds = 86400L)
+      .createOrReplaceTempView("first_touch_attr")
+    graft.ops.AnalyticsOps.funnelLatency(spark, sfDir)
+      .createOrReplaceTempView("funnel_latency")
     registerFunctions(spark)
   }
 

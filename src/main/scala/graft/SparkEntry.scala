@@ -163,6 +163,13 @@ object SparkEntry {
     "q_w6_gap_fill" -> (AsofOps.gapFill _),
     "q_w7_moving_avg" -> (CoreOps.w7MovingAvg _),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
+    "q_j9b_first_touch" -> ((s, dir) =>
+      // day-long consideration window: at the fixture's event density the
+      // 10-minute j9 window never yields a multi-candidate click, which
+      // would make the first-touch argmin vacuous (139 multi-candidate
+      // clicks at sf0.01 with a day)
+      IntervalOps.firstTouchAttribution(s, dir, windowSeconds = 86400L)),
+    "q_funnel_latency" -> (graft.ops.AnalyticsOps.funnelLatency _),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
     "q_w3_sessionize" -> (StreamOps.sessionizeBatch _),
@@ -2841,6 +2848,57 @@ object SparkEntry {
                           WHEN min(t3_us) IS NULL THEN 2
                           ELSE 3 END AS INT) AS stage
          FROM s3 GROUP BY user_id ORDER BY user_id""",
+    // funnel-transition latency: exact rank-value median/p90 micros per
+    // transition (mirrors AnalyticsOps.funnelLatency; shared funnel CTEs)
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                     FROM events),
+         s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                            OVER (PARTITION BY user_id) AS t1_us FROM ev),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND us > t1_us
+                                   THEN us END)
+                            OVER (PARTITION BY user_id) AS t2_us FROM s1),
+         s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2_us
+                                   THEN us END)
+                            OVER (PARTITION BY user_id) AS t3_us FROM s2),
+         fu AS (SELECT user_id, min(t1_us) AS t1_us, min(t2_us) AS t2_us,
+                       min(t3_us) AS t3_us
+                FROM s3 GROUP BY user_id),
+         lat AS (SELECT user_id, transition, lat_us FROM (
+             SELECT user_id, 'signup_to_view' AS transition,
+                    t2_us - t1_us AS lat_us FROM fu
+             UNION ALL
+             SELECT user_id, 'view_to_purchase', t3_us - t2_us FROM fu)
+           WHERE lat_us IS NOT NULL),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY transition
+                     ORDER BY lat_us, user_id) AS rn,
+                  count(*) OVER (PARTITION BY transition) AS cnt
+                FROM lat)
+         SELECT transition, CAST(max(cnt) AS BIGINT) AS n_users,
+                min(CASE WHEN rn * 2 >= cnt THEN lat_us END) AS med_us,
+                min(CASE WHEN rn * 10 >= cnt * 9 THEN lat_us END) AS p90_us
+         FROM rk GROUP BY transition ORDER BY transition""",
+    // first-touch attribution: each click credits the EARLIEST view in
+    // its window — argmin under the unique (v_us, view_id) order (mirrors
+    // IntervalOps.firstTouchAttribution)
+    "q_j9b_first_touch" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user,
+                      epoch_us(ts) AS c_us
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT c.click_id, v.user_id, c.c_us, v.view_id, v.v_us
+               FROM v JOIN c ON v.user_id = c.c_user
+                AND c.c_us > v.v_us AND c.c_us <= v.v_us + 86400000000)
+         SELECT click_id, user_id, view_id AS first_view_id,
+                CAST(c_us - first_v_us AS BIGINT) AS delay_us,
+                CAST(nc AS BIGINT) AS n_candidates
+         FROM (SELECT *, row_number() OVER (PARTITION BY click_id
+                           ORDER BY v_us, view_id) AS rn,
+                  count(*) OVER (PARTITION BY click_id) AS nc,
+                  min(v_us) OVER (PARTITION BY click_id) AS first_v_us
+               FROM p)
+         WHERE rn = 1 ORDER BY click_id""",
     // retention triangle (mirrors AnalyticsOps.cohortRetention): integer
     // week buckets from the fixed origin — no week-start convention
     "q_cohort_retention" -> s"""

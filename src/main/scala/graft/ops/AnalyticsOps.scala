@@ -533,6 +533,40 @@ object AnalyticsOps {
   def rowWeight(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (key % 7 + 1).cast("bigint")
 
+  /** Funnel-transition latency — the time-to-convert statistics on top of
+    * [[funnelStages]]'s chained-min timestamps: per transition
+    * (signup→view, view→purchase), the converting-user count and the
+    * EXACT rank-value median and p90 latency in micros (the winsorize
+    * cross-multiply under the unique (latency, user) order — every
+    * reported number is an actual observed latency). The answer to "the
+    * funnel converts X% — but how long does it take?".
+    *
+    * Shape: reuses the funnel frame (one user shuffle), unpivots the two
+    * latencies row-locally, and runs one rank pass per transition
+    * partition — O(transitions) output.
+    */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val f = funnelStages(s, dir)
+    val lat = f.select(col("user_id"),
+      explode(array(
+        struct(lit("signup_to_view").as("transition"),
+          (col("t2_us") - col("t1_us")).as("lat_us")),
+        struct(lit("view_to_purchase").as("transition"),
+          (col("t3_us") - col("t2_us")).as("lat_us")))).as("x"))
+      .select(col("user_id"), col("x.transition"), col("x.lat_us"))
+      .filter(col("lat_us").isNotNull)
+    val wp = Window.partitionBy(col("transition"))
+    lat
+      .withColumn("rn", row_number().over(
+        wp.orderBy(col("lat_us").asc, col("user_id").asc)))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .groupBy(col("transition"))
+      .agg(max(col("cnt")).as("n_users"),
+        min(when(col("rn") * 2 >= col("cnt"), col("lat_us"))).as("med_us"),
+        min(when(col("rn") * 10 >= col("cnt") * 9, col("lat_us"))).as("p90_us"))
+      .orderBy("transition")
+  }
+
   /** W11: exact weighted median per group — the importance-weighted
     * percentile an up/down-sampled corpus needs where the unweighted
     * median misreports the resampled distribution (each row counts

@@ -50,4 +50,47 @@ object IntervalOps {
     intervalJoinMicros(views, clicks, windowSeconds * 1000000L)
       .orderBy("view_id", "click_id")
   }
+
+  /** FIRST-TOUCH attribution — the credit-assignment policy on top of
+    * [[viewClickAttribution]]'s candidate pairs: each click credits the
+    * EARLIEST view inside its window (marketing's "what started the
+    * journey", vs the pair table's every-candidate reading; last-touch is
+    * the same argmin with the order flipped). The argmin runs as one
+    * `min_by` aggregate over the pair table under the unique
+    * (v_us, view_id) order — an aggregate, not a window: no per-click
+    * sort, map-side-combinable, the arg-min-by-struct device.
+    */
+  def firstTouchAttribution(s: SparkSession, dir: String,
+      windowSeconds: Long = 600L): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    val pairs = views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_us") > col("v_us") &&
+          col("c_us") <= col("v_us") + lit(windowSeconds * 1000000L))
+      .select(col("click_id"), col("user_id"), col("c_us"),
+        col("view_id"), col("v_us"))
+    pairs
+      .groupBy(col("click_id"))
+      .agg(
+        // constant per click group; max (order-insensitive) rather than
+        // first (ordering-dependent in general) keeps the aggregate
+        // deterministic by construction, not by accident
+        max(col("user_id")).as("user_id"),
+        max(col("c_us")).as("c_us"),
+        min_by(col("view_id"),
+          struct(col("v_us").as("u"), col("view_id").as("v")))
+          .as("first_view_id"),
+        min(col("v_us")).as("first_v_us"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("click_id"), col("user_id"), col("first_view_id"),
+        (col("c_us") - col("first_v_us")).as("delay_us"),
+        col("n_candidates"))
+      .orderBy("click_id")
+  }
 }

@@ -342,6 +342,16 @@ class GraftCatalogSpec extends AnyFunSuite {
          OR inter * 100 < sz_in * ${math.round(
            graft.llm.Dedup.ContainThreshold * 100)}""")
       .head().getLong(0) == 0)
+    // first touch: delay non-negative within the window; candidates >= 1
+    assert(spark.sql("""
+      SELECT count(*) FROM first_touch_attr
+      WHERE delay_us <= 0 OR delay_us > 86400000000 OR n_candidates < 1""")
+      .head().getLong(0) == 0)
+    // funnel latency: p90 >= median, both actual observed values > 0
+    assert(spark.sql("""
+      SELECT count(*) FROM funnel_latency
+      WHERE p90_us < med_us OR med_us <= 0 OR n_users <= 0""")
+      .head().getLong(0) == 0)
     // erasure: per-table erase+retain reconciles with the table counts
     assert(spark.sql("""
       SELECT count(*) FROM (

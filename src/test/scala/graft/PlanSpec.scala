@@ -696,6 +696,19 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("first touch: the argmin is an aggregate over the pair join, no window") {
+    val p = plan("q_j9b_first_touch")
+    assert(p.contains("min_by") || p.contains("MinBy"),
+      s"credit assignment must be arg-min-by-struct, not a per-click sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel latency: one user shuffle feeds the transition rank passes") {
+    val p = plan("q_funnel_latency")
+    assert(!p.contains("Join"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("erasure: broadcast semi/anti splits, counts collapse map-side") {
     val p = plan("q_privacy_erasure")
     assert(p.contains("BroadcastHashJoin") &&
