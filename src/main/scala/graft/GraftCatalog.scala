@@ -193,6 +193,8 @@ object GraftCatalog {
       .createOrReplaceTempView("first_touch_attr")
     graft.ops.AnalyticsOps.funnelLatency(spark, sfDir)
       .createOrReplaceTempView("funnel_latency")
+    graft.ops.CoreOps.seasonality(spark, sfDir)
+      .createOrReplaceTempView("dow_seasonality")
     registerFunctions(spark)
   }
 

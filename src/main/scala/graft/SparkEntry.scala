@@ -217,6 +217,7 @@ object SparkEntry {
     "q_flagship_revenue" -> (graft.ops.AnalyticsOps.flagshipRevenue _),
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_cal_spine" -> (CoreOps.calSpine _),
+    "q_seasonality" -> (CoreOps.seasonality _),
     "q_privacy_kanon" -> (graft.ops.PrivacyOps.kAnonymity _),
     "q_privacy_erasure" -> (graft.ops.PrivacyOps.erasurePropagation _),
     "q_ivm_sketch" -> (graft.ops.IncrementalOps.ivmSketch _),
@@ -2718,6 +2719,33 @@ object SparkEntry {
                 CAST(month(day) AS INT) AS mon,
                 day = last_day(day) AS is_month_end
          FROM d ORDER BY day""",
+    // dow seasonality through the spine: per-day rate normalized by how
+    // many of each weekday the span contains (mirrors CoreOps.seasonality)
+    "q_seasonality" -> """
+         WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                           CAST(max(o_orderdate) AS DATE) AS d1
+                    FROM orders),
+         days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM b),
+         sp AS (SELECT strftime(day, '%Y-%m-%d') AS day,
+                  CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7
+                    AS INT) AS dow
+                FROM days),
+         dd AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days
+                FROM sp GROUP BY dow),
+         oo AS (SELECT sp.dow, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+                FROM orders
+                JOIN sp ON strftime(CAST(o_orderdate AS DATE),
+                             '%Y-%m-%d') = sp.day
+                GROUP BY sp.dow)
+         SELECT dow, n_days, n_orders,
+                (n_orders * 1000) // n_days AS orders_per_day_x1000,
+                total_cents
+         FROM dd JOIN oo USING (dow)
+         ORDER BY dow""",
     // k-anonymity / l-diversity classes over (segment, nationkey);
     // sensitive bucket shifted positive before the integer div (mirrors
     // PrivacyOps.kAnonymity)

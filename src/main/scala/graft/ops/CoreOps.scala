@@ -447,4 +447,29 @@ object CoreOps {
         (col("day") === last_day(col("day"))).as("is_month_end"))
       .orderBy("day")
   }
+
+  /** Day-of-week seasonality — the [[calSpine]] dimension IN USE: orders
+    * join the broadcast spine on the day key, collapse per dow, and the
+    * per-day rate normalizes by how many of each weekday the spine
+    * actually CONTAINS (the raw count alone would lie whenever the span
+    * holds unequal weekday counts — the reason a calendar dimension
+    * exists). Rate in integer thousandths (`n·1000 div days`).
+    */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.{table => t}
+    val spine = calSpine(s, dir).select(col("day"), col("dow"))
+    val days = spine.groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    val ords = t(s, dir, "orders")
+      .select(date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")
+        .as("day"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .join(broadcast(spine), "day")
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+    days.join(ords, "dow")
+      .select(col("dow"), col("n_days"), col("n_orders"),
+        expr("(n_orders * 1000) div n_days").as("orders_per_day_x1000"),
+        col("total_cents"))
+      .orderBy("dow")
+  }
 }

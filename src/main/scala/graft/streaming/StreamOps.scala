@@ -115,6 +115,51 @@ object StreamOps {
         graft.llm.Sketches.hllEstimate(col("registers")).as("est_users"))
   }
 
+  /** Per-window histogram-quantile monitor — the 21st twin
+    * ([[graft.llm.Sketches.histQuantiles]]'s live form): each event-time
+    * window reduces its cents values into [[graft.llm.Sketches.HistB]]
+    * fixed-bound bin counters (conditional sums — a plain associative
+    * aggregate, O(bins) state per open window; fixed GLOBAL bounds are
+    * what make the bins a monoid, the batch operator's argument), and
+    * the p50/p90/p99 upper-edge estimates are row-local integer
+    * cross-multiplies over the finished window's counters. One-sided
+    * (estimate ≥ exact, within one bin width) while the population stays
+    * inside the bounded bin range — the batch operator's "bounds cover
+    * the corpus" sizing contract; beyond it the clamped open tail bin
+    * floors rather than bounds (spec-pinned on an in-range fixture).
+    */
+  def histQuantilesStream(events: DataFrame): DataFrame = {
+    import graft.llm.Sketches.{HistB, HistQs}
+    // cents-scaled bins: the events fixture's value lands in [0, ~60_00]
+    // cents; 20 bins of 500 cents cover it with the same open-ended tail
+    val binW = 500
+    val cents = round(col("value") * 100).cast("bigint")
+    val bin = least(expr(s"cents div $binW"), lit(HistB - 1)).cast("int")
+    val binCols = (0 until HistB).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"b$b"))
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), cents.as("cents"))
+      .withColumn("bin", bin)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(binCols.head, binCols.tail: _*)
+    val n = (0 until HistB).map(b => col(s"b$b")).reduce(_ + _)
+    def est(q: Int) = {
+      val cums = (0 until HistB).scanLeft(lit(0L): Column)(
+        (acc, b) => acc + col(s"b$b")).tail
+      val binIdx = (0 until HistB).zip(cums).foldRight(lit(HistB - 1)) {
+        case ((b, cum), acc) => when(cum * 100 >= col("n") * q, lit(b)).otherwise(acc)
+      }
+      // first bin whose cumulative reaches ceil(q*n/100): scan from the
+      // RIGHT so the earliest qualifying bin wins; estimate = upper edge
+      (binIdx + 1) * binW
+    }
+    agg
+      .withColumn("n", n)
+      .select(col("window.start").as("window_start") +: col("n") +:
+        HistQs.map(q => est(q).cast("long").as(s"p${q}_hi_cents")): _*)
+  }
+
   /** Row-local streaming language detection — the 20th twin
     * ([[graft.llm.TextAnalysis.langId]]'s classify-in-flight form): each
     * arriving document scores against every language profile via

@@ -518,6 +518,31 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && got.last._1 == bounds.getDate(1).toString)
   }
 
+  test("seasonality: per-dow rates replay against java.time weekdays") {
+    val got = graft.ops.CoreOps.seasonality(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val ords = Tables.table(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toLocalDate, math.round(r.getDouble(1) * 100)))
+    val (lo, hi) = (ords.map(_._1).min, ords.map(_._1).max)
+    def dowOf(d: java.time.LocalDate): Int = d.getDayOfWeek.getValue % 7
+    val dayCnt = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+      .toSeq.groupBy(dowOf).map { case (d, xs) => d -> xs.length.toLong }
+    val byDow = ords.groupBy(o => dowOf(o._1))
+    assert(got.keySet == byDow.keySet)
+    got.foreach { case (dow, (nDays, nOrd, rate, cents)) =>
+      assert(nDays == dayCnt(dow), s"dow $dow days")
+      assert(nOrd == byDow(dow).length.toLong, s"dow $dow orders")
+      assert(rate == nOrd * 1000L / nDays, s"dow $dow rate")
+      assert(cents == byDow(dow).map(_._2).sum, s"dow $dow cents")
+    }
+    // normalization matters: the span has unequal weekday counts or
+    // unequal rates (the statistic is not a disguised raw count)
+    assert(got.values.map(_._3).toSet.size > 1 ||
+      got.values.map(_._1).toSet.size > 1)
+  }
+
   test("k-anonymity classes replay; the fixture carries real risk") {
     import graft.ops.PrivacyOps
     val got = graft.ops.PrivacyOps.kAnonymity(spark, dir).collect()

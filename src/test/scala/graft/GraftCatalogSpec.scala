@@ -342,6 +342,14 @@ class GraftCatalogSpec extends AnyFunSuite {
          OR inter * 100 < sz_in * ${math.round(
            graft.llm.Dedup.ContainThreshold * 100)}""")
       .head().getLong(0) == 0)
+    // seasonality: spine day counts reconcile and rates honor the div
+    assert(spark.sql("""
+      SELECT count(*) FROM dow_seasonality
+      WHERE orders_per_day_x1000 != (n_orders * 1000) div n_days
+         OR n_days <= 0""").head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT sum(n_days) FROM dow_seasonality").head().getLong(0)
+      == spark.table("cal_spine").count())
     // first touch: delay non-negative within the window; candidates >= 1
     assert(spark.sql("""
       SELECT count(*) FROM first_touch_attr

@@ -494,6 +494,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 > 0.0))
   }
 
+  test("histQuantilesStream: one-sided per-window estimates, exact replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // values stay inside the bounded bin range (the operator's contract,
+    // like the batch histQuantiles' "bounds cover the corpus" sizing —
+    // beyond it the clamped tail bin floors instead of bounding)
+    val events = (
+      (1 to 120).map(_ => (ts("2024-01-01 10:05:00"),
+        rnd.nextInt(6000) / 100.0)) ++
+      (1 to 40).map(_ => (ts("2024-01-01 11:10:00"),
+        rnd.nextInt(9900) / 100.0))).toList
+    val mem = MemoryStream[(Timestamp, Double)]
+    mem.addData(events)
+    mem.addData(Seq((ts("2024-01-02 00:00:00"), 0.0)))
+    val q = StreamOps.histQuantilesStream(mem.toDF.toDF("ts", "value"))
+      .writeStream.format("memory").queryName("histq")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("histq")
+      .filter(col("window_start") < ts("2024-01-02 00:00:00"))
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13).toInt,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 2)
+    val byHour = events.groupBy(_._1.toLocalDateTime.getHour)
+      .map { case (h, es) => h -> es.map(e => math.round(e._2 * 100)) }
+    got.foreach { case (h, n, p50, p90, p99) =>
+      val cents = byHour(h)
+      assert(n == cents.length.toLong)
+      // replay the fixed-bin estimate and pin the one-sided bound
+      def estOf(q: Int): Long = {
+        val bins = cents.map(c => math.min(c / 500, 19L))
+          .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+        val cums = (0L to 19L).scanLeft(0L)((acc, b) =>
+          acc + bins.getOrElse(b, 0L)).tail
+        val idx = cums.zipWithIndex
+          .find { case (c, _) => c * 100 >= n * q }.map(_._2).getOrElse(19)
+        (idx + 1L) * 500L
+      }
+      def exact(q: Int): Long = {
+        val sorted = cents.sorted
+        sorted(((n * q + 99) / 100 - 1).toInt.max(0))
+      }
+      for ((q, est) <- Seq((50, p50), (90, p90), (99, p99))) {
+        assert(est == estOf(q), s"hour $h p$q estimate")
+        assert(est >= exact(q), s"hour $h p$q must bound exact one-sidedly")
+      }
+    }
+  }
+
   test("langidStream predictions equal the batch detector doc-for-doc") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
