@@ -152,7 +152,7 @@ object GraftCatalog {
       .createOrReplaceTempView("pr_curve")
     graft.llm.Sketches.cmsTopK(spark, sfDir)
       .createOrReplaceTempView("cms_topk")
-    graft.llm.Similarity.rrfFusion(spark, sfDir)
+    graft.llm.Similarity.rrfFusion(spark, sfDir, cache = false)
       .createOrReplaceTempView("rrf_fusion")
     graft.llm.Similarity.maxSimLate(spark, sfDir)
       .createOrReplaceTempView("maxsim_results")
@@ -193,7 +193,7 @@ object GraftCatalog {
       .createOrReplaceTempView("first_touch_attr")
     graft.ops.AnalyticsOps.funnelLatency(spark, sfDir)
       .createOrReplaceTempView("funnel_latency")
-    graft.ops.CoreOps.seasonality(spark, sfDir)
+    graft.ops.CoreOps.seasonality(spark, sfDir, cache = false)
       .createOrReplaceTempView("dow_seasonality")
     registerFunctions(spark)
   }

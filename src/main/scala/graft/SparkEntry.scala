@@ -130,7 +130,7 @@ object SparkEntry {
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
     "q_retrieve_mmr" -> (Similarity.mmrDiversify _),
-    "q_retrieve_rrf" -> (Similarity.rrfFusion _),
+    "q_retrieve_rrf" -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "q_retrieve_maxsim" -> (Similarity.maxSimLate _),
     "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
@@ -217,7 +217,7 @@ object SparkEntry {
     "q_flagship_revenue" -> (graft.ops.AnalyticsOps.flagshipRevenue _),
     "q_rfm_segments" -> (graft.ops.AnalyticsOps.rfmSegments _),
     "q_cal_spine" -> (CoreOps.calSpine _),
-    "q_seasonality" -> (CoreOps.seasonality _),
+    "q_seasonality" -> ((s, dir) => CoreOps.seasonality(s, dir)),
     "q_privacy_kanon" -> (graft.ops.PrivacyOps.kAnonymity _),
     "q_privacy_erasure" -> (graft.ops.PrivacyOps.erasurePropagation _),
     "q_ivm_sketch" -> (graft.ops.IncrementalOps.ivmSketch _),
@@ -1277,9 +1277,16 @@ object SparkEntry {
       val partLen = 64 / Similarity.MaxSimParts
       def pt(v: String, p: Int) =
         s"list_slice($v, ${p * partLen + 1}, ${(p + 1) * partLen})"
+      // zero-slice guard mirrors Similarity.maxSimLate's partCos: a
+      // zero-norm sub-vector cosine is DEFINED as 0, not 0/0 = NaN
+      def partCosSql(i: Int, j: Int) =
+        s"""CASE WHEN sqrt(${dotSql(pt("qv", i), pt("qv", i))}) *
+                      sqrt(${dotSql(pt("v", j), pt("v", j))}) = 0
+                 THEN 0.0
+                 ELSE ${cosSql(pt("qv", i), pt("v", j))} END"""
       val partMax = (0 until Similarity.MaxSimParts).map { i =>
         s"greatest(${(0 until Similarity.MaxSimParts).map(j =>
-          cosSql(pt("qv", i), pt("v", j))).mkString(", ")})"
+          partCosSql(i, j)).mkString(", ")})"
       }.mkString(" + ")
       s"""
          WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

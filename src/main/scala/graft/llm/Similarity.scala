@@ -265,8 +265,9 @@ object Similarity {
     * (q_id, doc_id) and one per-query top-k window. vec_id ≡ doc_id in
     * the harness corpus (the [[retrieveRerank]] contract).
     */
-  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
-    import TextHash.{jaccard, shingles3, tokens}
+  def rrfFusion(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    import TextHash.{shingles3, tokens}
     val c = corpus(s, dir)
     val queries = broadcast(
       c.filter(col("vec_id") < NQueries)
@@ -287,8 +288,12 @@ object Similarity {
     // (measured 4.4 s → the 20×corpus array_intersect was the bench line).
     // Docs sharing NO gram get no sparse rank (they carry no lexical
     // signal to fuse; the oracle applies the same jw > 0 cut).
-    val sh = t(s, dir, "documents")
+    // cached: the shingled corpus feeds BOTH the broadcast query postings
+    // and the corpus-side explode — uncached, tokenize+shingle runs
+    // twice; cache = false for the view mount (standing contract)
+    val shPlan = t(s, dir, "documents")
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("grams"))
+    val sh = if (cache) shPlan.cache() else shPlan
     val qPost = broadcast(sh.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("q_id"), size(col("grams")).as("qsz"),
         explode(col("grams")).as("gram")))
@@ -361,10 +366,16 @@ object Similarity {
         col("nv").as("nq") +:
         (0 until MaxSimParts).flatMap(i =>
           Seq(col(s"p$i").as(s"qp$i"), col(s"np$i").as(s"qnp$i"))): _*))
+    // an all-zero 16-dim slice (possible for sparse/padded embeddings even
+    // when the full-vector norm is nonzero) would make 0/0 = NaN here, and
+    // Spark sorts NaN LAST-greatest while other engines differ — define
+    // the zero-slice cosine as 0 (no direction, no similarity) instead
+    def partCos(i: Int, j: Int): Column =
+      when(col(s"qnp$i") * col(s"np$j") === 0.0, 0.0)
+        .otherwise(round(cosPre(dot(col(s"qp$i"), col(s"p$j")),
+          col(s"qnp$i"), col(s"np$j")), 9))
     val partMax = (0 until MaxSimParts).map { i =>
-      greatest((0 until MaxSimParts).map(j =>
-        round(cosPre(dot(col(s"qp$i"), col(s"p$j")),
-          col(s"qnp$i"), col(s"np$j")), 9)): _*)
+      greatest((0 until MaxSimParts).map(j => partCos(i, j)): _*)
     }
     val score = partMax.reduce(_ + _)
     val scored = withParts.join(queries, col("vec_id") =!= col("q_id"))

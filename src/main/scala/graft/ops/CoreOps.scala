@@ -455,9 +455,14 @@ object CoreOps {
     * holds unequal weekday counts — the reason a calendar dimension
     * exists). Rate in integer thousandths (`n·1000 div days`).
     */
-  def seasonality(s: SparkSession, dir: String): DataFrame = {
+  def seasonality(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
     import graft.Tables.{table => t}
-    val spine = calSpine(s, dir).select(col("day"), col("dow"))
+    // cached: the spine feeds BOTH the per-dow day counts and the order
+    // join — uncached, the bounds aggregate + sequence explode run twice;
+    // cache = false for the view mount (standing contract)
+    val spinePlan = calSpine(s, dir).select(col("day"), col("dow"))
+    val spine = if (cache) spinePlan.cache() else spinePlan
     val days = spine.groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
     val ords = t(s, dir, "orders")
       .select(date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")

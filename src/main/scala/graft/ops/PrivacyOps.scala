@@ -22,20 +22,6 @@ object PrivacyOps {
     */
   val SensitiveBucket = 100000L
 
-  /** k-anonymity / l-diversity assessment over the customer table with
-    * quasi-identifiers (mktsegment, nationkey) and sensitive attribute
-    * acctbal (bucketed): one row per equivalence class with its size,
-    * the distinct-sensitive-value count (l), and the two verdicts —
-    * `at_risk` (class size < k: the class re-identifies) and
-    * `homogeneous` (l = 1: even a k-anonymous class leaks the sensitive
-    * value by membership alone, the classic l-diversity motivation).
-    *
-    * Scale shape: ONE groupBy on the quasi-identifier tuple (map-side
-    * partial count + partial distinct via the two-level aggregate Spark
-    * plans for count_distinct); output is O(classes). The generalization
-    * loop a release pipeline runs (coarsen QI until every class passes)
-    * is this same query re-evaluated per lattice level.
-    */
   /** Deterministic erasure-request synthesis for [[erasurePropagation]]
     * (the fixture carries no request table — the j11/rowWeight synthesis
     * convention, mirrored in the oracle): every customer whose key is
@@ -94,6 +80,20 @@ object PrivacyOps {
       .orderBy("tbl", "action")
   }
 
+  /** k-anonymity / l-diversity assessment over the customer table with
+    * quasi-identifiers (mktsegment, nationkey) and sensitive attribute
+    * acctbal (bucketed): one row per equivalence class with its size,
+    * the distinct-sensitive-value count (l), and the two verdicts —
+    * `at_risk` (class size < k: the class re-identifies) and
+    * `homogeneous` (l = 1: even a k-anonymous class leaks the sensitive
+    * value by membership alone, the classic l-diversity motivation).
+    *
+    * Scale shape: ONE groupBy on the quasi-identifier tuple (map-side
+    * partial count + partial distinct via the two-level aggregate Spark
+    * plans for count_distinct); output is O(classes). The generalization
+    * loop a release pipeline runs (coarsen QI until every class passes)
+    * is this same query re-evaluated per lattice level.
+    */
   def kAnonymity(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select(col("c_mktsegment").as("segment"),

@@ -112,6 +112,16 @@ object SkewOps {
   def bloomJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
     import graft.functions.{BloomBuild, BloomContains}
+    // same guard discipline as asofJoin: shared column names would make
+    // col(probeKey) === col(buildKey) ambiguous or duplicate outputs, and
+    // the internal bloom column must not shadow a user column
+    val shared = probe.columns.toSet.intersect(build.columns.toSet)
+    require(shared.isEmpty,
+      s"bloomJoin requires disjoint schemas; shared: ${shared.mkString(", ")}" +
+        " — rename one side's columns first")
+    require(!probe.columns.contains("__bits") && !probe.columns.contains("__h")
+      && !build.columns.contains("__bits") && !build.columns.contains("__h"),
+      "bloomJoin reserves the __bits/__h column names")
     val bloom = build
       .select(bloomKey(col(buildKey)).as("__h"))
       .agg(BloomBuild(col("__h"), bits, hashes).as("__bits"))

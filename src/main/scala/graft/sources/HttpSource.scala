@@ -55,6 +55,11 @@ final case class HttpSource(
     import spark.implicits._
     val total = spark.read.json(Seq(probe).toDS)
       .select(col(cf).cast("long")).head().getLong(0)
+    // an empty remote is a legitimate harvest result, not an error — but
+    // its schema is unknowable (no record to infer from), so the honest
+    // answer is an empty zero-column frame rather than a star-expansion
+    // crash on an empty inferred array
+    if (total == 0L) return spark.emptyDataFrame
     val nPages = ((total + psz - 1) / psz).toInt.max(1)
     // one task per page band: pages fetch concurrently on executors
     val bodies = spark.range(nPages)

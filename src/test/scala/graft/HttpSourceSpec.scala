@@ -90,6 +90,15 @@ class HttpSourceSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("an empty remote is a legitimate harvest: zero rows, no crash") {
+    val srv = new FakeSearch(0)
+    try {
+      val df = HttpSource(srv.url, pageSize = 10, retryBaseMs = 1L).load(spark)
+      assert(df.count() == 0)
+      assert(srv.hits.get() == 1, "the probe alone decides an empty corpus")
+    } finally srv.stop()
+  }
+
   test("transient 5xx retries recover the full result") {
     val srv = new FakeSearch(25)
     try {

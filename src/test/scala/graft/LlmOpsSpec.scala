@@ -311,7 +311,8 @@ class LlmOpsSpec extends AnyFunSuite {
       val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
       def n(v: Vector[Double]) =
         math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
-      r9(d / (n(a) * n(b)))
+      // zero-norm slice cosine is DEFINED as 0 (the operator's guard)
+      if (n(a) * n(b) == 0.0) 0.0 else r9(d / (n(a) * n(b)))
     }
     val partLen = 64 / Similarity.MaxSimParts
     def parts(v: Vector[Double]) =
