@@ -121,6 +121,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashSketch _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_components" -> (Dedup.nearDupComponents _),
+    "q_dedup_report" -> (Dedup.dedupReport _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
     "q_embed_ivf" -> (Similarity.ivfTopK _),
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
@@ -1159,6 +1160,37 @@ object SparkEntry {
            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          SELECT a AS doc_id, min(b) AS component
          FROM reach GROUP BY a ORDER BY doc_id""",
+    // one-row dedup-health summary over the SAME component fixpoint
+    // (mirrors Dedup.dedupReport; shared recursive chain)
+    "q_dedup_report" -> s"""
+         WITH RECURSIVE $simhashSkCtes,
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, min(b) AS component
+                  FROM reach GROUP BY a),
+         cl AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                FROM comp GROUP BY component)
+         SELECT CAST(sum(csize) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END)
+                  AS BIGINT) AS n_clustered_docs,
+                CAST(count(CASE WHEN csize > 1 THEN 1 END) AS BIGINT)
+                  AS n_clusters,
+                CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END)
+                   - count(CASE WHEN csize > 1 THEN 1 END) AS BIGINT)
+                  AS dup_docs,
+                (CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END)
+                    - count(CASE WHEN csize > 1 THEN 1 END) AS BIGINT)
+                   * 1000000) // CAST(sum(csize) AS BIGINT) AS dup_rate_ppm,
+                CAST(max(csize) AS BIGINT) AS largest_cluster
+         FROM cl""",
     "q_embed_topk" -> s"""
          WITH $embedScoredCtes
          SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos FROM (

@@ -655,6 +655,32 @@ object Dedup {
     labels
   }
 
+  /** Corpus dedup-health report — the ONE-ROW summary every dedup run
+    * files before anyone acts on it: over the near-dup components, how
+    * many documents sit in a multi-doc cluster, how many clusters there
+    * are, how many documents a keep-one-per-cluster policy would DELETE
+    * (`dup_docs = clustered − clusters`), the duplicate rate in ppm, and
+    * the largest cluster (the boilerplate red flag). Pure integer
+    * arithmetic over the component frame — the fixpoint dominates, the
+    * report is two tiny aggregates.
+    */
+  def dedupReport(s: SparkSession, dir: String): DataFrame = {
+    val comp = nearDupComponents(s, dir)
+    val clusters = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    clusters.agg(
+      sum(col("csize")).as("n_docs"),
+      sum(when(col("csize") > 1, col("csize")).otherwise(0L))
+        .as("n_clustered_docs"),
+      count(when(col("csize") > 1, lit(1))).as("n_clusters"),
+      max(col("csize")).as("largest_cluster"))
+      .select(col("n_docs"), col("n_clustered_docs"), col("n_clusters"),
+        (col("n_clustered_docs") - col("n_clusters")).as("dup_docs"),
+        expr("((n_clustered_docs - n_clusters) * 1000000) div n_docs")
+          .as("dup_rate_ppm"),
+        col("largest_cluster"))
+  }
+
   /** Tokens per dedup span (the "line" granularity on a corpus whose
     * documents carry no newlines).
     */

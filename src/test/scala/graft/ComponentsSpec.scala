@@ -67,4 +67,25 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture should contain a canonical that is not the min-id member")
     spark.catalog.clearCache()
   }
+
+  test("dedup report summarizes the component frame exactly") {
+    val comp = Dedup.nearDupComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val sizes = comp.groupBy(_._2).map(_._2.length.toLong).toSeq
+    val clustered = sizes.filter(_ > 1)
+    val got = Dedup.dedupReport(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == comp.length.toLong)
+    assert(r.getLong(1) == clustered.sum)
+    assert(r.getLong(2) == clustered.length.toLong)
+    assert(r.getLong(3) == clustered.sum - clustered.length)
+    assert(r.getLong(4) ==
+      (clustered.sum - clustered.length) * 1000000L / comp.length)
+    assert(r.getLong(5) == sizes.max)
+    // the report is non-vacuous on the fixture: real duplication exists
+    assert(r.getLong(3) > 0 && r.getLong(5) > 1)
+  }
 }
