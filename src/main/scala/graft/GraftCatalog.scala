@@ -150,7 +150,7 @@ object GraftCatalog {
       .createOrReplaceTempView("weighted_median")
     graft.llm.Training.prCurve(spark, sfDir)
       .createOrReplaceTempView("pr_curve")
-    graft.llm.Sketches.cmsTopK(spark, sfDir)
+    graft.llm.Sketches.cmsTopK(spark, sfDir, cache = false)
       .createOrReplaceTempView("cms_topk")
     graft.llm.Similarity.rrfFusion(spark, sfDir, cache = false)
       .createOrReplaceTempView("rrf_fusion")
@@ -189,7 +189,7 @@ object GraftCatalog {
     graft.ops.IncrementalOps.ivmSketch(spark, sfDir)
       .createOrReplaceTempView("ivm_sketch")
     graft.ops.IntervalOps.firstTouchAttribution(spark, sfDir,
-        windowSeconds = 86400L)
+        windowSeconds = graft.ops.IntervalOps.FirstTouchWindowSeconds)
       .createOrReplaceTempView("first_touch_attr")
     graft.ops.AnalyticsOps.funnelLatency(spark, sfDir)
       .createOrReplaceTempView("funnel_latency")

@@ -165,11 +165,10 @@ object SparkEntry {
     "q_w7_moving_avg" -> (CoreOps.w7MovingAvg _),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
     "q_j9b_first_touch" -> ((s, dir) =>
-      // day-long consideration window: at the fixture's event density the
-      // 10-minute j9 window never yields a multi-candidate click, which
-      // would make the first-touch argmin vacuous (139 multi-candidate
-      // clicks at sf0.01 with a day)
-      IntervalOps.firstTouchAttribution(s, dir, windowSeconds = 86400L)),
+      // day-long consideration window (rationale + the single source of
+      // truth for all three sites: IntervalOps.FirstTouchWindowSeconds)
+      IntervalOps.firstTouchAttribution(s, dir,
+        windowSeconds = IntervalOps.FirstTouchWindowSeconds)),
     "q_funnel_latency" -> (graft.ops.AnalyticsOps.funnelLatency _),
     "q_w4_sliding" -> (StreamOps.slidingCounts _),
     "q_w2_tumbling" -> (StreamOps.tumblingCounts _),
@@ -186,7 +185,7 @@ object SparkEntry {
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_sketch_hll" -> (Sketches.hllDistinct _),
     "q_sketch_cms" -> (Sketches.cmsTermFreq _),
-    "q_sketch_cms_topk" -> (Sketches.cmsTopK _),
+    "q_sketch_cms_topk" -> ((s, dir) => Sketches.cmsTopK(s, dir)),
     "q_profile_table" -> (graft.ops.ProfileOps.profileTable _),
     "q_sketch_overlap" -> (Sketches.kmvOverlap _),
     "q_a7d_scd2" -> (graft.ops.ChangeOps.scd2History _),
@@ -2104,7 +2103,12 @@ object SparkEntry {
     // Sketches.kmvDistinct / functions.KMinValues)
     // right-to-erasure cascade report: per-table erase/retain counts,
     // lineitems transitively through the erased orders (mirrors
-    // PrivacyOps.erasurePropagation)
+    // PrivacyOps.erasurePropagation). Retain predicates are NULL-robust:
+    // the Scala side splits with left_semi/left_anti, where a NULL FK
+    // never matches (erase misses it) and anti KEEPS it (retain) — a bare
+    // `NOT IN` would yield NULL on a NULL FK and silently drop the row
+    // from retain, a latent engine mismatch even though the current
+    // fixture's FKs are non-null.
     "q_privacy_erasure" -> {
       import graft.ops.PrivacyOps.ErasureModulus
       s"""
@@ -2118,25 +2122,29 @@ object SparkEntry {
            FROM customer WHERE c_custkey IN (SELECT k FROM subj)
            UNION ALL
            SELECT 'customer', 'retain', CAST(count(*) AS BIGINT)
-           FROM customer WHERE c_custkey NOT IN (SELECT k FROM subj)
+           FROM customer WHERE c_custkey IS NULL
+              OR c_custkey NOT IN (SELECT k FROM subj)
            UNION ALL
            SELECT 'orders', 'erase', CAST(count(*) AS BIGINT)
            FROM orders WHERE o_custkey IN (SELECT k FROM subj)
            UNION ALL
            SELECT 'orders', 'retain', CAST(count(*) AS BIGINT)
-           FROM orders WHERE o_custkey NOT IN (SELECT k FROM subj)
+           FROM orders WHERE o_custkey IS NULL
+              OR o_custkey NOT IN (SELECT k FROM subj)
            UNION ALL
            SELECT 'events', 'erase', CAST(count(*) AS BIGINT)
            FROM events WHERE user_id IN (SELECT k FROM subj)
            UNION ALL
            SELECT 'events', 'retain', CAST(count(*) AS BIGINT)
-           FROM events WHERE user_id NOT IN (SELECT k FROM subj)
+           FROM events WHERE user_id IS NULL
+              OR user_id NOT IN (SELECT k FROM subj)
            UNION ALL
            SELECT 'lineitem', 'erase', CAST(count(*) AS BIGINT)
            FROM lineitem WHERE l_orderkey IN (SELECT k FROM eo)
            UNION ALL
            SELECT 'lineitem', 'retain', CAST(count(*) AS BIGINT)
-           FROM lineitem WHERE l_orderkey NOT IN (SELECT k FROM eo))
+           FROM lineitem WHERE l_orderkey IS NULL
+              OR l_orderkey NOT IN (SELECT k FROM eo))
          ORDER BY tbl, action"""
     },
     // KMV-sketch IVM for distinct counts: the oracle REBUILDS the sketch
@@ -2949,14 +2957,15 @@ object SparkEntry {
     // its window — argmin under the unique (v_us, view_id) order (mirrors
     // IntervalOps.firstTouchAttribution)
     "q_j9b_first_touch" ->
-      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+      s"""WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
                     FROM events WHERE event_type = 'view'),
          c AS (SELECT event_id AS click_id, user_id AS c_user,
                       epoch_us(ts) AS c_us
                FROM events WHERE event_type = 'click'),
          p AS (SELECT c.click_id, v.user_id, c.c_us, v.view_id, v.v_us
                FROM v JOIN c ON v.user_id = c.c_user
-                AND c.c_us > v.v_us AND c.c_us <= v.v_us + 86400000000)
+                AND c.c_us > v.v_us AND c.c_us <= v.v_us
+                    + ${IntervalOps.FirstTouchWindowSeconds * 1000000L})
          SELECT click_id, user_id, view_id AS first_view_id,
                 CAST(c_us - first_v_us AS BIGINT) AS delay_us,
                 CAST(nc AS BIGINT) AS n_candidates

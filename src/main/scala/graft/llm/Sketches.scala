@@ -345,9 +345,15 @@ object Sketches {
     * one-sided error (`overcount >= 0`) — it is the column you delete at
     * 100 TB, and with it the second token aggregation.
     */
-  def cmsTopK(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+  def cmsTopK(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    // two consumers of the exploded token frame (the CMS sketch aggregate
+    // + the exact vocab counts) — cached per the module's single-scan
+    // discipline; cache = false for long-lived mounts (the GraftCatalog
+    // view contract)
+    val toksPlan = t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("term"))
+    val toks = if (cache) toksPlan.cache() else toksPlan
     val sk = broadcast(
       toks.agg(CmsSketch(cmsBuckets(col("term")), CmsD, CmsW).as("cms")))
     val vocab = toks

@@ -60,6 +60,15 @@ object IntervalOps {
     * (v_us, view_id) order — an aggregate, not a window: no per-click
     * sort, map-side-combinable, the arg-min-by-struct device.
     */
+  /** The declared `q_j9b_first_touch` consideration window: a DAY — at the
+    * fixture's event density the 10-minute j9 window never yields a
+    * multi-candidate click, which would make the first-touch argmin
+    * vacuous (139 multi-candidate clicks at sf0.01 with a day). One
+    * constant feeds the registry lambda, the GraftCatalog view mount, and
+    * the SQL oracle (as micros) so an edit cannot desync the three sites.
+    */
+  val FirstTouchWindowSeconds = 86400L
+
   def firstTouchAttribution(s: SparkSession, dir: String,
       windowSeconds: Long = 600L): DataFrame = {
     val ev = t(s, dir, "events")

@@ -74,11 +74,28 @@ final case class HttpSource(
       // — uncached, every page would be FETCHED twice (inference + read).
       // The cached page bodies are exactly the reference's staged
       // HarvestObjects (odgovlt.py:362-366) living in executor storage;
-      // callers unpersist via spark.catalog.clearCache() when done
+      // unpersisted below once the parsed rows materialize
       .cache()
-    spark.read.json(bodies)
+    // localCheckpoint materializes the PARSED rows in executor storage, so
+    // (a) the page-bodies cache can be released here — scoped to this
+    // dataset, not a session-wide spark.catalog.clearCache() that would
+    // evict every caller's frames — and (b) the returned frame is
+    // self-contained: later actions never re-fetch pages
+    val rows = spark.read.json(bodies)
       .select(explode(col(rf)).as("__r"))
       .select(col("__r.*"))
+      .localCheckpoint(true)
+    bodies.unpersist()
+    // the one-shot probe count is a point-in-time claim: if the remote
+    // grew or shrank between the probe and the page fetches, pages
+    // silently shorten (or rows drop past the last probed page) and the
+    // harvester would report success on a partial corpus — fail loud
+    val got = rows.count()
+    if (got != total)
+      throw new IllegalStateException(
+        s"HttpSource $base/$act: probed count=$total but fetched $got rows " +
+          "— remote changed between probe and page fetches; re-run the pull")
+    rows
   }
 }
 
