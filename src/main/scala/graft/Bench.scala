@@ -26,6 +26,18 @@ import org.apache.spark.sql.SparkSession
   * whose every run failed reports null in "queries"/"queries_min", and the
   * headline "value" itself becomes null — a completely broken query must
   * not shrink the total and read as a round-over-round improvement.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY` (csv of query names) restricts the run to a
+  * subset — the per-operator iteration loop; the headline total then
+  * covers only that subset.
+  *
+  * After the per-query phase, the INDEX-FAMILY split phase ([[BenchSplits]])
+  * times each build group once (artifacts written to parquet — the at-rest
+  * form), then times the probe halves over the frozen artifacts for the
+  * same `nRuns`: "artifact_builds" (group → one-shot build+freeze sec) and
+  * "probes"/"probes_min" (query → serving cost) land in the same JSON
+  * line. The declared per-query numbers are untouched — the split phase
+  * only makes the build-once/probe-many economics visible.
   */
 object Bench {
   private def loadavg(): String =
@@ -59,7 +71,13 @@ object Bench {
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def selected(name: String): Boolean = only.isEmpty || only(name)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
       val runs: Seq[Option[Double]] = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -79,6 +97,52 @@ object Bench {
       val good = runs.flatten
       (name, good.headOption.map(_ => median(good)), good.minOption, runs)
     }
+    // ---- index-family build/probe split (BenchSplits) ----
+    val splitQueries = BenchSplits.probes.keys.filter(selected).toSeq.sorted
+    val neededGroups = splitQueries.map(BenchSplits.probes(_).group).distinct
+    val frozenDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_idx").toString
+    val buildSecs = neededGroups.map { g =>
+      val t0 = System.nanoTime()
+      val ok = try {
+        BenchSplits.builds(g)(spark, sfDir).foreach { case (art, df) =>
+          df.write.mode("overwrite").parquet(s"$frozenDir/$art")
+        }
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] build $g failed: ${e.getMessage}")
+        false
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      (g, if (ok) Some(elapsed) else None)
+    }
+    val builtGroups = buildSecs.collect { case (g, Some(_)) => g }.toSet
+    def art(name: String) = spark.read.parquet(s"$frozenDir/$name")
+    val probeResults = splitQueries
+      .filter(q => builtGroups(BenchSplits.probes(q).group))
+      .map { q =>
+        val runs = (1 to nRuns).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              BenchSplits.probes(q).run(spark, sfDir, art)
+                .write.format("noop").mode("overwrite").save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] probe $q failed: ${e.getMessage}")
+              false
+            }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          System.gc()
+          if (ok) Some(elapsed) else None
+        }
+        val good = runs.flatten
+        (q, good.headOption.map(_ => median(good)), good.minOption)
+      }
+
     def numOrNull(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
     val qs = results.map { case (k, p50, _, _) => "\"" + k + "\":" + numOrNull(p50) }
       .mkString("{", ",", "}")
@@ -95,9 +159,15 @@ object Bench {
     val totalStr =
       if (results.exists(_._2.isEmpty)) "null"
       else f"${results.flatMap(_._2).sum}%.3f"
+    val buildsJson = buildSecs.map { case (g, v) => "\"" + g + "\":" + numOrNull(v) }
+      .mkString("{", ",", "}")
+    val probesJson = probeResults.map { case (q, p50, _) => "\"" + q + "\":" + numOrNull(p50) }
+      .mkString("{", ",", "}")
+    val probesMinJson = probeResults.map { case (q, _, mn) => "\"" + q + "\":" + numOrNull(mn) }
+      .mkString("{", ",", "}")
     val loadAfter = loadavg()
     val line =
-      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"artifact_builds":$buildsJson,"probes":$probesJson,"probes_min":$probesMinJson,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
     println(line)
     // stdout runs through sbt's [info] prefix, which breaks line-oriented
     // JSON parsing downstream — always ALSO write the bare line to a file

@@ -794,14 +794,24 @@ object Similarity {
     */
   def ivfPqSearch(s: SparkSession, dir: String, probes: Int = Probes,
       cache: Boolean = true): DataFrame = {
+    val (cents, books, index) = ivfPqIndex(s, dir, cache)
+    ivfPqProbe(s, dir, cents, books, index, probes)
+  }
+
+  /** The BUILD half alone — the classic persisted IVFPQ artifact triple
+    * (the bench's build/probe split freezes exactly these): learned
+    * centroids, per-subspace codebooks, and the `(vec_id, cid, m, code)`
+    * code-word index. One corpus pass: the cluster id attaches before
+    * the subvector explode and rides the code assignment as a carried
+    * grouping column — a corpus-sized codes ⨝ membership join (which
+    * Spark would sort-merge) never exists. At rest the index would
+    * persist bucketed by cid; here cid is simply a column of the frame.
+    */
+  def ivfPqIndex(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val c = corpus(s, dir)
     // consumed twice (membership + routing); cache per the class note
     val cents = kmeansCentroids(s, dir).cache()
-    // the index builds in ONE corpus pass: the cluster id attaches before
-    // the subvector explode and rides the code assignment as a carried
-    // grouping column — a corpus-sized codes ⨝ membership join (which
-    // Spark would sort-merge) never exists. At rest this index would
-    // persist bucketed by cid; here cid is simply a column of the frame.
     val sub0 = pqSubvectors(
       assign(c, cents).select(col("vec_id"), col("v"), col("cid")),
       carry = Seq("cid"))
@@ -810,6 +820,23 @@ object Similarity {
     val books = if (cache) books0.cache() else books0
     val index = pqAssign(sub, books, keepSv = false, carry = Seq("cid"))
       .select(col("vec_id"), col("cid"), col("m"), col("code"))
+    (cents, books, index)
+  }
+
+  /** The SERVING half alone, over any (possibly frozen) artifact triple:
+    * route queries to probed clusters against the broadcast centroids,
+    * ADC-scan only the probed clusters' code words against the broadcast
+    * distance tables, exact-re-rank the shortlist against the raw
+    * vectors. The corpus floats are touched only by the query-side
+    * projections and the final shortlist join — never the full index scan.
+    */
+  def ivfPqProbe(s: SparkSession, dir: String, cents: DataFrame,
+      books: DataFrame, index: DataFrame,
+      probes: Int = Probes): DataFrame = {
+    val c = corpus(s, dir)
+    // query-side subvectors re-derive from the NQueries raw vectors —
+    // O(queries·M) rows, the per-request work a serving tier always pays
+    val sub = pqSubvectors(c.filter(col("vec_id") < NQueries))
     val queries = c.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))

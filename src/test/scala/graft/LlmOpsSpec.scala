@@ -526,6 +526,25 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpe frozen rule store: a memo probe is bit-identical to a retrain") {
+    // cold store: the first consumer trains and freezes
+    TextAnalysis.invalidateRules()
+    val cold = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    spark.catalog.clearCache()
+    // warm store: the probe path must reproduce the cold output exactly
+    val warm = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(warm.toSeq == cold.toSeq, "warm-store encode diverged from cold")
+    // the declared BUILD query retrains and refreezes — and determinism
+    // makes the refrozen table identical to what the probe used
+    val retrained = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val frozen = TextAnalysis.frozenRules(spark, sf)
+    assert(frozen == retrained.toSeq, "frozen store diverged from retrain")
+    spark.catalog.clearCache()
+  }
+
   test("bm25: matches a plain-Scala recompute of the exact-rational scores") {
     val out = TextAnalysis.bm25TopDocs(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
