@@ -130,7 +130,7 @@ object SparkEntry {
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
-    "q_retrieve_mmr" -> (Similarity.mmrDiversify _),
+    "q_retrieve_mmr" -> ((s, dir) => Similarity.mmrDiversify(s, dir)),
     "q_retrieve_rrf" -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "q_retrieve_maxsim" -> (Similarity.maxSimLate _),
     "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),

@@ -176,7 +176,14 @@ object Similarity {
     * comparison; `2·rel − maxsim` is one exact IEEE subtract of those
     * rounded doubles — identical in any engine.
     */
-  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+  /** Greedy rounds actually executed by the last [[mmrDiversify]] call
+    * (convergence-skip observability — the GraphOps device).
+    */
+  private[graft] val lastMmrRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def mmrDiversify(s: SparkSession, dir: String, k: Int = MmrK,
+      candidates: Int = MmrCandidates): DataFrame = {
     val c = corpus(s, dir)
     val queries = broadcast(
       c.filter(col("vec_id") < NQueries)
@@ -186,7 +193,7 @@ object Similarity {
         round(cosPre(dot(col("qv"), col("v")), col("nq"), col("nv")), 9).as("rel"))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))))
-      .filter(col("crk") <= MmrCandidates)
+      .filter(col("crk") <= candidates)
       .select(col("q_id"), col("vec_id"), col("rel"))
       .cache()
     // candidate-pair similarity matrix: MmrCandidates² rows per query,
@@ -218,20 +225,37 @@ object Similarity {
     // each round materializes ~queries rows eagerly
     var selected = pick(cand.select(col("q_id"), col("vec_id"), col("rel"),
       lit(0.0).as("maxsim"), (col("rel") * 2).as("mmr")), 1).localCheckpoint()
-    (2 to MmrK).foreach { r =>
-      val selIds = selected.select(col("q_id").as("sq"), col("vec_id").as("b_id"))
-      val maxsim = pairs.join(broadcast(selIds),
-          col("q_id") === col("sq") && pairs("b_id") === selIds("b_id"))
-        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim")).as("maxsim"))
-      val rem = cand.join(
-        selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"),
-        "left_anti")
-      val scored = rem.join(broadcast(maxsim),
-          rem("q_id") === maxsim("q_id") && col("vec_id") === col("a_id"))
-        .select(rem("q_id"), col("vec_id"), col("rel"), col("maxsim"),
-          (col("rel") * 2 - col("maxsim")).as("mmr"))
-      selected = selected.union(pick(scored, r)).localCheckpoint()
+    // convergence probe: a greedy round picks at most one row per query,
+    // and once EVERY query's candidate pool is exhausted a round picks
+    // nothing — all later rounds are the identity, so the rest of the
+    // unroll skips with byte-identical output (vacuous at the declared
+    // MmrCandidates > MmrK, load-bearing for any caller that asks for
+    // k ≥ the pool; spec-pinned). The probe reads the round's own
+    // checkpointed pick — no extra job.
+    var done = false
+    var executed = 1
+    (2 to k).foreach { r =>
+      if (!done) {
+        val selIds = selected.select(col("q_id").as("sq"), col("vec_id").as("b_id"))
+        val maxsim = pairs.join(broadcast(selIds),
+            col("q_id") === col("sq") && pairs("b_id") === selIds("b_id"))
+          .groupBy(col("q_id"), col("a_id")).agg(max(col("sim")).as("maxsim"))
+        val rem = cand.join(
+          selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"),
+          "left_anti")
+        val scored = rem.join(broadcast(maxsim),
+            rem("q_id") === maxsim("q_id") && col("vec_id") === col("a_id"))
+          .select(rem("q_id"), col("vec_id"), col("rel"), col("maxsim"),
+            (col("rel") * 2 - col("maxsim")).as("mmr"))
+        val picked = pick(scored, r).localCheckpoint()
+        if (picked.isEmpty) done = true
+        else {
+          selected = selected.union(picked).localCheckpoint()
+          executed += 1
+        }
+      }
     }
+    lastMmrRounds.set(executed)
     cand.unpersist()
     pairs.unpersist()
     selected

@@ -157,6 +157,12 @@ object GraphOps {
     * union), so the uncheckpointed chain would re-derive earlier rounds
     * ~2^r times (the MMR lesson).
     */
+  /** Vote rounds actually executed by the last [[labelPropagation]] call
+    * (convergence-skip observability, the [[lastKCoreRounds]] device).
+    */
+  private[graft] val lastLpaRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPurchasePairs(s, dir)
     val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("supp").as("w"))
@@ -165,17 +171,35 @@ object GraphOps {
     var lab = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    // convergence probe: synchronous LPA is a pure function of the label
+    // frame, so a round that changes NO label makes every later round the
+    // identity — skip the rest of the unroll with byte-identical output
+    // (the oracle still spells all LpaRounds; they are no-ops past the
+    // fixpoint). The probe is one equi-join of the two O(nodes)
+    // checkpointed frames with a limit-1 cut — trivial beside the round's
+    // own edge join.
+    var done = false
+    var executed = 0
     (1 to LpaRounds).foreach { _ =>
-      val nb = sym.join(lab.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("label"), col("w"))
-      val votes = nb.union(lab.select(col("node"), col("label"), lit(1L).as("w")))
-      val counts = votes.groupBy(col("node"), col("label"))
-        .agg(sum(col("w")).as("cnt"))
-      lab = counts.groupBy(col("node"))
-        .agg(min_by(col("label"),
-          struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("label"))
-        .localCheckpoint(true)
+      if (!done) {
+        val nb = sym.join(lab.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("label"), col("w"))
+        val votes = nb.union(lab.select(col("node"), col("label"), lit(1L).as("w")))
+        val counts = votes.groupBy(col("node"), col("label"))
+          .agg(sum(col("w")).as("cnt"))
+        val next = counts.groupBy(col("node"))
+          .agg(min_by(col("label"),
+            struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("label"))
+          .localCheckpoint(true)
+        executed += 1
+        val changed = next.join(
+            lab.withColumnRenamed("label", "prev"), Seq("node"))
+          .filter(col("label") =!= col("prev"))
+        if (changed.isEmpty) done = true
+        lab = next
+      }
     }
+    lastLpaRounds.set(executed)
     val size = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
     val out = lab.join(size, "label")
       .select(col("node").as("part"), col("label").as("community"),
@@ -249,20 +273,41 @@ object GraphOps {
     * previous twice) — the same lineage discipline as the >8-iteration
     * PageRank path, materializing a strictly shrinking frame.
     */
+  /** Peel rounds actually executed by the last [[kCore]] call —
+    * observability for the convergence-skip (spec-pinned to beat the
+    * fixed [[KCoreRounds]] unroll on the fixture).
+    */
+  private[graft] val lastKCoreRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def kCore(s: SparkSession, dir: String, k: Int = KCoreK,
       rounds: Int = KCoreRounds): DataFrame = {
     val base = coPurchaseEdges(s, dir)
     var e = base.select(col("pa").as("src"), col("pb").as("dst"))
       .union(base.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // convergence probe: peeling only ever SHRINKS the edge set, and a
+    // round that drops no edge dropped no node — every later round is the
+    // identity, so the remaining unroll can be skipped with byte-identical
+    // output (the oracle still spells all KCoreRounds CTE triples; they
+    // are no-ops past the fixpoint). The count is O(1) against the
+    // already-materialized checkpoint, the components merge-probe device.
+    var nEdges = e.count()
+    var done = false
+    var executed = 0
+    for (_ <- 1 to rounds) if (!done) {
       val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("v"))
       e = e.join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
+      executed += 1
+      val n = e.count()
+      if (n == nEdges) done = true
+      nEdges = n
     }
+    lastKCoreRounds.set(executed)
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy("node")
   }
@@ -289,6 +334,12 @@ object GraphOps {
     * doubles per round, the kCore discipline). Unreached nodes are absent
     * rather than ∞ — the frame stays O(reached).
     */
+  /** Frontier rounds actually executed by the last [[bfs]] call
+    * (convergence-skip observability, the [[lastKCoreRounds]] device).
+    */
+  private[graft] val lastBfsRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def bfs(s: SparkSession, dir: String, rounds: Int = BfsRounds): DataFrame = {
     val base = coPurchaseEdges(s, dir)
     val e = base.select(col("pa").as("src"), col("pb").as("dst"))
@@ -297,13 +348,26 @@ object GraphOps {
     var dist = e.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // convergence probe: with unit edges a node's FIRST appearance is at
+    // its true distance and min() keeps it, so the frame only ever grows —
+    // a round that adds no node changes nothing, and every later round is
+    // the identity (skip with byte-identical output; the oracle still
+    // spells all rounds). O(1) count against the materialized checkpoint.
+    var nReached = dist.count()
+    var done = false
+    var executed = 0
+    for (_ <- 1 to rounds) if (!done) {
       val expand = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(expand)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      executed += 1
+      val n = dist.count()
+      if (n == nReached) done = true
+      nReached = n
     }
+    lastBfsRounds.set(executed)
     e.unpersist()
     dist.orderBy("node")
   }

@@ -139,6 +139,12 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // otherwise KCoreRounds is lying about being "until nothing changes"
     assert(converged > 0 && converged <= GraphOps.KCoreRounds,
       s"peel had not converged within ${GraphOps.KCoreRounds} rounds")
+    // convergence-skip: the engine stops at the first no-op round (the
+    // round the replay detected convergence on) instead of the full unroll
+    assert(GraphOps.lastKCoreRounds.get == converged,
+      s"executed ${GraphOps.lastKCoreRounds.get} rounds, fixpoint at $converged")
+    assert(GraphOps.lastKCoreRounds.get < GraphOps.KCoreRounds,
+      "no measured round reduction on the fixture")
     // and a converged core is a real k-core: every node keeps >= k edges
     assert(want.values.forall(_ >= GraphOps.KCoreK))
     assert(got.nonEmpty, "empty core is a vacuous test")
@@ -163,16 +169,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val source = adj.keys.min
     var dist = Map(source -> 0L)
     var prev = dist
-    (1 to GraphOps.BfsRounds).foreach { _ =>
+    var fixpoint = -1
+    (1 to GraphOps.BfsRounds).foreach { r =>
       prev = dist
       val expand = dist.toSeq.flatMap { case (n, d) =>
         adj.getOrElse(n, Set.empty).map(_ -> (d + 1)) }
       dist = (dist.toSeq ++ expand).groupBy(_._1).view
         .mapValues(_.map(_._2).min).toMap
+      if (dist == prev && fixpoint < 0) fixpoint = r
     }
     assert(got == dist)
     // converged inside the unroll, and the whole component was reached
     assert(dist == prev, "BFS had not converged within BfsRounds")
+    // convergence-skip: stop at the first no-op round, not the full unroll
+    assert(GraphOps.lastBfsRounds.get == fixpoint,
+      s"executed ${GraphOps.lastBfsRounds.get} rounds, fixpoint at $fixpoint")
+    assert(GraphOps.lastBfsRounds.get < GraphOps.BfsRounds,
+      "no measured round reduction on the fixture")
     assert(got.size > 1 && got(source) == 0L)
     // every edge respects the triangle inequality |d(u) - d(v)| <= 1
     for ((u, vs) <- adj; v <- vs)
@@ -247,8 +260,9 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_._1._1)
       .map { case (v, es) => v -> es.map { case ((_, u), w) => (u, w) } }
     var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
-    (1 to GraphOps.LpaRounds).foreach { _ =>
-      lab = nbrs.map { case (v, ns) =>
+    var fixpoint = -1
+    (1 to GraphOps.LpaRounds).foreach { r =>
+      val next = nbrs.map { case (v, ns) =>
         // synchronous: all votes read the PREVIOUS round's labels;
         // support-weighted, weight-1 self-vote; argmax by
         // (weight DESC, label ASC)
@@ -256,7 +270,14 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           .groupBy(_._1).map { case (l, vs) => (l, vs.map(_._2).sum) }
         v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
       }
+      if (next == lab && fixpoint < 0) fixpoint = r
+      lab = next
     }
+    // convergence-skip: the engine executes exactly up to the first
+    // no-change round (or the full unroll if labels were still moving)
+    val expectRounds = if (fixpoint > 0) fixpoint else GraphOps.LpaRounds
+    assert(GraphOps.lastLpaRounds.get == expectRounds,
+      s"executed ${GraphOps.lastLpaRounds.get} rounds, expected $expectRounds")
     val sizes = lab.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
     val want = lab.toSeq.map { case (v, l) => (v, l, sizes(l)) }
       .sortBy(_._1)

@@ -236,6 +236,21 @@ class LlmOpsSpec extends AnyFunSuite {
       byRank != byRel
     }
     assert(departed, "MMR never re-ordered anything — the fixture is vacuous")
+    // at the declared pool (candidates > k) every round picks — no skip
+    assert(Similarity.lastMmrRounds.get == Similarity.MmrK)
+    // convergence-skip: with the candidate pool SMALLER than k, the
+    // greedy exhausts and the remaining rounds must be skipped — output
+    // is the complete per-query pool, rank-contiguous
+    val small = Similarity.mmrDiversify(spark, sf, k = Similarity.MmrK,
+        candidates = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(Similarity.lastMmrRounds.get == 2,
+      s"executed ${Similarity.lastMmrRounds.get} rounds on an exhausted pool")
+    val perQ = small.groupBy(_._1)
+    assert(perQ.nonEmpty && perQ.values.forall(rs =>
+      rs.map(_._2).sorted.toSeq == (1 to 2).toSeq),
+      "exhausted-pool selection is not the complete rank-contiguous pool")
+    spark.catalog.clearCache()
   }
 
   test("rrf: fusion replays from independent rank lists; both lists contribute") {
