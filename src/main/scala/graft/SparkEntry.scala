@@ -175,6 +175,7 @@ object SparkEntry {
     "q_w3_sessionize" -> (StreamOps.sessionizeBatch _),
     "q_mm_features" -> (MultimodalOps.features _),
     "q_mm_decode" -> (MultimodalOps.mmDecode _),
+    "q_mm_pixels" -> (MultimodalOps.mmPixels _),
     "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
     "q_mm_dedup" -> (MultimodalOps.mmDedup _),
     "q_decontaminate" -> (Curation.decontaminate _),
@@ -1983,6 +1984,30 @@ object SparkEntry {
                         / octet_length(encode(text))::DOUBLE, 6)
                 END AS mean_byte
          FROM documents ORDER BY doc_id""",
+    // full pixel decode: the Spark side walks the RASTER of a real
+    // ImageIO-encoded PNG (zlib inflate + scanline unfilter), while the
+    // oracle recomputes every statistic from the generating arithmetic
+    // (MultimodalOps.pxValue: sample(x,y) = (doc_id+x+y) % 256 on a
+    // width×height grid from the doc_id moduli) — byte-exact because
+    // 8-bit grayscale PNG is lossless
+    "q_mm_pixels" -> {
+      import graft.ops.MultimodalOps.{PxWidthMod, PxHeightMod}
+      s"""
+         WITH d AS (SELECT doc_id,
+                           CAST(4 + doc_id % $PxWidthMod AS INT) AS width,
+                           CAST(4 + doc_id % $PxHeightMod AS INT) AS height
+                    FROM documents),
+         g AS (SELECT a.x, b.y
+               FROM range(0, ${4 + PxWidthMod - 1}) a(x),
+                    range(0, ${4 + PxHeightMod - 1}) b(y))
+         SELECT d.doc_id, d.width, d.height,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(min((d.doc_id + g.x + g.y) % 256) AS INT) AS min_px,
+                CAST(max((d.doc_id + g.x + g.y) % 256) AS INT) AS max_px,
+                CAST(sum((d.doc_id + g.x + g.y) % 256) AS BIGINT) AS sum_px
+         FROM d JOIN g ON g.x < d.width AND g.y < d.height
+         GROUP BY 1, 2, 3 ORDER BY doc_id"""
+    },
     // text is ASCII, so byte-slicing the blob equals char-slicing the text
     "q_mm_frames" -> s"""
          WITH fr AS (

@@ -211,6 +211,108 @@ object MultimodalOps {
         md5(col("col")).as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Pixel-fixture dimension moduli: width ∈ [4,16], height ∈ [4,14] —
+    * small enough that the oracle's grid join is trivial, large enough
+    * that the raster walk is real.
+    */
+  val PxWidthMod = 13
+  val PxHeightMod = 11
+
+  /** Deterministic grayscale sample at (x, y) of document `id` — the
+    * generating arithmetic BOTH sides derive from: the fixture encoder
+    * writes it into real PNG bytes, and the oracle recomputes it in SQL,
+    * so a decoder that misreads any pixel value-mismatches.
+    */
+  def pxValue(id: Long, x: Int, y: Int): Int = ((id + x + y) % 256L).toInt
+
+  private val pixelSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("blob", BinaryType)))
+
+  /** Pixel fixture: one REAL PNG per document — an 8-bit grayscale image
+    * encoded with JDK ImageIO (full IHDR/IDAT/zlib container, not a
+    * synthesized header), dimensions from doc_id, every sample from
+    * [[pxValue]]. TYPE_BYTE_GRAY PNG is lossless, so decode must return
+    * the exact samples. Partition-local; ImageIO's disk cache is off so
+    * executor tasks never touch scratch files.
+    */
+  def pixelMediaTable(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pixelSchema)
+    t(s, dir, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % PxWidthMod).toInt
+          val h = 4 + (id % PxHeightMod).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pxValue(id, x, y)); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream(256)
+          javax.imageio.ImageIO.write(img, "png", out)
+          Row(id, out.toByteArray)
+        }
+      }(enc)
+  }
+
+  private val pixelStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("min_px", IntegerType),
+    StructField("max_px", IntegerType),
+    StructField("sum_px", LongType)))
+
+  /** FULL pixel decode — the half [[decodeFeatures]]' header parse left
+    * open: JDK ImageIO decodes the complete PNG container (zlib inflate,
+    * scanline unfiltering) on executors, in the same batched
+    * `mapPartitions` shape, and the per-image statistics (extrema, sum —
+    * the curation gates a pixel pipeline filters on) come off the RAW
+    * RASTER samples, no color conversion. Every output field is
+    * independently recomputable by the oracle from the generating
+    * arithmetic, so a decoder that misreads any scanline
+    * value-mismatches. Blobs stay in their partitions; nothing shuffles
+    * before the O(docs) stats rows.
+    */
+  def mmPixels(s: SparkSession, dir: String): DataFrame = {
+    val input = pixelMediaTable(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pixelStatsSchema)
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (mn, mx, sum) = (Int.MaxValue, Int.MinValue, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), w, h, w.toLong * h, mn, mx, sum)
+        }
+      }
+    }(enc).orderBy("doc_id")
+  }
+
   /** Id offset for the deterministically re-ingested asset slice — far
     * above every real doc_id so the injected copies are distinguishable.
     */

@@ -353,6 +353,39 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: full ImageIO pixel decode recovers the exact samples") {
+    import graft.ops.MultimodalOps
+    // the fixture blobs are REAL PNGs: the header parser (the cheap gate
+    // a pipeline runs before paying for pixels) must agree on dimensions
+    val blobs = MultimodalOps.pixelMediaTable(spark, sf).collect()
+    blobs.foreach { r =>
+      val id = r.getLong(0)
+      val h = graft.ops.MediaCodec.decodeHeader(r.getAs[Array[Byte]](1))
+      assert(h.map(x => (x.format, x.width, x.height, x.bitDepth)) ===
+        Some(("png", 4 + (id % MultimodalOps.PxWidthMod).toInt,
+          4 + (id % MultimodalOps.PxHeightMod).toInt, 8)),
+        s"doc $id: fixture PNG header")
+    }
+    // the decoded statistics equal the closed-form generating arithmetic
+    val got = MultimodalOps.mmPixels(spark, sf).collect()
+    assert(got.length == blobs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = 4 + (id % MultimodalOps.PxWidthMod).toInt
+      val hh = 4 + (id % MultimodalOps.PxHeightMod).toInt
+      val px = for (x <- 0 until w; y <- 0 until hh)
+        yield MultimodalOps.pxValue(id, x, y)
+      assert(r.getInt(1) == w && r.getInt(2) == hh)
+      assert(r.getLong(3) == w.toLong * hh)
+      assert(r.getInt(4) == px.min && r.getInt(5) == px.max,
+        s"doc $id extrema")
+      assert(r.getLong(6) == px.map(_.toLong).sum, s"doc $id sum")
+    }
+    // non-vacuous: several distinct shapes, and real dynamic range
+    assert(got.map(r => (r.getInt(1), r.getInt(2))).distinct.length > 3)
+    assert(got.exists(r => r.getInt(4) < r.getInt(5)))
+  }
+
   test("distinctPerWindowStream sketches match the batch KMV per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
