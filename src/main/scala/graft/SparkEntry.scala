@@ -113,6 +113,7 @@ object SparkEntry {
     "q_p4_package_flat" -> (SyncPipeline.packageFlat _),
     "q_p4_package_doc" -> (SyncPipeline.packageDoc _),
     "q_k3_merge_actions" -> (SyncPipeline.mergeActions _),
+    "q_sync_errors" -> (SyncPipeline.syncErrors _),
     "q_member_edges" -> (SyncPipeline.memberEdges _),
     "q_pagerank" -> ((s, dir) => graft.ops.GraphOps.pageRank(s, dir)),
     "q_dedup_exact" -> (Dedup.exact _),
@@ -1013,6 +1014,24 @@ object SparkEntry {
                  FROM orders WHERE o_orderkey % 3 = 0) target
              ON s_key = t_key)
          WHERE action <> 'noop' ORDER BY key""",
+    // per-object import errors (mirrors SyncPipeline.syncErrors): the
+    // Spark side finds parse errors by actually failing to parse the
+    // half-truncated JSON payload; the oracle derives the same set
+    // ANALYTICALLY from the corruption moduli (a proper prefix of a flat
+    // JSON object is never valid JSON, so truncated ⟺ unparseable).
+    // missing_guid wins when both corruptions hit one object — CASE order
+    // mirrors the Spark when() chain.
+    "q_sync_errors" -> s"""
+         SELECT o_orderkey AS obj_id,
+                CASE WHEN o_orderkey % ${SyncPipeline.CorruptGuidMod} = 0
+                       THEN 'missing_guid'
+                     WHEN o_orderkey % ${SyncPipeline.CorruptTruncMod} = 0
+                       THEN 'parse_error' END AS error
+         FROM orders
+         WHERE o_orderstatus = 'F'
+           AND (o_orderkey % ${SyncPipeline.CorruptGuidMod} = 0
+             OR o_orderkey % ${SyncPipeline.CorruptTruncMod} = 0)
+         ORDER BY obj_id""",
     "q_member_edges" ->
       """SELECT DISTINCT
                 coalesce(c_name, 'Unknown User') AS owner_name,

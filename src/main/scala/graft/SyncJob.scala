@@ -20,14 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object SyncJob {
 
-  final case class Result(packages: DataFrame, actions: DataFrame)
+  /** `errors` is the per-object error side-channel (the harvest
+    * framework's `_save_object_error` accounting): staged items that
+    * could not import — `(guid, error)` — reported while the job
+    * CONTINUES over the importable rest.
+    */
+  final case class Result(packages: DataFrame, actions: DataFrame,
+      errors: DataFrame)
 
   def run(s: SparkSession, dir: String, stagingDir: String): Result = {
     SyncPipeline.gatherToStaging(s, dir, stagingDir)
-    val staged = SyncPipeline.importFromStaging(s, dir, stagingDir).drop("guid")
-    val packages = SyncPipeline.assembled(s, dir, Some(staged))
+    val (ok, errors) =
+      SyncPipeline.importFromStagingWithErrors(s, dir, stagingDir)
+    val packages = SyncPipeline.assembled(s, dir, Some(ok.drop("guid")))
       .orderBy("o_orderkey")
-    Result(packages, SyncPipeline.mergeActions(s, dir))
+    Result(packages, SyncPipeline.mergeActions(s, dir), errors)
   }
 
   /** Step 5 — apply the classified sets to a target through any

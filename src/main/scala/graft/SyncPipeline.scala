@@ -153,6 +153,89 @@ object SyncPipeline {
       .select((Seq(col("guid")) ++ schema.fieldNames.map(f => col(s"rec.$f"))): _*)
   }
 
+  /** The PER-OBJECT ERROR CHANNEL on a staged work-item frame — the
+    * harvest framework's `_save_object_error` accounting (a failed
+    * HarvestObject is recorded against the object and the job CONTINUES;
+    * the reference inherits it from ckanext-harvest's import loop around
+    * `odgovlt.py:378`): every staged `(guid, content)` item classifies as
+    * importable or errored, errored rows land in a side table instead of
+    * failing the stage or silently nulling through. Two error classes:
+    * `missing_guid` (no object identity — nothing to upsert against) and
+    * `parse_error` (the JSON payload does not parse: [[gatherToStaging]]
+    * writes one flat object per row, so a payload whose every parsed
+    * field is NULL can only be a parse failure, which makes the detector
+    * robust to either `from_json` malformed-row convention — null struct
+    * or all-null fields).
+    *
+    * Returns (ok, errors): `ok` is [[importFromStaging]]'s typed frame
+    * over the importable subset; `errors` is `(guid, error)` — the audit
+    * rows an operator reads before re-running the harvest. One staging
+    * scan feeds both (the classifier is a row-local projection; the two
+    * consumers prune opposite halves of the same filter).
+    */
+  def importFromStagingWithErrors(s: SparkSession, dir: String,
+      stagingDir: String): (DataFrame, DataFrame) = {
+    val schema = t(s, dir, "orders").schema
+    val classified = s.read.parquet(stagingDir)
+      .select(col("guid"), from_json(col("content"), schema).as("rec"))
+      .withColumn("error",
+        when(col("guid").isNull, "missing_guid")
+          .when(col("rec").isNull ||
+            schema.fieldNames.map(f => col(s"rec.$f").isNull)
+              .reduce(_ && _), "parse_error"))
+    val ok = classified.filter(col("error").isNull)
+      .select((Seq(col("guid")) ++ schema.fieldNames.map(f => col(s"rec.$f"))): _*)
+    val errors = classified.filter(col("error").isNotNull)
+      .select(col("guid"), col("error"))
+    (ok, errors)
+  }
+
+  /** Deterministic corruption moduli for the DECLARED error-channel query
+    * ([[syncErrors]]): every [[CorruptTruncMod]]-th staged payload is
+    * truncated to half (a proper prefix of a JSON object is never valid
+    * JSON — the crash-mid-write shape), every [[CorruptGuidMod]]-th loses
+    * its guid. The same integers drive the oracle's analytic derivation.
+    */
+  val CorruptTruncMod = 13
+  val CorruptGuidMod = 17
+
+  /** The error channel DECLARED: gather-shaped work items with
+    * deterministic corruption injected in-plan, classified by the same
+    * detector [[importFromStagingWithErrors]] uses, reporting one audit
+    * row per failed object — `(obj_id, error)`, where obj_id is the
+    * staged HarvestObject's own id (the identity `_save_object_error`
+    * attaches to, which survives even a lost guid). The Spark side finds
+    * parse errors by ACTUALLY failing to parse the truncated payload;
+    * the oracle derives the same set analytically from the corruption
+    * moduli — a detector that swallows or over-fires value-mismatches.
+    * missing_guid takes precedence when both corruptions hit one object
+    * (mirrored in the oracle's CASE order).
+    */
+  def syncErrors(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "orders").schema
+    val dirty = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(
+        col("o_orderkey").as("obj_id"),
+        when(col("o_orderkey") % CorruptGuidMod === 0, lit(null))
+          .otherwise(col("o_orderkey")).as("guid"),
+        to_json(struct(col("*"))).as("content0"))
+      .select(col("obj_id"), col("guid"),
+        // half-length truncation: substring length is per-row integer math
+        when(col("obj_id") % CorruptTruncMod === 0,
+          expr("substring(content0, 1, length(content0) div 2)"))
+          .otherwise(col("content0")).as("content"))
+    dirty
+      .withColumn("rec", from_json(col("content"), schema))
+      .select(col("obj_id"),
+        when(col("guid").isNull, "missing_guid")
+          .when(col("rec").isNull ||
+            schema.fieldNames.map(f => col(s"rec.$f").isNull)
+              .reduce(_ && _), "parse_error").as("error"))
+      .filter(col("error").isNotNull)
+      .orderBy("obj_id")
+  }
+
   /** K3-K5 merge-set computation (the upsert/delete semantics of
     * odgovlt.py:205-211,249-257,312-318,407) as a single full-outer diff:
     * classify every key as create / update / delete / noop.

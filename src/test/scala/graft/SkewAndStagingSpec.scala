@@ -202,4 +202,45 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(back.nonEmpty)
     assert(back.toList == orig.toList)
   }
+
+  test("crash-injected staging: per-object errors reported, job continues, re-read idempotent") {
+    // gather cleanly, then CORRUPT the staged snapshot the way real
+    // harvests break: a payload truncated mid-write and an object that
+    // lost its identity — and overwrite the queue with the dirty snapshot
+    val staging = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    SyncPipeline.gatherToStaging(spark, sf, staging)
+    val clean = spark.read.parquet(staging).cache()
+    val total = clean.count()
+    val dirty = clean.select(
+      when(col("guid") % 17 === 0, lit(null)).otherwise(col("guid")).as("guid"),
+      when(col("guid") % 13 === 0,
+        expr("substring(content, 1, length(content) div 2)"))
+        .otherwise(col("content")).as("content"))
+    val staging2 = java.nio.file.Files.createTempDirectory("graft-crash2").toString
+    dirty.write.mode("overwrite").parquet(staging2)
+    clean.unpersist()
+    val (ok, errors) = SyncPipeline.importFromStagingWithErrors(spark, sf, staging2)
+    val errRows = errors.collect()
+      .map(r => (Option(r.get(0)).map(_.toString.toLong), r.getString(1)))
+    val okKeys = ok.select("guid").collect().map(_.getLong(0)).toSet
+    // the job continued: ok + errors PARTITION the staged snapshot
+    assert(okKeys.size + errRows.length == total)
+    // every corrupted object is reported with the right class, nothing else
+    errRows.foreach {
+      case (None, e) => assert(e == "missing_guid")
+      case (Some(k), e) =>
+        assert(k % 13 == 0 && e == "parse_error", s"guid $k: $e")
+    }
+    assert(errRows.exists(_._2 == "missing_guid") &&
+      errRows.exists(_._2 == "parse_error"), "both error classes must occur")
+    assert(okKeys.forall(k => k % 13 != 0 && k % 17 != 0))
+    // crash recovery: a second import of the SAME staged snapshot (the
+    // re-run after a mid-import crash) reproduces both frames exactly
+    val (ok2, errors2) = SyncPipeline.importFromStagingWithErrors(spark, sf, staging2)
+    assert(ok2.select("guid").collect().map(_.getLong(0)).toSet == okKeys)
+    assert(errors2.count() == errRows.length)
+    // and the assembled pipeline runs end-to-end over the ok subset
+    val packages = SyncPipeline.assembled(spark, sf, Some(ok.drop("guid")))
+    assert(packages.count() == okKeys.size)
+  }
 }
