@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a larger scale factor from an existing harness
+  * directory by DETERMINISTIC replication — the empirical half of the
+  * 100-TB story (the plan shapes are audited in PLANS.md; this produces
+  * the data to measure them on).
+  *
+  *   sbt "runMain graft.GenScale /root/testdata/sf0.1 data/sf1 10"
+  *
+  * Construction (no RNG anywhere — same bytes on every run): `copies`
+  * variants of the source, variant 0 verbatim, variant k > 0 with
+  *
+  *  - every key offset by k·10^d (d per key domain, far above the source
+  *    max) so the k FK-consistent copies are disjoint: the co-purchase
+  *    graph becomes k disjoint isomorphic components, order/customer
+  *    chains stay joinable within their copy;
+  *  - every `documents.text` passed through a per-variant alphabet
+  *    ROTATION (`translate` of a–z/A–Z by k, a byte-level bijection):
+  *    lengths, token boundaries, frequency shape, and within-variant
+  *    similarity structure are EXACTLY the source's (rotation is an
+  *    isomorphism on both token vocabulary and byte shingles), while
+  *    cross-variant token vocabularies AND byte shingles are disjoint —
+  *    so total near-dup structure scales exactly ×k at the word and the
+  *    byte level, the right null hypothesis for a near-linear-growth
+  *    measurement. (A first cut suffixed each token `~k` instead: word
+  *    vocabularies separated but 8-byte shingles inside common words
+  *    still collided across variants, which handed every source doc 10
+  *    genuine byte-level near-dup variants — duplicate clusters and true
+  *    candidate pairs grew QUADRATICALLY in k, and the byte-level LSH
+  *    paid for real pairs, 23× at 10×. The rotation removes the
+  *    cross-variant duplicates the replication itself had planted.);
+  *  - customer/supplier names suffixed `~k` (the member-edge graph's
+  *    node identity is the NAME, not the key);
+  *  - `embeddings.embedding` with dimension (k−1) mod 64 sign-flipped
+  *    (norms and within-variant geometry preserved, variants pushed into
+  *    distinct half-spaces; only variant 0 holds the vec_id < NQueries
+  *    query set — corpus grows ×k, query load stays fixed, the serving
+  *    shape).
+  *
+  * region/nation stay verbatim (broadcast dims — at any real scale these
+  * stay small; FK targets remain valid for every copy).
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // key-domain offsets: one order of magnitude above each source max
+    val C = 100000L   // c_custkey max 14999 at sf0.1
+    val O = 1000000L  // o_orderkey max 149999
+    val P = 100000L   // p_partkey max 19999
+    val S = 10000L    // s_suppkey max 999
+    val D = 100000L   // doc_id max 4999 (stays below MultimodalOps.ReingestOffset)
+    val V = 100000L   // vec_id max 1999
+    val E = 1000000L  // event_id max 99999
+    val U = 100000L   // user_id max 1499
+
+    def t(n: String) = Tables.table(spark, src, n)
+    def variants(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(k => f(df, k)).reduce(_ unionByName _)
+    def write(df: DataFrame, n: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      println(s"[genscale] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
+    }
+    def sfx(c: org.apache.spark.sql.Column, k: Int) =
+      if (k == 0) c else concat(c, lit(s"~$k"))
+
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+    write(variants(t("customer")) { (df, k) =>
+      df.select((col("c_custkey") + k * C).as("c_custkey"),
+        sfx(col("c_name"), k).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }, "customer")
+    write(variants(t("supplier")) { (df, k) =>
+      df.select((col("s_suppkey") + k * S).as("s_suppkey"),
+        sfx(col("s_name"), k).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    }, "supplier")
+    write(variants(t("part")) { (df, k) =>
+      df.select((col("p_partkey") + k * P).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }, "part")
+    write(variants(t("orders")) { (df, k) =>
+      df.select((col("o_orderkey") + k * O).as("o_orderkey"),
+        (col("o_custkey") + k * C).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }, "orders")
+    write(variants(t("lineitem")) { (df, k) =>
+      df.select((col("l_orderkey") + k * O).as("l_orderkey"),
+        (col("l_partkey") + k * P).as("l_partkey"),
+        (col("l_suppkey") + k * S).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }, "lineitem")
+    write(variants(t("events")) { (df, k) =>
+      df.select((col("event_id") + k * E).as("event_id"), col("ts"),
+        (col("user_id") + k * U).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+    write(variants(t("documents")) { (df, k) =>
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
+      val text =
+        if (k == 0) col("text")
+        else translate(col("text"), lower + upper, rot(lower) + rot(upper))
+      df.select((col("doc_id") + k * D).as("doc_id"), text.as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }, "documents")
+    write(variants(t("embeddings")) { (df, k) =>
+      val emb =
+        if (k == 0) col("embedding")
+        else {
+          val flip = (k - 1) % 64
+          transform(col("embedding"), (x, i) =>
+            when(i === flip, -x).otherwise(x))
+        }
+      df.select((col("vec_id") + k * V).as("vec_id"),
+        emb.cast("array<float>").as("embedding"), col("label"))
+    }, "embeddings")
+
+    spark.stop()
+  }
+}
