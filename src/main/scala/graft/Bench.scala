@@ -45,6 +45,10 @@ object Bench {
     catch { case _: Throwable => "" }
 
   def main(args: Array[String]): Unit = {
+    // read ambient load FIRST: SparkSession startup itself spins every
+    // core for seconds and pushes the 1-min average toward ~1, so a
+    // post-startup read reports the bench's own launch as contamination
+    val loadBefore = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -59,7 +63,6 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadBefore = loadavg()
     // warmup: JVM + parquet footer listing, so startup cost is not
     // attributed to the alphabetically-first query
     Tables.names.foreach { n =>
