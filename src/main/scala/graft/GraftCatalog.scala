@@ -195,6 +195,12 @@ object GraftCatalog {
       .createOrReplaceTempView("funnel_latency")
     graft.ops.CoreOps.seasonality(spark, sfDir, cache = false)
       .createOrReplaceTempView("dow_seasonality")
+    // round-8 additions — both lazy plans (the pixel decode's
+    // mapPartitions and the error classifier build no jobs at mount time)
+    graft.ops.MultimodalOps.mmPixels(spark, sfDir)
+      .createOrReplaceTempView("pixel_stats")
+    SyncPipeline.syncErrors(spark, sfDir)
+      .createOrReplaceTempView("sync_errors")
     registerFunctions(spark)
   }
 

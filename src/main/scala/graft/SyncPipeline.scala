@@ -161,11 +161,19 @@ object SyncPipeline {
     * importable or errored, errored rows land in a side table instead of
     * failing the stage or silently nulling through. Two error classes:
     * `missing_guid` (no object identity — nothing to upsert against) and
-    * `parse_error` (the JSON payload does not parse: [[gatherToStaging]]
-    * writes one flat object per row, so a payload whose every parsed
-    * field is NULL can only be a parse failure, which makes the detector
-    * robust to either `from_json` malformed-row convention — null struct
-    * or all-null fields).
+    * `parse_error` (the JSON payload does not parse). Detector: the
+    * parsed PRIMARY KEY is unrecoverable — `rec IS NULL OR
+    * rec.o_orderkey IS NULL`. [[gatherToStaging]] writes the PK into
+    * every payload, so a null parsed PK can only mean the parse failed
+    * (Spark's PERMISSIVE `from_json` yields an all-null-fields row for
+    * malformed input — measured; the null-struct branch future-proofs the
+    * other convention), and a hypothetical valid-but-PK-less payload is
+    * unimportable anyway — the same verdict for the same operational
+    * reason. One-field probe deliberately: a per-field all-null
+    * conjunction makes the filter pushdown duplicate the whole
+    * to_json→from_json chain once per schema column (measured in the
+    * q_sync_errors plan — ~8 parse evaluations per row); the PK probe
+    * keeps it to one reference.
     *
     * Returns (ok, errors): `ok` is [[importFromStaging]]'s typed frame
     * over the importable subset; `errors` is `(guid, error)` — the audit
@@ -180,9 +188,8 @@ object SyncPipeline {
       .select(col("guid"), from_json(col("content"), schema).as("rec"))
       .withColumn("error",
         when(col("guid").isNull, "missing_guid")
-          .when(col("rec").isNull ||
-            schema.fieldNames.map(f => col(s"rec.$f").isNull)
-              .reduce(_ && _), "parse_error"))
+          .when(col("rec").isNull || col("rec.o_orderkey").isNull,
+            "parse_error"))
     val ok = classified.filter(col("error").isNull)
       .select((Seq(col("guid")) ++ schema.fieldNames.map(f => col(s"rec.$f"))): _*)
     val errors = classified.filter(col("error").isNotNull)
@@ -229,9 +236,8 @@ object SyncPipeline {
       .withColumn("rec", from_json(col("content"), schema))
       .select(col("obj_id"),
         when(col("guid").isNull, "missing_guid")
-          .when(col("rec").isNull ||
-            schema.fieldNames.map(f => col(s"rec.$f").isNull)
-              .reduce(_ && _), "parse_error").as("error"))
+          .when(col("rec").isNull || col("rec.o_orderkey").isNull,
+            "parse_error").as("error"))
       .filter(col("error").isNotNull)
       .orderBy("obj_id")
   }

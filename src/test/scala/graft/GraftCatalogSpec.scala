@@ -351,10 +351,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT sum(n_days) FROM dow_seasonality").head().getLong(0)
       == spark.table("cal_spine").count())
     // first touch: delay non-negative within the window; candidates >= 1
-    assert(spark.sql("""
+    // (window micros derived from the shared constant — the three-site
+    // desync class the advisor flagged, closed here too)
+    assert(spark.sql(s"""
       SELECT count(*) FROM first_touch_attr
-      WHERE delay_us <= 0 OR delay_us > 86400000000 OR n_candidates < 1""")
+      WHERE delay_us <= 0
+         OR delay_us > ${graft.ops.IntervalOps.FirstTouchWindowSeconds * 1000000L}
+         OR n_candidates < 1""")
       .head().getLong(0) == 0)
+    // pixel stats: extrema bounded by the byte range and by each other,
+    // n_px reconciles with the decoded dimensions, corpus fully covered
+    val ps = spark.sql("""
+      SELECT count(*),
+             sum(CASE WHEN min_px < 0 OR max_px > 255 OR min_px > max_px
+                       OR n_px != CAST(width AS BIGINT) * height
+                       OR sum_px < CAST(min_px AS BIGINT) * n_px
+                       OR sum_px > CAST(max_px AS BIGINT) * n_px
+                  THEN 1 ELSE 0 END)
+      FROM pixel_stats""").head()
+    assert(ps.getLong(0) == spark.table("documents").count()
+      && ps.getLong(1) == 0)
+    // sync errors: every reported object really carries its corruption
+    // class's modulus, and both classes occur on the fixture
+    val se = spark.sql(s"""
+      SELECT sum(CASE WHEN error = 'missing_guid'
+                       AND obj_id % ${SyncPipeline.CorruptGuidMod} != 0
+                  THEN 1 ELSE 0 END),
+             sum(CASE WHEN error = 'parse_error'
+                       AND obj_id % ${SyncPipeline.CorruptTruncMod} != 0
+                  THEN 1 ELSE 0 END),
+             sum(CASE WHEN error = 'missing_guid' THEN 1 ELSE 0 END),
+             sum(CASE WHEN error = 'parse_error' THEN 1 ELSE 0 END)
+      FROM sync_errors""").head()
+    assert(se.getLong(0) == 0 && se.getLong(1) == 0)
+    assert(se.getLong(2) > 0 && se.getLong(3) > 0)
     // funnel latency: p90 >= median, both actual observed values > 0
     assert(spark.sql("""
       SELECT count(*) FROM funnel_latency
