@@ -181,15 +181,22 @@ object SyncPipeline {
     * scan feeds both (the classifier is a row-local projection; the two
     * consumers prune opposite halves of the same filter).
     */
+  /** The row-local error classifier — ONE definition for the batch
+    * channel ([[importFromStagingWithErrors]], [[syncErrors]]) and the
+    * streaming twin ([[graft.streaming.StreamOps.importErrorStream]]),
+    * so the two tiers cannot disagree about what an import error is.
+    * NULL for an importable item.
+    */
+  private[graft] def errorClass(guid: Column, rec: Column): Column =
+    when(guid.isNull, "missing_guid")
+      .when(rec.isNull || rec.getField("o_orderkey").isNull, "parse_error")
+
   def importFromStagingWithErrors(s: SparkSession, dir: String,
       stagingDir: String): (DataFrame, DataFrame) = {
     val schema = t(s, dir, "orders").schema
     val classified = s.read.parquet(stagingDir)
       .select(col("guid"), from_json(col("content"), schema).as("rec"))
-      .withColumn("error",
-        when(col("guid").isNull, "missing_guid")
-          .when(col("rec").isNull || col("rec.o_orderkey").isNull,
-            "parse_error"))
+      .withColumn("error", errorClass(col("guid"), col("rec")))
     val ok = classified.filter(col("error").isNull)
       .select((Seq(col("guid")) ++ schema.fieldNames.map(f => col(s"rec.$f"))): _*)
     val errors = classified.filter(col("error").isNotNull)
@@ -235,9 +242,7 @@ object SyncPipeline {
     dirty
       .withColumn("rec", from_json(col("content"), schema))
       .select(col("obj_id"),
-        when(col("guid").isNull, "missing_guid")
-          .when(col("rec").isNull || col("rec.o_orderkey").isNull,
-            "parse_error").as("error"))
+        errorClass(col("guid"), col("rec")).as("error"))
       .filter(col("error").isNotNull)
       .orderBy("obj_id")
   }

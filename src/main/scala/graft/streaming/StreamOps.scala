@@ -160,6 +160,26 @@ object StreamOps {
         HistQs.map(q => est(q).cast("long").as(s"p${q}_hi_cents")): _*)
   }
 
+  /** Streaming per-object error channel — the 22nd twin
+    * ([[graft.SyncPipeline.importFromStagingWithErrors]]'s
+    * classify-in-flight form): each arriving staged work item
+    * `(guid, content)` parses against the source schema and classifies
+    * through the SAME shared detector the batch channel uses
+    * ([[graft.SyncPipeline.errorClass]] — the two tiers cannot
+    * disagree), emitting only the errored items. Stateless, append-mode,
+    * zero shuffle, no state store — the shape of a harvest monitor that
+    * raises per-object errors while items are still flowing, instead of
+    * after the batch lands. Spec pins stream ≡ batch error set
+    * item-for-item over a corrupted snapshot.
+    */
+  def importErrorStream(staged: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    staged
+      .select(col("guid"), from_json(col("content"), schema).as("rec"))
+      .select(col("guid"),
+        graft.SyncPipeline.errorClass(col("guid"), col("rec")).as("error"))
+      .filter(col("error").isNotNull)
+
   /** Row-local streaming language detection — the 20th twin
     * ([[graft.llm.TextAnalysis.langId]]'s classify-in-flight form): each
     * arriving document scores against every language profile via

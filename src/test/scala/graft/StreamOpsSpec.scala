@@ -603,6 +603,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1)
   }
 
+  test("importErrorStream errors equal the batch channel item-for-item") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same corrupted-snapshot construction as the batch crash spec:
+    // gather cleanly, null every 17th guid, truncate every 13th payload
+    val staging = java.nio.file.Files.createTempDirectory("graft-estream").toString
+    SyncPipeline.gatherToStaging(spark, sf, staging)
+    val dirty = spark.read.parquet(staging).select(
+      when(col("guid") % 17 === 0, lit(null)).otherwise(col("guid")).as("guid"),
+      when(col("guid") % 13 === 0,
+        expr("substring(content, 1, length(content) div 2)"))
+        .otherwise(col("content")).as("content"))
+    val staging2 = java.nio.file.Files.createTempDirectory("graft-estream2").toString
+    dirty.write.mode("overwrite").parquet(staging2)
+    val rows = spark.read.parquet(staging2).collect()
+      .map(r => (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+        r.getString(1))).toSeq
+    val mem = MemoryStream[(java.lang.Long, String)]
+    mem.addData(rows)
+    val schema = Tables.table(spark, sf, "orders").schema
+    val q = StreamOps.importErrorStream(
+        mem.toDF.toDF("guid", "content"), schema)
+      .writeStream.format("memory").queryName("import_errors")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def key(g: Any, e: String) = (Option(g).map(_.toString.toLong), e)
+    val got = spark.table("import_errors").collect()
+      .map(r => key(r.get(0), r.getString(1))).sortBy(_.toString)
+    val want = SyncPipeline.importFromStagingWithErrors(spark, sf, staging2)
+      ._2.collect().map(r => key(r.get(0), r.getString(1))).sortBy(_.toString)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // both classes genuinely occur in-flight
+    assert(got.exists(_._2 == "missing_guid") && got.exists(_._2 == "parse_error"))
+  }
+
   test("cmsPerWindowStream estimates match the batch matrix per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
