@@ -38,6 +38,11 @@ object BenchSplits {
         Map("ivfpq_centroids" -> cents, "ivfpq_codebooks" -> books,
           "ivfpq_index" -> index)
       }),
+      "ivfpq_base" -> ((s, d) => {
+        val (cents, books, index) = Similarity.ivfPqBase(s, d)
+        Map("ivfpq_base_centroids" -> cents, "ivfpq_base_codebooks" -> books,
+          "ivfpq_base_index" -> index)
+      }),
       "bpe" -> ((s, d) => Map("bpe_rules" -> TextAnalysis.bpeTrain(s, d))))
 
   /** One PROBE: declared query name -> (its build group, the serving
@@ -61,6 +66,12 @@ object BenchSplits {
       (s, d, art) => Similarity.ivfPqProbe(s, d,
         art("ivfpq_centroids"), art("ivfpq_codebooks"),
         art("ivfpq_index"))),
+    // O(delta) ANN maintenance against the frozen base artifacts — base
+    // vectors never re-read
+    "q_ivm_ivfpq" -> Probe("ivfpq_base",
+      (s, d, art) => Similarity.ivfPqAppend(s, d,
+        art("ivfpq_base_centroids"), art("ivfpq_base_codebooks"),
+        art("ivfpq_base_index"))),
     // the rule table is a K-row driver artifact: collect the frozen rows
     // (in learned order) and unroll the encode fold from them
     "q_bpe_encode" -> Probe("bpe", (s, d, art) => {

@@ -135,6 +135,7 @@ object SparkEntry {
     "q_retrieve_rrf" -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "q_retrieve_maxsim" -> (Similarity.maxSimLate _),
     "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
+    "q_ivm_ivfpq" -> ((s, dir) => Similarity.ivfPqIncremental(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
     "q_text_stats" -> (TextAnalysis.stats _),
@@ -578,12 +579,13 @@ object SparkEntry {
     * vector (cosine rounded to 9dp before the argmax, ties to smallest cid
     * — mirrors Similarity.assign).
     */
-  private def kmAssignCte(name: String, cents: String): String =
+  private def kmAssignCte(name: String, cents: String,
+      corpus: String = "c"): String =
     s"""$name AS (SELECT vec_id, v, cid FROM (
           SELECT c.vec_id, c.v, s.cid,
                  row_number() OVER (PARTITION BY c.vec_id
                    ORDER BY ${cosSql("c.v", "s.centroid")} DESC, s.cid) AS ark
-          FROM c, $cents s)
+          FROM $corpus c, $cents s)
         WHERE ark = 1)"""
 
   /** One k-means update CTE: per-cluster exact-decimal component sums
@@ -607,15 +609,31 @@ object SparkEntry {
     * `books` codebooks (mirrors Similarity.pqAssign's min-of-struct
     * winner). `keep` appends extra projected columns (", sv" / ", d").
     */
-  private def pqAssignCte(name: String, books: String, keep: String): String =
+  private def pqAssignCte(name: String, books: String, keep: String,
+      corpus: String = "sub"): String =
     s"""$name AS (SELECT vec_id, m, code$keep FROM (
           SELECT sub.vec_id, sub.m, $books.code, sub.sv,
                  ${pqL2Sql("sub.sv", s"$books.cb")} AS d,
                  row_number() OVER (PARTITION BY sub.vec_id, sub.m
                    ORDER BY ${pqL2Sql("sub.sv", s"$books.cb")} ASC,
                             $books.code ASC) AS rk
-          FROM sub JOIN $books ON sub.m = $books.m)
+          FROM $corpus sub JOIN $books ON sub.m = $books.m)
         WHERE rk = 1)"""
+
+  /** One PQ codebook-update CTE (exact-decimal component means of the
+    * kept subvectors) — the refinement step shared by [[pqTrainCtes]]
+    * and the incremental oracle's base-restricted training.
+    */
+  private def pqUpdateCte(name: String, assigned: String): String =
+    s"""$name AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
+          SELECT m, code, pos,
+                 CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+                   AS cx
+          FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
+                       unnest(sv) AS x
+                FROM $assigned)
+          GROUP BY m, code, pos)
+        GROUP BY m, code)"""
 
   /** The shared PQ training preamble (corpus → subvectors → seed books →
     * assignment → refined codebooks `u1`) — ONE definition so q_embed_pq
@@ -629,15 +647,7 @@ object SparkEntry {
          b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
                 FROM sub WHERE vec_id < $k),
          ${pqAssignCte("a1", "b0", ", sv")},
-         u1 AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
-             SELECT m, code, pos,
-                    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
-                      AS cx
-             FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
-                          unnest(sv) AS x
-                   FROM a1)
-             GROUP BY m, code, pos)
-           GROUP BY m, code)"""
+         ${pqUpdateCte("u1", "a1")}"""
   }
 
   /** Vocabulary + adjacent-char-pair CTEs (mirror TextAnalysis.vocabTable /
@@ -1565,6 +1575,43 @@ object SparkEntry {
                        ORDER BY cos DESC, vec_id ASC) AS rk
            FROM re)
          WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk""",
+    // incremental IVFPQ maintenance (mirrors Similarity.ivfPqIncremental):
+    // centroids and codebooks train on the BASE corpus only (vec_id %
+    // IncrementModulus <> 0 — note the seeds therefore come from base
+    // rows: fewer than KmeansK/PqK of them exist below the cutoffs, and
+    // both engines inherit the same reduced seed sets), then the ORACLE
+    // REBUILDS the merged index flat by assigning the FULL corpus against
+    // those frozen base-trained params — merged-incremental ≡ rebuilt is
+    // the ivm family's soundness proof (routing/encoding are row-local
+    // pure functions of (vector, params), so base∪delta assignment
+    // factors)
+    "q_ivm_ivfpq" -> {
+      val mod = graft.llm.Dedup.IncrementModulus
+      val (m, sd, k) = (Similarity.PqM, Similarity.PqSub, Similarity.PqK)
+      s"""
+         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cb0 AS (SELECT * FROM c WHERE vec_id % $mod <> 0),
+         sub AS (SELECT vec_id, m, v[m*$sd+1 : m*$sd+$sd] AS sv
+                 FROM c, range(0, $m) r(m)),
+         subb AS (SELECT * FROM sub WHERE vec_id % $mod <> 0),
+         b0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
+                FROM subb WHERE vec_id < $k),
+         ${pqAssignCte("a1", "b0", ", sv", corpus = "subb")},
+         ${pqUpdateCte("u1", "a1")},
+         ${pqAssignCte("codes", "u1", "", corpus = "sub")},
+         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM cb0
+                WHERE vec_id < ${Similarity.KmeansK}),
+         ${kmAssignCte("ka1", "s0", corpus = "cb0")},
+         ${kmUpdateCte("ks1", "ka1")},
+         ${kmAssignCte("ka2", "ks1", corpus = "cb0")},
+         ${kmUpdateCte("ks2", "ka2")},
+         ${kmAssignCte("members", "ks2", corpus = "c")},
+         g AS (SELECT vec_id, list(code ORDER BY m) AS cl
+               FROM codes GROUP BY vec_id)
+         SELECT mem.vec_id, mem.cid, array_to_string(g.cl, ',') AS codes
+         FROM members mem JOIN g ON mem.vec_id = g.vec_id
+         ORDER BY mem.vec_id"""
+    },
     // every step is engine-exact double arithmetic: order-insensitive max,
     // floor on identical doubles, left-fold error from a 0.0 seed
     "q_embed_quantize" -> s"""

@@ -516,8 +516,13 @@ object Similarity {
     * vec_id-partitions (the assignment) and one hash aggregation over
     * (cid, pos) — the corpus is scanned, never shuffled whole.
     */
-  def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    kmeansCentroidsOf(corpus(s, dir))
+
+  /** [[kmeansCentroids]] over an explicit corpus frame — the factor that
+    * lets the incremental tier train on the BASE corpus only.
+    */
+  private def kmeansCentroidsOf(c: DataFrame): DataFrame = {
     var cents = c.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"),
         col("nv").as("cnorm"))
@@ -832,10 +837,16 @@ object Similarity {
     * persist bucketed by cid; here cid is simply a column of the frame.
     */
   def ivfPqIndex(s: SparkSession, dir: String,
-      cache: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
-    val c = corpus(s, dir)
+      cache: Boolean = true): (DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexOf(corpus(s, dir), cache)
+
+  /** [[ivfPqIndex]] over an explicit corpus frame (the incremental tier
+    * builds its base-trained artifacts through this).
+    */
+  private def ivfPqIndexOf(c: DataFrame,
+      cache: Boolean): (DataFrame, DataFrame, DataFrame) = {
     // consumed twice (membership + routing); cache per the class note
-    val cents = kmeansCentroids(s, dir).cache()
+    val cents = kmeansCentroidsOf(c).cache()
     val sub0 = pqSubvectors(
       assign(c, cents).select(col("vec_id"), col("v"), col("cid")),
       carry = Seq("cid"))
@@ -845,6 +856,69 @@ object Similarity {
     val index = pqAssign(sub, books, keepSv = false, carry = Seq("cid"))
       .select(col("vec_id"), col("cid"), col("m"), col("code"))
     (cents, books, index)
+  }
+
+  /** The ANN index's INCREMENTAL-maintenance tier — the IVM family's
+    * delta rule ([[graft.ops.IncrementalOps]], `q_ivm_index`) applied to
+    * the IVFPQ artifact: the centroids and codebooks train on the BASE
+    * corpus only and FREEZE; a new embedding batch (every
+    * [[graft.llm.Dedup.IncrementModulus]]-th vec_id, the library's
+    * standing new-batch convention) routes and encodes against the
+    * frozen params as pure row-local work — one broadcast of the
+    * centroids + one of the codebooks over the delta scan — and its code
+    * rows APPEND to the base index. The base vectors are NEVER re-read
+    * at maintenance time, which is the entire point of maintaining an
+    * ANN index instead of re-embedding/re-training a 100-TB corpus per
+    * ingest batch. (Re-training cadence is a quality policy, not a
+    * correctness one: frozen-param encode is exactly how IVF/PQ serving
+    * systems absorb writes between periodic rebuilds.)
+    *
+    * Soundness identity (the ivm family's merged ≡ rebuilt proof shape):
+    * routing and code assignment are row-local pure functions of
+    * (vector, frozen params), so base-assign ∪ delta-assign is
+    * BIT-IDENTICAL to assigning the full corpus against the same
+    * base-trained params — which is what the DuckDB oracle rebuilds
+    * flat. Output: the merged persisted index, one row per vector with
+    * its routed cluster and its [[PqM]]-byte code word (csv).
+    */
+  def ivfPqIncremental(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val (cents, books, baseIdx) = ivfPqBase(s, dir, cache)
+    ivfPqAppend(s, dir, cents, books, baseIdx)
+  }
+
+  /** The persisted base-trained artifact triple (the bench split's build
+    * half for the incremental tier): centroids, codebooks, and the code
+    * index of the base corpus alone.
+    */
+  def ivfPqBase(s: SparkSession, dir: String,
+      cache: Boolean = true): (DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexOf(
+      corpus(s, dir)
+        .filter(col("vec_id") % graft.llm.Dedup.IncrementModulus =!= 0),
+      cache)
+
+  /** The MAINTENANCE half alone: encode the delta batch against a
+    * (possibly frozen) artifact triple and append — O(delta) work, no
+    * base-vector access.
+    */
+  def ivfPqAppend(s: SparkSession, dir: String, cents: DataFrame,
+      books: DataFrame, baseIdx: DataFrame): DataFrame = {
+    val delta = corpus(s, dir)
+      .filter(col("vec_id") % graft.llm.Dedup.IncrementModulus === 0)
+    val subDelta = pqSubvectors(
+      assign(delta, cents).select(col("vec_id"), col("v"), col("cid")),
+      carry = Seq("cid"))
+    val deltaIdx = pqAssign(subDelta, books, keepSv = false, carry = Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("m"), col("code"))
+    baseIdx.unionByName(deltaIdx)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), col("cid"),
+        concat_ws(",",
+          transform(col("mc"), e => e.getField("code").cast("string")))
+          .as("codes"))
+      .orderBy("vec_id")
   }
 
   /** The SERVING half alone, over any (possibly frozen) artifact triple:

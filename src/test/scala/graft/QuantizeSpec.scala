@@ -185,4 +185,40 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(r.head.isNullAt(0), "null element must yield NULL, not crash")
   }
+
+  test("incremental ivfpq: maintenance never rewrites base rows, covers the delta") {
+    import graft.llm.{Dedup, Similarity}
+    // the base-trained artifacts and the merged incremental index
+    val (cents, books, baseIdx) = Similarity.ivfPqBase(spark, dir)
+    val baseCodes = baseIdx
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), col("cid"),
+        concat_ws(",",
+          transform(col("mc"), e => e.getField("code").cast("string")))
+          .as("codes"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val merged = Similarity.ivfPqAppend(spark, dir, cents, books, baseIdx)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    spark.catalog.clearCache()
+    val mod = Dedup.IncrementModulus
+    // every corpus vector appears exactly once
+    val total = Tables.table(spark, dir, "embeddings").count()
+    assert(merged.length.toLong == total && merged.map(_._1).distinct.length == merged.length)
+    // base rows ride through maintenance UNCHANGED (history is stable)
+    merged.filter(_._1 % mod != 0).foreach { case (id, cid, codes) =>
+      assert(baseCodes(id) == ((cid, codes)), s"base row $id rewritten")
+    }
+    // the delta batch is really present and really encoded
+    val delta = merged.filter(_._1 % mod == 0)
+    assert(delta.nonEmpty)
+    delta.foreach { case (id, _, codes) =>
+      assert(codes.split(",").length == Similarity.PqM, s"delta row $id code width")
+    }
+    // and the maintenance half equals the declared query end to end
+    val declared = Similarity.ivfPqIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    spark.catalog.clearCache()
+    assert(merged.toSeq == declared.toSeq)
+  }
 }
