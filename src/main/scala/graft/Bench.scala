@@ -145,6 +145,15 @@ object Bench {
         val good = runs.flatten
         (q, good.headOption.map(_ => median(good)), good.minOption)
       }
+    // the frozen artifacts are corpus-sized (posting tables, two IVFPQ
+    // index triples) — delete them, or every bench session leaks a
+    // graft_bench_idx* tree into /tmp until something reaps it
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(frozenDir))
 
     def numOrNull(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
     val qs = results.map { case (k, p50, _, _) => "\"" + k + "\":" + numOrNull(p50) }

@@ -57,15 +57,39 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // key-domain offsets: one order of magnitude above each source max
-    val C = 100000L   // c_custkey max 14999 at sf0.1
-    val O = 1000000L  // o_orderkey max 149999
-    val P = 100000L   // p_partkey max 19999
-    val S = 10000L    // s_suppkey max 999
-    val D = 100000L   // doc_id max 4999 (stays below MultimodalOps.ReingestOffset)
-    val V = 100000L   // vec_id max 1999
-    val E = 1000000L  // event_id max 99999
-    val U = 100000L   // user_id max 1499
+    // construction limits: past 26 copies the alphabet rotation repeats
+    // (variant 26 ≡ variant 0) and cross-variant text duplicates return —
+    // the exact failure SCALE.md documents; fail loud instead
+    require(copies >= 1 && copies <= 26,
+      s"copies=$copies: alphabet rotation supports at most 26 distinct variants")
+
+    // key-domain offsets derived from the ACTUAL source maxima (one
+    // order-of-magnitude headroom), not hardcoded to sf0.1's ranges — so
+    // scaling any directory, including GenScale's own output, stays
+    // collision-free by construction
+    def maxOf(table: String, keyCol: String): Long =
+      Tables.table(spark, src, table)
+        .agg(max(col(keyCol).cast("long"))).head().getLong(0)
+    def offsetAbove(mx: Long): Long = {
+      var o = 10L
+      while (o <= mx) o *= 10
+      o
+    }
+    val C = offsetAbove(maxOf("customer", "c_custkey"))
+    val O = offsetAbove(maxOf("orders", "o_orderkey"))
+    val P = offsetAbove(maxOf("part", "p_partkey"))
+    val S = offsetAbove(maxOf("supplier", "s_suppkey"))
+    val D = offsetAbove(maxOf("documents", "doc_id"))
+    val V = offsetAbove(maxOf("embeddings", "vec_id"))
+    val E = offsetAbove(maxOf("events", "event_id"))
+    val U = offsetAbove(maxOf("events", "user_id"))
+    // the binary tier's re-ingested asset slice lives at doc_id +
+    // ReingestOffset; scaled doc_ids crossing into that space would make
+    // mmDedup/mmFrames misclassify real docs as injected duplicates
+    require(D * copies <= graft.ops.MultimodalOps.ReingestOffset,
+      s"doc_id offset $D x $copies copies crosses ReingestOffset " +
+        s"(${graft.ops.MultimodalOps.ReingestOffset}) — shrink copies or " +
+        "raise the offset constant")
 
     def t(n: String) = Tables.table(spark, src, n)
     def variants(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =

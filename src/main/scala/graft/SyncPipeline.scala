@@ -177,9 +177,13 @@ object SyncPipeline {
     *
     * Returns (ok, errors): `ok` is [[importFromStaging]]'s typed frame
     * over the importable subset; `errors` is `(guid, error)` — the audit
-    * rows an operator reads before re-running the harvest. One staging
-    * scan feeds both (the classifier is a row-local projection; the two
-    * consumers prune opposite halves of the same filter).
+    * rows an operator reads before re-running the harvest. The two frames
+    * prune opposite halves of one shared classifier PLAN — but they are
+    * returned lazily, so a caller that ACTIONS both pays two staging
+    * scans (and two JSON parses); a caller on the both-sides path should
+    * persist the frames it is about to consume (the standing
+    * caller-owns-the-cache contract — the library never pins a cache
+    * inside a returned frame).
     */
   /** The row-local error classifier — ONE definition for the batch
     * channel ([[importFromStagingWithErrors]], [[syncErrors]]) and the

@@ -247,12 +247,13 @@ object Similarity {
             rem("q_id") === maxsim("q_id") && col("vec_id") === col("a_id"))
           .select(rem("q_id"), col("vec_id"), col("rel"), col("maxsim"),
             (col("rel") * 2 - col("maxsim")).as("mmr"))
+        // the probing round COUNTS even when it picks nothing — it ran
+        // the joins and the emptiness action (the GraphOps counters'
+        // convention: the fixpoint-detecting no-op round is executed)
+        executed += 1
         val picked = pick(scored, r).localCheckpoint()
         if (picked.isEmpty) done = true
-        else {
-          selected = selected.union(picked).localCheckpoint()
-          executed += 1
-        }
+        else selected = selected.union(picked).localCheckpoint()
       }
     }
     lastMmrRounds.set(executed)
@@ -932,10 +933,11 @@ object Similarity {
       books: DataFrame, index: DataFrame,
       probes: Int = Probes): DataFrame = {
     val c = corpus(s, dir)
-    // query-side subvectors re-derive from the NQueries raw vectors —
+    // query-side frames derive ONCE from the NQueries raw vectors —
     // O(queries·M) rows, the per-request work a serving tier always pays
-    val sub = pqSubvectors(c.filter(col("vec_id") < NQueries))
-    val queries = c.filter(col("vec_id") < NQueries)
+    val qc = c.filter(col("vec_id") < NQueries)
+    val sub = pqSubvectors(qc)
+    val queries = qc
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
     val routed = queries.join(broadcast(cents))
@@ -945,7 +947,8 @@ object Similarity {
       .withColumn("crk", row_number().over(wq))
       .filter(col("crk") <= probes)
       .select(col("q_id"), col("cid").as("probe_cid"))
-    val tables = sub.filter(col("vec_id") < NQueries)
+    // sub is query-only here (built from qc) — no re-filter needed
+    val tables = sub
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
       .join(broadcast(books), Seq("m"))
       .select(col("q_id"), col("m"), col("code"),

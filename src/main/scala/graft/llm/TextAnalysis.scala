@@ -939,8 +939,28 @@ object TextAnalysis {
   private val ruleStore =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, Long)]]()
 
-  private def ruleKey(dir: String): String =
-    try new java.io.File(dir).getCanonicalPath catch { case _: Exception => dir }
+  /** Memo key = canonical corpus path + the documents table's on-disk
+    * fingerprint (recursive latest-mtime + total length), so REWRITING
+    * the data at the same path auto-invalidates the frozen rules — a
+    * stale tokenizer is served only if the bytes are byte-identical, in
+    * which case it is not stale.
+    */
+  private def ruleKey(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles() match {
+          case null => (f.lastModified(), 0L)
+          case kids => kids.map(walk).foldLeft((f.lastModified(), 0L)) {
+            case ((m1, l1), (m2, l2)) => (math.max(m1, m2), l1 + l2)
+          }
+        }
+      else (f.lastModified(), f.length())
+    val (mtime, len) = walk(root)
+    val canonical =
+      try new java.io.File(dir).getCanonicalPath catch { case _: Exception => dir }
+    s"$canonical#$mtime#$len"
+  }
 
   /** Drop every frozen rule table (test hook: forces the next consumer to
     * retrain, so specs can pin memo ≡ retrain).
@@ -1019,8 +1039,13 @@ object TextAnalysis {
     */
   def encodedVocabFrom(s: SparkSession, dir: String, pairs: Seq[String],
       cache: Boolean = true): DataFrame = {
-    val v0 = vocabTable(s, dir)
-    val vocab = if (cache) v0.cache() else v0
+    // NO cache here: since training moved behind [[frozenRules]] (its own
+    // cached scan), this projection reads the vocabulary exactly once —
+    // a cache would be pure materialization overhead pinned until
+    // clearCache. The `cache` param is retained for call-site symmetry
+    // with the rest of the module; nothing in this plan re-reads.
+    val _ = cache
+    val vocab = vocabTable(s, dir)
     val encoded = pairs
       .foldLeft(symString(col("term"))) { case (acc, pair) =>
         replace(acc, lit(s" $pair "),
