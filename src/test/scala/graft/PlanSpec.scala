@@ -432,15 +432,23 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("bpe encode: unrolled literal fold over a cached vocabulary, no join") {
+  test("bpe encode: unrolled literal fold, no join, single uncached scan") {
     val p = plan("q_bpe_encode")
-    // the learned rules are driver-local literals: the encode must be a
-    // plain projection — no join of any kind between rules and vocabulary
+    // the learned rules come from the FROZEN store as driver-local
+    // literals: the encode must be a plain projection — no join of any
+    // kind between rules and vocabulary
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"rule application must be a literal projection, not a join:\n${p.take(1200)}")
-    assert(p.contains("InMemoryTableScan"),
-      "the vocabulary aggregation must be cached — it feeds both the " +
-        "rule learning and the encode projection")
+    // since the train/encode split, this plan has exactly ONE consumer of
+    // the vocabulary (training runs behind frozenRules on its own scan) —
+    // a cache here would be pure pinned overhead, so its ABSENCE is the
+    // pinned property now, along with the single corpus scan + heap top-K
+    assert(!p.contains("InMemoryTableScan"),
+      "encode must not re-cache a single-consumer vocabulary")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"encode probe must read the corpus exactly once:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the declared top slice must plan as a heap top-K, not a global sort")
     spark.catalog.clearCache()
   }
 
