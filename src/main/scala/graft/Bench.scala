@@ -123,9 +123,13 @@ object Bench {
     }
     val builtGroups = buildSecs.collect { case (g, Some(_)) => g }.toSet
     def art(name: String) = spark.read.parquet(s"$frozenDir/$name")
-    val probeResults = splitQueries
-      .filter(q => builtGroups(BenchSplits.probes(q).group))
-      .map { q =>
+    // every selected probe gets a row: a probe whose BUILD failed reports
+    // null with all runs failed — an absent key would read downstream as
+    // "not run" while the truth is "broken" (same convention as the main
+    // phase, where breakage must never shrink the totals)
+    val probeResults = splitQueries.map { q =>
+      if (!builtGroups(BenchSplits.probes(q).group)) (q, None, None, nRuns)
+      else {
         val runs = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -143,8 +147,10 @@ object Bench {
           if (ok) Some(elapsed) else None
         }
         val good = runs.flatten
-        (q, good.headOption.map(_ => median(good)), good.minOption)
+        (q, good.headOption.map(_ => median(good)), good.minOption,
+          runs.count(_.isEmpty))
       }
+    }
     // the frozen artifacts are corpus-sized (posting tables, two IVFPQ
     // index triples) — delete them, or every bench session leaks a
     // graft_bench_idx* tree into /tmp until something reaps it
@@ -163,9 +169,17 @@ object Bench {
     val runsJson = results.map { case (k, _, _, rs) =>
       "\"" + k + "\":" + rs.map(numOrNull).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, rs) if rs.exists(_.isEmpty) =>
-      "\"" + k + "\":" + rs.count(_.isEmpty)
-    }.mkString("{", ",", "}")
+    // split-phase breakage feeds the same failed map as the main phase:
+    // probe failures under the query name, build failures as "build:<g>"
+    val failedEntries =
+      results.collect { case (k, _, _, rs) if rs.exists(_.isEmpty) =>
+        "\"" + k + "\":" + rs.count(_.isEmpty)
+      } ++
+      buildSecs.collect { case (g, None) => "\"build:" + g + "\":1" } ++
+      probeResults.collect { case (q, _, _, nf) if nf > 0 =>
+        "\"probe:" + q + "\":" + nf
+      }
+    val failed = failedEntries.mkString("{", ",", "}")
     // a query with zero successful runs poisons the headline: a total that
     // silently omits it would report breakage as a speedup
     val totalStr =
@@ -173,9 +187,9 @@ object Bench {
       else f"${results.flatMap(_._2).sum}%.3f"
     val buildsJson = buildSecs.map { case (g, v) => "\"" + g + "\":" + numOrNull(v) }
       .mkString("{", ",", "}")
-    val probesJson = probeResults.map { case (q, p50, _) => "\"" + q + "\":" + numOrNull(p50) }
+    val probesJson = probeResults.map { case (q, p50, _, _) => "\"" + q + "\":" + numOrNull(p50) }
       .mkString("{", ",", "}")
-    val probesMinJson = probeResults.map { case (q, _, mn) => "\"" + q + "\":" + numOrNull(mn) }
+    val probesMinJson = probeResults.map { case (q, _, mn, _) => "\"" + q + "\":" + numOrNull(mn) }
       .mkString("{", ",", "}")
     val loadAfter = loadavg()
     val line =

@@ -82,7 +82,14 @@ object GenScale {
     val D = offsetAbove(maxOf("documents", "doc_id"))
     val V = offsetAbove(maxOf("embeddings", "vec_id"))
     val E = offsetAbove(maxOf("events", "event_id"))
-    val U = offsetAbove(maxOf("events", "user_id"))
+    // events.user_id joins against customer.c_custkey (the erasure /
+    // privacy queries) — its per-variant offset must be the CUSTOMER
+    // offset, not one derived from its own (smaller) max, or variant-k
+    // user_ids alias variant-0 custkeys and the "k disjoint FK-consistent
+    // copies" invariant silently breaks for events-to-customer joins
+    require(maxOf("events", "user_id") < C,
+      s"events.user_id exceeds the customer key offset $C — " +
+        "user-to-customer correspondence cannot replicate per variant")
     // the binary tier's re-ingested asset slice lives at doc_id +
     // ReingestOffset; scaled doc_ids crossing into that space would make
     // mmDedup/mmFrames misclassify real docs as injected duplicates
@@ -134,7 +141,7 @@ object GenScale {
     }, "lineitem")
     write(variants(t("events")) { (df, k) =>
       df.select((col("event_id") + k * E).as("event_id"), col("ts"),
-        (col("user_id") + k * U).as("user_id"),
+        (col("user_id") + k * C).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events")
     write(variants(t("documents")) { (df, k) =>

@@ -201,6 +201,9 @@ object GraftCatalog {
       .createOrReplaceTempView("pixel_stats")
     SyncPipeline.syncErrors(spark, sfDir)
       .createOrReplaceTempView("sync_errors")
+    // round-9: the color/JPEG decode tier — lazy mapPartitions plan
+    graft.ops.MultimodalOps.mmPixelsRgb(spark, sfDir)
+      .createOrReplaceTempView("pixel_rgb_stats")
     registerFunctions(spark)
   }
 

@@ -178,6 +178,7 @@ object SparkEntry {
     "q_mm_features" -> (MultimodalOps.features _),
     "q_mm_decode" -> (MultimodalOps.mmDecode _),
     "q_mm_pixels" -> (MultimodalOps.mmPixels _),
+    "q_mm_pixels_rgb" -> (MultimodalOps.mmPixelsRgb _),
     "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
     "q_mm_dedup" -> (MultimodalOps.mmDedup _),
     "q_decontaminate" -> (Curation.decontaminate _),
@@ -2073,6 +2074,35 @@ object SparkEntry {
                 CAST(sum((d.doc_id + g.x + g.y) % 256) AS BIGINT) AS sum_px
          FROM d JOIN g ON g.x < d.width AND g.y < d.height
          GROUP BY 1, 2, 3 ORDER BY doc_id"""
+    },
+    // the lossless (png) half oracles exact channel sums from the
+    // generating arithmetic; the lossy (jpg) half is decode-then-assert —
+    // the oracle pins decode_ok TRUE, computed Spark-side from the decoded
+    // bytes, so a drifting decode hash-mismatches
+    "q_mm_pixels_rgb" -> {
+      import graft.ops.MultimodalOps.{PxRgbWidthMod, PxRgbHeightMod}
+      s"""
+         WITH d AS (SELECT doc_id,
+                           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
+                           CAST(8 + doc_id % $PxRgbWidthMod AS INT) AS width,
+                           CAST(8 + doc_id % $PxRgbHeightMod AS INT) AS height
+                    FROM documents),
+         g AS (SELECT a.x, b.y
+               FROM range(0, ${8 + PxRgbWidthMod - 1}) a(x),
+                    range(0, ${8 + PxRgbHeightMod - 1}) b(y)),
+         s AS (SELECT d.doc_id, d.fmt, d.width, d.height,
+                      CAST(count(*) AS BIGINT) AS n_px,
+                      CAST(sum(d.doc_id % 200 + (g.x + g.y) % 32) AS BIGINT) AS sr,
+                      CAST(sum((d.doc_id + 85) % 200 + (g.x + g.y) % 32) AS BIGINT) AS sg,
+                      CAST(sum((d.doc_id + 170) % 200 + (g.x + g.y) % 32) AS BIGINT) AS sb
+               FROM d JOIN g ON g.x < d.width AND g.y < d.height
+               GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, fmt, width, height, n_px,
+                CASE WHEN fmt = 'png' THEN sr END AS sum_r,
+                CASE WHEN fmt = 'png' THEN sg END AS sum_g,
+                CASE WHEN fmt = 'png' THEN sb END AS sum_b,
+                TRUE AS decode_ok
+         FROM s ORDER BY doc_id"""
     },
     // text is ASCII, so byte-slicing the blob equals char-slicing the text
     "q_mm_frames" -> s"""

@@ -162,18 +162,19 @@ object SyncPipeline {
     * failing the stage or silently nulling through. Two error classes:
     * `missing_guid` (no object identity — nothing to upsert against) and
     * `parse_error` (the JSON payload does not parse). Detector: the
-    * parsed PRIMARY KEY is unrecoverable — `rec IS NULL OR
-    * rec.o_orderkey IS NULL`. [[gatherToStaging]] writes the PK into
-    * every payload, so a null parsed PK can only mean the parse failed
-    * (Spark's PERMISSIVE `from_json` yields an all-null-fields row for
-    * malformed input — measured; the null-struct branch future-proofs the
-    * other convention), and a hypothetical valid-but-PK-less payload is
-    * unimportable anyway — the same verdict for the same operational
-    * reason. One-field probe deliberately: a per-field all-null
-    * conjunction makes the filter pushdown duplicate the whole
-    * to_json→from_json chain once per schema column (measured in the
-    * q_sync_errors plan — ~8 parse evaluations per row); the PK probe
-    * keeps it to one reference.
+    * parse schema carries an explicit corrupt-record column
+    * (`columnNameOfCorruptRecord`, [[CorruptField]]) — PERMISSIVE
+    * `from_json` fills it with the raw text whenever ANY parse error
+    * occurred, independent of `spark.sql.json.enablePartialResults`
+    * (which, default-true since 3.4, can let a LEADING field like the PK
+    * survive a mid-payload truncation under some configs — a PK-only
+    * probe is config-fragile; round-8 advice). The parsed-PK probe stays
+    * as a second clause: a payload that parses cleanly but carries no PK
+    * is unimportable for the same operational reason. Deliberately few
+    * probes: a per-field all-null conjunction makes the filter pushdown
+    * duplicate the whole to_json→from_json chain once per schema column
+    * (measured — ~8 parse evaluations per row); two probes keep it
+    * bounded.
     *
     * Returns (ok, errors): `ok` is [[importFromStaging]]'s typed frame
     * over the importable subset; `errors` is `(guid, error)` — the audit
@@ -193,13 +194,30 @@ object SyncPipeline {
     */
   private[graft] def errorClass(guid: Column, rec: Column): Column =
     when(guid.isNull, "missing_guid")
-      .when(rec.isNull || rec.getField("o_orderkey").isNull, "parse_error")
+      .when(rec.isNull || rec.getField(CorruptField).isNotNull
+          || rec.getField("o_orderkey").isNull, "parse_error")
+
+  /** Corrupt-record column name for [[parsedRecord]] — prefixed so it can
+    * never collide with a source schema field.
+    */
+  private[graft] val CorruptField = "_graft_corrupt"
+
+  /** `from_json` with the corrupt-record channel attached: the returned
+    * struct is `schema` plus [[CorruptField]] (raw text iff the parse
+    * failed anywhere, else null). The ONE parse definition for both error
+    * classifiers and the streaming twin.
+    */
+  private[graft] def parsedRecord(content: Column,
+      schema: org.apache.spark.sql.types.StructType): Column =
+    from_json(content,
+      schema.add(CorruptField, org.apache.spark.sql.types.StringType),
+      java.util.Map.of("columnNameOfCorruptRecord", CorruptField))
 
   def importFromStagingWithErrors(s: SparkSession, dir: String,
       stagingDir: String): (DataFrame, DataFrame) = {
     val schema = t(s, dir, "orders").schema
     val classified = s.read.parquet(stagingDir)
-      .select(col("guid"), from_json(col("content"), schema).as("rec"))
+      .select(col("guid"), parsedRecord(col("content"), schema).as("rec"))
       .withColumn("error", errorClass(col("guid"), col("rec")))
     val ok = classified.filter(col("error").isNull)
       .select((Seq(col("guid")) ++ schema.fieldNames.map(f => col(s"rec.$f"))): _*)
@@ -244,7 +262,7 @@ object SyncPipeline {
           expr("substring(content0, 1, length(content0) div 2)"))
           .otherwise(col("content0")).as("content"))
     dirty
-      .withColumn("rec", from_json(col("content"), schema))
+      .withColumn("rec", parsedRecord(col("content"), schema))
       .select(col("obj_id"),
         errorClass(col("guid"), col("rec")).as("error"))
       .filter(col("error").isNotNull)
@@ -263,6 +281,53 @@ object SyncPipeline {
     * Change detection follows the reference's subset semantics
     * (odgovlt.py:112-124): only fields present on the source side compare.
     */
+  /** The reference's sync protocol CLASSIFIER against a REAL target
+    * snapshot (what [[mergeActions]] demonstrates on a simulated target):
+    * given the assembled source state and the target's current documents,
+    * emit exactly the action set the reference's per-entity loop would —
+    *
+    *  - key absent from target → `create` (odgovlt.py:287,255-257);
+    *  - key present and `was_changed` fires → `update` (odgovlt.py:278-284
+    *    — the PATCH branch); present and unchanged → NO action (the
+    *    was_changed skip: the reference logs "up to date" and calls
+    *    nothing);
+    *  - target key absent from source AND owned by this source → `delete`
+    *    (odgovlt.py:312-318 — the `Šaltinis == 'IVPK IRS'` extras guard);
+    *    unowned stale targets are untouched.
+    *
+    * Change detection is [[graft.ops.ChangeOps.subsetChanged]] over the
+    * columns the SOURCE sends (subset semantics, odgovlt.py:112-124: the
+    * sync never un-sets a field it isn't sending — target-only columns
+    * are ignored). `owned` is evaluated against target rows.
+    *
+    * Scale shape: one full-outer shuffle join on the key with a row-local
+    * codegen'd diff predicate — the target side is the synced corpus, the
+    * source side the harvest; neither is collected, and the emitted
+    * action set holds only changed keys (small by the merge's nature), so
+    * [[graft.SyncJob.applyActions]] can broadcast it back.
+    */
+  def classifyAgainst(source: DataFrame, target: DataFrame, key: String,
+      owned: Column): DataFrame = {
+    val shared = source.columns.filter(c =>
+      c != key && target.columns.contains(c)).toSeq
+    val docType = org.apache.spark.sql.types.StructType(
+      shared.map(c => source.schema(c)))
+    val src = source.select(col(key).as("__s_key"),
+      struct(shared.map(col): _*).as("__s_doc"))
+    val tgt = target.select(col(key).as("__t_key"),
+      struct(shared.map(col): _*).as("__t_doc"), owned.as("__owned"))
+    src.join(tgt, col("__s_key") === col("__t_key"), "full_outer")
+      .select(
+        coalesce(col("__s_key"), col("__t_key")).as("key"),
+        when(col("__t_key").isNull, "create")
+          .when(col("__s_key").isNull && col("__owned"), "delete")
+          .when(col("__s_key").isNull, "noop")
+          .when(graft.ops.ChangeOps.subsetChanged(
+            col("__t_doc"), col("__s_doc"), docType), "update")
+          .otherwise("noop").as("action"))
+      .filter(col("action") =!= "noop")
+  }
+
   def mergeActions(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val source = orders.filter(col("o_orderstatus") === "F")

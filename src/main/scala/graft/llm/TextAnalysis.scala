@@ -939,27 +939,50 @@ object TextAnalysis {
   private val ruleStore =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, Long)]]()
 
-  /** Memo key = canonical corpus path + the documents table's on-disk
-    * fingerprint (recursive latest-mtime + total length), so REWRITING
-    * the data at the same path auto-invalidates the frozen rules — a
-    * stale tokenizer is served only if the bytes are byte-identical, in
-    * which case it is not stale.
+  /** Memo key = canonical corpus path + an MD5 digest over the PER-FILE
+    * inventory (relative name, size, mtime for every file under
+    * documents.parquet, sorted), so REWRITING the data at the same path
+    * auto-invalidates the frozen rules. A per-file inventory is strictly
+    * stronger than the earlier max-mtime + total-length pair: an
+    * equal-length rewrite landing within the filesystem's mtime
+    * granularity still changes part-file names (Spark writes fresh
+    * part-UUIDs) or per-file sizes, so it re-keys rather than serving a
+    * stale tokenizer.
     */
   private def ruleKey(dir: String): String = {
-    val root = new java.io.File(dir, "documents.parquet")
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles() match {
-          case null => (f.lastModified(), 0L)
-          case kids => kids.map(walk).foldLeft((f.lastModified(), 0L)) {
-            case ((m1, l1), (m2, l2)) => (math.max(m1, m2), l1 + l2)
-          }
-        }
-      else (f.lastModified(), f.length())
-    val (mtime, len) = walk(root)
     val canonical =
       try new java.io.File(dir).getCanonicalPath catch { case _: Exception => dir }
-    s"$canonical#$mtime#$len"
+    s"$canonical#${corpusDigest(dir)}"
+  }
+
+  private def corpusDigest(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: java.io.File, rel: String): Unit =
+      if (f.isDirectory)
+        f.listFiles() match {
+          case null =>
+          case kids => kids.foreach(k => walk(k, s"$rel/${k.getName}"))
+        }
+      else entries += s"$rel:${f.length()}:${f.lastModified()}"
+    walk(root, "")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Superseded rule tables for the same corpus path must not accumulate:
+    * each refreeze of a path evicts every other key for that path (the
+    * store would otherwise grow one K-rule entry per data rewrite for the
+    * lifetime of the JVM).
+    */
+  private def evictStale(canonicalKey: String): Unit = {
+    val prefix = canonicalKey.takeWhile(_ != '#') + "#"
+    val it = ruleStore.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(prefix) && k != canonicalKey) it.remove()
+    }
   }
 
   /** Drop every frozen rule table (test hook: forces the next consumer to
@@ -981,14 +1004,20 @@ object TextAnalysis {
   private def trainAndFreeze(s: SparkSession, dir: String,
       cache: Boolean): Seq[(Int, String, Long)] = {
     val rules = train(s, dir, cache)
-    ruleStore.put(ruleKey(dir), rules)
+    val key = ruleKey(dir)
+    ruleStore.put(key, rules)
+    evictStale(key)
     rules
   }
 
   /** The frozen rules for `dir` — trains on first touch, probes after. */
   def frozenRules(s: SparkSession, dir: String,
-      cache: Boolean = true): Seq[(Int, String, Long)] =
-    ruleStore.computeIfAbsent(ruleKey(dir), _ => train(s, dir, cache))
+      cache: Boolean = true): Seq[(Int, String, Long)] = {
+    val key = ruleKey(dir)
+    val rules = ruleStore.computeIfAbsent(key, _ => train(s, dir, cache))
+    evictStale(key)
+    rules
+  }
 
   /** The ENCODE half of the tokenizer story, consuming [[bpeTrain]]'s
     * rule table: each learned rule, in round order, rewrites every

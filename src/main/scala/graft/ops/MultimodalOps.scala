@@ -313,6 +313,157 @@ object MultimodalOps {
     }(enc).orderBy("doc_id")
   }
 
+  /** RGB-tier dimension moduli: width ∈ [8,20], height ∈ [8,18] — several
+    * full 8×8 JPEG DCT blocks per image, so the lossy half exercises real
+    * block transforms rather than a single padded block.
+    */
+  val PxRgbWidthMod = 13
+  val PxRgbHeightMod = 11
+
+  /** Per-channel tolerance for the JPEG mean assertion: the channel MEANS
+    * of a decoded baseline JPEG sit within a fraction of a code value of
+    * the encoder input (DC coefficients survive default-quality
+    * quantization almost exactly); 3 code values is an order of magnitude
+    * of slack while still failing loudly for any real decode bug (wrong
+    * channel order alone shifts a mean by ~85 here).
+    */
+  val JpegMeanTol = 3.0
+
+  /** Deterministic sRGB sample: channel `c` (0=R,1=G,2=B) at (x, y) of
+    * document `id` — a per-channel, id-dependent BASE plus a spatial
+    * sawtooth that is IDENTICAL across channels. The construction is
+    * deliberate for the lossy half: equal spatial variation means the
+    * chroma planes are constant per image, so JPEG's 4:2:0 chroma
+    * subsampling (which smeared a first-cut per-channel `%256` wraparound
+    * into >3-code-value mean shifts on small images) has nothing to
+    * destroy, while the 85-apart channel bases still make any swapped or
+    * misread channel shift a mean by ~85 — the assertion stays sharp.
+    * Range tops out at 199 + 31 = 230: no wraparound discontinuities
+    * anywhere.
+    */
+  def pxValueRgb(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id + 85L * c) % 200L).toInt + ((x + y) % 32)
+
+  private val pixelRgbSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fmt", StringType),
+    StructField("blob", BinaryType)))
+
+  /** Color fixture: one REAL container per document — even doc_ids a
+    * TYPE_INT_RGB PNG (lossless), odd doc_ids a baseline JPEG (lossy,
+    * ImageIO default quality), both encoded on executors from the
+    * [[pxValueRgb]] gradient. The format split makes one declared query
+    * cover both decode disciplines: exact-sum oracling where the codec is
+    * lossless, decode-then-assert where it is not.
+    */
+  def pixelRgbTable(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pixelRgbSchema)
+    t(s, dir, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % PxRgbWidthMod).toInt
+          val h = 8 + (id % PxRgbHeightMod).toInt
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pxValueRgb(id, x, y, 0) << 16) |
+                (pxValueRgb(id, x, y, 1) << 8) |
+                pxValueRgb(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream(512)
+          javax.imageio.ImageIO.write(img, fmt, out)
+          Row(id, fmt, out.toByteArray)
+        }
+      }(enc)
+  }
+
+  private val pixelRgbStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fmt", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("decode_ok", BooleanType)))
+
+  /** RGB + JPEG pixel decode — [[mmPixels]]' grayscale-PNG tier extended
+    * to color and a LOSSY codec. Same executor-side batched
+    * `mapPartitions` decode (ImageIO: zlib inflate for PNG, baseline DCT
+    * for JPEG), channels read through `getRGB` (packed sRGB — channel
+    * order is part of what is asserted).
+    *
+    * Oracle discipline differs by codec, inside one query:
+    *  - PNG rows are lossless: exact per-channel sums, recomputed by the
+    *    oracle from the generating arithmetic — any misread scanline or
+    *    swapped channel value-mismatches;
+    *  - JPEG rows are lossy: the decoded samples are NOT
+    *    arithmetic-derivable, so the query DECODES-THEN-ASSERTS — each
+    *    channel's decoded mean must sit within [[JpegMeanTol]] of the
+    *    encoder-input mean, and only the assertion verdict
+    *    (`decode_ok`) plus the header-exact dims are emitted; sums are
+    *    NULL. The oracle pins `decode_ok = true` for every row, so a
+    *    drifting decode (or a broken encoder) hash-mismatches instead of
+    *    passing silently.
+    *
+    * Blobs stay in their partitions; only O(docs) stat rows move.
+    */
+  def mmPixelsRgb(s: SparkSession, dir: String): DataFrame = {
+    val input = pixelRgbTable(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pixelRgbStatsSchema)
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val fmt = r.getString(1)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val actual = new Array[Long](3)
+          val expected = new Array[Long](3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              actual(0) += (rgb >> 16) & 0xff
+              actual(1) += (rgb >> 8) & 0xff
+              actual(2) += rgb & 0xff
+              var c = 0
+              while (c < 3) { expected(c) += pxValueRgb(id, x, y, c); c += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val nPx = w.toLong * h
+          val ok =
+            if (fmt == "png") actual.sameElements(expected)
+            else (0 until 3).forall(c =>
+              math.abs(actual(c).toDouble / nPx - expected(c).toDouble / nPx)
+                <= JpegMeanTol)
+          Row(id, fmt, w, h, nPx,
+            if (fmt == "png") actual(0) else null,
+            if (fmt == "png") actual(1) else null,
+            if (fmt == "png") actual(2) else null,
+            ok)
+        }
+      }
+    }(enc).orderBy("doc_id")
+  }
+
   /** Id offset for the deterministically re-ingested asset slice — far
     * above every real doc_id so the injected copies are distinguishable.
     */

@@ -175,7 +175,8 @@ object StreamOps {
   def importErrorStream(staged: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     staged
-      .select(col("guid"), from_json(col("content"), schema).as("rec"))
+      .select(col("guid"),
+        graft.SyncPipeline.parsedRecord(col("content"), schema).as("rec"))
       .select(col("guid"),
         graft.SyncPipeline.errorClass(col("guid"), col("rec")).as("error"))
       .filter(col("error").isNotNull)

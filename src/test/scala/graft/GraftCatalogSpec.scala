@@ -385,6 +385,27 @@ class GraftCatalogSpec extends AnyFunSuite {
       FROM sync_errors""").head()
     assert(se.getLong(0) == 0 && se.getLong(1) == 0)
     assert(se.getLong(2) > 0 && se.getLong(3) > 0)
+    // rgb/jpeg pixel stats: every decode asserted ok, dims reconcile,
+    // lossless rows carry exact sums (bounded by the fixture's value
+    // range), lossy rows carry none, corpus fully covered in both formats
+    val pr = spark.sql("""
+      SELECT count(*),
+             sum(CASE WHEN NOT decode_ok
+                       OR n_px != CAST(width AS BIGINT) * height
+                       OR fmt NOT IN ('png', 'jpg')
+                       OR (fmt = 'png') != (sum_r IS NOT NULL)
+                       OR (fmt = 'png') != (sum_g IS NOT NULL)
+                       OR (fmt = 'png') != (sum_b IS NOT NULL)
+                       OR (fmt = 'png' AND
+                           (sum_r < 0 OR sum_r > 230 * n_px
+                            OR sum_g < 0 OR sum_g > 230 * n_px
+                            OR sum_b < 0 OR sum_b > 230 * n_px))
+                  THEN 1 ELSE 0 END),
+             sum(CASE WHEN fmt = 'jpg' THEN 1 ELSE 0 END)
+      FROM pixel_rgb_stats""").head()
+    assert(pr.getLong(0) == spark.table("documents").count()
+      && pr.getLong(1) == 0)
+    assert(pr.getLong(2) > 0 && pr.getLong(2) < pr.getLong(0))
     // funnel latency: p90 >= median, both actual observed values > 0
     assert(spark.sql("""
       SELECT count(*) FROM funnel_latency

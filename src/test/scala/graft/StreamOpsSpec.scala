@@ -386,6 +386,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r.getInt(4) < r.getInt(5)))
   }
 
+  test("multimodal: RGB/JPEG decode — exact lossless sums, asserted lossy means") {
+    import graft.ops.MultimodalOps
+    // both container formats carry real headers the cheap gate can parse
+    val blobs = MultimodalOps.pixelRgbTable(spark, sf).collect()
+    blobs.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = r.getString(1)
+      val h = graft.ops.MediaCodec.decodeHeader(r.getAs[Array[Byte]](2))
+      assert(fmt === (if (id % 2 == 0) "png" else "jpg"))
+      assert(h.map(x => (x.format, x.width, x.height)) ===
+        Some((if (fmt == "png") "png" else "jpeg",
+          8 + (id % MultimodalOps.PxRgbWidthMod).toInt,
+          8 + (id % MultimodalOps.PxRgbHeightMod).toInt)),
+        s"doc $id: fixture $fmt header")
+    }
+    val got = MultimodalOps.mmPixelsRgb(spark, sf).collect()
+    assert(got.length == blobs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % MultimodalOps.PxRgbWidthMod).toInt
+      val h = 8 + (id % MultimodalOps.PxRgbHeightMod).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getLong(4) == w.toLong * h)
+      assert(r.getBoolean(8), s"doc $id: decode_ok must hold")
+      if (r.getString(1) == "png") {
+        // lossless: plain-Scala re-derivation of each channel sum
+        (0 until 3).foreach { c =>
+          val exp = (for (x <- 0 until w; y <- 0 until h)
+            yield MultimodalOps.pxValueRgb(id, x, y, c).toLong).sum
+          assert(r.getLong(5 + c) == exp, s"doc $id channel $c sum")
+        }
+        // channel bases sit 85 apart: a swapped channel cannot cancel
+        assert(r.getLong(5) != r.getLong(6))
+      } else {
+        assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7),
+          s"doc $id: lossy rows must not claim exact sums")
+      }
+    }
+    // both disciplines actually exercised
+    assert(got.exists(_.getString(1) == "png") && got.exists(_.getString(1) == "jpg"))
+  }
+
   test("distinctPerWindowStream sketches match the batch KMV per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
