@@ -124,11 +124,14 @@ object Bench {
     val builtGroups = buildSecs.collect { case (g, Some(_)) => g }.toSet
     def art(name: String) = spark.read.parquet(s"$frozenDir/$name")
     // every selected probe gets a row: a probe whose BUILD failed reports
-    // null with all runs failed — an absent key would read downstream as
-    // "not run" while the truth is "broken" (same convention as the main
-    // phase, where breakage must never shrink the totals)
+    // null with failure count -1 ("never attempted" — emitted as
+    // "probe:<q>":"skipped" so downstream can tell it from n attempted
+    // runs that failed; the build:<g> entry carries the root cause).
+    // An absent key would read downstream as "not run" while the truth
+    // is "broken" (same convention as the main phase, where breakage
+    // must never shrink the totals)
     val probeResults = splitQueries.map { q =>
-      if (!builtGroups(BenchSplits.probes(q).group)) (q, None, None, nRuns)
+      if (!builtGroups(BenchSplits.probes(q).group)) (q, None, None, -1)
       else {
         val runs = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
@@ -170,14 +173,17 @@ object Bench {
       "\"" + k + "\":" + rs.map(numOrNull).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // split-phase breakage feeds the same failed map as the main phase:
-    // probe failures under the query name, build failures as "build:<g>"
+    // probe failures as "probe:<q>" (count of attempted-and-failed runs,
+    // or "skipped" when the build failure meant zero probe runs were
+    // attempted), build failures as "build:<g>"
     val failedEntries =
       results.collect { case (k, _, _, rs) if rs.exists(_.isEmpty) =>
         "\"" + k + "\":" + rs.count(_.isEmpty)
       } ++
       buildSecs.collect { case (g, None) => "\"build:" + g + "\":1" } ++
-      probeResults.collect { case (q, _, _, nf) if nf > 0 =>
-        "\"probe:" + q + "\":" + nf
+      probeResults.collect {
+        case (q, _, _, nf) if nf > 0 => "\"probe:" + q + "\":" + nf
+        case (q, _, _, nf) if nf < 0 => "\"probe:" + q + "\":\"skipped\""
       }
     val failed = failedEntries.mkString("{", ",", "}")
     // a query with zero successful runs poisons the headline: a total that

@@ -955,8 +955,32 @@ object TextAnalysis {
     s"$canonical#${corpusDigest(dir)}"
   }
 
+  /** Memo for [[corpusDigest]]: the full per-file inventory walk (the
+    * strong key) runs ONCE per (path, corpus-root mtime) — steady-state
+    * encode probes validate with a single O(1) stat of the corpus root
+    * instead of re-listing the whole tree per call. Against an object
+    * store holding a 100-TB corpus, a recursive listing per probe is a
+    * nontrivial metadata sweep; one stat is not. A rewrite at the same
+    * path replaces the directory's children (Spark writes fresh
+    * part-UUIDs), which updates the root directory's mtime, so the stat
+    * detects it and forces exactly one fresh walk; [[invalidateRules]]
+    * drops this memo too (the explicit hook). Value = (root mtime at
+    * walk time, digest).
+    */
+  private val digestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Test hook: counts full inventory walks, so a spec can pin "one
+    * listing per freeze" rather than trusting the memo by inspection.
+    */
+  private[graft] val digestWalks = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def corpusDigest(dir: String): String = {
     val root = new java.io.File(dir, "documents.parquet")
+    val stamp = root.lastModified()
+    val cached = digestMemo.get(dir)
+    if (cached != null && cached._1 == stamp) return cached._2
+    digestWalks.incrementAndGet()
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(f: java.io.File, rel: String): Unit =
       if (f.isDirectory)
@@ -968,7 +992,9 @@ object TextAnalysis {
     walk(root, "")
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
+    val digest = md.digest().map("%02x".format(_)).mkString
+    digestMemo.put(dir, (stamp, digest))
+    digest
   }
 
   /** Superseded rule tables for the same corpus path must not accumulate:
@@ -977,7 +1003,11 @@ object TextAnalysis {
     * lifetime of the JVM).
     */
   private def evictStale(canonicalKey: String): Unit = {
-    val prefix = canonicalKey.takeWhile(_ != '#') + "#"
+    // the digest half is hex and cannot contain '#', but the PATH half
+    // can — split on the LAST '#' (the one ruleKey appended), or a path
+    // containing '#' would truncate the prefix and evict unrelated
+    // paths' rule tables
+    val prefix = canonicalKey.substring(0, canonicalKey.lastIndexOf('#') + 1)
     val it = ruleStore.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
@@ -985,10 +1015,14 @@ object TextAnalysis {
     }
   }
 
-  /** Drop every frozen rule table (test hook: forces the next consumer to
-    * retrain, so specs can pin memo ≡ retrain).
+  /** Drop every frozen rule table AND the digest memo (test hook: forces
+    * the next consumer to re-list and retrain, so specs can pin
+    * memo ≡ retrain).
     */
-  private[graft] def invalidateRules(): Unit = ruleStore.clear()
+  private[graft] def invalidateRules(): Unit = {
+    ruleStore.clear()
+    digestMemo.clear()
+  }
 
   /** One training run over the `dir` corpus's vocabulary. */
   private def train(s: SparkSession, dir: String,
@@ -1010,12 +1044,22 @@ object TextAnalysis {
     rules
   }
 
-  /** The frozen rules for `dir` — trains on first touch, probes after. */
+  /** The frozen rules for `dir` — trains on first touch, probes after.
+    * Eviction of superseded keys runs ONLY when this call actually
+    * trained: a pure cache hit must not pay a keySet scan per encode
+    * call, and a racing caller holding a just-stale digest must not be
+    * able to evict a concurrently-frozen fresh entry (which would force
+    * a redundant retrain — no wrong results, just churn).
+    */
   def frozenRules(s: SparkSession, dir: String,
       cache: Boolean = true): Seq[(Int, String, Long)] = {
     val key = ruleKey(dir)
-    val rules = ruleStore.computeIfAbsent(key, _ => train(s, dir, cache))
-    evictStale(key)
+    var trained = false
+    val rules = ruleStore.computeIfAbsent(key, _ => {
+      trained = true
+      train(s, dir, cache)
+    })
+    if (trained) evictStale(key)
     rules
   }
 

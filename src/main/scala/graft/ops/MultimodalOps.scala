@@ -382,7 +382,14 @@ object MultimodalOps {
             y += 1
           }
           val out = new java.io.ByteArrayOutputStream(512)
-          javax.imageio.ImageIO.write(img, fmt, out)
+          // ImageIO.write returns false (no exception) when no writer
+          // accepts the format — an unchecked false would emit a 0-byte
+          // blob that only fails much later. Emitting the empty blob is
+          // still the right move, but deliberately: the decode stage's
+          // null-image guard turns it into decode_ok=false, so a broken
+          // encoder surfaces through the same decode-then-assert channel
+          // as a broken decoder instead of NPE-ing the stage.
+          if (!javax.imageio.ImageIO.write(img, fmt, out)) out.reset()
           Row(id, fmt, out.toByteArray)
         }
       }(enc)
@@ -431,6 +438,13 @@ object MultimodalOps {
           val fmt = r.getString(1)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          // ImageIO.read signals "no decoder / unreadable bytes" with
+          // null, not an exception — an unguarded read would NPE the
+          // whole stage for one bad blob, when the contract here is that
+          // a broken decode SURFACES as decode_ok=false and the oracle's
+          // pinned decode_ok=true hash-mismatches
+          if (img == null) Row(id, fmt, null, null, null, null, null, null, false)
+          else {
           val (w, h) = (img.getWidth, img.getHeight)
           val actual = new Array[Long](3)
           val expected = new Array[Long](3)
@@ -459,6 +473,7 @@ object MultimodalOps {
             if (fmt == "png") actual(1) else null,
             if (fmt == "png") actual(2) else null,
             ok)
+          }
         }
       }
     }(enc).orderBy("doc_id")

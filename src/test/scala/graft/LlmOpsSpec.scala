@@ -562,6 +562,37 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpus digest memo: one listing per freeze, rewrite re-lists and re-keys") {
+    // a writable copy of the corpus, so a rewrite can be staged without
+    // touching the read-only testdata
+    val tmp = java.nio.file.Files.createTempDirectory("graft_digest").toString
+    Tables.table(spark, sf, "documents").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    TextAnalysis.invalidateRules()
+    val w0 = TextAnalysis.digestWalks.get()
+    val r1 = TextAnalysis.frozenRules(spark, tmp)
+    assert(TextAnalysis.digestWalks.get() - w0 == 1,
+      "the freeze should list the corpus exactly once")
+    // steady-state probes: cache hits validate with an O(1) stat, no
+    // re-listing of the tree
+    val r2 = TextAnalysis.frozenRules(spark, tmp)
+    val r3 = TextAnalysis.frozenRules(spark, tmp)
+    assert(TextAnalysis.digestWalks.get() - w0 == 1,
+      "a steady-state probe re-listed the corpus")
+    assert(r2 == r1 && r3 == r1)
+    // rewriting the data at the same path replaces the part files (fresh
+    // UUIDs + new root mtime): the memo must detect it, re-list once, and
+    // retrain on the changed corpus rather than serve the stale tokenizer
+    Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r4 = TextAnalysis.frozenRules(spark, tmp)
+    assert(TextAnalysis.digestWalks.get() - w0 == 2,
+      "the rewrite should force exactly one fresh listing")
+    assert(r4 != r1, "rewritten corpus served the stale rule table")
+    spark.catalog.clearCache()
+  }
+
   test("bm25: matches a plain-Scala recompute of the exact-rational scores") {
     val out = TextAnalysis.bm25TopDocs(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
