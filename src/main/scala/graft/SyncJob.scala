@@ -68,6 +68,41 @@ object SyncJob {
     }
   }
 
+  /** [[applyActions]] for the GROUP tier, where create ORDER is part of
+    * the protocol: a group's `groups` field references its children by
+    * name, so children must exist before their parent is created — the
+    * reference guarantees this by consuming the recursive generator
+    * before the parent's own create call (odgovlt.py:260-287, post-order
+    * DFS). Set-oriented equivalent: issue creates in DESCENDING `depthCol`
+    * waves (deepest = leaf-most first); within a wave nodes are mutually
+    * non-ancestral, so intra-wave order is free and the waves can each be
+    * a fully parallel sink pass. Updates and deletes carry no ordering
+    * constraint (the reference patches in traversal order only as an
+    * artifact of its loop) and run as single passes. The wave loop is
+    * O(tree height) driver iterations — a scalar bound, not a data bound.
+    */
+  def applyGroupActions(groups: DataFrame, actions: DataFrame, keyCol: String,
+      depthCol: String, sink: graft.sources.ActionSink): Unit = {
+    val acts = actions.persist()
+    val upserts = acts.filter(col("action") =!= "delete")
+      .select(col("key"), col("action").as("__action"))
+    val payload = groups
+      .join(broadcast(upserts), groups(keyCol) === upserts("key"), "inner")
+      .drop(upserts("key"))
+      .persist()
+    try {
+      val creates = payload.filter(col("__action") === "create").drop("__action")
+      val depths = creates.select(col(depthCol).cast("int")).distinct()
+        .collect().map(_.getInt(0)).sorted.reverse
+      depths.foreach(d => sink.create(creates.filter(col(depthCol) === d)))
+      sink.update(payload.filter(col("__action") === "update").drop("__action"))
+      sink.delete(acts.filter(col("action") === "delete").select(col("key")))
+    } finally {
+      payload.unpersist()
+      acts.unpersist()
+    }
+  }
+
   /** The full lifecycle ending at an external target: gather → import →
     * assemble → merge-classify → push. With an [[graft.sources.HttpSink]]
     * this is the reference's complete harvester

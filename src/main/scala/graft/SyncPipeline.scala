@@ -328,6 +328,23 @@ object SyncPipeline {
       .filter(col("action") =!= "noop")
   }
 
+  /** FIND-OR-CREATE classification — the user/org tiers of the protocol
+    * (odgovlt.py:205-211 `user_list`→`user_create`, odgovlt.py:249-257
+    * `organization_show`→NotFound→`organization_create`): the reference
+    * looks these entities up by name and creates them only when absent —
+    * it NEVER patches or deletes them (unlike packages and groups, which
+    * are was_changed-gated). Set form: the distinct source keys
+    * anti-joined against the target's — one broadcast-able action set,
+    * no diff predicate at all, because target-side drift on these tiers
+    * is deliberately left alone.
+    */
+  def classifyFindOrCreate(source: DataFrame, target: DataFrame,
+      key: String): DataFrame =
+    source.select(col(key).as("key")).distinct()
+      .join(target.select(col(key).as("__t_key")),
+        col("key") === col("__t_key"), "left_anti")
+      .select(col("key"), lit("create").as("action"))
+
   def mergeActions(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val source = orders.filter(col("o_orderstatus") === "F")

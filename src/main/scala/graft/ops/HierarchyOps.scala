@@ -75,6 +75,36 @@ object HierarchyOps {
     region.unionByName(nation).unionByName(supplier)
   }
 
+  /** The SYNC form of the group tree (P3/SF7 + §2.9): one row per tree
+    * node carrying exactly the fields the reference sends on
+    * `group_create`/`group_patch` (odgovlt.py:260-287) — the
+    * slugify(name + ' ' + id) group name (odgovlt.py:289-290), the title,
+    * the ORDERED child-name list (the parent's `groups` field — which is
+    * why creates must be issued children-first; [[graft.SyncJob
+    * .applyGroupActions]] owns that ordering via the `depth` column), and
+    * the source-ownership extras marker the stale-delete guard reads
+    * (odgovlt.py:312-318). Children are collected bottom-up with one
+    * hash aggregate over the edge set; everything else is the bounded
+    * [[treeWalk]] — no data-sized shuffles beyond the one collect.
+    */
+  def groupDocs(s: SparkSession, dir: String): DataFrame = {
+    val edges = harnessEdges(s, dir)
+    def slug(name: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      graft.TextFunctions.slugifyNorm(concat_ws(" ", name, id))
+    val kids = edges
+      .select(col("parent_id"), slug(col("name"), col("node_id")).as("child_slug"))
+      .groupBy(col("parent_id"))
+      .agg(array_join(array_sort(collect_set(col("child_slug"))), "|").as("children"))
+    treeWalk(edges)
+      .join(kids, col("node_id") === col("parent_id"), "left_outer")
+      .select(
+        slug(col("name"), col("node_id")).as("group_slug"),
+        col("name").as("title"),
+        coalesce(col("children"), lit("")).as("children"),
+        col("depth").cast("int").as("depth"),
+        lit("IVPK IRS").as("extras_source"))
+  }
+
   /** Declared query: full tree materialization with depth/root/path. */
   def j5Tree(s: SparkSession, dir: String): DataFrame =
     treeWalk(harnessEdges(s, dir))

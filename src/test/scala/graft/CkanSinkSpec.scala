@@ -49,11 +49,13 @@ class CkanSinkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** CKAN action fake with an ORDERED call log: POST {base}/package_{verb}
+  /** CKAN action fake with an ORDERED call log: POST {base}/{entity}_{verb}
     * appends (verb, id) and mutates the keyed store — the observable the
-    * reference e2e asserts through mocked ckanapi calls.
+    * reference e2e asserts through mocked ckanapi calls. One instance per
+    * entity tier (package / group / user / organization), like the
+    * reference's per-action mocks.
     */
-  final class LoggingCkan(idField: String) {
+  final class LoggingCkan(idField: String, entity: String = "package") {
     val store = new ConcurrentHashMap[String, String]()
     val calls = new ConcurrentLinkedQueue[(String, String)]()
 
@@ -87,7 +89,7 @@ class CkanSinkSpec extends AnyFunSuite {
     }
 
     Seq("create", "update", "delete").foreach { verb =>
-      server.createContext(s"/api/3/action/package_$verb", handle(verb)(_))
+      server.createContext(s"/api/3/action/${entity}_$verb", handle(verb)(_))
     }
     server.start()
     def stop(): Unit = server.stop(0)
@@ -186,6 +188,139 @@ class CkanSinkSpec extends AnyFunSuite {
       assert(ckan.store.containsKey("999999002"))
       assert(ckan.store.size() === sourceIds.size + 1)
     } finally ckan.stop()
+  }
+
+  /** One group-tier harvest: assemble the group docs, classify against the
+    * fake's live state, apply with the children-first create ordering.
+    */
+  private def harvestGroups(ckan: LoggingCkan): DataFrame = {
+    val docs = graft.ops.HierarchyOps.groupDocs(spark, dir)
+    val target = targetState(ckan, docs.schema)
+    val actions = SyncPipeline.classifyAgainst(docs, target, "group_slug",
+      owned = col("extras_source") === "IVPK IRS")
+    val sink = HttpSink(ckan.url, entity = "group", idField = "group_slug",
+      batchSize = 50, maxRetries = 2, retryBaseMs = 1L)
+    SyncJob.applyGroupActions(docs, actions, "group_slug", "depth", sink)
+    docs
+  }
+
+  test("group-tree call sequence: children-first creates, was_changed patch, owned-only delete") {
+    val ckan = new LoggingCkan("group_slug", "group")
+    try {
+      import scala.jdk.CollectionConverters._
+      // -- harvest 1: cold target → one create per tree node, in an order
+      // where every child precedes its parent (the reference consumes the
+      // recursive generator before the parent's own group_create,
+      // odgovlt.py:260-287 — the parent's `groups` field references the
+      // children by name, so they must exist first)
+      val docs = harvestGroups(ckan)
+      val rows = docs.collect().map(r =>
+        (r.getString(0), r.getString(2))).toSeq // (slug, children csv)
+      val slugs = rows.map(_._1).sorted
+      val run1 = ckan.callsByVerb
+      assert(run1.keySet === Set("create"),
+        s"cold group harvest must emit only creates, got ${run1.keySet}")
+      assert(run1("create") === slugs)
+      val createOrder = ckan.calls.asScala.toSeq.collect {
+        case ("create", id) => id }.zipWithIndex.toMap
+      for ((parent, kids) <- rows; child <- kids.split('|') if child.nonEmpty)
+        assert(createOrder(child) < createOrder(parent),
+          s"child $child must be created before parent $parent")
+      assert(ckan.store.size() === slugs.size)
+
+      // -- harvest 2: unchanged re-run → the was_changed skip: the
+      // reference logs "group is up to date" and calls NOTHING
+      ckan.clearLog()
+      harvestGroups(ckan)
+      assert(ckan.calls.isEmpty,
+        s"unchanged group re-run must call nothing, got ${ckan.callsByVerb}")
+
+      // -- harvest 3: drifted target — a retitled group (patch), a leaf
+      // dropped from the target (re-create), a stale group WE own
+      // (delete) and a stale FOREIGN group (untouched —
+      // the Šaltinis == 'IVPK IRS' ownership guard, odgovlt.py:312-318).
+      // The reference patches via group_patch; the sink's uniform verb
+      // surface posts the full doc to group_update (CKAN's full-document
+      // update), pinned as the update call here.
+      ckan.clearLog()
+      val patched = slugs.head
+      // a leaf (no children) so the re-create is a single bottom wave
+      val dropped = rows.collect { case (s, "") => s }.max
+      ckan.store.put(patched, ckan.store.get(patched)
+        .replaceFirst("\"title\":\"[^\"]*\"", "\"title\":\"Drifted Title\""))
+      ckan.store.remove(dropped)
+      ckan.store.put("stale-ours",
+        """{"group_slug":"stale-ours","title":"Stale","extras_source":"IVPK IRS"}""")
+      ckan.store.put("stale-foreign",
+        """{"group_slug":"stale-foreign","title":"Stale","extras_source":"elsewhere"}""")
+      harvestGroups(ckan)
+      val run3 = ckan.callsByVerb
+      assert(run3 === Map(
+        "create" -> Seq(dropped),
+        "update" -> Seq(patched),
+        "delete" -> Seq("stale-ours")),
+        s"group drift repair must emit exactly one call per drift, got $run3")
+      assert(!ckan.store.get(patched).contains("Drifted Title"))
+      assert(ckan.store.containsKey(dropped))
+      assert(!ckan.store.containsKey("stale-ours"))
+      assert(ckan.store.containsKey("stale-foreign"))
+    } finally ckan.stop()
+  }
+
+  test("user/org find-or-create: create only the absent, drift never patches") {
+    import org.apache.spark.sql.types.StructType
+    // user identity is the slugified login, org identity the slugified
+    // title (odgovlt.py:183-215,217-258); both tiers look up by name and
+    // CREATE when absent — they never patch and never delete
+    def tier(entity: String, idField: String, source: DataFrame): Unit = {
+      val ckan = new LoggingCkan(idField, entity)
+      try {
+        val schema = StructType(Seq(source.schema(idField)))
+        def harvest(): Unit = {
+          val actions = SyncPipeline.classifyFindOrCreate(
+            source, targetState(ckan, schema), idField)
+          val sink = HttpSink(ckan.url, entity = entity, idField = idField,
+            batchSize = 50, maxRetries = 2, retryBaseMs = 1L)
+          SyncJob.applyActions(source, actions, idField, sink)
+        }
+        val ids = source.select(idField).collect().map(_.getString(0)).sorted
+        // cold: one create per distinct source entity, nothing else
+        harvest()
+        assert(ckan.callsByVerb === Map("create" -> ids.toSeq),
+          s"cold $entity harvest must create every source entity")
+        // re-run: all present → zero calls
+        ckan.clearLog()
+        harvest()
+        assert(ckan.calls.isEmpty,
+          s"$entity re-run must call nothing, got ${ckan.callsByVerb}")
+        // drift: a mutated target doc must NOT fire an update (find-or-
+        // create never patches), a hole must fire exactly one create, and
+        // a target-only entity must NOT be deleted
+        ckan.clearLog()
+        val mutated = ids.head
+        val hole = ids.last
+        ckan.store.put(mutated, ckan.store.get(mutated)
+          .replaceFirst("\\{", s"""{"fullname":"Drifted","""))
+        ckan.store.remove(hole)
+        ckan.store.put("target-only-entity",
+          s"""{"$idField":"target-only-entity"}""")
+        harvest()
+        assert(ckan.callsByVerb === Map("create" -> Seq(hole)),
+          s"$entity drift: only the hole may be re-created, got ${ckan.callsByVerb}")
+        assert(ckan.store.get(mutated).contains("Drifted"),
+          s"$entity drift must be left alone (no patch)")
+        assert(ckan.store.containsKey("target-only-entity"),
+          s"target-only $entity must never be deleted")
+      } finally ckan.stop()
+    }
+    tier("user", "name_slug",
+      Tables.table(spark, dir, "customer")
+        .select(TextFunctions.slugifyNorm(col("c_name")).as("name_slug"))
+        .distinct())
+    tier("organization", "org_slug",
+      Tables.table(spark, dir, "nation")
+        .select(TextFunctions.slugifyNorm(col("n_name")).as("org_slug"))
+        .distinct())
   }
 
   test("classifyAgainst subset semantics: target-only fields never fire an update") {
