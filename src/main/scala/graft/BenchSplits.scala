@@ -82,3 +82,35 @@ object BenchSplits {
         .limit(TextAnalysis.VocabTopN)
     }))
 }
+
+/** ORACLE-AT-REST harness: run every [[BenchSplits]] probe in a process
+  * that did NOT build the artifacts. The build/probe economics claim
+  * silently assumes the frozen parquet is the COMPLETE serving state —
+  * if a probe actually leaned on anything the build session left behind
+  * in the JVM (a cached frame, the BPE rule memo, a broadcast, a temp
+  * view), serving from a fresh process would diverge or crash.
+  * BenchSplitSpec forks this main in a NEW JVM (fresh SparkSession,
+  * empty caches and memos) over artifacts frozen by the test session and
+  * pins probe-at-rest ≡ declared query.
+  *
+  * Args: artifactDir sfDir outDir — writes each probe's result to
+  * `outDir/<query>` as parquet.
+  */
+object ProbeAtRest {
+  def main(args: Array[String]): Unit = {
+    val Array(artifactDir, sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def art(name: String) = spark.read.parquet(s"$artifactDir/$name")
+    BenchSplits.probes.toSeq.sortBy(_._1).foreach { case (q, probe) =>
+      probe.run(spark, sfDir, art)
+        .write.mode("overwrite").parquet(s"$outDir/$q")
+    }
+    spark.stop()
+  }
+}

@@ -43,4 +43,47 @@ class BenchSplitSpec extends AnyFunSuite {
       assert(probed.nonEmpty, s"$q: vacuous comparison")
     }
   }
+
+  test("oracle-at-rest: a FRESH JVM probing the frozen artifacts equals the declared queries") {
+    // freeze artifacts in THIS session...
+    val dir = java.nio.file.Files.createTempDirectory("at_rest_art").toString
+    val out = java.nio.file.Files.createTempDirectory("at_rest_out").toString
+    graft.llm.TextAnalysis.invalidateRules()
+    BenchSplits.probes.values.map(_.group).toSeq.distinct.sorted.foreach { g =>
+      BenchSplits.builds(g)(spark, sf).foreach { case (art, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$art")
+      }
+      spark.catalog.clearCache()
+    }
+    // ...then probe them from a NEW JVM (graft.ProbeAtRest): fresh
+    // SparkSession, empty block-manager, empty rule memo — if any probe
+    // depended on state the build left in this JVM rather than on the
+    // parquet alone, the at-rest run would diverge or die
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.ProbeAtRest", dir, sf, out)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    val exit = proc.waitFor()
+    assert(exit == 0, s"at-rest probe JVM exited $exit:\n${log.takeRight(4000)}")
+    BenchSplits.probes.keys.toSeq.sorted.foreach { q =>
+      val declared = SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      spark.catalog.clearCache()
+      val atRest = spark.read.parquet(s"$out/$q")
+        .collect().map(_.toString).sorted.toSeq
+      assert(atRest == declared, s"$q: at-rest probe diverged from declared")
+      assert(atRest.nonEmpty, s"$q: vacuous comparison")
+    }
+  }
 }

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB differential oracle.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With a third argument, also writes a per-query JSON record in the
+driver's CORRECTNESS_r{N}.json shape (rows_match/schema_match/
+hash_match/spark_rows/oracle_rows/err).
 
 Reads <verifyOutDir>/oracle_sql.json, registers each harness table as a
 DuckDB view over <sfDir>/*.parquet, runs every oracle SQL, reads the
@@ -39,7 +43,7 @@ def frame_rows(df):
     return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,6 +52,15 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
 
     failures = 0
+    records = {}
+
+    def record(name, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
     import glob
     declared = sorted(set(
         p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")))
@@ -55,24 +68,31 @@ def main(sf_dir, out_dir):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output parquet")
+            record(name, err="no_spark_output")
             failures += 1
             continue
         got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
         if name not in oracles:
             print(f"WEAK {name}: no oracle (rows-only check) rows={len(got)}")
+            record(name, spark_rows=len(got), err="no_oracle")
             continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, spark_rows=len(got), err=f"oracle_sql_error: {e}")
             failures += 1
             continue
         if sorted(got.columns) != sorted(exp.columns):
             print(f"FAIL {name}: columns spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+            record(name, spark_rows=len(got), oracle_rows=len(exp),
+                   err="schema_mismatch")
             failures += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            record(name, schema_match=True, spark_rows=len(got),
+                   oracle_rows=len(exp), err="row_count_mismatch")
             failures += 1
             continue
         g, e = frame_rows(got), frame_rows(exp)
@@ -85,6 +105,8 @@ def main(sf_dir, out_dir):
             # dtype hint
             print(f"  dtypes spark={dict(got.dtypes.astype(str))}")
             print(f"  dtypes oracle={dict(exp.dtypes.astype(str))}")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(g), oracle_rows=len(e), err="value_mismatch")
             failures += 1
         else:
             dt_note = ""
@@ -93,9 +115,15 @@ def main(sf_dir, out_dir):
             if gd != ed:
                 dt_note = f"  [dtype drift: {{k: (gd, ed) for differing}} {dict((k, (gd[k], ed[k])) for k in gd if gd[k] != ed[k])}]"
             print(f"OK   {name}: {len(g)} rows{dt_note}")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(g), oracle_rows=len(e))
     print(f"=== {failures} failures / {len(declared)} queries")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
