@@ -197,9 +197,23 @@ object Bench {
       .mkString("{", ",", "}")
     val probesMinJson = probeResults.map { case (q, _, mn, _) => "\"" + q + "\":" + numOrNull(mn) }
       .mkString("{", ",", "}")
+    // ---- streaming throughput tier (BenchStreaming) ----
+    // a broken twin records itself under its name; a broken PHASE records
+    // an error object — either way the batch numbers above stay intact
+    val streamingJson =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1"))
+        """{"skipped":true}"""
+      else if (only.nonEmpty) """{"skipped":"subset run"}"""
+      else
+        try BenchStreaming.json(BenchStreaming.run(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming phase failed: ${e.getMessage}")
+          s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replace("\"", "'").replace("\n", " ").take(200)}"}"""
+        }
     val loadAfter = loadavg()
     val line =
-      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"artifact_builds":$buildsJson,"probes":$probesJson,"probes_min":$probesMinJson,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"artifact_builds":$buildsJson,"probes":$probesJson,"probes_min":$probesMinJson,"streaming":$streamingJson,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
     println(line)
     // stdout runs through sbt's [info] prefix, which breaks line-oriented
     // JSON parsing downstream — always ALSO write the bare line to a file
