@@ -43,6 +43,67 @@ import org.apache.spark.sql.functions._
   * region/nation stay verbatim (broadcast dims — at any real scale these
   * stay small; FK targets remain valid for every copy).
   */
+/** Dev tool: derive a deterministically SKEWED variant of a harness
+  * directory — the 100-TB reality check the replicated sf1 tier is blind
+  * to by construction (GenScale's copies are uniform; production key
+  * distributions are zipfian). Every other table is copied verbatim;
+  * the three hot fact FKs collapse half their rows onto the head key:
+  *
+  *  - `orders.o_custkey`   → head customer for even o_orderkey
+  *  - `lineitem.l_partkey` → head part for even (l_orderkey + l_linenumber)
+  *  - `events.user_id`     → head user for even event_id
+  *
+  * Half-on-one-key is the worst SINGLE-hot-key shape — the case AQE
+  * skew-join splitting and the SkewOps salted paths exist for; a
+  * heavy-tailed mixture would soften the hotspot, not sharpen the test.
+  * The collapse predicate reads each row's own PK (no RNG — same bytes
+  * every run), so rebuilding the directory is byte-deterministic.
+  * Results of queries over the skewed directory legitimately differ
+  * from the uniform directory — this tier is TIMING-only (BENCH_skew);
+  * the oracle gates keep running on the driver's uniform testdata.
+  */
+object GenSkew {
+  /** Even PKs re-point at the head key: exactly half the rows, spread
+    * evenly through the file so every scan partition carries hot rows.
+    */
+  def collapse(pk: org.apache.spark.sql.Column,
+      fk: org.apache.spark.sql.Column, head: Long): org.apache.spark.sql.Column =
+    when(pk % 2 === 0, lit(head)).otherwise(fk)
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = Tables.table(spark, src, n)
+    def head(table: String, key: String): Long =
+      t(table).agg(min(col(key).cast("long"))).head().getLong(0)
+    val hc = head("customer", "c_custkey")
+    val hp = head("part", "p_partkey")
+    val hu = head("customer", "c_custkey") // events.user_id joins customer
+    def write(df: DataFrame, n: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      println(s"[genskew] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
+    }
+    Seq("region", "nation", "customer", "supplier", "part",
+      "documents", "embeddings").foreach(n => write(t(n), n))
+    write(t("orders").withColumn("o_custkey",
+      collapse(col("o_orderkey"), col("o_custkey"), hc)), "orders")
+    write(t("lineitem").withColumn("l_partkey",
+      collapse(col("l_orderkey") + col("l_linenumber"), col("l_partkey"), hp)),
+      "lineitem")
+    write(t("events").withColumn("user_id",
+      collapse(col("event_id"), col("user_id"), hu)), "events")
+    spark.stop()
+  }
+}
+
 object GenScale {
   def main(args: Array[String]): Unit = {
     val src = args(0)
