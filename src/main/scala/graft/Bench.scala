@@ -52,9 +52,29 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,2048] runs the MULTI-JVM tier:
+    // separate executor processes, so closure serialization, broadcast
+    // shipping and remote shuffle fetch are real (local[n] shares one JVM
+    // and hides all three). Executor JVMs need our classes + the JDK-17
+    // module opens on their own command line — forward both.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else builder0
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          Seq("java.base/java.lang", "java.base/java.lang.invoke",
+            "java.base/java.lang.reflect", "java.base/java.io",
+            "java.base/java.net", "java.base/java.nio",
+            "java.base/java.util", "java.base/java.util.concurrent",
+            "java.base/java.util.concurrent.atomic",
+            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+            "java.base/sun.security.action", "java.base/sun.util.calendar")
+            .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // harness tables are single small parquet files; without a lower
