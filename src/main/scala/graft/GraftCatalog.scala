@@ -19,6 +19,8 @@ object GraftCatalog {
     SyncPipeline.packageFlat(spark, sfDir).createOrReplaceTempView("package_flat")
     SyncPipeline.mergeActions(spark, sfDir).createOrReplaceTempView("merge_actions")
     graft.ops.HierarchyOps.j5Tree(spark, sfDir).createOrReplaceTempView("category_tree")
+    graft.ops.HierarchyOps.groupDocs(spark, sfDir)
+      .createOrReplaceTempView("group_docs")
     // lazy plans only: nearDupComponents is deliberately NOT mounted — its
     // iterative loop runs Spark jobs eagerly, which a view registration
     // must not do; call it directly when needed. tfidf mounts WITHOUT its

@@ -110,6 +110,11 @@ object SparkEntry {
     "q_s8_projection" -> (CoreOps.s8Projection _),
     "q_f4_owned_filter" -> (CoreOps.f4OwnedFilter _),
     "q_j5_tree" -> (HierarchyOps.j5Tree _),
+    // the SYNC form of the tree: the per-node group document the protocol
+    // tier sends on group_create/group_patch (slug identity, ordered
+    // child-name list, ownership extras)
+    "q_p3_group_docs" ->
+      ((s, dir) => HierarchyOps.groupDocs(s, dir).orderBy("group_slug")),
     "q_p4_package_flat" -> (SyncPipeline.packageFlat _),
     "q_p4_package_doc" -> (SyncPipeline.packageDoc _),
     "q_k3_merge_actions" -> (SyncPipeline.mergeActions _),
@@ -954,6 +959,37 @@ object SparkEntry {
            FROM nodes n JOIN tree t ON n.parent_id = t.node_id)
          SELECT node_id, name, CAST(depth AS INT) AS depth, root_name, path
          FROM tree ORDER BY node_id""",
+    "q_p3_group_docs" -> s"""
+         WITH RECURSIVE nodes AS (
+           SELECT CAST(r_regionkey + 1 AS BIGINT) AS node_id,
+                  CAST(0 AS BIGINT) AS parent_id, r_name AS name FROM region
+           UNION ALL
+           SELECT CAST(n_nationkey + 100 AS BIGINT),
+                  CAST(n_regionkey + 1 AS BIGINT), n_name FROM nation
+           UNION ALL
+           SELECT CAST(s_suppkey + 10000 AS BIGINT),
+                  CAST(s_nationkey + 100 AS BIGINT), s_name FROM supplier),
+         tree AS (
+           SELECT node_id, 1 AS depth FROM nodes WHERE parent_id = 0
+           UNION ALL
+           SELECT n.node_id, t.depth + 1
+           FROM nodes n JOIN tree t ON n.parent_id = t.node_id),
+         slugs AS (
+           SELECT node_id, parent_id, name,
+                  ${slugSql("name || ' ' || node_id")} AS slug
+           FROM nodes),
+         kids AS (
+           SELECT parent_id,
+                  array_to_string(list_sort(list(DISTINCT slug)), '|') AS children
+           FROM slugs GROUP BY parent_id)
+         SELECT s.slug AS group_slug, s.name AS title,
+                coalesce(k.children, '') AS children,
+                CAST(t.depth AS INT) AS depth,
+                'IVPK IRS' AS extras_source
+         FROM slugs s
+         JOIN tree t ON s.node_id = t.node_id
+         LEFT JOIN kids k ON k.parent_id = s.node_id
+         ORDER BY group_slug""",
     "q_p4_package_flat" -> s"""
          WITH og AS (
            SELECT l_orderkey,

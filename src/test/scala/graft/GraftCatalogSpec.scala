@@ -31,6 +31,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     val actions = spark.sql(
       "SELECT action, count(*) FROM merge_actions GROUP BY action").collect()
     assert(actions.map(_.getString(0)).toSet == Set("create", "update", "delete"))
+    // group_docs ≡ category_tree algebra: same node set (slug embeds the
+    // node id), and every non-leaf's children csv splits to exactly its
+    // tree children count
+    val gd = spark.sql("""
+      SELECT t.node_id,
+             CASE WHEN g.children = '' THEN 0
+                  ELSE length(g.children) - length(replace(g.children, '|', '')) + 1
+             END AS n_children
+      FROM group_docs g
+      JOIN category_tree t
+        ON g.group_slug LIKE '%-' || CAST(t.node_id AS STRING)
+       AND g.depth = t.depth""").collect()
+    assert(gd.length == spark.sql("SELECT * FROM category_tree").count())
+    val kidCounts = spark.sql("""
+      SELECT p.node_id, count(c.node_id) AS n
+      FROM category_tree p LEFT JOIN category_tree c
+        ON c.path = p.path || '/' || c.name AND c.depth = p.depth + 1
+      GROUP BY p.node_id""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gd.foreach { r =>
+      assert(r.getInt(1).toLong == kidCounts(r.getLong(0)),
+        s"node ${r.getLong(0)}: children csv disagrees with the tree") }
     val splits = spark.sql(
       "SELECT split, count(*) AS n FROM sample_split GROUP BY split").collect()
     assert(splits.map(_.getString(0)).toSet == Set("train", "val"))
