@@ -520,11 +520,30 @@ object Similarity {
   def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
     kmeansCentroidsOf(corpus(s, dir))
 
-  /** [[kmeansCentroids]] over an explicit corpus frame — the factor that
-    * lets the incremental tier train on the BASE corpus only.
+  /** Cluster-count sizing for the within-cluster PAIR scanners
+    * ([[semDedup]] / [[semDedupIndex]] / [[hardNegatives]]): their cost
+    * is Σ n_c² — cluster SIZE, not cluster count, is the quadratic term —
+    * so k scales with the corpus to hold the expected cluster near
+    * [[PairClusterTarget]] and the pair scan at O(n·target). The round-10
+    * full-inventory scale run measured the fixed-k=8 form at 25.7× for
+    * 10× data (every cluster grew 10×, pairs 100×); scaled k restores
+    * the linear bound. At the oracle fixtures (n ≤ 2000 embeddings) this
+    * is exactly [[KmeansK]], so the static unrolled-Lloyd DuckDB oracles
+    * stay valid unchanged — only the scale tier sees a larger k. The
+    * routing/probe operators (IVF, IVFPQ) keep fixed k: their per-vector
+    * cost is k dot products (linear in k), not a pair scan.
     */
-  private def kmeansCentroidsOf(c: DataFrame): DataFrame = {
-    var cents = c.filter(col("vec_id") < KmeansK)
+  val PairClusterTarget = 250L
+
+  private def pairClusterK(n: Long): Int =
+    math.max(KmeansK.toLong, n / PairClusterTarget).toInt
+
+  /** [[kmeansCentroids]] over an explicit corpus frame — the factor that
+    * lets the incremental tier train on the BASE corpus only — with the
+    * cluster count as a parameter (seeds = the first k vec_ids).
+    */
+  private def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK): DataFrame = {
+    var cents = c.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"),
         col("nv").as("cnorm"))
     for (_ <- 0 until KmeansIters) {
@@ -992,7 +1011,7 @@ object Similarity {
   def semDedupIndex(s: SparkSession, dir: String,
       cache: Boolean = true): (DataFrame, DataFrame) = {
     val c = corpus(s, dir)
-    val cents0 = kmeansCentroids(s, dir)
+    val cents0 = kmeansCentroidsOf(c, pairClusterK(c.count()))
     val cents = if (cache) cents0.cache() else cents0
     // the static side of a stream-static join re-evaluates per micro-batch:
     // without the cache every trigger re-runs Lloyd + the assignment scan
@@ -1035,7 +1054,7 @@ object Similarity {
     // three consumers (both self-join sides + the verdict projection):
     // cache the assignment, not the lineage behind it. `cache=false` for
     // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
-    val members0 = assign(c, kmeansCentroids(s, dir))
+    val members0 = assign(c, kmeansCentroidsOf(c, pairClusterK(c.count())))
     val members = if (cache) members0.cache() else members0
     val dups = clusterPairs(members)
       .filter(col("b_id") < col("vec_id") &&
@@ -1064,7 +1083,8 @@ object Similarity {
     */
   def hardNegatives(s: SparkSession, dir: String,
       cache: Boolean = true): DataFrame = {
-    val members0 = assign(corpus(s, dir), kmeansCentroids(s, dir))
+    val c = corpus(s, dir)
+    val members0 = assign(c, kmeansCentroidsOf(c, pairClusterK(c.count())))
     val members = if (cache) members0.cache() else members0
     clusterPairs(members)
       .filter(col("cos") < SemDedupThreshold)
