@@ -228,8 +228,12 @@ object Bench {
         try BenchStreaming.json(BenchStreaming.run(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming phase failed: ${e.getMessage}")
+          // backslash FIRST — a message containing one (regex, path)
+          // would otherwise emit an illegal JSON escape and poison the
+          // whole bench line downstream
           s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replace("\"", "'").replace("\n", " ").take(200)}"}"""
+            .replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
+            .take(200)}"}"""
         }
     val loadAfter = loadavg()
     val line =

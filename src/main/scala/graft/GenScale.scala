@@ -86,7 +86,7 @@ object GenSkew {
       t(table).agg(min(col(key).cast("long"))).head().getLong(0)
     val hc = head("customer", "c_custkey")
     val hp = head("part", "p_partkey")
-    val hu = head("customer", "c_custkey") // events.user_id joins customer
+    val hu = hc // events.user_id joins customer.c_custkey — same head key
     def write(df: DataFrame, n: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"[genskew] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")

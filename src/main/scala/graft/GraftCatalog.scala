@@ -18,6 +18,11 @@ object GraftCatalog {
     }
     SyncPipeline.packageFlat(spark, sfDir).createOrReplaceTempView("package_flat")
     SyncPipeline.mergeActions(spark, sfDir).createOrReplaceTempView("merge_actions")
+    // the two tree views DO run eager jobs at registration (treeWalk's
+    // per-level localCheckpoint + isEmpty) — the accepted exception to
+    // the lazy-mount rule below: the loop is bounded by tree DEPTH over
+    // DIMENSION-sized tables (a few tiny jobs), unlike the corpus-sized
+    // fixpoints (components/kCore/bfs) that stay unmounted
     graft.ops.HierarchyOps.j5Tree(spark, sfDir).createOrReplaceTempView("category_tree")
     graft.ops.HierarchyOps.groupDocs(spark, sfDir)
       .createOrReplaceTempView("group_docs")
@@ -38,7 +43,11 @@ object GraftCatalog {
     // is never unpersisted (the standing view-mount contract)
     graft.llm.Curation.sourceMixTemperature(spark, sfDir, cache = false)
       .createOrReplaceTempView("source_mix_temp")
-    graft.llm.Similarity.semDedup(spark, sfDir, cache = false)
+    // k pinned: auto-sizing (k = None) counts the corpus — an eager job
+    // a view registration must not run; the fixture-fixed k is identical
+    // at any mounted harness scale ≤ sf0.1
+    graft.llm.Similarity.semDedup(spark, sfDir, cache = false,
+      k = Some(graft.llm.Similarity.KmeansK))
       .createOrReplaceTempView("semdedup")
     // cache = false: a cache pinned inside a session-lifetime view is
     // never unpersisted (same contract as tfidf's cacheTf above)
@@ -67,7 +76,9 @@ object GraftCatalog {
       .createOrReplaceTempView("moving_avg")
     graft.ops.IncrementalOps.ivmMergeAgg(spark, sfDir)
       .createOrReplaceTempView("ivm_agg")
-    graft.llm.Similarity.hardNegatives(spark, sfDir, cache = false)
+    // k pinned for the same no-eager-jobs reason as the semdedup mount
+    graft.llm.Similarity.hardNegatives(spark, sfDir, cache = false,
+      k = Some(graft.llm.Similarity.KmeansK))
       .createOrReplaceTempView("hard_negatives")
     graft.llm.TextAnalysis.bpeEncode(spark, sfDir, cache = false)
       .createOrReplaceTempView("bpe_encoded")

@@ -44,7 +44,8 @@ object SyncJob {
     * packages — the payload side never shuffles.
     */
   def applyActions(packages: DataFrame, actions: DataFrame, keyCol: String,
-      sink: graft.sources.ActionSink): Unit = {
+      sink: graft.sources.ActionSink,
+      createWavesBy: Option[String] = None): Unit = {
     // Each sink verb is its own Spark action, so without materialization the
     // assembled-packages lineage (four joins + slug/tag pipelines) would
     // recompute per verb. Join ONCE against all non-delete actions and
@@ -59,7 +60,16 @@ object SyncJob {
       .drop(upserts("key")) // by reference: keyCol itself may be named "key"
       .persist()
     try {
-      sink.create(payload.filter(col("__action") === "create").drop("__action"))
+      val creates = payload.filter(col("__action") === "create").drop("__action")
+      createWavesBy match {
+        case None => sink.create(creates)
+        case Some(depthCol) =>
+          // the group tier's ordering constraint (see [[applyGroupActions]]):
+          // descending-depth waves, O(tree height) driver iterations
+          val depths = creates.select(col(depthCol).cast("int")).distinct()
+            .collect().map(_.getInt(0)).sorted.reverse
+          depths.foreach(d => sink.create(creates.filter(col(depthCol) === d)))
+      }
       sink.update(payload.filter(col("__action") === "update").drop("__action"))
       sink.delete(acts.filter(col("action") === "delete").select(col("key")))
     } finally {
@@ -82,26 +92,8 @@ object SyncJob {
     * O(tree height) driver iterations — a scalar bound, not a data bound.
     */
   def applyGroupActions(groups: DataFrame, actions: DataFrame, keyCol: String,
-      depthCol: String, sink: graft.sources.ActionSink): Unit = {
-    val acts = actions.persist()
-    val upserts = acts.filter(col("action") =!= "delete")
-      .select(col("key"), col("action").as("__action"))
-    val payload = groups
-      .join(broadcast(upserts), groups(keyCol) === upserts("key"), "inner")
-      .drop(upserts("key"))
-      .persist()
-    try {
-      val creates = payload.filter(col("__action") === "create").drop("__action")
-      val depths = creates.select(col(depthCol).cast("int")).distinct()
-        .collect().map(_.getInt(0)).sorted.reverse
-      depths.foreach(d => sink.create(creates.filter(col(depthCol) === d)))
-      sink.update(payload.filter(col("__action") === "update").drop("__action"))
-      sink.delete(acts.filter(col("action") === "delete").select(col("key")))
-    } finally {
-      payload.unpersist()
-      acts.unpersist()
-    }
-  }
+      depthCol: String, sink: graft.sources.ActionSink): Unit =
+    applyActions(groups, actions, keyCol, sink, createWavesBy = Some(depthCol))
 
   /** The full lifecycle ending at an external target: gather → import →
     * assemble → merge-classify → push. With an [[graft.sources.HttpSink]]

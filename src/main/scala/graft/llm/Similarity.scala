@@ -538,14 +538,42 @@ object Similarity {
   private def pairClusterK(n: Long): Int =
     math.max(KmeansK.toLong, n / PairClusterTarget).toInt
 
+  /** Resolve the pair-scanners' cluster count: `Some(k)` is caller-fixed
+    * (the lazy-mount path — GraftCatalog's view contract forbids eager
+    * jobs at registration, and the corpus count IS one); `None` sizes
+    * from the corpus (one metadata-cheap parquet count — footer row
+    * counts, not a data scan).
+    */
+  private def resolvePairK(c: DataFrame, k: Option[Int]): Int =
+    k.getOrElse(pairClusterK(c.count()))
+
   /** [[kmeansCentroids]] over an explicit corpus frame — the factor that
     * lets the incremental tier train on the BASE corpus only — with the
-    * cluster count as a parameter (seeds = the first k vec_ids).
+    * cluster count as a parameter. Seeding is two-regime:
+    *
+    *  - k ≤ [[KmeansK]] (every oracled path): seeds are `vec_id < k` —
+    *    the SET the unrolled-Lloyd SQL oracles replay, including over
+    *    FILTERED base corpora where some ids below k are absent (the
+    *    incremental tier's contract pins the seed set, not its size);
+    *  - k > KmeansK (the scaled pair-scan path, beyond oracle scale):
+    *    seeds are the k SMALLEST vec_ids — GenScale-style variant
+    *    offsets leave id gaps, and a `< k` filter there would silently
+    *    return fewer seeds once k outgrows the dense base range,
+    *    quietly un-scaling the cluster count [[pairClusterK]] exists to
+    *    scale. cid = seed rank (0-based).
     */
   private def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK): DataFrame = {
-    var cents = c.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"),
-        col("nv").as("cnorm"))
+    import org.apache.spark.sql.expressions.Window
+    var cents =
+      if (k <= KmeansK)
+        c.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"),
+            col("nv").as("cnorm"))
+      else
+        c.orderBy("vec_id").limit(k)
+          .withColumn("cid",
+            (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+          .select(col("cid"), col("v").as("centroid"), col("nv").as("cnorm"))
     for (_ <- 0 until KmeansIters) {
       cents = assign(c, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -1009,9 +1037,9 @@ object Similarity {
     * [[graft.streaming.StreamOps.semDedupStream]].
     */
   def semDedupIndex(s: SparkSession, dir: String,
-      cache: Boolean = true): (DataFrame, DataFrame) = {
+      cache: Boolean = true, k: Option[Int] = None): (DataFrame, DataFrame) = {
     val c = corpus(s, dir)
-    val cents0 = kmeansCentroidsOf(c, pairClusterK(c.count()))
+    val cents0 = kmeansCentroidsOf(c, resolvePairK(c, k))
     val cents = if (cache) cents0.cache() else cents0
     // the static side of a stream-static join re-evaluates per micro-batch:
     // without the cache every trigger re-runs Lloyd + the assignment scan
@@ -1049,12 +1077,12 @@ object Similarity {
   }
 
   def semDedup(s: SparkSession, dir: String,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true, k: Option[Int] = None): DataFrame = {
     val c = corpus(s, dir)
     // three consumers (both self-join sides + the verdict projection):
     // cache the assignment, not the lineage behind it. `cache=false` for
     // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
-    val members0 = assign(c, kmeansCentroidsOf(c, pairClusterK(c.count())))
+    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k)))
     val members = if (cache) members0.cache() else members0
     val dups = clusterPairs(members)
       .filter(col("b_id") < col("vec_id") &&
@@ -1082,9 +1110,9 @@ object Similarity {
     * row_number-equivalent the oracle uses), never a k×corpus window.
     */
   def hardNegatives(s: SparkSession, dir: String,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true, k: Option[Int] = None): DataFrame = {
     val c = corpus(s, dir)
-    val members0 = assign(c, kmeansCentroidsOf(c, pairClusterK(c.count())))
+    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k)))
     val members = if (cache) members0.cache() else members0
     clusterPairs(members)
       .filter(col("cos") < SemDedupThreshold)

@@ -956,28 +956,44 @@ object TextAnalysis {
   }
 
   /** Memo for [[corpusDigest]]: the full per-file inventory walk (the
-    * strong key) runs ONCE per (path, corpus-root mtime) — steady-state
-    * encode probes validate with a single O(1) stat of the corpus root
-    * instead of re-listing the whole tree per call. Against an object
-    * store holding a 100-TB corpus, a recursive listing per probe is a
-    * nontrivial metadata sweep; one stat is not. A rewrite at the same
-    * path replaces the directory's children (Spark writes fresh
-    * part-UUIDs), which updates the root directory's mtime, so the stat
-    * detects it and forces exactly one fresh walk; [[invalidateRules]]
-    * drops this memo too (the explicit hook). Value = (root mtime at
-    * walk time, digest).
+    * strong key) runs ONCE per (path, shallow stamp) — steady-state
+    * encode probes validate with ONE readdir of the corpus root
+    * (O(direct children): part names, sizes, mtimes, plus the root and
+    * per-child mtimes) instead of re-listing the whole tree per call.
+    * Against an object store holding a 100-TB corpus, a recursive
+    * listing per probe is a nontrivial metadata sweep; one directory
+    * listing is not. The shallow stamp catches both rewrite shapes:
+    * a flat overwrite replaces the part files (fresh UUID names → the
+    * child list changes), and a single-level dynamic-partition
+    * overwrite rewrites files INSIDE a partition directory (that
+    * directory's own mtime changes — it is a direct child). Residual
+    * blind spot: rewrites ≥ 2 partition levels deep change neither the
+    * root's nor a direct child's entry — [[invalidateRules]] is the
+    * explicit hook there (and the memo's docstring contract; the
+    * documents corpus is unpartitioned or one-level in every harness
+    * layout). Value = (shallow stamp at walk time, digest).
     */
   private val digestMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Test hook: counts full inventory walks, so a spec can pin "one
     * listing per freeze" rather than trusting the memo by inspection.
     */
   private[graft] val digestWalks = new java.util.concurrent.atomic.AtomicLong(0)
 
+  private def shallowStamp(root: java.io.File): String = {
+    val kids = root.listFiles() match {
+      case null => Array.empty[java.io.File]
+      case k => k
+    }
+    (s"<root>:${root.lastModified()}" +: kids.map(k =>
+      s"${k.getName}:${k.length()}:${k.lastModified()}"))
+      .sorted.mkString("|")
+  }
+
   private def corpusDigest(dir: String): String = {
     val root = new java.io.File(dir, "documents.parquet")
-    val stamp = root.lastModified()
+    val stamp = shallowStamp(root)
     val cached = digestMemo.get(dir)
     if (cached != null && cached._1 == stamp) return cached._2
     digestWalks.incrementAndGet()
