@@ -168,6 +168,19 @@ object SparkEntry {
     "q_j8_asof" -> (AsofOps.asofClick _),
     "q_j8b_asof_tol" -> (AsofOps.asofClickTol _),
     "q_w15_range_frame" -> (CoreOps.w15RangeFrame _),
+    // the skew-robust two-level rewrite of the SAME range frame (bounded
+    // sort partitions: one time bucket per key); shares w15's oracle —
+    // result identity under the decomposition IS the contract
+    "q_skew_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.SkewOps.bucketedRangeFrame(
+        graft.Tables.table(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", CoreOps.RangeFrameMicros)
+        .orderBy("event_id")
+    }),
     "q_w6_gap_fill" -> (AsofOps.gapFill _),
     "q_w7_moving_avg" -> (CoreOps.w7MovingAvg _),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
@@ -737,6 +750,27 @@ object SparkEntry {
   /** DuckDB SQL macro for slug normalization (odgovlt.py:39-48) — ASCII
     * inputs only (transliteration is a no-op for the harness columns).
     */
+  /** ONE oracle for the trailing range frame, shared by the plain window
+    * (`q_w15_range_frame`) and its skew-robust bucketed rewrite
+    * (`q_skew_range_frame`) — the two plans answering one SQL is the
+    * rewrite's correctness contract.
+    */
+  private def rangeFrameOracle: String = {
+    val w = graft.ops.CoreOps.RangeFrameMicros
+    s"""WITH src AS (
+         SELECT event_id, event_type, epoch_us(ts) AS us,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events)
+       SELECT event_id, event_type, us, cents,
+              CAST(count(*) OVER w AS BIGINT) AS n_1h,
+              CAST(sum(cents) OVER w AS BIGINT) AS sum_1h_cents
+       FROM src
+       WINDOW w AS (PARTITION BY event_type ORDER BY us
+                    RANGE BETWEEN $w PRECEDING
+                          AND CURRENT ROW)
+       ORDER BY event_id"""
+  }
+
   private def slugSql(expr: String): String =
     s"""regexp_replace(lower(trim(regexp_replace($expr, '[^\\w\\s-]', '', 'g'))),
                        '[-\\s]+', '-', 'g')"""
@@ -1963,21 +1997,10 @@ object SparkEntry {
     },
     // value-range window frame: trailing 1 hour of event time per type
     // (mirrors CoreOps.w15RangeFrame)
-    "q_w15_range_frame" -> {
-      import graft.ops.CoreOps.RangeFrameMicros
-      s"""WITH src AS (
-           SELECT event_id, event_type, epoch_us(ts) AS us,
-                  CAST(round(value * 100) AS BIGINT) AS cents
-           FROM events)
-         SELECT event_id, event_type, us, cents,
-                CAST(count(*) OVER w AS BIGINT) AS n_1h,
-                CAST(sum(cents) OVER w AS BIGINT) AS sum_1h_cents
-         FROM src
-         WINDOW w AS (PARTITION BY event_type ORDER BY us
-                      RANGE BETWEEN $RangeFrameMicros PRECEDING
-                            AND CURRENT ROW)
-         ORDER BY event_id"""
-    },
+    "q_w15_range_frame" -> rangeFrameOracle,
+    // the bucketed rewrite answers the SAME question: one oracle string,
+    // two physical plans — matching it is the decomposition's proof
+    "q_skew_range_frame" -> rangeFrameOracle,
     // forward fill (mirrors AsofOps.gapFill): last non-null reading per
     // user stream, running frame — the same IGNORE NULLS window operator
     // in both engines

@@ -86,6 +86,85 @@ object SkewOps {
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("s"))
 
+  /** EXACT skew-robust trailing range frame — the bucketed two-level
+    * rewrite of [[graft.ops.CoreOps.w15RangeFrame]]'s
+    * `RANGE BETWEEN W PRECEDING AND CURRENT ROW` per key. The plain form
+    * sorts each KEY's whole history in one partition — with 5 event
+    * types that is n/5 rows per sort partition at ANY scale, and a
+    * GenSkew-hot key is the same trap (the q_w7 finding in
+    * BENCH_skew.json). Here every sort partition is bounded by ONE TIME
+    * BUCKET of one key, so a hot key spreads over its active time range
+    * instead of one reducer.
+    *
+    * Decomposition (bucket width = the frame horizon W, so a frame spans
+    * at most two buckets):
+    *
+    *  1. within-bucket part — a peers-inclusive running (count, sum)
+    *     over `(key, bucket)` ordered by `us` (every same-bucket row is
+    *     inside the frame: bucket start > us − W by construction);
+    *  2. previous-bucket part — per event, the prev bucket's TOTAL minus
+    *     its running prefix strictly below `us − W`, resolved by an
+    *     AS-OF probe: probe rows (at `us − W`, sorted BEFORE data ties
+    *     so the boundary row stays IN the frame — W PRECEDING is
+    *     inclusive) pick up the last preceding data row's inclusive
+    *     prefix via an ignore-nulls window over the union (the
+    *     [[graft.ops.AsofOps]] device) — one match per event, never a
+    *     per-event fanout join;
+    *  3. bucket totals join back (O(keys·buckets) rows, broadcast) and
+    *     the probe results rejoin on the unique event id.
+    *
+    * Equality with the single-window plan is the checked contract
+    * (`q_skew_range_frame` shares `q_w15_range_frame`'s oracle
+    * verbatim, the q_skew_agg convention); tie-independence holds
+    * because the frame membership predicate `us' ∈ [us − W, us]` never
+    * reads row order. Cost: three bounded shuffles + one equi-join vs
+    * the plain form's one shuffle — the price of bounding every sort
+    * partition; use it when a key's history outgrows a reducer.
+    */
+  def bucketedRangeFrame(events: DataFrame, key: String, W: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events // (event_id, key, us, cents)
+      .withColumn("__bucket", expr(s"us div ${W}L"))
+    val wIn = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = base
+      .withColumn("__in_n", count(lit(1)).over(wIn))
+      .withColumn("__in_sum", sum(col("cents")).over(wIn))
+    val totals = base.groupBy(col(key), col("__bucket"))
+      .agg(count(lit(1)).as("__tot_n"), sum(col("cents")).as("__tot_sum"))
+    // union frame: data rows carry their inclusive prefix; probe rows sit
+    // at (us − W) in the PREVIOUS bucket, sorted before data ties
+    val dataRows = within.select(col(key), col("__bucket").as("__b"),
+      col("us"), lit(1).as("__tag"), lit(null).cast("long").as("__probe_id"),
+      col("__in_n").as("__d_n"), col("__in_sum").as("__d_sum"))
+    val probeRows = base.select(col(key), (col("__bucket") - 1).as("__b"),
+      (col("us") - W).as("us"), lit(0).as("__tag"),
+      col("event_id").as("__probe_id"),
+      lit(null).cast("long").as("__d_n"), lit(null).cast("long").as("__d_sum"))
+    val wPfx = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("us"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totalsKeyed = totals.select(col(key).as("__t_key"),
+      col("__bucket").as("__t_b"), col("__tot_n"), col("__tot_sum"))
+    val probed = dataRows.unionByName(probeRows)
+      .withColumn("__seen_n", last(col("__d_n"), ignoreNulls = true).over(wPfx))
+      .withColumn("__seen_sum", last(col("__d_sum"), ignoreNulls = true).over(wPfx))
+      .filter(col("__probe_id").isNotNull)
+      .join(totalsKeyed,
+        col(key) === col("__t_key") && col("__b") === col("__t_b"),
+        "left_outer")
+      .select(col("__probe_id").as("event_id"),
+        (coalesce(col("__tot_n"), lit(0L)) - coalesce(col("__seen_n"), lit(0L)))
+          .as("__prev_n"),
+        (coalesce(col("__tot_sum"), lit(0L)) - coalesce(col("__seen_sum"), lit(0L)))
+          .as("__prev_sum"))
+    within.join(probed, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col(key), col("us"), col("cents"),
+        (col("__in_n") + coalesce(col("__prev_n"), lit(0L))).as("n_1h"),
+        (col("__in_sum") + coalesce(col("__prev_sum"), lit(0L))).as("sum_1h_cents"))
+  }
+
   /** Hash salt prefixing every bloom-join key (mirrored in the oracle-free
     * spec; the result is key-transparent so no oracle sees it).
     */

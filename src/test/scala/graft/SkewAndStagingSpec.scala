@@ -297,6 +297,80 @@ class SkewAndStagingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedRangeFrame equals the plain range window on the hot-key shape") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.CoreOps.RangeFrameMicros
+    // the skewed key: half the events on the head user (GenSkew's shape)
+    val hu = Tables.table(spark, sf, "customer")
+      .agg(min(col("c_custkey").cast("long"))).head().getLong(0)
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("user_id",
+        GenSkew.collapse(col("event_id"), col("user_id"), hu))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-RangeFrameMicros, 0)
+    val plain = ev
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h_cents", sum(col("cents")).over(w))
+      .select("event_id", "n_1h", "sum_1h_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val bucketed = SkewOps.bucketedRangeFrame(ev, "user_id", RangeFrameMicros)
+      .select("event_id", "n_1h", "sum_1h_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(bucketed.toSeq == plain.toSeq,
+      "bucketed decomposition diverged from the single-window frame")
+    // non-vacuous: frames genuinely cross bucket boundaries (some event's
+    // count exceeds its within-bucket rank would be hard to read back —
+    // instead assert at least one frame holds rows from a previous bucket
+    // by recomputing one event's frame directly)
+    val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    val crossing = rows.exists { case (_, u, us, _) =>
+      rows.exists { case (_, u2, us2, _) =>
+        u2 == u && us2 >= us - RangeFrameMicros && us2 < (us / RangeFrameMicros) * RangeFrameMicros
+      }
+    }
+    assert(crossing, "fixture has no cross-bucket frame — the test is vacuous")
+  }
+
+  test("bucketedRangeFrame: boundary and tie semantics match RANGE exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // crafted micros: exact-boundary row (us - W), ties at the current
+    // row, ties at the boundary, and a row one past the horizon
+    val W = 1000L
+    val ev = Seq(
+      (1L, "k", 0L, 10L), // boundary candidate for us=1000
+      (2L, "k", 0L, 20L), // tie at the boundary
+      (3L, "k", 500L, 30L),
+      (4L, "k", 1000L, 40L), // frame = [0, 1000]: all of 1,2,3,4,5
+      (5L, "k", 1000L, 50L), // peer of 4 — shares its frame
+      (6L, "k", 2001L, 60L), // frame = [1001, 2001]: only itself
+      (7L, "x", 900L, 70L) // other key, never mixes
+    ).toDF("event_id", "key", "us", "cents")
+    val w = Window.partitionBy(col("key")).orderBy(col("us"))
+      .rangeBetween(-W, 0)
+    val plain = ev
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h_cents", sum(col("cents")).over(w))
+      .select("event_id", "n_1h", "sum_1h_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val bucketed = SkewOps.bucketedRangeFrame(ev, "key", W)
+      .select("event_id", "n_1h", "sum_1h_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(bucketed.toSeq == plain.toSeq)
+    // and pin the known answers so BOTH plans are checked against intent,
+    // not just each other: event 4's frame holds all five rows incl. the
+    // inclusive boundary ties at us=0
+    val byId = bucketed.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(4L) == ((5L, 150L)), s"event 4 frame: ${byId(4L)}")
+    assert(byId(5L) == ((5L, 150L)))
+    assert(byId(6L) == ((1L, 60L)))
+    assert(byId(7L) == ((1L, 70L)))
+  }
+
   test("salted paths stay exact on the GenSkew hot-key shape") {
     // the salted mitigation must keep bit-exact results ON the data shape
     // it exists for — half the events collapsed onto the head user
