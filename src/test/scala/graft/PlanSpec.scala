@@ -318,6 +318,23 @@ class PlanSpec extends AnyFunSuite {
       "null rows must re-enter via union, not through the join")
   }
 
+  test("bucketed range frame: every Window partitions on (key, bucket), never key alone") {
+    val p = plan("q_skew_range_frame")
+    // both window passes carry the bucket in their partitioning — the
+    // whole point: no sort partition ever holds a key's full history
+    val winParts = "Window .*windowspecdefinition\\(([^,]+), ([^,]+),"
+      .r.findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(winParts.nonEmpty, s"expected Window operators:\n${p.take(1200)}")
+    winParts.foreach { case (k1, k2) =>
+      assert(k1.contains("event_type") &&
+        (k2.contains("__bucket") || k2.contains("__b")),
+        s"a Window partitions on $k1 WITHOUT a bucket key — the unbounded " +
+          s"per-key sort this rewrite exists to avoid:\n${p.take(1500)}")
+    }
+    assert(p.contains("Union"),
+      "probe rows must enter through the union as-of frame")
+  }
+
   test("ivm merge: two group-sized states union into one final aggregate") {
     val p = plan("q_ivm_agg")
     assert(p.contains("Union"),

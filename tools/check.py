@@ -45,9 +45,14 @@ def frame_rows(df):
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata tables are single parquet FILES; Spark-written
+        # tiers (GenScale/GenSkew output) are part-file DIRECTORIES
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
