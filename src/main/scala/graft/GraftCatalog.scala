@@ -217,6 +217,11 @@ object GraftCatalog {
     // round-9: the color/JPEG decode tier — lazy mapPartitions plan
     graft.ops.MultimodalOps.mmPixelsRgb(spark, sfDir)
       .createOrReplaceTempView("pixel_rgb_stats")
+    // round-10: audio (WAVE/PCM) and real-resize tiers — lazy plans too
+    graft.ops.MultimodalOps.mmAudio(spark, sfDir)
+      .createOrReplaceTempView("audio_stats")
+    graft.ops.MultimodalOps.mmResize(spark, sfDir)
+      .createOrReplaceTempView("resize_stats")
     registerFunctions(spark)
   }
 

@@ -197,6 +197,8 @@ object SparkEntry {
     "q_mm_decode" -> (MultimodalOps.mmDecode _),
     "q_mm_pixels" -> (MultimodalOps.mmPixels _),
     "q_mm_pixels_rgb" -> (MultimodalOps.mmPixelsRgb _),
+    "q_mm_audio" -> (MultimodalOps.mmAudio _),
+    "q_mm_resize" -> (MultimodalOps.mmResize _),
     "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
     "q_mm_dedup" -> (MultimodalOps.mmDedup _),
     "q_decontaminate" -> (Curation.decontaminate _),
@@ -2162,6 +2164,66 @@ object SparkEntry {
                 CASE WHEN fmt = 'png' THEN sb END AS sum_b,
                 TRUE AS decode_ok
          FROM s ORDER BY doc_id"""
+    },
+    // full WAVE/PCM decode: the Spark side chunk-walks a real RIFF
+    // container written by the JDK's javax.sound WAVE encoder, while the
+    // oracle recomputes every acoustic statistic from the generating
+    // arithmetic (MultimodalOps.auSample: sample(i) = (id*31 + i*29) % 4097
+    // - 2048 over an id-derived length and rate) — byte-exact because PCM
+    // is lossless; zero_cross needs the lag window the image oracles don't
+    "q_mm_audio" -> {
+      import graft.ops.MultimodalOps.{AuLenBase, AuLenMod}
+      s"""
+         WITH d AS (SELECT doc_id,
+                           CAST($AuLenBase + doc_id % $AuLenMod AS INT) AS n_samples,
+                           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate
+                    FROM documents),
+         s AS (SELECT d.doc_id, d.n_samples, d.sample_rate, i.i,
+                      CAST((d.doc_id * 31 + i.i * 29) % 4097 - 2048 AS INT) AS v
+               FROM d JOIN range(0, ${AuLenBase + AuLenMod - 1}) i(i)
+                 ON i.i < d.n_samples),
+         z AS (SELECT doc_id, n_samples, sample_rate, v,
+                      lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM s)
+         SELECT doc_id, sample_rate, n_samples,
+                CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,
+                CAST(max(abs(v)) AS INT) AS peak_abs,
+                CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+                CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                              THEN 1 ELSE 0 END) AS INT) AS zero_cross,
+                TRUE AS decode_ok
+         FROM z GROUP BY doc_id, sample_rate, n_samples ORDER BY doc_id"""
+    },
+    // real resize: decode → 2x2 floor-mean box filter → re-encode, stats
+    // over the RESIZED raster; the oracle replays the same floor-mean on
+    // the pxValue grid grouped by output block, and pins the lossless
+    // re-encode round trip TRUE
+    "q_mm_resize" -> {
+      import graft.ops.MultimodalOps.{PxWidthMod, PxHeightMod}
+      s"""
+         WITH d AS (SELECT doc_id,
+                           CAST(4 + doc_id % $PxWidthMod AS INT) AS in_w,
+                           CAST(4 + doc_id % $PxHeightMod AS INT) AS in_h
+                    FROM documents),
+         g AS (SELECT a.x, b.y
+               FROM range(0, ${4 + PxWidthMod - 1}) a(x),
+                    range(0, ${4 + PxHeightMod - 1}) b(y)),
+         px AS (SELECT d.doc_id, d.in_w, d.in_h,
+                       g.x // 2 AS bx, g.y // 2 AS by,
+                       (d.doc_id + g.x + g.y) % 256 AS v
+                FROM d JOIN g ON g.x < d.in_w AND g.y < d.in_h),
+         rp AS (SELECT doc_id, in_w, in_h, bx, by,
+                       CAST(sum(v) // count(*) AS INT) AS rv
+                FROM px GROUP BY 1, 2, 3, 4, 5)
+         SELECT doc_id, in_w, in_h,
+                CAST((in_w + 1) // 2 AS INT) AS out_w,
+                CAST((in_h + 1) // 2 AS INT) AS out_h,
+                CAST(sum(rv) AS BIGINT) AS sum_px,
+                CAST(min(rv) AS INT) AS min_px,
+                CAST(max(rv) AS INT) AS max_px,
+                TRUE AS roundtrip_ok
+         FROM rp GROUP BY doc_id, in_w, in_h ORDER BY doc_id"""
     },
     // text is ASCII, so byte-slicing the blob equals char-slicing the text
     "q_mm_frames" -> s"""

@@ -479,6 +479,272 @@ object MultimodalOps {
     }(enc).orderBy("doc_id")
   }
 
+  /** Audio-fixture length band: n_samples ∈ [240, 480] — a few hundred
+    * PCM frames per clip keeps the oracle's sample-grid join trivial while
+    * the chunk walk, sign handling and crossing count stay real.
+    */
+  val AuLenBase = 240
+  val AuLenMod = 241
+
+  /** Deterministic signed 16-bit PCM sample `i` of document `id` — the
+    * generating arithmetic BOTH sides derive from, exactly like
+    * [[pxValue]] for the image tiers: the fixture encoder writes it into
+    * real WAVE bytes and the oracle recomputes it in SQL. Range
+    * [-2048, 2048]: well inside int16; the 29-step through a 4097-wide
+    * ring wraps every clip at least three times (29 × 240 > 2 × 4097), so
+    * EVERY clip crosses zero — the crossing count is never vacuous — and
+    * squares sum far below Long range.
+    */
+  def auSample(id: Long, i: Int): Int = ((id * 31 + i * 29L) % 4097L).toInt - 2048
+
+  /** Sample rate of document `id`'s clip: 8 / 16 / 24 kHz by id — three
+    * distinct rates so the duration arithmetic (integer floor millis)
+    * can't pass by accident of a single constant.
+    */
+  def auRate(id: Long): Int = 8000 * (1 + (id % 3).toInt)
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("blob", BinaryType)))
+
+  /** Audio fixture: one REAL WAVE file per document — mono 16-bit signed
+    * little-endian PCM, written by the JDK's `javax.sound.sampled` WAVE
+    * writer (canonical RIFF container: fmt chunk with rate/width/align,
+    * data chunk with the frames), every sample from [[auSample]]. The
+    * encoder is a real platform codec, the decoder
+    * ([[parseWav]]) is an independent hand-rolled chunk walker — the two
+    * meeting byte-exactly is the point. Partition-local, no scratch
+    * files (pure stream writer).
+    */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSchema)
+    t(s, dir, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = AuLenBase + (id % AuLenMod).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = auSample(id, i)
+            pcm(2 * i) = (v & 0xff).toByte            // little-endian int16
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            auRate(id).toFloat, 16, 1, true /*signed*/, false /*littleEndian*/)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          Row(id, out.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Decoded WAVE: (sampleRate, channels, bitsPerSample, samples). */
+  private[graft] final case class WavPcm(
+      sampleRate: Int, channels: Int, bits: Int, samples: Array[Int])
+
+  /** Hand-rolled RIFF/WAVE parser — real chunk walking, not a fixed-44
+    * -byte offset convention: verifies the RIFF/WAVE magic, then walks
+    * chunks (id, little-endian u32 size, word-aligned payload) until it
+    * has seen `fmt ` (must be PCM format tag 1) and `data`, tolerating
+    * any other chunks (`LIST`, `fact`, …) a real writer may interleave.
+    * Samples decode as signed little-endian int16. Returns None for
+    * anything malformed — callers surface that as decode_ok=false, never
+    * as a stage failure (the image tiers' null-image rule).
+    */
+  private[graft] def parseWav(blob: Array[Byte]): Option[WavPcm] = {
+    def u16(o: Int) = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (blob(o) & 0xffL) | ((blob(o + 1) & 0xffL) << 8) |
+      ((blob(o + 2) & 0xffL) << 16) | ((blob(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(blob, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (blob.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate, ch, bits = -1
+    var fmtTag = -1
+    var data: Array[Int] = null
+    while (off + 8 <= blob.length) {
+      val id = tag(off)
+      val size = u32(off + 4).toInt
+      val body = off + 8
+      if (body + size > blob.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmtTag = u16(body)
+          ch = u16(body + 2)
+          rate = u32(body + 4).toInt
+          bits = u16(body + 14)
+        case "data" =>
+          val n = size / 2
+          val s = new Array[Int](n)
+          var i = 0
+          while (i < n) { s(i) = u16(body + 2 * i).toShort.toInt; i += 1 }
+          data = s
+        case _ => // skip unknown chunks — a real parser must
+      }
+      off = body + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtTag != 1 || ch < 1 || bits != 16 || rate <= 0 || data == null) None
+    else Some(WavPcm(rate, ch, bits, data))
+  }
+
+  private val audioStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("duration_ms", IntegerType),
+    StructField("peak_abs", IntegerType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("zero_cross", IntegerType),
+    StructField("decode_ok", BooleanType)))
+
+  /** Full audio decode — the third REAL codec tier beside the grayscale
+    * and RGB/JPEG image decodes: executor-side batched `mapPartitions`
+    * over [[audioTable]]'s JDK-written WAVE blobs, decoded by the
+    * independent [[parseWav]] chunk walker, and the acoustic statistics a
+    * curation pipeline gates on (peak, L1 energy, L2 energy,
+    * zero-crossing rate's numerator) computed off the RAW int16 samples
+    * in exact integer arithmetic. PCM is lossless, so every field is
+    * recomputable by the oracle from [[auSample]] — a parser that
+    * misreads the fmt chunk, drops a sample, or flips byte order
+    * value-mismatches. Blobs stay in their partitions; O(docs) stat rows
+    * move.
+    */
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    val input = audioTable(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
+    input.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          parseWav(r.getAs[Array[Byte]](1)) match {
+            case None =>
+              Row(id, null, null, null, null, null, null, null, false)
+            case Some(w) =>
+              val n = w.samples.length
+              var peak = 0
+              var sumAbs, sumSq = 0L
+              var zc = 0
+              var i = 0
+              while (i < n) {
+                val v = w.samples(i)
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumAbs += a
+                sumSq += v.toLong * v
+                // crossing = strict sign-bucket change ((v<0) vs (prev<0))
+                if (i > 0 && (v < 0) != (w.samples(i - 1) < 0)) zc += 1
+                i += 1
+              }
+              Row(id, w.sampleRate, n,
+                (n.toLong * 1000L / w.sampleRate).toInt,
+                peak, sumAbs, sumSq, zc, true)
+          }
+        }
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  private val resizeStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("in_w", IntegerType),
+    StructField("in_h", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("sum_px", LongType),
+    StructField("min_px", IntegerType),
+    StructField("max_px", IntegerType),
+    StructField("roundtrip_ok", BooleanType)))
+
+  /** REAL image resize — the codec-backed operation [[resize]]'s
+    * byte-stride stub stood in for: decode the grayscale PNG fixture
+    * ([[pixelMediaTable]]), 2×2 box-filter downsample the raster in exact
+    * integer arithmetic (each output sample = floor(mean) of its 1, 2 or
+    * 4 covered input samples — edge blocks shrink, nothing is padded),
+    * then re-ENCODE the resized raster to PNG and re-decode it, asserting
+    * the round trip returns the resized samples bit-exactly (PNG is
+    * lossless, so any drift in the encode half surfaces as
+    * roundtrip_ok=false against the oracle's pinned TRUE). The emitted
+    * statistics are over the RESIZED raster and recomputable by the
+    * oracle from [[pxValue]] + the same floor-mean, so a misaligned
+    * window or wrong divisor value-mismatches. Decode→transform→encode
+    * all partition-local; O(docs) stat rows out.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val input = pixelMediaTable(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeStatsSchema)
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) Row(id, null, null, null, null, null, null, null, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+            val raster = img.getRaster
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val outRaster = out.getRaster
+            var (mn, mx, sum) = (Int.MaxValue, Int.MinValue, 0L)
+            var by = 0
+            while (by < oh) {
+              var bx = 0
+              while (bx < ow) {
+                var acc, cnt = 0
+                var dy = 0
+                while (dy < 2 && 2 * by + dy < h) {
+                  var dx = 0
+                  while (dx < 2 && 2 * bx + dx < w) {
+                    acc += raster.getSample(2 * bx + dx, 2 * by + dy, 0)
+                    cnt += 1
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val v = acc / cnt
+                outRaster.setSample(bx, by, 0, v)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                sum += v
+                bx += 1
+              }
+              by += 1
+            }
+            // encode-half check: resized raster → PNG → decode → bit-equal
+            val bytes = new java.io.ByteArrayOutputStream(256)
+            val wrote = javax.imageio.ImageIO.write(out, "png", bytes)
+            val back = if (!wrote) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes.toByteArray))
+            val ok = back != null && back.getWidth == ow && back.getHeight == oh && {
+              val br = back.getRaster
+              var same = true
+              var y = 0
+              while (same && y < oh) {
+                var x = 0
+                while (same && x < ow) {
+                  same = br.getSample(x, y, 0) == outRaster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              same
+            }
+            Row(id, w, h, ow, oh, sum, mn, mx, ok)
+          }
+        }
+      }
+    }(enc).orderBy("doc_id")
+  }
+
   /** Id offset for the deterministically re-ingested asset slice — far
     * above every real doc_id so the injected copies are distinguishable.
     */

@@ -428,6 +428,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(pr.getLong(0) == spark.table("documents").count()
       && pr.getLong(1) == 0)
     assert(pr.getLong(2) > 0 && pr.getLong(2) < pr.getLong(0))
+    // audio stats: every decode ok, Cauchy-Schwarz ties the L1/L2
+    // energies to the peak, duration reconciles with rate in floor
+    // millis, all three fixture rates present, corpus fully covered
+    val au = spark.sql("""
+      SELECT count(*),
+             sum(CASE WHEN NOT decode_ok
+                       OR sample_rate NOT IN (8000, 16000, 24000)
+                       OR duration_ms != CAST(n_samples AS BIGINT) * 1000
+                                         DIV sample_rate
+                       OR peak_abs < 0 OR peak_abs > 2048
+                       OR sum_abs > CAST(peak_abs AS BIGINT) * n_samples
+                       OR sum_sq > CAST(peak_abs AS BIGINT) * sum_abs
+                       OR zero_cross < 0 OR zero_cross >= n_samples
+                  THEN 1 ELSE 0 END),
+             count(DISTINCT sample_rate)
+      FROM audio_stats""").head()
+    assert(au.getLong(0) == spark.table("documents").count()
+      && au.getLong(1) == 0 && au.getLong(2) == 3)
+    // resize stats: round trip asserted, output dims are the ceil-half of
+    // the input dims, resized extrema inside the byte range and ordering
+    val rz = spark.sql("""
+      SELECT count(*),
+             sum(CASE WHEN NOT roundtrip_ok
+                       OR out_w != (in_w + 1) DIV 2 OR out_h != (in_h + 1) DIV 2
+                       OR min_px < 0 OR max_px > 255 OR min_px > max_px
+                       OR sum_px < CAST(min_px AS BIGINT) * out_w * out_h
+                       OR sum_px > CAST(max_px AS BIGINT) * out_w * out_h
+                  THEN 1 ELSE 0 END)
+      FROM resize_stats""").head()
+    assert(rz.getLong(0) == spark.table("documents").count()
+      && rz.getLong(1) == 0)
     // funnel latency: p90 >= median, both actual observed values > 0
     assert(spark.sql("""
       SELECT count(*) FROM funnel_latency

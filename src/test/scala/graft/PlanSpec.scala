@@ -992,4 +992,22 @@ class PlanSpec extends AnyFunSuite {
     assert(finalScan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
       s"selection-stage scan should prune to (doc_id, n_chars):\n$p")
   }
+
+  test("codec tiers: doc_id-only scan, two fused object stages, blobs never shuffle") {
+    // the real-decode family (grayscale PNG, WAVE/PCM, box-filter resize)
+    // shares one stage economics: encode + decode are the only object-mode
+    // stages, the scan reads no payload column, and the only exchange is
+    // the O(docs) stats sort — blobs live and die inside their partition
+    for (q <- Seq("q_mm_pixels", "q_mm_audio", "q_mm_resize")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"$q must scan doc_id only:\n$p")
+      val mp = "MapPartitions".r.findAllIn(p).length
+      assert(mp == 2, s"$q: encode + decode = exactly two object stages, got $mp:\n$p")
+      assert(!p.contains("Join"), s"$q: blobs must never join:\n$p")
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$q should shuffle only the stats rows for the output sort, got $exchanges:\n$p")
+    }
+  }
 }

@@ -427,6 +427,78 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.exists(_.getString(1) == "png") && got.exists(_.getString(1) == "jpg"))
   }
 
+  test("multimodal: WAVE decode recovers the exact PCM acoustics") {
+    // the fixture blobs are REAL WAVE files: the independent chunk walker
+    // must agree with the JDK encoder on the fmt fields and every sample
+    val blobs = MultimodalOps.audioTable(spark, sf).collect()
+    blobs.foreach { r =>
+      val id = r.getLong(0)
+      val w = MultimodalOps.parseWav(r.getAs[Array[Byte]](1))
+        .getOrElse(fail(s"doc $id: fixture WAVE must parse"))
+      assert(w.sampleRate == MultimodalOps.auRate(id) && w.channels == 1
+        && w.bits == 16, s"doc $id fmt chunk")
+      val n = MultimodalOps.AuLenBase + (id % MultimodalOps.AuLenMod).toInt
+      assert(w.samples.length == n, s"doc $id sample count")
+      assert(w.samples.zipWithIndex.forall { case (v, i) =>
+        v == MultimodalOps.auSample(id, i) }, s"doc $id samples")
+    }
+    // chunk walking is real: an interleaved unknown chunk must be skipped
+    val one = blobs.head
+    val raw = one.getAs[Array[Byte]](1)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val padded = raw.take(12) ++ junk ++ raw.drop(12)
+    // RIFF size field is not re-stamped; the walker must not rely on it
+    val reparsed = MultimodalOps.parseWav(padded)
+    assert(reparsed.exists(_.samples.sameElements(
+      MultimodalOps.parseWav(raw).get.samples)), "junk chunk must be skipped")
+    assert(MultimodalOps.parseWav("nope".getBytes).isEmpty)
+    assert(MultimodalOps.parseWav(raw.take(30)).isEmpty, "truncated data chunk")
+    // the declared stats equal the closed-form generating arithmetic
+    val got = MultimodalOps.mmAudio(spark, sf).collect()
+    assert(got.length == blobs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val n = MultimodalOps.AuLenBase + (id % MultimodalOps.AuLenMod).toInt
+      val s = (0 until n).map(MultimodalOps.auSample(id, _))
+      assert(r.getInt(1) == MultimodalOps.auRate(id) && r.getInt(2) == n)
+      assert(r.getInt(3) == (n.toLong * 1000L / MultimodalOps.auRate(id)).toInt)
+      assert(r.getInt(4) == s.map(math.abs).max, s"doc $id peak")
+      assert(r.getLong(5) == s.map(v => math.abs(v).toLong).sum, s"doc $id L1")
+      assert(r.getLong(6) == s.map(v => v.toLong * v).sum, s"doc $id L2")
+      assert(r.getInt(7) == s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)),
+        s"doc $id crossings")
+      assert(r.getBoolean(8))
+    }
+    // non-vacuous: all three rates occur and every clip actually crosses
+    assert(got.map(_.getInt(1)).distinct.sorted.sameElements(
+      Array(8000, 16000, 24000)))
+    assert(got.forall(_.getInt(7) > 0))
+  }
+
+  test("multimodal: box-filter resize matches the floor-mean arithmetic and round-trips") {
+    val got = MultimodalOps.mmResize(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = 4 + (id % MultimodalOps.PxWidthMod).toInt
+      val h = 4 + (id % MultimodalOps.PxHeightMod).toInt
+      val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getInt(3) == ow && r.getInt(4) == oh)
+      val rv = for (by <- 0 until oh; bx <- 0 until ow) yield {
+        val xs = (2 * bx) until math.min(2 * bx + 2, w)
+        val ys = (2 * by) until math.min(2 * by + 2, h)
+        val block = for (x <- xs; y <- ys) yield MultimodalOps.pxValue(id, x, y)
+        block.sum / block.size
+      }
+      assert(r.getLong(5) == rv.map(_.toLong).sum, s"doc $id resized sum")
+      assert(r.getInt(6) == rv.min && r.getInt(7) == rv.max, s"doc $id extrema")
+      assert(r.getBoolean(8), s"doc $id: lossless re-encode must round-trip")
+    }
+    // odd dims occur (edge blocks of 1 and 2 samples actually exercised)
+    assert(got.exists(r => r.getInt(1) % 2 == 1 && r.getInt(2) % 2 == 1))
+  }
+
   test("distinctPerWindowStream sketches match the batch KMV per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
