@@ -222,6 +222,9 @@ object GraftCatalog {
       .createOrReplaceTempView("audio_stats")
     graft.ops.MultimodalOps.mmResize(spark, sfDir)
       .createOrReplaceTempView("resize_stats")
+    // round-10 continuation: the multi-frame (animated GIF) tier
+    graft.ops.MultimodalOps.mmVideo(spark, sfDir)
+      .createOrReplaceTempView("video_frame_stats")
     registerFunctions(spark)
   }
 

@@ -200,6 +200,7 @@ object SparkEntry {
     "q_mm_audio" -> (MultimodalOps.mmAudio _),
     "q_mm_resize" -> (MultimodalOps.mmResize _),
     "q_mm_frames" -> (MultimodalOps.mmFrameSample _),
+    "q_mm_video" -> (MultimodalOps.mmVideo _),
     "q_mm_dedup" -> (MultimodalOps.mmDedup _),
     "q_decontaminate" -> (Curation.decontaminate _),
     "q_pii_redact" -> (Curation.piiRedact _),
@@ -2239,6 +2240,47 @@ object SparkEntry {
                 md5(substr(text, CAST(frame_idx * ${MultimodalOps.FrameBytes} + 1 AS INT),
                            ${MultimodalOps.FrameBytes})) AS frame_digest
          FROM fr WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""",
+    // real animated-GIF frame sampling: the Spark side cross-checks an
+    // independent container walker against ImageIO's frame decode, while
+    // the oracle replays the generating arithmetic over the
+    // (doc × frame × pixel) grid — LZW over an identity 8-bit palette is
+    // lossless, so frame stats, frame count and the GCE-delay duration
+    // are all exact
+    "q_mm_video" -> {
+      import graft.ops.MultimodalOps.{VidFramesBase, VidFramesMod,
+        VidWidthMod, VidHeightMod, VidSampleEvery}
+      s"""
+         WITH d AS (SELECT doc_id,
+                           CAST($VidFramesBase + doc_id % $VidFramesMod AS INT) AS n_frames,
+                           CAST(4 + doc_id % $VidWidthMod AS INT) AS width,
+                           CAST(4 + doc_id % $VidHeightMod AS INT) AS height
+                    FROM documents),
+         dur AS (SELECT d.doc_id,
+                        CAST(sum(1 + (d.doc_id + f.f) % 4) AS INT) AS duration_cs
+                 FROM d JOIN range(0, ${VidFramesBase + VidFramesMod - 1}) f(f)
+                   ON f.f < d.n_frames
+                 GROUP BY 1),
+         g AS (SELECT a.x, b.y
+               FROM range(0, ${4 + VidWidthMod - 1}) a(x),
+                    range(0, ${4 + VidHeightMod - 1}) b(y)),
+         fr AS (SELECT d.doc_id, d.n_frames, d.width, d.height,
+                       CAST(f.f AS INT) AS frame_idx
+                FROM d JOIN range(0, ${VidFramesBase + VidFramesMod - 1}) f(f)
+                  ON f.f < d.n_frames AND f.f % $VidSampleEvery = 0),
+         px AS (SELECT fr.doc_id, fr.n_frames, fr.width, fr.height, fr.frame_idx,
+                       (fr.doc_id + 7 * fr.frame_idx + g.x + g.y) % 256 AS v
+                FROM fr JOIN g ON g.x < fr.width AND g.y < fr.height)
+         SELECT px.doc_id, px.n_frames, dur.duration_cs, px.frame_idx,
+                px.width, px.height,
+                CAST(sum(px.v) AS BIGINT) AS sum_px,
+                CAST(min(px.v) AS INT) AS min_px,
+                CAST(max(px.v) AS INT) AS max_px,
+                TRUE AS decode_ok
+         FROM px JOIN dur ON dur.doc_id = px.doc_id
+         GROUP BY px.doc_id, px.n_frames, dur.duration_cs, px.frame_idx,
+                  px.width, px.height
+         ORDER BY px.doc_id, px.frame_idx"""
+    },
     "q_decontaminate" -> decontaminateOracle,
     // the bloom pre-filter is exact end-to-end (no false negatives by
     // construction, false positives killed by the verify join), so its

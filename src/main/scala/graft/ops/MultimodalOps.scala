@@ -745,6 +745,279 @@ object MultimodalOps {
     }(enc).orderBy("doc_id")
   }
 
+  /** Video-fixture shape: 2..6 frames per clip, frames 4..12 × 4..10 —
+    * several frames so every-Nth sampling is non-trivial, dims small
+    * enough that the oracle's (doc × frame × pixel) grid join stays
+    * cheap, and heights BELOW 8 on purpose: the JDK GIF writer's default
+    * interlaced output reorders scanlines wrongly for rasters shorter
+    * than the interlace pass stride (the fixture pins interlace OFF, and
+    * the exact-sum oracle is what would catch the corruption).
+    */
+  val VidFramesBase = 2
+  val VidFramesMod = 5
+  val VidWidthMod = 9
+  val VidHeightMod = 7
+
+  /** Sample every Nth frame — the frame-sample operation itself. */
+  val VidSampleEvery = 2
+
+  /** Deterministic grayscale sample of frame `f` at (x, y) of document
+    * `id`'s clip — the generating arithmetic BOTH sides derive from, the
+    * video analog of [[pxValue]]/[[auSample]]: the fixture encoder writes
+    * it into real animated-GIF bytes, the oracle recomputes it in SQL.
+    * The 7·f term makes consecutive frames differ everywhere, so a
+    * decoder that samples the WRONG frame (off-by-one in the frame index,
+    * or a reader that composites instead of reading the frame raster)
+    * value-mismatches on every pixel.
+    */
+  def vidPx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + 7L * f + x + y) % 256L).toInt
+
+  /** Frame `f`'s display delay in centiseconds (GIF's native unit):
+    * 1..4 cs, frame-dependent so the metadata walk that recovers it is
+    * never satisfied by a constant.
+    */
+  def vidDelayCs(id: Long, f: Int): Int = 1 + ((id + f) % 4L).toInt
+
+  private val videoSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("blob", BinaryType)))
+
+  /** Video fixture: one REAL multi-frame container per document — an
+    * animated GIF written frame-by-frame with the JDK's ImageIO sequence
+    * writer (`prepareWriteSequence`/`writeToSequence`: genuine logical
+    * screen descriptor, per-frame image descriptors, LZW-compressed
+    * rasters, and a GraphicControlExtension per frame carrying
+    * [[vidDelayCs]]). Frames are TYPE_BYTE_INDEXED over an identity
+    * grayscale palette, so 8-bit LZW is lossless and every sample is
+    * [[vidPx]] exactly. Interlace is pinned OFF in the ImageDescriptor
+    * metadata (see [[VidFramesBase]] doc — the default corrupts short
+    * rasters). Partition-local; no scratch files.
+    */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoSchema)
+    t(s, dir, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val ramp = Array.tabulate(256)(_.toByte)
+        val palette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % VidWidthMod).toInt
+          val h = 4 + (id % VidHeightMod).toInt
+          val nf = VidFramesBase + (id % VidFramesMod).toInt
+          val bos = new java.io.ByteArrayOutputStream(1024)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { raster.setSample(x, y, 0, vidPx(id, f, x, y)); x += 1 }
+              y += 1
+            }
+            val meta = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), null)
+            val fmtName = meta.getNativeMetadataFormatName
+            val root = meta.getAsTree(fmtName)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            var gce: javax.imageio.metadata.IIOMetadataNode = null
+            var i = 0
+            while (i < root.getLength) {
+              val node = root.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              node.getNodeName match {
+                case "GraphicControlExtension" => gce = node
+                case "ImageDescriptor" => node.setAttribute("interlaceFlag", "FALSE")
+                case _ =>
+              }
+              i += 1
+            }
+            if (gce == null) {
+              gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+              root.appendChild(gce)
+            }
+            gce.setAttribute("disposalMethod", "none")
+            gce.setAttribute("userInputFlag", "FALSE")
+            gce.setAttribute("transparentColorFlag", "FALSE")
+            gce.setAttribute("transparentColorIndex", "0")
+            gce.setAttribute("delayTime", vidDelayCs(id, f).toString)
+            meta.setFromTree(fmtName, root)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** One frame of [[GifInfo]]: raster dims + the GCE delay (centiseconds)
+    * that preceded its image descriptor (0 if none did — GIF's default).
+    */
+  private[graft] final case class GifFrame(width: Int, height: Int, delayCs: Int)
+  private[graft] final case class GifInfo(
+      width: Int, height: Int, frames: Vector[GifFrame])
+
+  /** Hand-rolled GIF container walker — the [[parseWav]] of the video
+    * tier: verifies the GIF87a/GIF89a signature, reads the logical screen
+    * descriptor, skips the global color table, then walks the block
+    * stream (extension blocks with length-prefixed sub-blocks, image
+    * descriptors with optional local color tables and LZW data
+    * sub-blocks) to the trailer, collecting per-frame dims and the
+    * GraphicControlExtension delays. No LZW decode — container STRUCTURE
+    * is this side's contribution; pixel content comes from the ImageIO
+    * decode it is cross-checked against. Returns None for anything
+    * malformed (bad signature, truncated sub-block chain, missing
+    * trailer) — callers surface that as decode_ok=false, never a stage
+    * failure.
+    */
+  private[graft] def parseGifStructure(blob: Array[Byte]): Option[GifInfo] = {
+    def u16(o: Int) = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8)
+    if (blob.length < 14) return None
+    val sig = new String(blob, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val (sw, sh) = (u16(6), u16(8))
+    val packed = blob(10) & 0xff
+    // sub-block chain: (len, payload)* until a zero length byte
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < blob.length && (blob(o) & 0xff) != 0) o += 1 + (blob(o) & 0xff)
+      if (o >= blob.length) -1 else o + 1
+    }
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+    var frames = Vector.empty[GifFrame]
+    var pendingDelay = 0
+    while (off < blob.length) {
+      (blob(off) & 0xff) match {
+        case 0x3b => // trailer — the only well-formed exit
+          return Some(GifInfo(sw, sh, frames))
+        case 0x21 => // extension block
+          if (off + 2 > blob.length) return None
+          val label = blob(off + 1) & 0xff
+          // GCE: fixed 4-byte body = packed, u16 LE delay, transparent idx
+          if (label == 0xf9 && off + 8 <= blob.length && (blob(off + 2) & 0xff) == 4)
+            pendingDelay = u16(off + 4)
+          off = skipSubBlocks(off + 2)
+          if (off < 0) return None
+        case 0x2c => // image descriptor: left, top, w, h (u16 LE), packed
+          if (off + 10 > blob.length) return None
+          val (fw, fh) = (u16(off + 5), u16(off + 7))
+          val ip = blob(off + 9) & 0xff
+          var o = off + 10
+          if ((ip & 0x80) != 0) o += 3 * (1 << ((ip & 7) + 1))
+          o += 1 // LZW minimum code size byte
+          o = skipSubBlocks(o)
+          if (o < 0) return None
+          frames :+= GifFrame(fw, fh, pendingDelay)
+          pendingDelay = 0
+          off = o
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  private val videoStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_cs", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_px", LongType),
+    StructField("min_px", IntegerType),
+    StructField("max_px", IntegerType),
+    StructField("decode_ok", BooleanType)))
+
+  /** Frame sampling over a REAL multi-frame container — the codec-backed
+    * operation [[mmFrameSample]]'s byte-slicing stood in for, and the
+    * fourth real decode tier (grayscale PNG, RGB/JPEG, WAVE, now animated
+    * GIF). Executor-side batched `mapPartitions` over [[videoTable]]'s
+    * clips; per clip:
+    *
+    *  - the independent [[parseGifStructure]] walker recovers frame
+    *    count, per-frame dims, and the GCE delays (clip duration = their
+    *    sum) from the container bytes;
+    *  - ImageIO's GIF reader decodes every [[VidSampleEvery]]-th frame
+    *    (`getNumImages(true)` must agree with the walker's frame count —
+    *    two independent parsers cross-check each other), and the raster
+    *    statistics come off the decoded samples in exact integer
+    *    arithmetic.
+    *
+    * LZW over an identity 8-bit palette is lossless, so every emitted
+    * field is recomputable by the oracle from [[vidPx]]/[[vidDelayCs]] —
+    * a reader that miscounts frames, misorders scanlines (the interlace
+    * hazard), or samples the wrong frame value-mismatches. Any malformed
+    * clip or parser disagreement emits ONE decode_ok=false row instead of
+    * failing the stage. Blobs stay in their partitions; O(docs × frames)
+    * stat rows move.
+    */
+  def mmVideo(s: SparkSession, dir: String): DataFrame = {
+    val input = videoTable(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoStatsSchema)
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          val badRow = Row(id, null, null, null, null, null, null, null, null, false)
+          parseGifStructure(blob) match {
+            case None => Iterator.single(badRow)
+            case Some(info) =>
+              val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(blob)))
+                val n = try reader.getNumImages(true)
+                        catch { case _: java.io.IOException => -1 }
+                if (n <= 0 || n != info.frames.length) Iterator.single(badRow)
+                else {
+                  val durationCs = info.frames.iterator.map(_.delayCs).sum
+                  (0 until n by VidSampleEvery).iterator.map { f =>
+                    val img = reader.read(f)
+                    val walked = info.frames(f)
+                    if (img == null || img.getWidth != walked.width ||
+                        img.getHeight != walked.height)
+                      Row(id, n, durationCs, f, null, null, null, null, null, false)
+                    else {
+                      val (w, h) = (img.getWidth, img.getHeight)
+                      var (mn, mx, sum) = (Int.MaxValue, Int.MinValue, 0L)
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) {
+                          // through the palette (getRGB), not the raw index:
+                          // channel mapping is part of what is asserted
+                          val v = img.getRGB(x, y) & 0xff
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                          sum += v
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      Row(id, n, durationCs, f, w, h, sum, mn, mx, true)
+                    }
+                  }.toVector.iterator
+                }
+              } finally reader.dispose()
+          }
+        }
+      }
+    }(enc).orderBy("doc_id", "frame_idx")
+  }
+
   /** Id offset for the deterministically re-ingested asset slice — far
     * above every real doc_id so the injected copies are distinguishable.
     */

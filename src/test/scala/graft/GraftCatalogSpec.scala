@@ -459,6 +459,26 @@ class GraftCatalogSpec extends AnyFunSuite {
       FROM resize_stats""").head()
     assert(rz.getLong(0) == spark.table("documents").count()
       && rz.getLong(1) == 0)
+    // video frame stats: every sampled frame decoded ok, one row per
+    // EVERY-2nd frame index (so idx is even and below the frame count),
+    // duration is the sum of per-frame 1..4 cs delays (bounded both
+    // sides by the frame count), extrema inside the byte range and
+    // bracketing the mean
+    val vf = spark.sql(s"""
+      SELECT count(*),
+             sum(CASE WHEN NOT decode_ok
+                       OR frame_idx % ${graft.ops.MultimodalOps.VidSampleEvery} != 0
+                       OR frame_idx >= n_frames
+                       OR duration_cs < n_frames OR duration_cs > 4 * n_frames
+                       OR min_px < 0 OR max_px > 255 OR min_px > max_px
+                       OR sum_px < CAST(min_px AS BIGINT) * width * height
+                       OR sum_px > CAST(max_px AS BIGINT) * width * height
+                  THEN 1 ELSE 0 END),
+             count(DISTINCT doc_id)
+      FROM video_frame_stats""").head()
+    assert(vf.getLong(0) >= spark.table("documents").count()
+      && vf.getLong(1) == 0
+      && vf.getLong(2) == spark.table("documents").count())
     // funnel latency: p90 >= median, both actual observed values > 0
     assert(spark.sql("""
       SELECT count(*) FROM funnel_latency

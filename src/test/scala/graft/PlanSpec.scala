@@ -994,11 +994,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("codec tiers: doc_id-only scan, two fused object stages, blobs never shuffle") {
-    // the real-decode family (grayscale PNG, WAVE/PCM, box-filter resize)
-    // shares one stage economics: encode + decode are the only object-mode
-    // stages, the scan reads no payload column, and the only exchange is
-    // the O(docs) stats sort — blobs live and die inside their partition
-    for (q <- Seq("q_mm_pixels", "q_mm_audio", "q_mm_resize")) {
+    // the real-decode family (grayscale PNG, WAVE/PCM, box-filter resize,
+    // animated-GIF frames) shares one stage economics: encode + decode are
+    // the only object-mode stages, the scan reads no payload column, and
+    // the only exchange is the O(docs) stats sort — blobs live and die
+    // inside their partition
+    for (q <- Seq("q_mm_pixels", "q_mm_audio", "q_mm_resize", "q_mm_video")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
         s"$q must scan doc_id only:\n$p")

@@ -499,6 +499,60 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r.getInt(1) % 2 == 1 && r.getInt(2) % 2 == 1))
   }
 
+  test("multimodal: animated-GIF frame sampling — exact stats, walker/reader cross-check") {
+    // fixture blobs are REAL animated GIFs: the independent block walker
+    // must recover frame count, dims and the GCE delays the JDK sequence
+    // writer embedded
+    val blobs = MultimodalOps.videoTable(spark, sf).collect()
+    blobs.foreach { r =>
+      val id = r.getLong(0)
+      val info = MultimodalOps.parseGifStructure(r.getAs[Array[Byte]](1))
+        .getOrElse(fail(s"doc $id: fixture GIF must walk"))
+      val nf = MultimodalOps.VidFramesBase + (id % MultimodalOps.VidFramesMod).toInt
+      assert(info.frames.length == nf, s"doc $id frame count")
+      info.frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.width == 4 + (id % MultimodalOps.VidWidthMod).toInt
+          && fr.height == 4 + (id % MultimodalOps.VidHeightMod).toInt,
+          s"doc $id frame $f dims")
+        assert(fr.delayCs == MultimodalOps.vidDelayCs(id, f), s"doc $id frame $f delay")
+      }
+    }
+    // malformed containers must reject, not throw
+    assert(MultimodalOps.parseGifStructure("nope".getBytes).isEmpty)
+    val raw = blobs.head.getAs[Array[Byte]](1)
+    assert(MultimodalOps.parseGifStructure(raw.dropRight(5)).isEmpty,
+      "truncated container (no trailer) must reject")
+    // the declared query: every 2nd frame, stats off the decoded raster
+    val got = MultimodalOps.mmVideo(spark, sf).collect()
+    val expRows = blobs.map { r =>
+      val nf = MultimodalOps.VidFramesBase +
+        (r.getLong(0) % MultimodalOps.VidFramesMod).toInt
+      (nf + MultimodalOps.VidSampleEvery - 1) / MultimodalOps.VidSampleEvery
+    }.sum
+    assert(got.length == expRows, "one row per SAMPLED frame")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(3)
+      val nf = MultimodalOps.VidFramesBase + (id % MultimodalOps.VidFramesMod).toInt
+      val w = 4 + (id % MultimodalOps.VidWidthMod).toInt
+      val h = 4 + (id % MultimodalOps.VidHeightMod).toInt
+      assert(r.getInt(1) == nf && f % MultimodalOps.VidSampleEvery == 0 && f < nf)
+      assert(r.getInt(2) == (0 until nf).map(MultimodalOps.vidDelayCs(id, _)).sum,
+        s"doc $id duration")
+      assert(r.getInt(4) == w && r.getInt(5) == h)
+      val px = for (x <- 0 until w; y <- 0 until h)
+        yield MultimodalOps.vidPx(id, f, x, y)
+      assert(r.getLong(6) == px.map(_.toLong).sum, s"doc $id frame $f sum")
+      assert(r.getInt(7) == px.min && r.getInt(8) == px.max, s"doc $id frame $f extrema")
+      assert(r.getBoolean(9), s"doc $id frame $f decode_ok")
+    }
+    // non-vacuous: heights BELOW 8 occur (the interlace hazard the fixture
+    // pins off — the default interlaced write corrupts exactly these), and
+    // clips long enough that sampling actually skips frames
+    assert(got.exists(_.getInt(5) < 8))
+    assert(got.exists(_.getInt(3) >= MultimodalOps.VidSampleEvery))
+  }
+
   test("distinctPerWindowStream sketches match the batch KMV per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
