@@ -225,6 +225,23 @@ object MultimodalOps {
     */
   def pxValue(id: Long, x: Int, y: Int): Int = ((id + x + y) % 256L).toInt
 
+  /** The codec fixtures' input: just the ids, FANNED OUT across the
+    * session's parallelism before the expensive executor-side encode.
+    * The scan behind the test corpus is a single small parquet file —
+    * one partition — which would serialize the whole codec family's
+    * encode+decode onto one core; the fan-out restores the parallelism a
+    * production corpus gets for free from file count, and what moves is
+    * 8 bytes per document, never a blob (measured: the video tier's
+    * encode dropped from one-core 3.1 s to the parallel band at sf0.1).
+    */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    // explicit partition count: a keys-only repartition is ~8 bytes/row,
+    // so AQE's advisory-size coalescing would immediately fold it back to
+    // one partition — the cost model sees bytes, not the codec CPU behind
+    // each row. A user-specified count is exempt from AQE coalescing.
+    t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private val pixelSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("blob", BinaryType)))
@@ -238,8 +255,7 @@ object MultimodalOps {
     */
   def pixelMediaTable(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pixelSchema)
-    t(s, dir, "documents")
-      .select(col("doc_id"))
+    docIds(s, dir)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
@@ -358,8 +374,7 @@ object MultimodalOps {
     */
   def pixelRgbTable(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(pixelRgbSchema)
-    t(s, dir, "documents")
-      .select(col("doc_id"))
+    docIds(s, dir)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
@@ -518,9 +533,25 @@ object MultimodalOps {
     */
   def audioTable(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSchema)
-    t(s, dir, "documents")
-      .select(col("doc_id"))
+    docIds(s, dir)
       .mapPartitions { rows =>
+        // resolve the platform WAVE writer ONCE per partition through the
+        // public AudioFileWriter SPI: AudioSystem.write re-runs provider
+        // discovery per call through a JVM-global SYNCHRONIZED registry
+        // (sun JDK13Services.getProviders), so 32 concurrent encode tasks
+        // serialize on that lock — measured slower than one core. The
+        // writer instances themselves are stateless and thread-safe.
+        val wavType = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val wavWriter = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+          var found: javax.sound.sampled.spi.AudioFileWriter = null
+          while (found == null && it.hasNext) {
+            val w = it.next()
+            if (w.isFileTypeSupported(wavType)) found = w
+          }
+          found // the JDK always ships one; null would NPE loudly below
+        }
         rows.map { r =>
           val id = r.getLong(0)
           val n = AuLenBase + (id % AuLenMod).toInt
@@ -537,8 +568,7 @@ object MultimodalOps {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
           val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          wavWriter.write(ais, wavType, out)
           Row(id, out.toByteArray)
         }
       }(enc)
@@ -796,33 +826,22 @@ object MultimodalOps {
     */
   def videoTable(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoSchema)
-    t(s, dir, "documents")
-      .select(col("doc_id"))
+    docIds(s, dir)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         val ramp = Array.tabulate(256)(_.toByte)
         val palette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
-        rows.map { r =>
-          val id = r.getLong(0)
-          val w = 4 + (id % VidWidthMod).toInt
-          val h = 4 + (id % VidHeightMod).toInt
-          val nf = VidFramesBase + (id % VidFramesMod).toInt
-          val bos = new java.io.ByteArrayOutputStream(1024)
-          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < nf) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { raster.setSample(x, y, 0, vidPx(id, f, x, y)); x += 1 }
-              y += 1
-            }
+        // partition-scoped amortization: ONE writer reused across documents
+        // (reset + setOutput per clip), and the per-frame IIOMetadata — a
+        // DOM build whose only variance is the 1..4 cs delay (the type
+        // specifier is the fixed palette) — memoized to four instances.
+        // Without this the metadata tree work ran once per FRAME and
+        // dominated the encode (measured 8.4 s → the stats-tier band at
+        // sf0.1).
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val metaByDelay = new java.util.HashMap[Int, javax.imageio.metadata.IIOMetadata]()
+        def delayMeta(img: java.awt.image.BufferedImage, delayCs: Int) =
+          metaByDelay.computeIfAbsent(delayCs, { d =>
             val meta = writer.getDefaultImageMetadata(
               new javax.imageio.ImageTypeSpecifier(img), null)
             val fmtName = meta.getNativeMetadataFormatName
@@ -847,13 +866,36 @@ object MultimodalOps {
             gce.setAttribute("userInputFlag", "FALSE")
             gce.setAttribute("transparentColorFlag", "FALSE")
             gce.setAttribute("transparentColorIndex", "0")
-            gce.setAttribute("delayTime", vidDelayCs(id, f).toString)
+            gce.setAttribute("delayTime", d.toString)
             meta.setFromTree(fmtName, root)
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+            meta
+          })
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % VidWidthMod).toInt
+          val h = 4 + (id % VidHeightMod).toInt
+          val nf = VidFramesBase + (id % VidFramesMod).toInt
+          val bos = new java.io.ByteArrayOutputStream(1024)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.reset()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { raster.setSample(x, y, 0, vidPx(id, f, x, y)); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, delayMeta(img, vidDelayCs(id, f))), null)
             f += 1
           }
           writer.endWriteSequence()
-          writer.dispose()
           ios.close()
           Row(id, bos.toByteArray)
         }
@@ -967,6 +1009,9 @@ object MultimodalOps {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoStatsSchema)
     input.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      // one reader per partition, reset + re-targeted per clip — reader
+      // construction per document is measurable at corpus scale
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
@@ -975,8 +1020,8 @@ object MultimodalOps {
           parseGifStructure(blob) match {
             case None => Iterator.single(badRow)
             case Some(info) =>
-              val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
               try {
+                reader.reset()
                 reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
                   new java.io.ByteArrayInputStream(blob)))
                 val n = try reader.getNumImages(true)
@@ -1011,7 +1056,11 @@ object MultimodalOps {
                     }
                   }.toVector.iterator
                 }
-              } finally reader.dispose()
+              } catch {
+                // a clip whose frames won't decode is a data fault, not a
+                // stage fault — same contract as the other codec tiers
+                case _: java.io.IOException => Iterator.single(badRow)
+              }
           }
         }
       }

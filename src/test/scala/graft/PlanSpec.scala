@@ -997,8 +997,11 @@ class PlanSpec extends AnyFunSuite {
     // the real-decode family (grayscale PNG, WAVE/PCM, box-filter resize,
     // animated-GIF frames) shares one stage economics: encode + decode are
     // the only object-mode stages, the scan reads no payload column, and
-    // the only exchange is the O(docs) stats sort — blobs live and die
-    // inside their partition
+    // exactly two things ever shuffle — the 8-byte doc_ids fanned out
+    // BEFORE the expensive encode (the tiny fixture file is one scan
+    // partition; without the fan-out the whole codec family serializes
+    // onto one core) and the O(docs) stats rows for the output sort.
+    // Blobs live and die inside their partition.
     for (q <- Seq("q_mm_pixels", "q_mm_audio", "q_mm_resize", "q_mm_video")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
@@ -1007,8 +1010,11 @@ class PlanSpec extends AnyFunSuite {
       assert(mp == 2, s"$q: encode + decode = exactly two object stages, got $mp:\n$p")
       assert(!p.contains("Join"), s"$q: blobs must never join:\n$p")
       val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
-      assert(exchanges == 1,
-        s"$q should shuffle only the stats rows for the output sort, got $exchanges:\n$p")
+      assert(exchanges == 2,
+        s"$q should shuffle only the pre-encode ids + the stats sort, got $exchanges:\n$p")
+      // the fan-out carries the ids alone, never an encoded payload
+      assert(p.contains("Exchange hashpartitioning(doc_id#"),
+        s"$q: the pre-encode fan-out must partition by doc_id:\n$p")
     }
   }
 }
