@@ -40,6 +40,21 @@ import org.apache.spark.sql.SparkSession
   * only makes the build-once/probe-many economics visible.
   */
 object Bench {
+
+  /** The JDK-17 module packages Spark needs opened when a JVM is launched
+    * outside spark-submit (which injects them itself). ONE list for every
+    * fork site — the local-cluster executor command line here and the
+    * at-rest probe JVM in BenchSplitSpec — so a Spark upgrade that needs
+    * one more open can't half-land.
+    */
+  val Jdk17OpenPackages: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
@@ -66,14 +81,7 @@ object Bench {
       else builder0
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
         .config("spark.executor.extraJavaOptions",
-          Seq("java.base/java.lang", "java.base/java.lang.invoke",
-            "java.base/java.lang.reflect", "java.base/java.io",
-            "java.base/java.net", "java.base/java.nio",
-            "java.base/java.util", "java.base/java.util.concurrent",
-            "java.base/java.util.concurrent.atomic",
-            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-            "java.base/sun.security.action", "java.base/sun.util.calendar")
-            .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+          Jdk17OpenPackages.map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -228,12 +236,8 @@ object Bench {
         try BenchStreaming.json(BenchStreaming.run(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming phase failed: ${e.getMessage}")
-          // backslash FIRST — a message containing one (regex, path)
-          // would otherwise emit an illegal JSON escape and poison the
-          // whole bench line downstream
-          s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
-            .take(200)}"}"""
+          s"""{"error":"${BenchStreaming.esc(
+            Option(e.getMessage).getOrElse(e.getClass.getName)).take(200)}"}"""
         }
     val loadAfter = loadavg()
     val line =

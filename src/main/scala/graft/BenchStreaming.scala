@@ -304,10 +304,18 @@ object BenchStreaming {
     results
   }
 
+  /** JSON string-escape for error messages landing inside the bench line:
+    * backslash FIRST, quotes neutralized, and EVERY control character
+    * (Spark error text routinely embeds tabs and CRs from plan/schema
+    * fragments) mapped to a space — one un-escaped control char would
+    * make the whole line unparseable downstream. Shared by the streaming
+    * section here and Bench's phase-failure catch.
+    */
+  def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "'")
+    .map(c => if (c < ' ') ' ' else c)
+
   /** JSON object for the bench line: per-twin metrics + bound verdicts. */
   def json(results: Seq[(String, Either[String, TwinResult])]): String = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'")
-      .replace("\n", " ")
     val entries = results.map {
       case (name, Right(r)) =>
         f""""$name":{"rows":${r.rows},"sec":${r.sec}%.3f,"rows_per_sec":${r.rowsPerSec}%.0f,"batches":${r.batches},"trigger_ms_p50":${r.trigP50Ms}%.0f,"trigger_ms_max":${r.trigMaxMs}%.0f,"state_rows_max":${r.stateRowsMax},"state_bytes_max":${r.stateBytesMax},"state_bound":${r.bound},"bound_ok":${r.boundOk},"bound":"${esc(r.boundDesc)}"}"""

@@ -65,9 +65,19 @@ object SyncJob {
         case None => sink.create(creates)
         case Some(depthCol) =>
           // the group tier's ordering constraint (see [[applyGroupActions]]):
-          // descending-depth waves, O(tree height) driver iterations
+          // descending-depth waves, O(tree height) driver iterations.
+          // A null depth has no defined wave — `=== d` would silently skip
+          // the row (an entity that never reaches the target, with no
+          // error) and getInt would NPE the driver — so fail loudly here:
+          // depth is derived by the tree walk and null means the caller's
+          // hierarchy was broken upstream.
           val depths = creates.select(col(depthCol).cast("int")).distinct()
-            .collect().map(_.getInt(0)).sorted.reverse
+            .collect().map { r =>
+              require(!r.isNullAt(0),
+                s"createWavesBy=$depthCol: null depth on a create row — " +
+                "the entity would be silently dropped from the sync")
+              r.getInt(0)
+            }.sorted.reverse
           depths.foreach(d => sink.create(creates.filter(col(depthCol) === d)))
       }
       sink.update(payload.filter(col("__action") === "update").drop("__action"))

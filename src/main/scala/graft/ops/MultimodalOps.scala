@@ -601,7 +601,12 @@ object MultimodalOps {
       val id = tag(off)
       val size = u32(off + 4).toInt
       val body = off + 8
-      if (body + size > blob.length) return None
+      // size is a u32 read into an Int: a hostile/corrupt field ≥ 2^31
+      // goes NEGATIVE here, which would pass the forward bounds check and
+      // either spin this loop forever (off recomputes to itself at -8) or
+      // throw from the data-chunk array allocation — malformed means None,
+      // never a hung or crashed task
+      if (size < 0 || body + size > blob.length) return None
       id match {
         case "fmt " if size >= 16 =>
           fmtTag = u16(body)

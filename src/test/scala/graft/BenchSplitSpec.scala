@@ -59,15 +59,8 @@ class BenchSplitSpec extends AnyFunSuite {
     // SparkSession, empty block-manager, empty rule memo — if any probe
     // depended on state the build left in this JVM rather than on the
     // parquet alone, the at-rest run would diverge or die
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val addOpens = Bench.Jdk17OpenPackages
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq(
       s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),

@@ -453,6 +453,12 @@ class StreamOpsSpec extends AnyFunSuite {
       MultimodalOps.parseWav(raw).get.samples)), "junk chunk must be skipped")
     assert(MultimodalOps.parseWav("nope".getBytes).isEmpty)
     assert(MultimodalOps.parseWav(raw.take(30)).isEmpty, "truncated data chunk")
+    // hostile u32 chunk size (>= 2^31 reads negative in an Int): must be
+    // None, not an infinite walk or a negative array allocation
+    val hostile = raw.clone()
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    assert(MultimodalOps.parseWav(hostile).isEmpty, "negative chunk size")
     // the declared stats equal the closed-form generating arithmetic
     val got = MultimodalOps.mmAudio(spark, sf).collect()
     assert(got.length == blobs.length)

@@ -83,16 +83,21 @@ def main(sf_dir, out_dir, json_out=None):
         p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")))
     for name in declared:
         if name in resume_ok:
+            # a resumed green is only honored if the Spark output the prior
+            # run compared is still present and readable — otherwise fall
+            # through to the normal path (which records no_spark_output),
+            # so a replayed log can never mark a missing dump green
             got_n = None
             try:
                 got_n = sum(len(pd.read_parquet(p))
                             for p in glob.glob(f"{out_dir}/{name}/*.parquet"))
             except Exception:
-                pass
-            print(f"OK   {name}: {got_n} rows  [resumed]")
-            record(name, rows_match=True, schema_match=True, hash_match=True,
-                   spark_rows=got_n, oracle_rows=got_n)
-            continue
+                got_n = None
+            if got_n is not None and glob.glob(f"{out_dir}/{name}/*.parquet"):
+                print(f"OK   {name}: {got_n} rows  [resumed]")
+                record(name, rows_match=True, schema_match=True, hash_match=True,
+                       spark_rows=got_n, oracle_rows=got_n)
+                continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output parquet")
