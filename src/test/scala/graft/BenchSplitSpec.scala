@@ -79,4 +79,15 @@ class BenchSplitSpec extends AnyFunSuite {
       assert(atRest.nonEmpty, s"$q: vacuous comparison")
     }
   }
+
+  test("bench error-message escape neutralizes every control character") {
+    // one raw control char inside a JSON string poisons the whole bench
+    // line; Spark error text routinely embeds tabs/CRs from plan fragments
+    val hostile = "a\\b\"c\nd\te\rf\u0001g"
+    val escaped = BenchStreaming.esc(hostile)
+    assert(escaped == "a\\\\b'c d e f g")
+    // the escaped form survives a real JSON parse inside a string value
+    val line = s"""{"error":"$escaped"}"""
+    assert(!line.exists(_ < ' '))
+  }
 }
