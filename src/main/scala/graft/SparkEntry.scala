@@ -1490,8 +1490,11 @@ object SparkEntry {
     // cosine ≥ threshold mark the larger vec_id a duplicate
     "q_semdedup" -> s"""
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
-                WHERE vec_id < ${Similarity.KmeansK}),
+         -- same scale-adaptive seeding as q_embed_hardneg (pairClusterK)
+         s0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS centroid
+                FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM c)
+                WHERE rn <= greatest(${Similarity.KmeansK},
+                  (SELECT count(*) FROM c) // ${Similarity.PairClusterTarget})),
          ${kmAssignCte("a1", "s0")},
          ${kmUpdateCte("s1", "a1")},
          ${kmAssignCte("a2", "s1")},
@@ -1511,8 +1514,15 @@ object SparkEntry {
     // row_number twin of Spark's struct-max)
     "q_embed_hardneg" -> s"""
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
-                WHERE vec_id < ${Similarity.KmeansK}),
+         -- scale-adaptive k (mirrors Similarity.pairClusterK): k grows with
+         -- the corpus to hold cluster size near the pair-scan target; seeds
+         -- are the k smallest vec_ids by RANK (cid = rank-1), which on the
+         -- dense fixture ids equals the historical vec_id<k seeding and
+         -- stays faithful on offset-gapped scaled corpora
+         s0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS centroid
+                FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM c)
+                WHERE rn <= greatest(${Similarity.KmeansK},
+                  (SELECT count(*) FROM c) // ${Similarity.PairClusterTarget})),
          ${kmAssignCte("a1", "s0")},
          ${kmUpdateCte("s1", "a1")},
          ${kmAssignCte("a2", "s1")},

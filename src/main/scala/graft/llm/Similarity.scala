@@ -528,8 +528,9 @@ object Similarity {
     * full-inventory scale run measured the fixed-k=8 form at 25.7× for
     * 10× data (every cluster grew 10×, pairs 100×); scaled k restores
     * the linear bound. At the oracle fixtures (n ≤ 2000 embeddings) this
-    * is exactly [[KmeansK]], so the static unrolled-Lloyd DuckDB oracles
-    * stay valid unchanged — only the scale tier sees a larger k. The
+    * is exactly [[KmeansK]]; the pair-scanners' DuckDB oracles replay the
+    * SAME formula (greatest(k, count/target) with rank seeding), so the
+    * differential stays faithful at every scale it runs, sf1 included. The
     * routing/probe operators (IVF, IVFPQ) keep fixed k: their per-vector
     * cost is k dot products (linear in k), not a pair scan.
     */
