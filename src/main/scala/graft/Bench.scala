@@ -236,8 +236,11 @@ object Bench {
         try BenchStreaming.json(BenchStreaming.run(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming phase failed: ${e.getMessage}")
+          // truncate the RAW message, then escape: cutting after escaping
+          // can split a doubled backslash and leave a dangling escape that
+          // poisons the closing JSON quote
           s"""{"error":"${BenchStreaming.esc(
-            Option(e.getMessage).getOrElse(e.getClass.getName)).take(200)}"}"""
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}"}"""
         }
     val loadAfter = loadavg()
     val line =

@@ -550,23 +550,32 @@ object Similarity {
 
   /** [[kmeansCentroids]] over an explicit corpus frame — the factor that
     * lets the incremental tier train on the BASE corpus only — with the
-    * cluster count as a parameter. Seeding is two-regime:
+    * cluster count as a parameter. Two seeding regimes, selected by the
+    * CALLER's oracle contract (not by k — a k-derived switch left the
+    * regimes asymmetric with the pair-scanner oracles, which rank-seed at
+    * EVERY scale; on an id-gapped corpus small enough that
+    * [[pairClusterK]] returns [[KmeansK]], `vec_id < k` would seed
+    * fewer/different vectors than the oracle's k-smallest):
     *
-    *  - k ≤ [[KmeansK]] (every oracled path): seeds are `vec_id < k` —
-    *    the SET the unrolled-Lloyd SQL oracles replay, including over
-    *    FILTERED base corpora where some ids below k are absent (the
-    *    incremental tier's contract pins the seed set, not its size);
-    *  - k > KmeansK (the scaled pair-scan path, beyond oracle scale):
-    *    seeds are the k SMALLEST vec_ids — GenScale-style variant
-    *    offsets leave id gaps, and a `< k` filter there would silently
-    *    return fewer seeds once k outgrows the dense base range,
-    *    quietly un-scaling the cluster count [[pairClusterK]] exists to
-    *    scale. cid = seed rank (0-based).
+    *  - `rankSeed = false` (the IVF/IVFPQ routing tiers and the
+    *    incremental tier): seeds are `vec_id < k` — the SET those
+    *    unrolled-Lloyd SQL oracles replay, including over FILTERED base
+    *    corpora where some ids below k are absent (the incremental
+    *    tier's contract pins the seed set, not its size);
+    *  - `rankSeed = true` (the pair scanners [[semDedup]] /
+    *    [[semDedupIndex]] / [[hardNegatives]], whose oracles replay
+    *    k-smallest-by-rank unconditionally): seeds are the k SMALLEST
+    *    vec_ids — GenScale-style variant offsets leave id gaps, and a
+    *    `< k` filter there would silently return fewer seeds once k
+    *    outgrows the dense base range. cid = seed rank (0-based). On
+    *    dense 0-based ids with k ≤ KmeansK the two regimes coincide,
+    *    which is why the fixture differentials can't tell them apart.
     */
-  private def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK): DataFrame = {
+  private def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK,
+      rankSeed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var cents =
-      if (k <= KmeansK)
+      if (!rankSeed && k <= KmeansK)
         c.filter(col("vec_id") < k)
           .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"),
             col("nv").as("cnorm"))
@@ -1040,7 +1049,7 @@ object Similarity {
   def semDedupIndex(s: SparkSession, dir: String,
       cache: Boolean = true, k: Option[Int] = None): (DataFrame, DataFrame) = {
     val c = corpus(s, dir)
-    val cents0 = kmeansCentroidsOf(c, resolvePairK(c, k))
+    val cents0 = kmeansCentroidsOf(c, resolvePairK(c, k), rankSeed = true)
     val cents = if (cache) cents0.cache() else cents0
     // the static side of a stream-static join re-evaluates per micro-batch:
     // without the cache every trigger re-runs Lloyd + the assignment scan
@@ -1083,7 +1092,7 @@ object Similarity {
     // three consumers (both self-join sides + the verdict projection):
     // cache the assignment, not the lineage behind it. `cache=false` for
     // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
-    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k)))
+    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k), rankSeed = true))
     val members = if (cache) members0.cache() else members0
     val dups = clusterPairs(members)
       .filter(col("b_id") < col("vec_id") &&
@@ -1113,7 +1122,7 @@ object Similarity {
   def hardNegatives(s: SparkSession, dir: String,
       cache: Boolean = true, k: Option[Int] = None): DataFrame = {
     val c = corpus(s, dir)
-    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k)))
+    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k), rankSeed = true))
     val members = if (cache) members0.cache() else members0
     clusterPairs(members)
       .filter(col("cos") < SemDedupThreshold)

@@ -90,4 +90,21 @@ class BenchSplitSpec extends AnyFunSuite {
     val line = s"""{"error":"$escaped"}"""
     assert(!line.exists(_ < ' '))
   }
+
+  test("truncation happens before escaping at the 200-char boundary") {
+    // a message of 200 backslashes doubles to 400 escaped chars; the safe
+    // order (truncate raw, then escape) yields an even run of backslashes
+    // that closes cleanly inside a JSON string — cutting AFTER escaping
+    // could split a doubled backslash and leave a dangling escape that
+    // swallows the closing quote
+    val raw = "\\" * 250
+    val safe = BenchStreaming.esc(raw.take(200))
+    assert(safe == "\\\\" * 200)
+    val unsafe = BenchStreaming.esc(raw).take(201) // odd cut: dangling escape
+    assert(unsafe.length % 2 == 1)
+    val line = s"""{"error":"$safe"}"""
+    // even-run backslashes: the char before the closing quote is itself
+    // escaped-pair-complete, so the string terminates where it should
+    assert(line.endsWith("\\\\\"}"))
+  }
 }
