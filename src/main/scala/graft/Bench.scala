@@ -226,14 +226,50 @@ object Bench {
     val probesMinJson = probeResults.map { case (q, _, mn, _) => "\"" + q + "\":" + numOrNull(mn) }
       .mkString("{", ",", "}")
     // ---- streaming throughput tier (BenchStreaming) ----
-    // a broken twin records itself under its name; a broken PHASE records
-    // an error object — either way the batch numbers above stay intact
+    // Runs in a FORKED JVM after the query section is fully measured and
+    // its closing loadavg recorded: the round-10 driver pass ran both
+    // tiers in one process and the streaming load (5-min loadavg 4.6 →
+    // 36.6 across the run) drifted the per-query minima 1.1–1.4×, making
+    // round-over-round regression detection undecidable from the driver
+    // artifact alone. The fork gives the query section a quiet start AND
+    // a quiet end ("loadavg.after_queries"), and the streaming tier its
+    // own fresh JVM (no shared heap/GC history with 191 timed queries).
+    // A broken twin records itself under its name; a broken PHASE (or a
+    // failed fork) records an error object — either way the batch
+    // numbers above stay intact.
+    val loadAfterQueries = loadavg()
     val streamingJson =
       if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1"))
         """{"skipped":true}"""
       else if (only.nonEmpty) """{"skipped":"subset run"}"""
       else
-        try BenchStreaming.json(BenchStreaming.run(spark, sfDir))
+        try {
+          val tmp = java.nio.file.Files.createTempFile("bench_streaming", ".json")
+          val addOpens = Jdk17OpenPackages
+            .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+          val cmd = Seq(
+            s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+            "-Xmx8g", "-cp", System.getProperty("java.class.path"),
+            "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "graft.BenchStreaming")
+          val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+          pb.environment().put("SPARK_GRAFT_STREAMBENCH_OUT", tmp.toString)
+          val proc = pb.start()
+          val log = new String(proc.getInputStream.readAllBytes())
+          val exit = proc.waitFor()
+          if (exit != 0)
+            sys.error(s"streaming JVM exited $exit: ${log.takeRight(300)}")
+          val outLine = new String(java.nio.file.Files.readAllBytes(tmp)).trim
+          java.nio.file.Files.deleteIfExists(tmp)
+          // the standalone main writes {"metric":"streaming","sf":...,
+          // "streaming":<obj>} — the embedded object is the suffix
+          // between the LAST top-level "streaming": key and the final }
+          val marker = "\"streaming\":"
+          val at = outLine.indexOf(marker)
+          if (at < 0) sys.error(s"no streaming object in: ${outLine.take(200)}")
+          outLine.substring(at + marker.length, outLine.length - 1)
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming phase failed: ${e.getMessage}")
           // truncate the RAW message, then escape: cutting after escaping
@@ -244,7 +280,7 @@ object Bench {
         }
     val loadAfter = loadavg()
     val line =
-      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"artifact_builds":$buildsJson,"probes":$probesJson,"probes_min":$probesMinJson,"streaming":$streamingJson,"loadavg":{"before":"$loadBefore","after":"$loadAfter"},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runsJson,"failed":$failed,"runs_per_query":$nRuns,"artifact_builds":$buildsJson,"probes":$probesJson,"probes_min":$probesMinJson,"streaming":$streamingJson,"loadavg":{"before":"$loadBefore","after_queries":"$loadAfterQueries","after":"$loadAfter"},"sf":"$sfDir"}"""
     println(line)
     // stdout runs through sbt's [info] prefix, which breaks line-oriented
     // JSON parsing downstream — always ALSO write the bare line to a file

@@ -329,13 +329,25 @@ object BenchStreaming {
     s"""{"all_bounded":$allOk,"twins":${entries.mkString("{", ",", "}")}}"""
   }
 
-  /** Standalone entry: one JSON line, same env contract as [[Bench]]. */
+  /** Standalone entry: one JSON line, same env contract as [[Bench]] —
+    * including `SPARK_GRAFT_MASTER`, so the multi-JVM tier covers the
+    * streaming twins too (state-store and stream-static-join closures
+    * crossing real process boundaries, not one shared JVM).
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else builder0
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          Bench.Jdk17OpenPackages.map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

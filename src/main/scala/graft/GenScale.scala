@@ -88,7 +88,7 @@ object GenSkew {
     val hp = head("part", "p_partkey")
     val hu = hc // events.user_id joins customer.c_custkey — same head key
     def write(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      GenWrite.write(df, s"$dst/$n.parquet", GenWrite.splitKey(n))
       println(s"[genskew] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
     }
     Seq("region", "nation", "customer", "supplier", "part",
@@ -101,6 +101,47 @@ object GenSkew {
     write(t("events").withColumn("user_id",
       collapse(col("event_id"), col("user_id"), hu)), "events")
     spark.stop()
+  }
+}
+
+/** Shared writer for the generated fixture tiers: multiple output files
+  * (range-partitioned on the table's PK — deterministic content per file)
+  * with a small parquet block size, so every generated table lands with
+  * MULTIPLE row groups. The driver's own fixtures are one-row-group
+  * parquet — unsplittable, so every scan stage is single-core regardless
+  * of local[32] (the distortion that hid 8× in the codec tier until the
+  * explicit id fan-out); generated tiers must not replicate it, or
+  * parallelism bugs stay invisible at every measured scale.
+  *
+  * Knobs: `SPARK_GRAFT_GEN_FILES` (default 8 output files per table) and
+  * `SPARK_GRAFT_GEN_BLOCK_BYTES` (default 4 MiB parquet block size — at
+  * fixture scale a table file is a few MiB to ~100 MiB, so the default
+  * yields one-to-dozens of row groups per FILE on the fact tables while
+  * the file count alone already guarantees ≥8 splittable scan units).
+  * Dimension tables with fewer rows than files simply produce some empty
+  * splits — harmless.
+  */
+object GenWrite {
+  /** PK per harness table — the range-partitioning key that keeps file
+    * contents deterministic run-over-run (round-robin repartition is not).
+    */
+  val splitKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  def splitKey(table: String): String = splitKeys(table)
+
+  def write(df: DataFrame, path: String, key: String): Unit = {
+    val files = sys.env.getOrElse("SPARK_GRAFT_GEN_FILES", "8").toInt
+    val block = sys.env.getOrElse("SPARK_GRAFT_GEN_BLOCK_BYTES",
+      (4 * 1024 * 1024).toString)
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
+      .option("parquet.block.size", block)
+      .parquet(path)
   }
 }
 
@@ -118,11 +159,21 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // construction limits: past 26 copies the alphabet rotation repeats
-    // (variant 26 ≡ variant 0) and cross-variant text duplicates return —
-    // the exact failure SCALE.md documents; fail loud instead
-    require(copies >= 1 && copies <= 26,
-      s"copies=$copies: alphabet rotation supports at most 26 distinct variants")
+    // construction limits: the rotation ring is the 52-letter a–zA–Z
+    // cycle (the text corpus is letters+whitespace only — no digits or
+    // punctuation to extend the ring with), so past 52 copies the
+    // rotation repeats (variant 52 ≡ variant 0) and cross-variant text
+    // duplicates return — the exact failure SCALE.md documents; fail
+    // loud instead. This is a HARD cap of the disjoint-variant
+    // construction: every per-char bijection on this corpus lives in the
+    // 52-cycle, and every non-per-char scheme tried (token suffixes,
+    // token prefixes) leaves common-word byte shingles colliding across
+    // variants, planting quadratic near-dup structure the measurement
+    // exists to rule out. Largest honest replicated tier from sf0.1:
+    // 52 copies ≈ sf5.
+    require(copies >= 1 && copies <= 52,
+      s"copies=$copies: the 52-letter rotation ring supports at most " +
+        "52 distinct variants")
 
     // key-domain offsets derived from the ACTUAL source maxima (one
     // order-of-magnitude headroom), not hardcoded to sf0.1's ranges — so
@@ -163,7 +214,7 @@ object GenScale {
     def variants(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(k => f(df, k)).reduce(_ unionByName _)
     def write(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      GenWrite.write(df, s"$dst/$n.parquet", GenWrite.splitKey(n))
       println(s"[genscale] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
     }
     def sfx(c: org.apache.spark.sql.Column, k: Int) =
@@ -206,12 +257,16 @@ object GenScale {
         col("event_type"), col("value"), col("props"))
     }, "events")
     write(variants(t("documents")) { (df, k) =>
-      val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
-      def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
+      // ONE 52-cycle over a–zA–Z (not two parallel 26-cycles): 52
+      // distinct per-char bijections, all mutually shingle-disjoint on a
+      // letters-only corpus — variants 26..51 run lowercase into the
+      // uppercase half of the ring
+      val ring = "abcdefghijklmnopqrstuvwxyz" +
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      def rot(s: String) = s.drop(k % 52) + s.take(k % 52)
       val text =
         if (k == 0) col("text")
-        else translate(col("text"), lower + upper, rot(lower) + rot(upper))
+        else translate(col("text"), ring, rot(ring))
       df.select((col("doc_id") + k * D).as("doc_id"), text.as("text"),
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))

@@ -3447,7 +3447,9 @@ object SparkEntry {
                  FROM ex GROUP BY 1, 2),
          dfp AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1
                  HAVING count(*) >= 2
-                    AND count(*) <= ${TextAnalysis.NeighborMaxDf}),
+                    AND count(*) <= greatest(${TextAnalysis.NeighborMaxDf},
+                      (SELECT n_docs FROM n)
+                        // ${TextAnalysis.NeighborRareFrac})),
          w AS (SELECT tfc.term, tfc.doc_id, tfc.tf * (n_docs // df) AS w
                FROM tfc JOIN dfp USING (term), n)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,

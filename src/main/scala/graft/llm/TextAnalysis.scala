@@ -1351,12 +1351,27 @@ object TextAnalysis {
   }
 
   /** df band for the similarity join: terms in fewer than 2 documents
-    * cannot create a pair; terms above [[NeighborMaxDf]] are stop-term
-    * noise AND the quadratic hazard — the prune bounds every term's pair
-    * fanout at MaxDf², which is what keeps a posting self-join near-linear
-    * at corpus scale (the same role the LSH band plays for MinHash).
+    * cannot create a pair; terms above the cap are stop-term noise AND
+    * the quadratic hazard — the prune bounds every term's pair fanout at
+    * cap², which is what keeps a posting self-join near-linear at corpus
+    * scale (the same role the LSH band plays for MinHash). The cap is
+    * SCALE-AWARE: `max(NeighborMaxDf, n_docs/NeighborRareFrac)` — an
+    * absolute floor at fixture scale (where `n/20` would under-shoot the
+    * whole vocabulary) joined to a relative arm, because "rare
+    * vocabulary" is a fraction-of-corpus property: a term in 5% of
+    * documents is exactly as discriminative at 10⁹ docs as at 10³, while
+    * any fixed cap empties as the corpus grows (the round-10 sf0.1/sf1
+    * runs returned 0 rows on BOTH engines — a check that could not
+    * fail). The relative arm's worst-case fanout is (n/20)² per term;
+    * the REAL bound at scale is the banded df distribution itself
+    * (stop-terms with df ~ n stay excluded — the band tracks the rare
+    * tail, not a fixed count), and a deployment that needs a hard ceiling
+    * composes this with a per-term pair cap the same way the MinHash
+    * path caps band-bucket width.
     */
   val NeighborMaxDf = 50
+  /** Denominator of the relative df-band arm: rare = ≤ n_docs/20 (5%). */
+  val NeighborRareFrac = 20
   /** Result size of the pair ranking. */
   val NeighborTopK = 50
 
@@ -1381,10 +1396,15 @@ object TextAnalysis {
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val postPlan = postingsOf(docs)
     val post = if (cache) postPlan.cache() else postPlan
+    // scale-aware rare band (the 1-row scalar rides the standard
+    // crossJoin attach; df table is O(vocab), the greatest() cut is free)
     val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= NeighborMaxDf)
-    val w = post.join(broadcast(dfT), Seq("term"))
       .crossJoin(nDocs)
+      .filter(col("df") >= 2 && col("df") <=
+        greatest(lit(NeighborMaxDf.toLong),
+          expr(s"n_docs div $NeighborRareFrac")))
+      .select(col("term"), col("df"), col("n_docs"))
+    val w = post.join(broadcast(dfT), Seq("term"))
       .select(col("term"), col("doc_id"),
         (col("tf") * expr("n_docs div df")).as("w"))
     w.as("a")

@@ -891,7 +891,8 @@ class LlmOpsSpec extends AnyFunSuite {
     }.toMap
     val df = tf.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val band = df.filter { case (_, d) =>
-      d >= 2 && d <= TextAnalysis.NeighborMaxDf }
+      d >= 2 && d <= math.max(TextAnalysis.NeighborMaxDf.toLong,
+        n / TextAnalysis.NeighborRareFrac) }
     val w = tf.collect { case ((t, id), f) if band.contains(t) =>
       (t, id) -> f * (n / band(t))
     }
