@@ -183,6 +183,22 @@ object SparkEntry {
     }),
     "q_w6_gap_fill" -> (AsofOps.gapFill _),
     "q_w7_moving_avg" -> (CoreOps.w7MovingAvg _),
+    // the skew-robust two-level rewrite of the SAME 5-row trailing frame
+    // (sort partitions bounded by one (user, time-bucket); cross-bucket
+    // remainders resolved through the per-bucket tail stream); shares
+    // w7's oracle — result identity under the decomposition IS the
+    // contract
+    "q_skew_rows_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.SkewOps.bucketedRowsFrame(
+        graft.Tables.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "user_id", 5, CoreOps.RangeFrameMicros)
+        .withColumn("avg_cents",
+          round(col("win_sum_cents") / col("win_n"), 4))
+        .orderBy("event_id")
+    }),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
     "q_j9b_first_touch" -> ((s, dir) =>
       // day-long consideration window (rationale + the single source of
@@ -758,6 +774,27 @@ object SparkEntry {
     * (`q_skew_range_frame`) — the two plans answering one SQL is the
     * rewrite's correctness contract.
     */
+  /** ONE oracle for the 5-row trailing ROWS frame, shared by the plain
+    * per-user window (`q_w7_moving_avg`) and its skew-robust bucketed
+    * rewrite (`q_skew_rows_frame`, [[graft.ops.SkewOps.bucketedRowsFrame]])
+    * — the q_skew_range_frame convention applied to the shape the sf1
+    * skew tier measured at 5.2× under the half-hot user.
+    */
+  private val rowsFrameOracle: String =
+    """WITH src AS (
+         SELECT event_id, user_id, ts,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events)
+       SELECT event_id, user_id, ts, cents,
+              CAST(count(*) OVER w AS BIGINT) AS win_n,
+              CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+              round(CAST(sum(cents) OVER w AS BIGINT)
+                    / CAST(count(*) OVER w AS BIGINT), 4) AS avg_cents
+       FROM src
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
   private def rangeFrameOracle: String = {
     val w = graft.ops.CoreOps.RangeFrameMicros
     s"""WITH src AS (
@@ -2033,20 +2070,9 @@ object SparkEntry {
          ORDER BY event_id""",
     // 5-row trailing moving aggregate (mirrors CoreOps.w7MovingAvg):
     // BIGINT frame sums; the average is one division of two exact ints
-    "q_w7_moving_avg" ->
-      """WITH src AS (
-           SELECT event_id, user_id, ts,
-                  CAST(round(value * 100) AS BIGINT) AS cents
-           FROM events)
-         SELECT event_id, user_id, ts, cents,
-                CAST(count(*) OVER w AS BIGINT) AS win_n,
-                CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
-                round(CAST(sum(cents) OVER w AS BIGINT)
-                      / CAST(count(*) OVER w AS BIGINT), 4) AS avg_cents
-         FROM src
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""",
+    "q_w7_moving_avg" -> rowsFrameOracle,
+    // the bucketed rewrite answers the SAME SQL
+    "q_skew_rows_frame" -> rowsFrameOracle,
     // epoch_us on both sides: Spark truncates the nanosecond source to
     // microseconds, DuckDB keeps nanos — comparing in shared-precision
     // micros makes the window-boundary semantics engine-exact

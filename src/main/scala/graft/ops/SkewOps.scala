@@ -165,6 +165,106 @@ object SkewOps {
         (col("__in_sum") + coalesce(col("__prev_sum"), lit(0L))).as("sum_1h_cents"))
   }
 
+  /** EXACT skew-robust trailing ROWS frame — the bucketed two-level
+    * rewrite of [[graft.ops.CoreOps.w7MovingAvg]]'s
+    * `ROWS BETWEEN frame−1 PRECEDING AND CURRENT ROW` per key. The plain
+    * form sorts each key's whole history in one partition — the round-11
+    * sf1 skew tier measured it at 5.2× under the GenSkew half-hot user
+    * (500 k rows in ONE sort task); here every sort partition is bounded
+    * by one (key, time-bucket).
+    *
+    * A ROWS frame differs from the RANGE rewrite above in one hard way:
+    * the trailing `frame−1` rows can reach back ARBITRARILY many buckets
+    * (sparse keys), so "previous bucket total minus prefix" does not
+    * apply. Instead the cross-bucket remainder is resolved through the
+    * per-bucket TAIL stream:
+    *
+    *  1. within-bucket part — running (count, sum) over the trailing
+    *     `frame−1` rows of `(key, bucket)` ordered by `(ts, event_id)`;
+    *     rows with `row_number ≥ frame` are complete here and never
+    *     touch the cross-bucket machinery;
+    *  2. tail stream — each (key, bucket) keeps only its LAST
+    *     `frame−1` rows (all of them if the bucket is shorter): the
+    *     last `frame−1` rows globally preceding any bucket form a
+    *     suffix of the concatenated earlier tails, so the stream loses
+    *     nothing the frame can see. Per key it is ≤ (frame−1)·buckets
+    *     rows — the ONLY per-key-sorted structure, (frame−1)/avg-bucket
+    *     smaller than the key's history (tunable via W);
+    *  3. prefix-sum lookups — tail rows get a per-key running index and
+    *     cents prefix sum; a boundary row (row_number < frame) in
+    *     bucket b needs the last `frame − row_number` tail rows below
+    *     b: with `mb` = tail rows before b (max index − bucket count,
+    *     indices are contiguous per key), the remainder is
+    *     `csum(mb) − csum(mb − take)`, two equi-joins on the UNIQUE
+    *     (key, index) pairs — never a fanout.
+    *
+    * Result identity with the single-window plan is the checked
+    * contract (`q_skew_rows_frame` shares `q_w7_moving_avg`'s oracle
+    * verbatim, the q_skew_range_frame convention); the decomposition
+    * never reads row order beyond the (ts, event_id) total order the
+    * plain window also uses, so ties resolve identically. Cost: the
+    * extra tail shuffles and two joins vs one global sort — the price
+    * of bounding every sort partition; use it when one key's history
+    * outgrows a reducer.
+    */
+  def bucketedRowsFrame(events: DataFrame, key: String, frame: Int,
+      W: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frame >= 1, s"frame=$frame: need at least the current row")
+    val reserved = Seq("__bucket", "__rn", "__cnt", "__in_n", "__in_sum",
+      "__tidx", "__tcsum", "__maxT", "__cntT", "__mb", "__need", "__take",
+      "__hi_key", "__hi_tidx", "__csum_hi", "__lo_key", "__lo_tidx",
+      "__csum_lo", "__prev_n", "__prev_sum")
+    require(!events.columns.exists(reserved.contains),
+      s"bucketedRowsFrame reserves ${reserved.mkString(", ")}")
+    val base = events.withColumn("__bucket",
+      expr(s"unix_micros(ts) div ${W}L"))
+    val wB = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    val wBframe = wB.rowsBetween(-(frame - 1), 0)
+    val wBall = Window.partitionBy(col(key), col("__bucket"))
+    val withIn = base
+      .withColumn("__rn", row_number().over(wB))
+      .withColumn("__in_n", count(lit(1)).over(wBframe))
+      .withColumn("__in_sum", sum(col("cents")).over(wBframe))
+      .withColumn("__cnt", count(lit(1)).over(wBall))
+    // the tail stream: per (key, bucket) the last frame−1 rows
+    val wT = Window.partitionBy(col(key))
+      .orderBy(col("__bucket"), col("__rn"))
+    val tails = withIn
+      .filter(col("__rn") > col("__cnt") - (frame - 1))
+      .select(col(key), col("__bucket"), col("__rn"), col("cents"))
+      .withColumn("__tidx", row_number().over(wT))
+      .withColumn("__tcsum",
+        sum(col("cents")).over(wT.rowsBetween(Window.unboundedPreceding, 0)))
+    // per (key, bucket): how many tail rows lie strictly BEFORE it
+    // (indices are contiguous per key, so before = max-in-bucket − count)
+    val perBucket = tails.groupBy(col(key), col("__bucket"))
+      .agg(max(col("__tidx")).as("__maxT"), count(lit(1)).as("__cntT"))
+      .withColumn("__mb", col("__maxT") - col("__cntT"))
+      .select(col(key), col("__bucket"), col("__mb"))
+    val hi = tails.select(col(key).as("__hi_key"),
+      col("__tidx").as("__hi_tidx"), col("__tcsum").as("__csum_hi"))
+    val lo = tails.select(col(key).as("__lo_key"),
+      col("__tidx").as("__lo_tidx"), col("__tcsum").as("__csum_lo"))
+    val boundary = withIn.filter(col("__rn") < frame)
+      .select(col("event_id"), col(key), col("__bucket"), col("__rn"))
+      .join(perBucket, Seq(key, "__bucket"))
+      .withColumn("__take", least(lit(frame) - col("__rn"), col("__mb")))
+      .join(hi, col(key) === col("__hi_key") &&
+        col("__mb") === col("__hi_tidx"), "left_outer")
+      .join(lo, col(key) === col("__lo_key") &&
+        (col("__mb") - col("__take")) === col("__lo_tidx"), "left_outer")
+      .select(col("event_id"), col("__take").as("__prev_n"),
+        (coalesce(col("__csum_hi"), lit(0L)) -
+          coalesce(col("__csum_lo"), lit(0L))).as("__prev_sum"))
+    withIn.join(boundary, Seq("event_id"), "left_outer")
+      .select((events.columns.map(col) ++ Seq(
+        (col("__in_n") + coalesce(col("__prev_n"), lit(0L))).as("win_n"),
+        (col("__in_sum") + coalesce(col("__prev_sum"), lit(0L)))
+          .as("win_sum_cents"))): _*)
+  }
+
   /** Hash salt prefixing every bloom-join key (mirrored in the oracle-free
     * spec; the result is key-transparent so no oracle sees it).
     */

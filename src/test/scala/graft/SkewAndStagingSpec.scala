@@ -371,6 +371,86 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(byId(7L) == ((1L, 70L)))
   }
 
+  test("bucketedRowsFrame equals the plain 5-row window on the hot-key shape") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.CoreOps.RangeFrameMicros
+    val hu = Tables.table(spark, sf, "customer")
+      .agg(min(col("c_custkey").cast("long"))).head().getLong(0)
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("user_id",
+        GenSkew.collapse(col("event_id"), col("user_id"), hu))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    val plain = ev
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum_cents", sum(col("cents")).over(w))
+      .select("event_id", "win_n", "win_sum_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val bucketed = SkewOps.bucketedRowsFrame(ev, "user_id", 5, RangeFrameMicros)
+      .select("event_id", "win_n", "win_sum_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(bucketed.toSeq == plain.toSeq,
+      "bucketed ROWS decomposition diverged from the single-window frame")
+    // non-vacuous: some frame crosses a bucket boundary — the hot user
+    // has far more than 5 rows per bucket, so check a SPARSE user whose
+    // win_n exceeds its within-bucket rank
+    val crossing = SkewOps
+      .bucketedRowsFrame(ev, "user_id", 5, RangeFrameMicros)
+      .withColumn("__b", expr(s"unix_micros(ts) div ${RangeFrameMicros}L"))
+      .withColumn("__r", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("user_id"), col("__b"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("win_n") > col("__r")).count()
+    assert(crossing > 0, "no frame crossed a bucket boundary — vacuous")
+  }
+
+  test("bucketedRowsFrame: sparse buckets, short histories and ties match ROWS exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // crafted micros, frame = 3, bucket W = 1000 us:
+    //  - user k: the us=7000 row's two predecessors live in TWO different
+    //    earlier buckets (b1, b0) — the tail-suffix stitch must span
+    //    multiple buckets, not just the previous one;
+    //  - user m: a 4-row bucket keeps only its last 2 rows as tails; the
+    //    us=2500 row's frame must take exactly those (100, 200 excluded);
+    //  - user s: 2-row history — frame shorter than the window;
+    //  - ties: k's us=0 pair resolves by event_id on both plans.
+    val W = 1000L
+    val mk = (id: Long, u: String, us: Long, c: Long) => (id, u, us, c)
+    val raw = Seq(
+      mk(1L, "k", 0L, 10L), mk(2L, "k", 0L, 20L), // b0, tie on ts
+      mk(3L, "k", 1500L, 30L), // b1
+      mk(4L, "k", 7000L, 40L), // b7: frame = {3, 2, 4}'s cents? no — last 2 before are 2(b0),3(b1)
+      mk(5L, "m", 100L, 1L), mk(6L, "m", 200L, 2L),
+      mk(7L, "m", 300L, 4L), mk(8L, "m", 400L, 8L), // b0 of m: 4 rows
+      mk(9L, "m", 2500L, 16L), // b2: frame = {7, 8, 9}
+      mk(10L, "s", 50L, 100L), mk(11L, "s", 5000L, 200L) // short history
+    )
+    val ev = raw.toDF("event_id", "key", "us", "cents")
+      .select(col("event_id"), col("key"),
+        expr("timestamp_micros(us)").as("ts"), col("cents"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+    val plain = ev
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum_cents", sum(col("cents")).over(w))
+      .select("event_id", "win_n", "win_sum_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val bucketed = SkewOps.bucketedRowsFrame(ev, "key", 3, W)
+      .select("event_id", "win_n", "win_sum_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(bucketed.toSeq == plain.toSeq)
+    // pin the intended answers so both plans are checked against intent:
+    val byId = bucketed.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(4L) == ((3L, 90L)), s"multi-bucket stitch: ${byId(4L)}") // 20+30+40
+    assert(byId(9L) == ((3L, 28L)), s"tail selection: ${byId(9L)}") // 4+8+16
+    assert(byId(10L) == ((1L, 100L)))
+    assert(byId(11L) == ((2L, 300L)))
+    assert(byId(2L) == ((2L, 30L)), s"tie order: ${byId(2L)}") // 10+20
+  }
+
   test("salted paths stay exact on the GenSkew hot-key shape") {
     // the salted mitigation must keep bit-exact results ON the data shape
     // it exists for — half the events collapsed onto the head user
