@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   *    graph becomes k disjoint isomorphic components, order/customer
   *    chains stay joinable within their copy;
   *  - every `documents.text` passed through a per-variant alphabet
-  *    ROTATION (`translate` of a–z/A–Z by k, a byte-level bijection):
-  *    lengths, token boundaries, frequency shape, and within-variant
-  *    similarity structure are EXACTLY the source's (rotation is an
-  *    isomorphism on both token vocabulary and byte shingles), while
-  *    cross-variant token vocabularies AND byte shingles are disjoint —
+  *    ROTATION (`translate` over the single 52-cycle a–zA–Z by k, a
+  *    byte-level bijection; one ring rather than two parallel 26-cycles
+  *    so up to 52 variants stay distinct): lengths, token boundaries,
+  *    frequency shape, and within-variant similarity structure are
+  *    EXACTLY the source's (rotation is an isomorphism on both token
+  *    vocabulary and byte shingles), while cross-variant token
+  *    vocabularies AND byte shingles are disjoint —
   *    so total near-dup structure scales exactly ×k at the word and the
   *    byte level, the right null hypothesis for a near-linear-growth
   *    measurement. (A first cut suffixed each token `~k` instead: word

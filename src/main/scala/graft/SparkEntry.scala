@@ -385,16 +385,26 @@ object SparkEntry {
   /** Tokenize + SimHash sketch CTEs (mirrors Dedup.simhashTable's bit-vote
     * arithmetic) — shared by the pair and component oracles.
     */
+  // hw2 hashes each token ONCE and the 32 bit-columns fold over the
+  // integer hashes — the same simhash arithmetic as hashing inside the
+  // per-bit loop (the historical form), minus a 32× redundant md5 per
+  // token that alone put the five closure oracles' sf0.3/sf1 replays
+  // into the hours; the oracle's NAIVETY (all-pairs + recursive
+  // closure) is untouched — only repeated evaluation of the same
+  // deterministic subexpression is lifted
   private lazy val simhashSkCtes: String = s"""
          tk2 AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
                  FROM documents),
+         hw2 AS (SELECT doc_id, lang,
+                 list_transform(toks, w -> ${hexIntSql("w")}) AS hws
+                 FROM tk2),
          sk AS (SELECT doc_id, lang,
                 CAST(list_sum(list_transform(range(0, 32), i ->
-                  CASE WHEN list_sum(list_transform(toks, w ->
-                         CASE WHEN (${hexIntSql("w")} >> i) & 1 = 1
+                  CASE WHEN list_sum(list_transform(hws, h ->
+                         CASE WHEN (h >> i) & 1 = 1
                               THEN 1 ELSE -1 END)) > 0
                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh
-                FROM tk2)"""
+                FROM hw2)"""
 
   /** Quality-filter CTEs ending in `qv` (doc stats + first-failing-rule
     * verdict) — shared by the standalone quality oracle and the composed
