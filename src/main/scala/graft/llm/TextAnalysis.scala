@@ -1407,8 +1407,14 @@ object TextAnalysis {
     val w = post.join(broadcast(dfT), Seq("term"))
       .select(col("term"), col("doc_id"),
         (col("tf") * expr("n_docs div df")).as("w"))
+    // the pair join is term-keyed SHUFFLED HASH by hint: the banded w is
+    // small at fixture scale (where the estimate used to pick broadcast)
+    // but grows with the rare vocabulary — the hash join is the form
+    // that holds at both ends, and it keeps the estimate-dependent
+    // BHJ/SMJ flip (the n_docs scalar attach inflated the estimates)
+    // out of the plan; PlanSpec pins no-sort-merge
     w.as("a")
-      .join(w.as("b"),
+      .join(w.as("b").hint("shuffle_hash"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"),
