@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomBuild, BloomContains, CharStats, CharTrigrams, CmsSketch, DotProduct, HashedScore, HllRegisters, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, RollingFingerprint, SimhashSketch, SlugTruncate, TagPipeline, Unidecode, WordShingles}
+import graft.functions.{BloomBuild, BloomContains, CharStats, CharTrigrams, CmsSketch, DotProduct, HashedScore, HllRegisters, JsonProject, KMinValues, MinhashSig, NgramDupStats, QuantizeInt8, RollingFingerprint, Simhash64Sketch, SimhashSketch, SlugTruncate, TagPipeline, Unidecode, WordShingles}
 
 /** SQL-surface registration: mounts the star schema and the engine's derived
   * relations as temp views and registers the native functions, so the whole
@@ -279,6 +279,9 @@ object GraftCatalog {
     if (!reg.functionExists(SimhashSketch.identifier))
       reg.registerFunction(SimhashSketch.identifier, SimhashSketch.info,
         SimhashSketch.builder)
+    if (!reg.functionExists(Simhash64Sketch.identifier))
+      reg.registerFunction(Simhash64Sketch.identifier, Simhash64Sketch.info,
+        Simhash64Sketch.builder)
     if (!reg.functionExists(RollingFingerprint.identifier))
       reg.registerFunction(RollingFingerprint.identifier,
         RollingFingerprint.info, RollingFingerprint.builder)

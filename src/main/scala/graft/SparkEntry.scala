@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_simhash" -> (Dedup.simhashSketch _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q_dedup_simhash64_pairs" -> (Dedup.simhash64Pairs _),
     "q_dedup_components" -> (Dedup.nearDupComponents _),
     "q_dedup_report" -> (Dedup.dedupReport _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
@@ -1292,6 +1293,44 @@ object SparkEntry {
                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          WHERE hamming <= 6 ORDER BY a_id, b_id""",
+    // the 64-bit tier (mirrors Dedup.simhash64Pairs): the naive all-pairs
+    // form over the wider fingerprint. DuckDB BIGINT cannot hold the
+    // unsigned 64-bit sketch whole, so the oracle carries it as two
+    // 32-bit halves (hi = md5 hex digits 1-8 = the engine's bits 63..32,
+    // lo = digits 9-16 = bits 31..0 — Md5Ops.md5Long64's byte order) and
+    // Hamming distance is the SUM of the halves' popcounts; one md5 per
+    // token (the hoisted-hash discipline of simhashSkCtes)
+    "q_dedup_simhash64_pairs" -> s"""
+         WITH tk64 AS (SELECT doc_id, lang,
+                       string_split_regex(text, '\\s+') AS toks
+                  FROM documents),
+         hx64 AS (SELECT doc_id, lang,
+                  list_transform(toks, w -> md5(w)) AS hs
+                  FROM tk64),
+         hw64 AS (SELECT doc_id, lang,
+                  list_transform(hs, h ->
+                    CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS his,
+                  list_transform(hs, h ->
+                    CAST(('0x' || substr(h, 9, 8)) AS BIGINT)) AS los
+                  FROM hx64),
+         sk64 AS (SELECT doc_id, lang,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(his, h ->
+                         CASE WHEN (h >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_hi,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(los, h ->
+                         CASE WHEN (h >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_lo
+                FROM hw64)
+         SELECT a_id, b_id, hamming FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.sh_hi, b.sh_hi)) +
+                       bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+           FROM sk64 a JOIN sk64 b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         WHERE hamming <= ${Dedup.Simhash64MaxHamming} ORDER BY a_id, b_id""",
     // components = min reachable doc_id over the (symmetrized) near-dup
     // pair graph; the oracle takes the full recursive closure, the Spark
     // side iterates min-label propagation to convergence — both are the

@@ -37,6 +37,24 @@ object Md5Ops {
     extract(md)
   }
 
+  /** First 8 digest bytes as a SIGNED 64-bit value (big-endian — the
+    * integer the first 16 md5 hex digits spell, bit 63 = the hex
+    * string's leading bit). The 64-bit widening of the 32-bit contract
+    * above: the low half equals hex digits 9–16, the high half equals
+    * [[md5Long32]]'s digits 1–8, which is exactly how the SQL oracles
+    * replay it (two 32-bit halves; DuckDB BIGINT can't hold the
+    * unsigned 64-bit form whole).
+    */
+  def md5Long64(md: MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   /** Salted form: hash of `salt || s` (string concatenation = byte-stream
     * concatenation for UTF-8).
     */

@@ -439,6 +439,65 @@ object Dedup {
       .filter(col("hamming") <= SimhashMaxHamming)
   }
 
+  /** Max Hamming distance for the 64-bit tier — the standard operating
+    * point at the wider fingerprint (4 bands × 16 bits).
+    */
+  val Simhash64MaxHamming = 3
+
+  private val Simhash64Bands: Seq[(Int, Int, Int)] = {
+    val widths = Seq(16, 16, 16, 16)
+    require(widths.length == Simhash64MaxHamming + 1 && widths.sum == 64)
+    widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex
+      .map { case ((off, w), i) => (i, off, w) }
+  }
+
+  /** 64-bit SimHash near-dup pairs — [[simhashPairs]] at the wider
+    * fingerprint ([[graft.functions.Simhash64Sketch]]), Hamming ≤
+    * [[Simhash64MaxHamming]] within a language, candidates from the same
+    * first-agreeing-band pigeonhole chain over 4 bands of 16 bits.
+    *
+    * This is the operator answer to the round-11 sf5 growth finding: the
+    * 32-bit tier's band buckets take only 16–32 distinct values, so its
+    * within-bucket verify saturates at n²/2^w while pair OUTPUT stays
+    * linear (measured 31.6× runtime / 4.56× rows at 5× data). Here a
+    * band key has 65 536 values — same recall-1.0 pigeonhole guarantee,
+    * same plan shape, the saturation point pushed out 2¹¹ per band.
+    * (The asymptote is the published fixed-width-fingerprint trade; the
+    * unbounded-scale family members are the content-keyed LSH chains.)
+    */
+  def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Simhash64Sketch(tokens(col("text"))).as("sh"))
+      .filter(col("sh").isNotNull)
+      .cache()
+    val bands = sk.select(col("doc_id"), col("lang"), col("sh"),
+      explode(array(Simhash64Bands.map { case (i, off, w) =>
+        struct(lit(i).as("band_idx"),
+          shiftright(col("sh"), off).bitwiseAND(lit((1L << w) - 1)).as("key"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("lang"), col("sh"),
+        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+    val chunkEq = Simhash64Bands.map { case (i, off, w) =>
+      (i, shiftright(col("a.sh"), off).bitwiseAND(lit((1L << w) - 1)) ===
+        shiftright(col("b.sh"), off).bitwiseAND(lit((1L << w) - 1)))
+    }
+    val firstAgreeingBand = chunkEq.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((i, eq), rest) => when(eq, lit(i)).otherwise(rest)
+    }
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.key") === col("b.key") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band_idx") === firstAgreeingBand)
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= Simhash64MaxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Per-doc SimHash sketch (the sketch itself, for oracle-pinning the
     * bit-vote arithmetic independent of the pairing policy).
     */

@@ -86,4 +86,75 @@ class SimhashSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT simhash_sketch(array('a', 'b', 'c')) AS sh").head()
     assert(!got.isNullAt(0))
   }
+
+  // ---- the 64-bit tier (round 11) ----------------------------------------
+
+  /** Independent reference: md5 through the JDK directly (not Md5Ops),
+    * big-endian first 8 bytes, ±1 votes — what the DuckDB oracle replays
+    * as two 32-bit hex halves.
+    */
+  private def refSimhash64(toks: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    toks.foreach { w =>
+      val d = md.digest(w.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+      (0 until 64).foreach { b =>
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+    }
+    (0 until 64).foldLeft(0L)((acc, b) =>
+      if (votes(b) > 0) acc | (1L << b) else acc)
+  }
+
+  test("simhash64: native matches an independent JDK-md5 replay; null semantics hold") {
+    import spark.implicits._
+    import graft.functions.Simhash64Sketch
+    val inputs: Seq[Seq[String]] = Seq(
+      Seq(), Seq(""), Seq("a"), Seq("a", "a", "b"),
+      Seq("ü", "中文", "🎯"), (1 to 300).map(i => s"t${i % 7}"))
+    val got = inputs.toDF("toks")
+      .select(Simhash64Sketch(col("toks")).as("sh")).collect().map(_.getLong(0))
+    val want = inputs.map(refSimhash64)
+    assert(got.toSeq == want, "native 64-bit sketch diverged from the JDK replay")
+    // sign bit exercised: at least one input's sketch sets bit 63
+    assert(want.exists(_ < 0L), "no negative sketch — the sign bit went untested")
+    val nullArr = spark.sql("SELECT cast(NULL AS ARRAY<STRING>) AS toks")
+      .select(Simhash64Sketch(col("toks")).as("sh")).head()
+    assert(nullArr.isNullAt(0))
+    val withNull = Seq(1).toDF("i")
+      .select(array(lit("a"), lit(null: String)).as("toks"))
+      .select(Simhash64Sketch(col("toks")).as("sh")).head().getLong(0)
+    // one real token + one NULL (voting -1 everywhere): ties at every bit
+    // the token voted +1 resolve to 0 (votes must be strictly positive)
+    assert(withNull == 0L)
+  }
+
+  test("simhash64 pairs: banded candidates equal the brute-force all-pairs form") {
+    import graft.llm.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val banded = Dedup.simhash64Pairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.catalog.clearCache()
+    val sk = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Simhash64Sketch(TextHash.tokens(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = (for {
+      (a, la, sa) <- sk; (b, lb, sb) <- sk
+      if la == lb && a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= Dedup.Simhash64MaxHamming
+    } yield (a, b, h)).toSet
+    assert(banded == brute,
+      s"banding lost/invented pairs: banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture yields no 64-bit near-dup pairs — vacuous")
+  }
+
+  test("simhash64_sketch resolves from SQL") {
+    GraftCatalog.registerFunctions(spark)
+    val got = spark.sql(
+      "SELECT simhash64_sketch(array('a', 'b', 'c')) AS sh").head()
+    assert(!got.isNullAt(0))
+  }
 }
