@@ -384,15 +384,16 @@ object SparkEntry {
                 END"""
 
   /** Tokenize + SimHash sketch CTEs (mirrors Dedup.simhashTable's bit-vote
-    * arithmetic) — shared by the pair and component oracles.
+    * arithmetic) — the 32-bit standalone pair oracle's sketch table (the
+    * closure family rides simhash64SkCtes since round 12).
     */
   // hw2 hashes each token ONCE and the 32 bit-columns fold over the
   // integer hashes — the same simhash arithmetic as hashing inside the
   // per-bit loop (the historical form), minus a 32× redundant md5 per
-  // token that alone put the five closure oracles' sf0.3/sf1 replays
-  // into the hours; the oracle's NAIVETY (all-pairs + recursive
-  // closure) is untouched — only repeated evaluation of the same
-  // deterministic subexpression is lifted
+  // token that put the closure oracles' sf0.3/sf1 replays into the
+  // hours back when they shared this chain; the oracle's NAIVETY
+  // (all-pairs + recursive closure) is untouched — only repeated
+  // evaluation of the same deterministic subexpression is lifted
   private lazy val simhashSkCtes: String = s"""
          tk2 AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
                  FROM documents),
@@ -406,6 +407,55 @@ object SparkEntry {
                               THEN 1 ELSE -1 END)) > 0
                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh
                 FROM hw2)"""
+
+  /** Tokenize + 64-bit SimHash sketch CTEs (mirrors the
+    * Simhash64Sketch bit-vote arithmetic) — shared by the 64-bit pair
+    * oracle and the five closure-family oracles, which ride the 64-bit
+    * pair graph since round 12. DuckDB BIGINT cannot hold the unsigned
+    * 64-bit sketch whole, so `sk64` carries it as two 32-bit halves
+    * (hi = md5 hex digits 1-8 = the engine's bits 63..32, lo = digits
+    * 9-16 = bits 31..0 — Md5Ops.md5Long64's byte order) and Hamming
+    * distance is the SUM of the halves' popcounts. One md5 per token
+    * (the hoisted-hash discipline of simhashSkCtes — nested-lambda
+    * re-evaluation otherwise recomputes it 64×).
+    */
+  private lazy val simhash64SkCtes: String = s"""
+         tk64 AS (SELECT doc_id, lang,
+                  string_split_regex(text, '\\s+') AS toks
+                  FROM documents),
+         hx64 AS (SELECT doc_id, lang,
+                  list_transform(toks, w -> md5(w)) AS hs
+                  FROM tk64),
+         hw64 AS (SELECT doc_id, lang,
+                  list_transform(hs, h ->
+                    CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS his,
+                  list_transform(hs, h ->
+                    CAST(('0x' || substr(h, 9, 8)) AS BIGINT)) AS los
+                  FROM hx64),
+         sk64 AS (SELECT doc_id, lang,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(his, h ->
+                         CASE WHEN (h >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_hi,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN list_sum(list_transform(los, h ->
+                         CASE WHEN (h >> i) & 1 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_lo
+                FROM hw64)"""
+
+  /** The naive all-pairs 64-bit near-dup pair CTE over `sk64` — the pair
+    * graph every closure-family oracle shares (named `pairs` to slot into
+    * the existing edges/reach chain).
+    */
+  private lazy val simhash64PairsCte: String = s"""
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sk64 a JOIN sk64 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+               + bit_count(xor(a.sh_lo, b.sh_lo))
+               <= ${graft.llm.Dedup.Simhash64MaxHamming})"""
 
   /** Quality-filter CTEs ending in `qv` (doc stats + first-failing-rule
     * verdict) — shared by the standalone quality oracle and the composed
@@ -1294,37 +1344,10 @@ object SparkEntry {
            FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          WHERE hamming <= 6 ORDER BY a_id, b_id""",
     // the 64-bit tier (mirrors Dedup.simhash64Pairs): the naive all-pairs
-    // form over the wider fingerprint. DuckDB BIGINT cannot hold the
-    // unsigned 64-bit sketch whole, so the oracle carries it as two
-    // 32-bit halves (hi = md5 hex digits 1-8 = the engine's bits 63..32,
-    // lo = digits 9-16 = bits 31..0 — Md5Ops.md5Long64's byte order) and
-    // Hamming distance is the SUM of the halves' popcounts; one md5 per
-    // token (the hoisted-hash discipline of simhashSkCtes)
+    // form over the wider fingerprint, two-halves encoding per the shared
+    // simhash64SkCtes
     "q_dedup_simhash64_pairs" -> s"""
-         WITH tk64 AS (SELECT doc_id, lang,
-                       string_split_regex(text, '\\s+') AS toks
-                  FROM documents),
-         hx64 AS (SELECT doc_id, lang,
-                  list_transform(toks, w -> md5(w)) AS hs
-                  FROM tk64),
-         hw64 AS (SELECT doc_id, lang,
-                  list_transform(hs, h ->
-                    CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS his,
-                  list_transform(hs, h ->
-                    CAST(('0x' || substr(h, 9, 8)) AS BIGINT)) AS los
-                  FROM hx64),
-         sk64 AS (SELECT doc_id, lang,
-                CAST(list_sum(list_transform(range(0, 32), i ->
-                  CASE WHEN list_sum(list_transform(his, h ->
-                         CASE WHEN (h >> i) & 1 = 1
-                              THEN 1 ELSE -1 END)) > 0
-                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_hi,
-                CAST(list_sum(list_transform(range(0, 32), i ->
-                  CASE WHEN list_sum(list_transform(los, h ->
-                         CASE WHEN (h >> i) & 1 = 1
-                              THEN 1 ELSE -1 END)) > 0
-                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_lo
-                FROM hw64)
+         WITH $simhash64SkCtes
          SELECT a_id, b_id, hamming FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                   CAST(bit_count(xor(a.sh_hi, b.sh_hi)) +
@@ -1336,11 +1359,8 @@ object SparkEntry {
     // side iterates min-label propagation to convergence — both are the
     // exact component minimum, so they agree regardless of method
     "q_dedup_components" -> s"""
-         WITH RECURSIVE $simhashSkCtes,
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         WITH RECURSIVE $simhash64SkCtes,
+         $simhash64PairsCte,
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
          reach(a, b) AS (
@@ -1352,11 +1372,8 @@ object SparkEntry {
     // one-row dedup-health summary over the SAME component fixpoint
     // (mirrors Dedup.dedupReport; shared recursive chain)
     "q_dedup_report" -> s"""
-         WITH RECURSIVE $simhashSkCtes,
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         WITH RECURSIVE $simhash64SkCtes,
+         $simhash64PairsCte,
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
          reach(a, b) AS (
@@ -1925,11 +1942,8 @@ object SparkEntry {
     // representative survives even when the cluster minimum was dropped by
     // quality) → deterministic split assignment
     "q_pipeline_preprocess" -> s"""
-         WITH RECURSIVE $simhashSkCtes,
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         WITH RECURSIVE $simhash64SkCtes,
+         $simhash64PairsCte,
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
          reach(a, b) AS (
@@ -3867,11 +3881,8 @@ object SparkEntry {
     // (mirrors TextAnalysis.leakageSafeSplit; component CTEs are
     // q_dedup_components')
     "q_split_leakage" -> s"""
-         WITH RECURSIVE $simhashSkCtes,
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         WITH RECURSIVE $simhash64SkCtes,
+         $simhash64PairsCte,
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
          reach(a, b) AS (
@@ -3988,11 +3999,8 @@ object SparkEntry {
     // plus keep-longest selection under the unique (n_chars desc, doc_id)
     // order; mirrors Dedup.dedupCanonical
     "q_dedup_canonical" -> s"""
-         WITH RECURSIVE $simhashSkCtes,
-         pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sk a JOIN sk b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+         WITH RECURSIVE $simhash64SkCtes,
+         $simhash64PairsCte,
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                    UNION ALL SELECT b_id, a_id FROM pairs),
          reach(a, b) AS (

@@ -465,7 +465,16 @@ object Dedup {
     * (The asymptote is the published fixed-width-fingerprint trade; the
     * unbounded-scale family members are the content-keyed LSH chains.)
     */
-  def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
+  def simhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    simhash64PairsUnsorted(s, dir).orderBy("a_id", "b_id")
+
+  /** [[simhash64Pairs]] without the final global sort — the pair source
+    * the closure family ([[nearDupComponents]], [[dedupCanonical]] and
+    * their consumers) rides; they re-shuffle the pairs into the fixpoint
+    * anyway, so a pre-sort is pure waste (same contract as
+    * [[simhashPairsUnsorted]] on the 32-bit tier).
+    */
+  private[graft] def simhash64PairsUnsorted(s: SparkSession, dir: String): DataFrame = {
     val sk = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.functions.Simhash64Sketch(tokens(col("text"))).as("sh"))
@@ -495,7 +504,6 @@ object Dedup {
         col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
       .filter(col("hamming") <= Simhash64MaxHamming)
-      .orderBy("a_id", "b_id")
   }
 
   /** Per-doc SimHash sketch (the sketch itself, for oracle-pinning the
@@ -512,6 +520,15 @@ object Dedup {
     * `component` label = the smallest doc_id reachable through near-dup
     * pairs; singletons label themselves.
     *
+    * The pair graph is the 64-BIT tier ([[simhash64PairsUnsorted]]): the
+    * 32-bit tier's 4–5-bit band keys take only 16–32 values, so its
+    * within-bucket verify grows n²/2^w — measured 17–31.6× runtime for 5×
+    * data across this family at sf5 while pair output stayed linear. The
+    * 64-bit chain (65 536 values per band key) measured 3.25× at the same
+    * step and keeps the identical recall-1.0 pigeonhole contract, so every
+    * closure consumer (components/canonical/report/preprocess/split)
+    * rides it; the 32-bit tier stays as the standalone pair query.
+    *
     * Iterative min-label propagation WITH pointer jumping: each round (a)
     * takes the min label over self and neighbors (join to the symmetrized,
     * cached edge list + hash agg) and (b) path-halves by adopting the label
@@ -524,7 +541,7 @@ object Dedup {
     * (and the convergence action) from re-executing prior rounds.
     */
   def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairsUnsorted(s, dir).select(col("a_id"), col("b_id"))
+    val pairs = simhash64PairsUnsorted(s, dir).select(col("a_id"), col("b_id"))
     val nodes = t(s, dir, "documents").select(col("doc_id"))
     connectedComponents(nodes, pairs).orderBy("doc_id")
   }
@@ -550,7 +567,7 @@ object Dedup {
     */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = simhashPairsUnsorted(s, dir).select(col("a_id"), col("b_id"))
+    val pairs = simhash64PairsUnsorted(s, dir).select(col("a_id"), col("b_id"))
     val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
     val comp = connectedComponents(docs.select(col("doc_id")), pairs)
     val w = Window.partitionBy(col("component"))

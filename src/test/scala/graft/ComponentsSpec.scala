@@ -29,8 +29,9 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.count() == nDocs, "every document must be labeled")
     assert(labels.filter(col("component") > col("doc_id")).count() == 0,
       "a component label is the minimum id in the cluster")
-    // both endpoints of every edge must agree
-    val pairs = Dedup.simhashPairs(spark, dir).select("a_id", "b_id")
+    // both endpoints of every edge must agree (the components ride the
+    // 64-bit pair tier since round 12)
+    val pairs = Dedup.simhash64Pairs(spark, dir).select("a_id", "b_id")
     val disagree = pairs
       .join(labels.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("component", "ca"), "a_id")
