@@ -698,6 +698,81 @@ object SparkEntry {
           GROUP BY cid, pos)
         GROUP BY cid)"""
 
+  /** One FINE-level k-means assignment CTE: nearest fine centroid WITHIN
+    * the vector's coarse cell (the ccid equi-join; cosine rounded to 9 dp
+    * before the argmax, ties to smallest fcid — mirrors
+    * Similarity.assignFine).
+    */
+  private def kmFineAssignCte(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, ccid, v, fcid FROM (
+          SELECT m.vec_id, m.ccid, m.v, s.fcid,
+                 row_number() OVER (PARTITION BY m.vec_id
+                   ORDER BY ${cosSql("m.v", "s.centroid")} DESC, s.fcid) AS ark
+          FROM cm m JOIN $cents s ON m.ccid = s.ccid)
+        WHERE ark = 1)"""
+
+  /** One FINE-level k-means update CTE: per-(ccid, fcid) exact-decimal
+    * component sums (mirrors the fine Lloyd step of
+    * Similarity.hierMembers).
+    */
+  private def kmFineUpdateCte(name: String, assigned: String): String =
+    s"""$name AS (SELECT ccid, fcid, list(cx ORDER BY pos) AS centroid FROM (
+          SELECT ccid, fcid, pos,
+                 CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS cx
+          FROM (SELECT ccid, fcid, generate_subscripts(v, 1) AS pos,
+                       unnest(v) AS x
+                FROM $assigned)
+          GROUP BY ccid, fcid, pos)
+        GROUP BY ccid, fcid)"""
+
+  /** The two-level (coarse → fine) pair-scanner membership replay —
+    * mirrors Similarity.hierMembers end to end: fine budget k =
+    * max(KmeansK, n/target), coarse count = ⌈√k⌉ (float floor +
+    * integer correction, the exact coarseCount arithmetic), coarse Lloyd
+    * over rank seeds, per-cell fine budget max(1, |cell|/target) with
+    * per-cell rank seeds, fine Lloyd within cells, and the injective
+    * cid = ccid·max(k_f)+fcid label. Ends in `members`(vec_id, v, cid);
+    * shared by q_semdedup and q_embed_hardneg.
+    */
+  private lazy val hierMembersCtes: String = s"""
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         kn AS (SELECT greatest(${Similarity.KmeansK},
+                  count(*) // ${Similarity.PairClusterTarget}) AS k FROM c),
+         kc AS (SELECT CAST(CASE WHEN fl * fl < k THEN fl + 1 ELSE fl END
+                  AS INT) AS kc
+                FROM (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE)))
+                        AS BIGINT) AS fl FROM kn)),
+         cs0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS centroid
+                 FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                       FROM c)
+                 WHERE rn <= (SELECT kc FROM kc)),
+         ${kmAssignCte("ca1", "cs0")},
+         ${kmUpdateCte("cs1", "ca1")},
+         ${kmAssignCte("ca2", "cs1")},
+         ${kmUpdateCte("cs2", "ca2")},
+         ${kmAssignCte("cmm", "cs2")},
+         cm AS (SELECT vec_id, v, cid AS ccid FROM cmm),
+         cells AS (SELECT ccid, greatest(1,
+                     count(*) // ${Similarity.PairClusterTarget}) AS kf
+                   FROM cm GROUP BY ccid),
+         fs0 AS (SELECT r.ccid, CAST(r.rn - 1 AS INT) AS fcid,
+                        r.v AS centroid
+                 FROM (SELECT ccid, v, row_number() OVER (
+                         PARTITION BY ccid ORDER BY vec_id) AS rn
+                       FROM cm) r
+                 JOIN cells ON r.ccid = cells.ccid
+                 WHERE r.rn <= cells.kf),
+         ${kmFineAssignCte("fa1", "fs0")},
+         ${kmFineUpdateCte("fs1", "fa1")},
+         ${kmFineAssignCte("fa2", "fs1")},
+         ${kmFineUpdateCte("fs2", "fa2")},
+         ${kmFineAssignCte("fm", "fs2")},
+         kfm AS (SELECT max(kf) AS kfmax FROM cells),
+         members AS (SELECT vec_id, v,
+                       CAST(ccid * (SELECT kfmax FROM kfm) + fcid AS INT)
+                         AS cid
+                     FROM fm)"""
+
   /** Squared L2 via the dot identity (mirrors Similarity.l2sq: three
     * list_reduce folds, rounded at 9 dp before any argmin).
     */
@@ -1588,21 +1663,12 @@ object SparkEntry {
                                         ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
-    // SemDeDup (mirrors Similarity.semDedup): the same two-Lloyd-iteration
-    // k-means replay as q_embed_ivf2, then within-cluster pairs at
-    // cosine ≥ threshold mark the larger vec_id a duplicate
+    // SemDeDup (mirrors Similarity.semDedup): the two-LEVEL membership
+    // replay (hierMembersCtes — coarse Lloyd, per-cell fine Lloyd), then
+    // within-cluster pairs at cosine ≥ threshold mark the larger vec_id
+    // a duplicate
     "q_semdedup" -> s"""
-         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         -- same scale-adaptive seeding as q_embed_hardneg (pairClusterK)
-         s0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS centroid
-                FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM c)
-                WHERE rn <= greatest(${Similarity.KmeansK},
-                  (SELECT count(*) FROM c) // ${Similarity.PairClusterTarget})),
-         ${kmAssignCte("a1", "s0")},
-         ${kmUpdateCte("s1", "a1")},
-         ${kmAssignCte("a2", "s1")},
-         ${kmUpdateCte("s2", "a2")},
-         ${kmAssignCte("members", "s2")},
+         WITH $hierMembersCtes,
          dup AS (SELECT DISTINCT m1.vec_id
                  FROM members m1 JOIN members m2
                    ON m1.cid = m2.cid AND m2.vec_id < m1.vec_id
@@ -1612,25 +1678,11 @@ object SparkEntry {
          FROM members m LEFT JOIN dup d ON m.vec_id = d.vec_id
          ORDER BY m.vec_id""",
     // hard-negative mining (mirrors Similarity.hardNegatives): same
-    // cluster chain as q_semdedup; per vector the highest-cosine
-    // co-member BELOW the near-dup threshold, smallest id on ties (the
-    // row_number twin of Spark's struct-max)
+    // two-level cluster chain as q_semdedup; per vector the
+    // highest-cosine co-member BELOW the near-dup threshold, smallest id
+    // on ties (the row_number twin of Spark's struct-max)
     "q_embed_hardneg" -> s"""
-         WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         -- scale-adaptive k (mirrors Similarity.pairClusterK): k grows with
-         -- the corpus to hold cluster size near the pair-scan target; seeds
-         -- are the k smallest vec_ids by RANK (cid = rank-1), which on the
-         -- dense fixture ids equals the historical vec_id<k seeding and
-         -- stays faithful on offset-gapped scaled corpora
-         s0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v AS centroid
-                FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM c)
-                WHERE rn <= greatest(${Similarity.KmeansK},
-                  (SELECT count(*) FROM c) // ${Similarity.PairClusterTarget})),
-         ${kmAssignCte("a1", "s0")},
-         ${kmUpdateCte("s1", "a1")},
-         ${kmAssignCte("a2", "s1")},
-         ${kmUpdateCte("s2", "a2")},
-         ${kmAssignCte("members", "s2")},
+         WITH $hierMembersCtes,
          pairs AS (SELECT m1.vec_id, m1.cid, m2.vec_id AS b_id,
                           ${cosSql("m1.v", "m2.v")} AS cos
                    FROM members m1 JOIN members m2

@@ -536,8 +536,27 @@ object Similarity {
     */
   val PairClusterTarget = 250L
 
-  private def pairClusterK(n: Long): Int =
+  private[graft] def pairClusterK(n: Long): Int =
     math.max(KmeansK.toLong, n / PairClusterTarget).toInt
+
+  /** The FLAT single-level membership (one Lloyd chain at the full fine
+    * budget k) — superseded by [[hierMembers]] on the query path, retained
+    * as the recall reference the hierarchical form is pinned against
+    * (IvfRecallSpec): the n·k assignment rounds are exactly the measured
+    * n^1.5 term the two-level form exists to break.
+    */
+  private[graft] def flatMembers(c: DataFrame, k: Int): DataFrame =
+    assign(c, kmeansCentroidsOf(c, k, rankSeed = true))
+
+  /** Coarse-level cluster count for the two-level pair-scanner assignment:
+    * the smallest integer whose square reaches the fine-cluster budget k
+    * (integer-corrected after a float sqrt so both engines compute the
+    * identical value — the oracle inlines the same floor+correction).
+    */
+  private[graft] def coarseCount(k: Int): Int = {
+    val r = math.sqrt(k.toDouble).toInt
+    if (r * r < k) r + 1 else r
+  }
 
   /** Resolve the pair-scanners' cluster count: `Some(k)` is caller-fixed
     * (the lazy-mount path — GraftCatalog's view contract forbids eager
@@ -1066,16 +1085,99 @@ object Similarity {
     * Scale shape: this is exactly the published SemDeDup economics — the
     * within-cluster pair scan is the quadratic term, BOUNDED by cluster
     * size, and k grows with the corpus to hold that bound (n/k vectors per
-    * cluster ⇒ n²/k pair work instead of n²). The corpus shuffles once on
-    * cid for the self-join; centroids broadcast everywhere; cross-cluster
-    * near-twins are missed by construction — the algorithm's documented
-    * recall trade, not an implementation shortcut.
+    * cluster ⇒ n²/k pair work instead of n²). Membership comes from the
+    * two-level [[hierMembers]] assignment (n·√k dots per round, not the
+    * flat n·k). The corpus shuffles once on cid for the self-join;
+    * centroids broadcast everywhere; cross-cluster near-twins are missed
+    * by construction — the algorithm's documented recall trade, not an
+    * implementation shortcut.
     */
   /** The within-cluster pair stream both [[semDedup]] and
     * [[hardNegatives]] scan: every (vec, other co-member) with the rounded
     * pair cosine — ONE definition of the cid equi-join and the cosine
     * expression, so the two consumers' thresholds cut the same values.
     */
+  /** One fine-level assignment round: each vector goes to the
+    * highest-cosine fine centroid WITHIN ITS COARSE CELL (rounded at 9 dp,
+    * ties to the smallest fcid — the struct-max twin of [[assign]], with
+    * the ccid equi-join bounding every vector's candidate set to its
+    * cell's √k̄ centroids instead of all k).
+    */
+  private def assignFine(cm: DataFrame, cents: DataFrame): DataFrame =
+    cm.join(broadcast(cents), Seq("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        struct(
+          round(cosPre(dot(col("v"), col("centroid")), col("nv"), col("cnorm")), 9)
+            .as("ccos"),
+          (-col("fcid")).as("nfcid"), col("fcid"), col("v"), col("nv")).as("cand"))
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("ccid"), col("best.fcid").as("fcid"),
+        col("best.v").as("v"), col("best.nv").as("nv"))
+
+  /** Two-level (coarse → fine) cluster membership for the pair scanners —
+    * the exponent drop the flat n·k assignment can't give. Flat Lloyd at
+    * the scaled k = n/[[PairClusterTarget]] makes every assignment round
+    * n·k = n²/target dot products (the measured n^1.5-at-the-balanced-
+    * point term: 9.57× at 5× data). Here:
+    *
+    *  1. COARSE: Lloyd over [[coarseCount]](k) ≈ √k rank-seeded centroids
+    *     — n·√k dots per round — then assign each vector to its cell;
+    *  2. FINE: within each coarse cell, k_f = max(1, |cell|/target)
+    *     rank-seeded centroids (the k_f smallest vec_ids in the cell,
+    *     fcid = rank−1), Lloyd rounds assign ONLY against the cell's own
+    *     centroids (the ccid equi-join) — Σ|cell|·k_f(cell) ≈ n·√k̄ dots
+    *     per round when cells balance.
+    *
+    * Total assignment work per round drops from n·k to ~2·n·√k; the pair
+    * scan downstream keeps its linear n·target bound because expected
+    * FINE cluster size is still the target. The published trade rides
+    * along: cross-cell near-twins are invisible to the pair scan exactly
+    * as cross-cluster ones were in the flat form (recall vs the flat
+    * exact form is pinned in IvfRecallSpec).
+    *
+    * cid = ccid·(max k_f)+fcid — injective, computed from one broadcast
+    * scalar; no global window, no distinct over the corpus. Everything is
+    * deterministic (rank seeds, 9-dp rounding before every argmax, exact
+    * DECIMAL component sums), so the DuckDB oracle replays both levels.
+    */
+  private def hierMembers(c: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = coarseCount(k)
+    val cm = assign(c, kmeansCentroidsOf(c, kc, rankSeed = true))
+      .withColumnRenamed("cid", "ccid")
+    val cells = cm.groupBy(col("ccid"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("ccid"),
+        greatest(lit(1L), expr(s"cnt div $PairClusterTarget")).cast("int").as("kf"))
+    // per-cell rank seeding: a window PARTITIONED on ccid (parallel),
+    // replacing the flat form's global sort-limit over the whole corpus
+    val wcell = Window.partitionBy(col("ccid")).orderBy(col("vec_id"))
+    val seeds = cm.withColumn("rn", row_number().over(wcell))
+      .join(broadcast(cells), Seq("ccid"))
+      .filter(col("rn") <= col("kf"))
+      .select(col("ccid"), (col("rn") - 1).cast("int").as("fcid"),
+        col("v").as("centroid"), col("nv").as("cnorm"))
+    var cents = seeds
+    for (_ <- 0 until KmeansIters) {
+      cents = assignFine(cm, cents)
+        .select(col("ccid"), col("fcid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("ccid"), col("fcid"), col("pos"))
+        .agg(sum(col("x").cast("decimal(38,10)")).as("sx"))
+        .groupBy(col("ccid"), col("fcid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("sx").cast("double").as("cx"))))
+          .as("ps"))
+        .select(col("ccid"), col("fcid"),
+          transform(col("ps"), p => p.getField("cx")).as("centroid"))
+        .withColumn("cnorm", norm(col("centroid")))
+    }
+    val kfMax = cells.agg(max(col("kf")).as("kfmax"))
+    assignFine(cm, cents)
+      .crossJoin(broadcast(kfMax))
+      .select(col("vec_id"), col("v"), col("nv"),
+        (col("ccid") * col("kfmax") + col("fcid")).cast("int").as("cid"))
+  }
+
   private def clusterPairs(members: DataFrame): DataFrame = {
     val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
       col("v").as("bv"), col("nv").as("bn"))
@@ -1092,7 +1194,7 @@ object Similarity {
     // three consumers (both self-join sides + the verdict projection):
     // cache the assignment, not the lineage behind it. `cache=false` for
     // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
-    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k), rankSeed = true))
+    val members0 = hierMembers(c, resolvePairK(c, k))
     val members = if (cache) members0.cache() else members0
     val dups = clusterPairs(members)
       .filter(col("b_id") < col("vec_id") &&
@@ -1122,7 +1224,7 @@ object Similarity {
   def hardNegatives(s: SparkSession, dir: String,
       cache: Boolean = true, k: Option[Int] = None): DataFrame = {
     val c = corpus(s, dir)
-    val members0 = assign(c, kmeansCentroidsOf(c, resolvePairK(c, k), rankSeed = true))
+    val members0 = hierMembers(c, resolvePairK(c, k))
     val members = if (cache) members0.cache() else members0
     clusterPairs(members)
       .filter(col("cos") < SemDedupThreshold)

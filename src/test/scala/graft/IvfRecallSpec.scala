@@ -139,6 +139,57 @@ class IvfRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hierarchical semdedup recall pinned against the flat exact form") {
+    // ground truth: a vector is a TRUE dup iff a smaller-id twin at
+    // cosine >= threshold exists ANYWHERE in the corpus (no clustering)
+    val c = graft.Tables.table(spark, dir, "embeddings")
+    val vecs = c.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos9(a: Array[Double], b: Array[Double]): BigDecimal = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val thr = BigDecimal(Similarity.SemDedupThreshold)
+    val ids = vecs.keys.toArray.sorted
+    val truth = ids.filter(id =>
+      ids.exists(o => o < id && cos9(vecs(o), vecs(id)) >= thr)).toSet
+    assert(truth.nonEmpty, "fixture has no true near-twin; recall is vacuous")
+    // dup sets under each clustering (same within-cluster rule)
+    def dupsOf(members: Array[(Long, Int)]): Set[Long] =
+      members.groupBy(_._2).values.flatMap { mem =>
+        val ms = mem.map(_._1).sorted
+        ms.filter(id => ms.exists(o => o < id &&
+          cos9(vecs(o), vecs(id)) >= thr))
+      }.toSet
+    val hier = dupsOf(Similarity.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))))
+    val corp = c.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val flat = dupsOf(
+      Similarity.flatMembers(corp, Similarity.pairClusterK(vecs.size.toLong))
+        .select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))))
+    spark.catalog.clearCache()
+    // both are exact WITHIN their clusters: no false positives ever
+    assert(hier.subsetOf(truth), "hierarchical flagged a non-dup")
+    assert(flat.subsetOf(truth), "flat flagged a non-dup")
+    val hierRecall = hier.size.toDouble / truth.size
+    val flatRecall = flat.size.toDouble / truth.size
+    info(s"recall vs all-pairs truth: hier=$hierRecall flat=$flatRecall " +
+      s"(truth=${truth.size}, hier=${hier.size}, flat=${flat.size})")
+    // the two-level routing must not give up a meaningful share of what
+    // the flat clustering catches — the documented cross-cluster trade
+    // is allowed to move individual pairs, not to gut recall
+    assert(hierRecall >= flatRecall - 0.15,
+      s"hierarchical recall $hierRecall fell too far below flat $flatRecall")
+    assert(hierRecall >= 0.5,
+      s"hierarchical recall $hierRecall below the 0.5 floor")
+  }
+
   test("clusters are disjoint and cover the corpus (IVF index invariant)") {
     val members = Similarity.kmeansCentroids(spark, dir)
     val c = graft.Tables.table(spark, dir, "embeddings")
