@@ -71,15 +71,19 @@ object BenchJdbc {
           sum((col("l_extendedprice") * 100).cast("long")).as("cents"))
         .orderBy("l_returnflag")
 
-    def consume(df: DataFrame): Long = agg(df).collect().map(_.getLong(1)).sum
+    // the agreement check compares the FULL agg rows (flag, cnt, exact
+    // cents) — a count-only compare would wave through value corruption
+    // in the Derby round-trip (decimal mangling, truncated doubles)
+    def consume(df: DataFrame): Seq[(String, Long, Long)] =
+      agg(df).collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
     val jt = new graft.sources.JdbcTables(spark, url)
-    val (parquetRows, parquetSec) = timed(consume(li))
-    val (singleRows, singleSec) = timed(consume(jt.table("LINEITEM")))
-    val (partRows, partSec) = timed(consume(
+    val (parquetAgg, parquetSec) = timed(consume(li))
+    val (singleAgg, singleSec) = timed(consume(jt.table("LINEITEM")))
+    val (partAgg, partSec) = timed(consume(
       jt.partitionedTable("LINEITEM", "l_orderkey", lo, hi + 1, cpus)))
-    require(parquetRows == singleRows && singleRows == partRows,
-      s"extract paths disagree: parquet=$parquetRows single=$singleRows part=$partRows")
+    require(parquetAgg == singleAgg && singleAgg == partAgg,
+      s"extract paths disagree:\n parquet=$parquetAgg\n single=$singleAgg\n part=$partAgg")
 
     // pushdown probe: the predicate must reach the JDBC scan node
     val probe = jt.partitionedTable("LINEITEM", "l_orderkey", lo, hi + 1, cpus)

@@ -352,11 +352,18 @@ object BenchStreaming {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val line = s"""{"metric":"streaming","sf":"$sfDir","streaming":${json(run(spark, sfDir))}}"""
+    val obj = json(run(spark, sfDir))
+    val line = s"""{"metric":"streaming","sf":"$sfDir","streaming":$obj}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "bench_streaming.json")
+    // RAW=1 (the Bench fork) writes the BARE streaming object so the
+    // parent embeds it verbatim — no marker-string surgery on the wrapper,
+    // which a twin or sfDir containing the marker text could defeat; the
+    // standalone artifact keeps the self-describing wrapper shape
+    val raw = sys.env.get("SPARK_GRAFT_STREAMBENCH_RAW").contains("1")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((if (raw) obj else line) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

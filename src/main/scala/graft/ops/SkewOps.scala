@@ -123,6 +123,11 @@ object SkewOps {
     */
   def bucketedRangeFrame(events: DataFrame, key: String, W: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same fail-loud contract as bucketedRowsFrame: the decomposition
+    // reads these by name regardless of `key`
+    Seq("us", "event_id", "cents", key).foreach(c =>
+      require(events.columns.contains(c),
+        s"bucketedRangeFrame needs column $c (has ${events.columns.mkString(", ")})"))
     val base = events // (event_id, key, us, cents)
       .withColumn("__bucket", expr(s"us div ${W}L"))
     val wIn = Window.partitionBy(col(key), col("__bucket"))
@@ -211,12 +216,19 @@ object SkewOps {
       W: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(frame >= 1, s"frame=$frame: need at least the current row")
+    // the OUTPUT names are reserved too: an input already carrying win_n
+    // would silently produce duplicate output columns instead of failing
     val reserved = Seq("__bucket", "__rn", "__cnt", "__in_n", "__in_sum",
       "__tidx", "__tcsum", "__maxT", "__cntT", "__mb", "__need", "__take",
       "__hi_key", "__hi_tidx", "__csum_hi", "__lo_key", "__lo_tidx",
-      "__csum_lo", "__prev_n", "__prev_sum")
+      "__csum_lo", "__prev_n", "__prev_sum", "win_n", "win_sum_cents")
     require(!events.columns.exists(reserved.contains),
       s"bucketedRowsFrame reserves ${reserved.mkString(", ")}")
+    // the decomposition reads these columns by name regardless of `key`
+    // — fail loud when the input frame doesn't carry them
+    Seq("ts", "event_id", "cents", key).foreach(c =>
+      require(events.columns.contains(c),
+        s"bucketedRowsFrame needs column $c (has ${events.columns.mkString(", ")})"))
     val base = events.withColumn("__bucket",
       expr(s"unix_micros(ts) div ${W}L"))
     val wB = Window.partitionBy(col(key), col("__bucket"))
