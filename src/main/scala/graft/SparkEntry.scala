@@ -728,11 +728,12 @@ object SparkEntry {
   /** The two-level (coarse → fine) pair-scanner membership replay —
     * mirrors Similarity.hierMembers end to end: fine budget k =
     * max(KmeansK, n/target), coarse count = ⌈√k⌉ (float floor +
-    * integer correction, the exact coarseCount arithmetic), coarse Lloyd
-    * over rank seeds, per-cell fine budget max(1, |cell|/target) with
-    * per-cell rank seeds, fine Lloyd within cells, and the injective
-    * cid = ccid·max(k_f)+fcid label. Ends in `members`(vec_id, v, cid);
-    * shared by q_semdedup and q_embed_hardneg.
+    * integer correction, the exact coarseCount arithmetic), ONE coarse
+    * Lloyd round over rank seeds (CoarseIters — routing only), per-cell
+    * fine budget max(1, |cell|/target) with per-cell rank seeds, fine
+    * Lloyd within cells, and the injective cid = ccid·max(k_f)+fcid
+    * label. Ends in `members`(vec_id, v, cid); shared by q_semdedup and
+    * q_embed_hardneg.
     */
   private lazy val hierMembersCtes: String = s"""
          c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -748,9 +749,7 @@ object SparkEntry {
                  WHERE rn <= (SELECT kc FROM kc)),
          ${kmAssignCte("ca1", "cs0")},
          ${kmUpdateCte("cs1", "ca1")},
-         ${kmAssignCte("ca2", "cs1")},
-         ${kmUpdateCte("cs2", "ca2")},
-         ${kmAssignCte("cmm", "cs2")},
+         ${kmAssignCte("cmm", "cs1")},
          cm AS (SELECT vec_id, v, cid AS ccid FROM cmm),
          cells AS (SELECT ccid, greatest(1,
                      count(*) // ${Similarity.PairClusterTarget}) AS kf

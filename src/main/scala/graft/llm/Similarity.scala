@@ -548,6 +548,12 @@ object Similarity {
   private[graft] def flatMembers(c: DataFrame, k: Int): DataFrame =
     assign(c, kmeansCentroidsOf(c, k, rankSeed = true))
 
+  /** Lloyd rounds for the COARSE routing level of [[hierMembers]] — one:
+    * the fine level refines within cells, so extra coarse rounds buy only
+    * marginal cell balance at two n-row stages each.
+    */
+  val CoarseIters = 1
+
   /** Coarse-level cluster count for the two-level pair-scanner assignment:
     * the smallest integer whose square reaches the fine-cluster budget k
     * (integer-corrected after a float sqrt so both engines compute the
@@ -591,7 +597,7 @@ object Similarity {
     *    which is why the fixture differentials can't tell them apart.
     */
   private def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK,
-      rankSeed: Boolean = false): DataFrame = {
+      rankSeed: Boolean = false, iters: Int = KmeansIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var cents =
       if (!rankSeed && k <= KmeansK)
@@ -603,7 +609,7 @@ object Similarity {
           .withColumn("cid",
             (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
           .select(col("cid"), col("v").as("centroid"), col("nv").as("cnorm"))
-    for (_ <- 0 until KmeansIters) {
+    for (_ <- 0 until iters) {
       cents = assign(c, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -1140,12 +1146,26 @@ object Similarity {
     * scalar; no global window, no distinct over the corpus. Everything is
     * deterministic (rank seeds, 9-dp rounding before every argmax, exact
     * DECIMAL component sums), so the DuckDB oracle replays both levels.
+    *
+    * `cache` pins the coarse membership: the fine chain references it
+    * from every Lloyd round, the seed window, the cell sizing and the
+    * final assignment — ~7 subtree occurrences in one lazy plan, each
+    * re-running the coarse Lloyd chain without the pin (measured 2× wall
+    * clock at sf1). `cache = false` for session-lifetime view mounts
+    * (GraftCatalog's pinned-cache contract), which keep the fully lazy
+    * plan and pay the recompute exactly as the flat form did.
     */
-  private def hierMembers(c: DataFrame, k: Int): DataFrame = {
+  private def hierMembers(c: DataFrame, k: Int,
+      cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kc = coarseCount(k)
-    val cm = assign(c, kmeansCentroidsOf(c, kc, rankSeed = true))
+    // ONE coarse Lloyd round: the coarse level only routes vectors into
+    // cells the fine Lloyd refines anyway — a second coarse round buys
+    // marginal balance for two more n-row stages (the two-level form's
+    // cost is stage overhead at mid scale, dot counts only at large)
+    val cm0 = assign(c, kmeansCentroidsOf(c, kc, rankSeed = true, iters = CoarseIters))
       .withColumnRenamed("cid", "ccid")
+    val cm = if (cache) cm0.cache() else cm0
     val cells = cm.groupBy(col("ccid"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("ccid"),
@@ -1194,7 +1214,7 @@ object Similarity {
     // three consumers (both self-join sides + the verdict projection):
     // cache the assignment, not the lineage behind it. `cache=false` for
     // session-lifetime view mounts (GraftCatalog's pinned-cache contract)
-    val members0 = hierMembers(c, resolvePairK(c, k))
+    val members0 = hierMembers(c, resolvePairK(c, k), cache)
     val members = if (cache) members0.cache() else members0
     val dups = clusterPairs(members)
       .filter(col("b_id") < col("vec_id") &&
@@ -1224,7 +1244,7 @@ object Similarity {
   def hardNegatives(s: SparkSession, dir: String,
       cache: Boolean = true, k: Option[Int] = None): DataFrame = {
     val c = corpus(s, dir)
-    val members0 = hierMembers(c, resolvePairK(c, k))
+    val members0 = hierMembers(c, resolvePairK(c, k), cache)
     val members = if (cache) members0.cache() else members0
     clusterPairs(members)
       .filter(col("cos") < SemDedupThreshold)
