@@ -54,6 +54,8 @@ import org.apache.spark.sql.functions._
   *  - `orders.o_custkey`   → head customer for even o_orderkey
   *  - `lineitem.l_partkey` → head part for even (l_orderkey + l_linenumber)
   *  - `events.user_id`     → head user for even event_id
+  *  - `documents.lang`     → modal language for even doc_id (round 12:
+  *    the band-bucket skew tier for the lang-blocked dedup chains)
   *
   * Half-on-one-key is the worst SINGLE-hot-key shape — the case AQE
   * skew-join splitting and the SkewOps salted paths exist for; a
@@ -89,12 +91,23 @@ object GenSkew {
     val hc = head("customer", "c_custkey")
     val hp = head("part", "p_partkey")
     val hu = hc // events.user_id joins customer.c_custkey — same head key
+    // the documents corpus gets a LANGUAGE hot key: even doc_ids collapse
+    // onto the modal language (deterministic: count desc, lang asc), so
+    // the lang-blocked dedup chains (simhash banding, ngram blocking) see
+    // their band/block buckets concentrated while the content-keyed
+    // chains (minhash LSH) keep their key spread — exactly the band-skew
+    // split BENCH_skew is meant to expose
+    val hl = t("documents").groupBy(col("lang")).count()
+      .orderBy(col("count").desc, col("lang")).head().getString(0)
     def write(df: DataFrame, n: String): Unit = {
       GenWrite.write(df, s"$dst/$n.parquet", GenWrite.splitKey(n))
       println(s"[genskew] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
     }
     Seq("region", "nation", "customer", "supplier", "part",
-      "documents", "embeddings").foreach(n => write(t(n), n))
+      "embeddings").foreach(n => write(t(n), n))
+    write(t("documents").withColumn("lang",
+      when(col("doc_id") % 2 === 0, lit(hl)).otherwise(col("lang"))),
+      "documents")
     write(t("orders").withColumn("o_custkey",
       collapse(col("o_orderkey"), col("o_custkey"), hc)), "orders")
     write(t("lineitem").withColumn("l_partkey",
