@@ -3590,8 +3590,14 @@ object SparkEntry {
                     AND count(*) <= greatest(${TextAnalysis.NeighborMaxDf},
                       (SELECT n_docs FROM n)
                         // ${TextAnalysis.NeighborRareFrac})),
-         w AS (SELECT tfc.term, tfc.doc_id, tfc.tf * (n_docs // df) AS w
-               FROM tfc JOIN dfp USING (term), n)
+         w0 AS (SELECT tfc.term, tfc.doc_id, tfc.tf * (n_docs // df) AS w
+                FROM tfc JOIN dfp USING (term), n),
+         w AS (SELECT term, doc_id, w FROM (
+                 SELECT term, doc_id, w,
+                        row_number() OVER (PARTITION BY term
+                          ORDER BY w DESC, doc_id) AS rn
+                 FROM w0)
+               WHERE rn <= ${TextAnalysis.NeighborChampions})
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(sum(a.w * b.w) AS BIGINT) AS dot,
                 CAST(count(*) AS BIGINT) AS n_shared

@@ -1365,15 +1365,28 @@ object TextAnalysis {
     * fail). The relative arm's worst-case fanout is (n/20)² per term;
     * the REAL bound at scale is the banded df distribution itself
     * (stop-terms with df ~ n stay excluded — the band tracks the rare
-    * tail, not a fixed count), and a deployment that needs a hard ceiling
-    * composes this with a per-term pair cap the same way the MinHash
-    * path caps band-bucket width.
+    * tail, not a fixed count). The hard ceiling the relative arm still
+    * needed is the CHAMPION cap below: the round-12 sf5 run proved the
+    * (n/20)² worst case real — the pair join spilled > 70 GB of shuffle
+    * and exhausted local disk on the 52-ring corpus, whose per-variant
+    * stopword-scale terms all fit under the widened band.
     */
   val NeighborMaxDf = 50
   /** Denominator of the relative df-band arm: rare = ≤ n_docs/20 (5%). */
   val NeighborRareFrac = 20
   /** Result size of the pair ranking. */
   val NeighborTopK = 50
+  /** Champion-list cap (the classic IR champion/top-doc device): before
+    * pairing, each banded term keeps only its [[NeighborChampions]]
+    * highest-weight postings (ties to the smaller doc_id) — per-term pair
+    * work is bounded at cap² ABSOLUTELY, so the join survives any df the
+    * relative band admits, and the trimmed pairs are precisely the
+    * weakest contributors to the idf-weighted dot. Equal to
+    * [[NeighborMaxDf]], so below the absolute df floor (every fixture
+    * scale: df ≤ 50 ⇒ posting list ≤ 50) the cap is a provable no-op —
+    * the sf0.01/sf0.1 oracle hashes are unchanged by construction.
+    */
+  val NeighborChampions = NeighborMaxDf
 
   /** Sparse TF-IDF document-similarity join — "which documents cover the
     * same rare vocabulary": candidate pairs are generated ONLY through
@@ -1404,9 +1417,19 @@ object TextAnalysis {
         greatest(lit(NeighborMaxDf.toLong),
           expr(s"n_docs div $NeighborRareFrac")))
       .select(col("term"), col("df"), col("n_docs"))
-    val w = post.join(broadcast(dfT), Seq("term"))
+    val w0 = post.join(broadcast(dfT), Seq("term"))
       .select(col("term"), col("doc_id"),
         (col("tf") * expr("n_docs div df")).as("w"))
+    // champion cap: per term, only the NeighborChampions highest-weight
+    // postings enter the pair join — the absolute per-term ceiling the
+    // relative df band lacks (see the band scaladoc; round-12 sf5
+    // evidence). One window exchange on term, which the term-keyed pair
+    // join below reuses as its own partitioning.
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
+    val w = w0.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= NeighborChampions)
+      .drop("rn")
     // the pair join is term-keyed SHUFFLED HASH by hint: the banded w is
     // small at fixture scale (where the estimate used to pick broadcast)
     // but grows with the rare vocabulary — the hash join is the form
