@@ -727,19 +727,25 @@ object SparkEntry {
 
   /** The two-level (coarse → fine) pair-scanner membership replay —
     * mirrors Similarity.hierMembers end to end: fine budget k =
-    * max(KmeansK, n/target), coarse count = ⌈√k⌉ (float floor +
+    * max(KmeansK, n/target), coarse count = 1 below the
+    * CoarseRouteMinK crossover gate else ⌈√k⌉ (float floor +
     * integer correction, the exact coarseCount arithmetic), ONE coarse
     * Lloyd round over rank seeds (CoarseIters — routing only), per-cell
     * fine budget max(1, |cell|/target) with per-cell rank seeds, fine
     * Lloyd within cells, and the injective cid = ccid·max(k_f)+fcid
     * label. Ends in `members`(vec_id, v, cid); shared by q_semdedup and
-    * q_embed_hardneg.
+    * q_embed_hardneg. With kc = 1 the coarse CTEs stay in the chain but
+    * degenerate (every argmax ranks ONE candidate, n·1 dots — cheap):
+    * ccid = 0 for every vector, exactly the single-cell shortcut the
+    * Scala side takes, so one SQL form replays both regimes.
     */
   private lazy val hierMembersCtes: String = s"""
          c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          kn AS (SELECT greatest(${Similarity.KmeansK},
                   count(*) // ${Similarity.PairClusterTarget}) AS k FROM c),
-         kc AS (SELECT CAST(CASE WHEN fl * fl < k THEN fl + 1 ELSE fl END
+         kc AS (SELECT CAST(CASE WHEN k <= ${Similarity.CoarseRouteMinK}
+                                 THEN 1
+                                 WHEN fl * fl < k THEN fl + 1 ELSE fl END
                   AS INT) AS kc
                 FROM (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE)))
                         AS BIGINT) AS fl FROM kn)),

@@ -554,15 +554,32 @@ object Similarity {
     */
   val CoarseIters = 1
 
-  /** Coarse-level cluster count for the two-level pair-scanner assignment:
-    * the smallest integer whose square reaches the fine-cluster budget k
-    * (integer-corrected after a float sqrt so both engines compute the
-    * identical value — the oracle inlines the same floor+correction).
+  /** Fine budgets at or below this run the pair-scanner membership with a
+    * SINGLE coarse cell — flat Lloyd economics, no coarse routing stages.
+    * The two-level form trades ~6 extra small stages for an n·√k (vs n·k)
+    * assignment term; that trade only pays once k dwarfs √k. Measured
+    * crossover: at sf1 (n = 20 000, k = 80) the flat membership costs
+    * 4.2 s vs the two-level's 7.9 s — stage overhead dominates; at sf5
+    * (n = 100 000, k = 400) the two-level form wins 12.6 s vs 49.5 s
+    * total — the exponent dominates. k = 200 (n = 50 000 at the
+    * 250-vector target) sits between the two measured points.
     */
-  private[graft] def coarseCount(k: Int): Int = {
-    val r = math.sqrt(k.toDouble).toInt
-    if (r * r < k) r + 1 else r
-  }
+  val CoarseRouteMinK = 200
+
+  /** Coarse-level cluster count for the two-level pair-scanner assignment:
+    * 1 below [[CoarseRouteMinK]] (single cell — the flat regime; routing
+    * to one cell is centroid-independent, so [[hierMembers]] skips the
+    * coarse Lloyd entirely), else the smallest integer whose square
+    * reaches the fine-cluster budget k (integer-corrected after a float
+    * sqrt so both engines compute the identical value — the oracle
+    * inlines the same gate and the same floor+correction).
+    */
+  private[graft] def coarseCount(k: Int): Int =
+    if (k <= CoarseRouteMinK) 1
+    else {
+      val r = math.sqrt(k.toDouble).toInt
+      if (r * r < k) r + 1 else r
+    }
 
   /** Resolve the pair-scanners' cluster count: `Some(k)` is caller-fixed
     * (the lazy-mount path — GraftCatalog's view contract forbids eager
@@ -1122,10 +1139,16 @@ object Similarity {
         col("best.v").as("v"), col("best.nv").as("nv"))
 
   /** Two-level (coarse → fine) cluster membership for the pair scanners —
-    * the exponent drop the flat n·k assignment can't give. Flat Lloyd at
+    * the exponent drop the flat n·k assignment can't give, gated on the
+    * measured crossover: fine budgets ≤ [[CoarseRouteMinK]] run with a
+    * single coarse cell ([[coarseCount]] = 1), which skips the coarse
+    * Lloyd chain entirely (routing to one cell is centroid-independent)
+    * and leaves exactly the flat global-rank-seeded Lloyd — the cheap
+    * regime below the crossover, the two-level exponent above it, one
+    * code path and one oracle replay for both. Flat Lloyd at
     * the scaled k = n/[[PairClusterTarget]] makes every assignment round
     * n·k = n²/target dot products (the measured n^1.5-at-the-balanced-
-    * point term: 9.57× at 5× data). Here:
+    * point term: 9.57× at 5× data). Above the gate:
     *
     *  1. COARSE: Lloyd over [[coarseCount]](k) ≈ √k rank-seeded centroids
     *     — n·√k dots per round — then assign each vector to its cell;
@@ -1162,9 +1185,18 @@ object Similarity {
     // ONE coarse Lloyd round: the coarse level only routes vectors into
     // cells the fine Lloyd refines anyway — a second coarse round buys
     // marginal balance for two more n-row stages (the two-level form's
-    // cost is stage overhead at mid scale, dot counts only at large)
-    val cm0 = assign(c, kmeansCentroidsOf(c, kc, rankSeed = true, iters = CoarseIters))
-      .withColumnRenamed("cid", "ccid")
+    // cost is stage overhead at mid scale, dot counts only at large).
+    // Below CoarseRouteMinK the gate sets kc = 1, and assignment to a
+    // single cell is centroid-INDEPENDENT (an argmax over one candidate)
+    // — so the coarse Lloyd chain is skipped outright and the membership
+    // degenerates to the flat global-rank-seeded form, erasing the
+    // two-level stage constant exactly where it was the whole cost
+    val cm0 =
+      if (kc == 1)
+        c.select(col("vec_id"), col("v"), col("nv"), lit(0).as("ccid"))
+      else
+        assign(c, kmeansCentroidsOf(c, kc, rankSeed = true, iters = CoarseIters))
+          .withColumnRenamed("cid", "ccid")
     val cm = if (cache) cm0.cache() else cm0
     val cells = cm.groupBy(col("ccid"))
       .agg(count(lit(1)).as("cnt"))
