@@ -1343,14 +1343,29 @@ object SparkEntry {
            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
            FROM documents GROUP BY md5(text))
          ORDER BY keep_id""",
+    // candidate enumeration via the shared-trigram inverted index — an
+    // EVALUATION optimization of the same all-pairs predicate, not a
+    // semantic change (the md5-hoist discipline): jac >= 0.5 > 0 requires
+    // at least one shared trigram, so restricting the blocked pair join
+    // to pairs sharing one loses nothing, while the naive join is
+    // quadratic in the hot language (5.3 G pairs at sf5 vs Σ df² = 46 M
+    // here; the rotated variants share ZERO trigrams by construction, so
+    // the index also kills every cross-variant pair the lang+length
+    // block admits). Deliberately WEAKER than the engine's rarest-first
+    // df-ordered prefix filter — the oracle shares only the set-theory
+    // triviality (intersection nonempty), none of the engine's pruning.
     "q_dedup_ngram" -> s"""
-         WITH $shingledCte
+         WITH $shingledCte,
+         ex AS (SELECT doc_id, lang, n_chars, unnest(grams) AS g FROM sh),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM ex x JOIN ex y
+                    ON x.g = y.g AND x.lang = y.lang
+                       AND x.doc_id < y.doc_id
+                       AND abs(x.n_chars - y.n_chars) <= 30)
          SELECT a_id, b_id, jac FROM (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                  ${jaccardSql("a.grams", "b.grams")} AS jac
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.doc_id < b.doc_id
-                AND abs(a.n_chars - b.n_chars) <= 30)
+           SELECT c.a_id, c.b_id, ${jaccardSql("a.grams", "b.grams")} AS jac
+           FROM cand c JOIN sh a ON c.a_id = a.doc_id
+                       JOIN sh b ON c.b_id = b.doc_id)
          WHERE jac >= 0.5 ORDER BY a_id, b_id""",
     "q_dedup_minhash" -> s"""
          WITH $shingledCte, $minhashCtes,
