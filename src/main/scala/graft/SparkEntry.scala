@@ -200,6 +200,14 @@ object SparkEntry {
           round(col("win_sum_cents") / col("win_n"), 4))
         .orderBy("event_id")
     }),
+    "q_skew_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.SkewOps.bucketedSessionize(
+        graft.Tables.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", StreamOps.SessionGapMinutes * 60L,
+        CoreOps.RangeFrameMicros)
+    }),
     "q_j9_interval" -> ((s, dir) => IntervalOps.viewClickAttribution(s, dir)),
     "q_j9b_first_touch" -> ((s, dir) =>
       // day-long consideration window (rationale + the single source of
@@ -935,6 +943,31 @@ object SparkEntry {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
+
+  /** ONE oracle for gap-based sessionization, shared by the plain
+    * per-user window chain (`q_w3_sessionize`) and its skew-robust
+    * bucketed rewrite (`q_skew_sessionize`,
+    * [[graft.ops.SkewOps.bucketedSessionize]]) — the q_skew_range_frame
+    * convention applied to the last per-key-sort shape the sf1 skew tier
+    * left without a batch rewrite.
+    */
+  private val sessionizeOracle: String = s"""
+         SELECT user_id, session_id, n_events, session_start, session_end FROM (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  min(ts) AS session_start, max(ts) AS session_end
+           FROM (
+             SELECT user_id, ts,
+                    CAST(sum(CASE WHEN date_diff('second', prev_ts, ts)
+                                       > ${graft.streaming.StreamOps.SessionGapMinutes * 60} THEN 1
+                                  ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                      AS session_id
+             FROM (SELECT user_id, event_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_ts
+                   FROM events))
+           GROUP BY user_id, session_id)
+         ORDER BY user_id, session_id"""
 
   private def rangeFrameOracle: String = {
     val w = graft.ops.CoreOps.RangeFrameMicros
@@ -2237,23 +2270,10 @@ object SparkEntry {
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2
          ORDER BY window_start, event_type""",
-    "q_w3_sessionize" -> s"""
-         SELECT user_id, session_id, n_events, session_start, session_end FROM (
-           SELECT user_id, session_id, count(*) AS n_events,
-                  min(ts) AS session_start, max(ts) AS session_end
-           FROM (
-             SELECT user_id, ts,
-                    CAST(sum(CASE WHEN date_diff('second', prev_ts, ts)
-                                       > ${StreamOps.SessionGapMinutes * 60} THEN 1
-                                  ELSE 0 END)
-                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
-                      AS session_id
-             FROM (SELECT user_id, event_id, ts,
-                          lag(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS prev_ts
-                   FROM events))
-           GROUP BY user_id, session_id)
-         ORDER BY user_id, session_id""",
+    "q_w3_sessionize" -> sessionizeOracle,
+    // the skew-robust bucketed rewrite answers the SAME SQL — result
+    // identity is the rewrite's correctness contract
+    "q_skew_sessionize" -> sessionizeOracle,
     "q_mm_features" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -277,6 +277,91 @@ object SkewOps {
           .as("win_sum_cents"))): _*)
   }
 
+  /** EXACT skew-robust sessionization — the bucketed two-level rewrite of
+    * [[graft.streaming.StreamOps.sessionizeBatch]]'s per-key gap
+    * detection, answering the LAST per-key-sort shape the sf1 skew tier
+    * left standing (`q_w3_sessionize` 1.6× under the half-hot user; its
+    * only prior deployment answer was the streaming twin). Gap detection
+    * looks like it needs the key's whole history in one sorted partition
+    * — it doesn't: a session boundary depends on ONE predecessor, and
+    * session NUMBERING is a prefix count of boundaries, both of which
+    * decompose over (key, time-bucket):
+    *
+    *  1. within-bucket — `lag(ts)` and the running boundary count over
+    *     `(key, bucket)` ordered by `(ts, event_id)`; every sort
+    *     partition is bounded by one bucket's width W, never by a key's
+    *     history (the bucket is ts-monotone, so bucket order then
+    *     within-bucket order IS the global (ts, event_id) order and ties
+    *     resolve identically to the plain window);
+    *  2. boundary carry — a bucket's FIRST event's predecessor is the
+    *     last event of the key's previous non-empty bucket: one
+    *     `lag(max(ts))` over the per-bucket stream (ONE row per
+    *     non-empty bucket — for the half-hot user with 500 k events in
+    *     a fixed span this stream is span/W rows, data-size-independent);
+    *  3. numbering — session_id = within-bucket running boundary count
+    *     + the per-key prefix sum of earlier buckets' boundary totals
+    *     (again one row per bucket), joined back on (key, bucket).
+    *
+    * First event of a key: no predecessor anywhere, the gap predicate is
+    * null, the flag 0 — exactly the plain form's `lag` null path. Result
+    * identity with the single-window plan is the checked contract
+    * (`q_skew_sessionize` shares `q_w3_sessionize`'s oracle verbatim,
+    * the q_skew_range_frame convention). Cost: two extra (key, bucket)
+    * shuffles and the tiny bucket-stream windows vs one global per-key
+    * sort — use it when one key's history outgrows a reducer.
+    */
+  def bucketedSessionize(events: DataFrame, key: String, gapSeconds: Long,
+      W: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds >= 1, s"gapSeconds=$gapSeconds: need a positive gap")
+    val reserved = Seq("__bucket", "__rn", "__prev_in", "__last_ts",
+      "__prev_last", "__prev", "__flag", "__sid_in", "__bflags", "__bprefix",
+      "session_id", "n_events", "session_start", "session_end")
+    require(!events.columns.exists(reserved.contains),
+      s"bucketedSessionize reserves ${reserved.mkString(", ")}")
+    Seq("ts", "event_id", key).foreach(c =>
+      require(events.columns.contains(c),
+        s"bucketedSessionize needs column $c (has ${events.columns.mkString(", ")})"))
+    val base = events.withColumn("__bucket",
+      expr(s"unix_micros(ts) div ${W}L"))
+    val wB = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    // one row per (key, non-empty bucket): the bucket's last event ts
+    // (max = last in (ts, event_id) order — ts is the leading sort key),
+    // lagged one bucket to give every bucket-first row its predecessor
+    val wK = Window.partitionBy(col(key)).orderBy(col("__bucket"))
+    val carries = base.groupBy(col(key), col("__bucket"))
+      .agg(max(col("ts")).as("__last_ts"))
+      .withColumn("__prev_last", lag(col("__last_ts"), 1).over(wK))
+      .select(col(key), col("__bucket"), col("__prev_last"))
+    val flagged = base
+      .withColumn("__rn", row_number().over(wB))
+      .withColumn("__prev_in", lag(col("ts"), 1).over(wB))
+      .join(carries, Seq(key, "__bucket"))
+      .withColumn("__prev",
+        when(col("__rn") === 1, col("__prev_last")).otherwise(col("__prev_in")))
+      .withColumn("__flag",
+        when(col("ts").cast("long") - col("__prev").cast("long") > gapSeconds,
+          1L).otherwise(lit(0L)))
+    val prefixes = flagged.groupBy(col(key), col("__bucket"))
+      .agg(sum(col("__flag")).as("__bflags"))
+      .withColumn("__bprefix",
+        coalesce(sum(col("__bflags"))
+          .over(wK.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(key), col("__bucket"), col("__bprefix"))
+    flagged
+      .withColumn("__sid_in",
+        sum(col("__flag")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(prefixes, Seq(key, "__bucket"))
+      .withColumn("session_id", col("__sid_in") + col("__bprefix"))
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(key, "session_id")
+  }
+
   /** Hash salt prefixing every bloom-join key (mirrored in the oracle-free
     * spec; the result is key-transparent so no oracle sees it).
     */

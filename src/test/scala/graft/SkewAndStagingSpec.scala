@@ -451,6 +451,98 @@ class SkewAndStagingSpec extends AnyFunSuite {
     assert(byId(2L) == ((2L, 30L)), s"tie order: ${byId(2L)}") // 10+20
   }
 
+  test("bucketedSessionize equals the plain per-key window on the hot-key shape") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.CoreOps.RangeFrameMicros
+    val gap = graft.streaming.StreamOps.SessionGapMinutes * 60L
+    val hu = Tables.table(spark, sf, "customer")
+      .agg(min(col("c_custkey").cast("long"))).head().getLong(0)
+    val ev = Tables.table(spark, sf, "events")
+      .withColumn("user_id",
+        GenSkew.collapse(col("event_id"), col("user_id"), hu))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val plain = ev
+      .withColumn("session_id", sum(
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > gap, 1L)
+          .otherwise(lit(0L))).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).sortBy(t => (t._1, t._2))
+    val bucketed = SkewOps
+      .bucketedSessionize(ev, "user_id", gap, RangeFrameMicros)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).sortBy(t => (t._1, t._2))
+    assert(bucketed.toSeq == plain.toSeq,
+      "bucketed sessionize diverged from the single-window form")
+    // non-vacuous: some session must SPAN a bucket boundary, or the
+    // carry machinery was never exercised
+    val crossing = bucketed.count(t =>
+      t._4.getTime / (RangeFrameMicros / 1000L) !=
+        t._5.getTime / (RangeFrameMicros / 1000L))
+    assert(crossing > 0, "no session crossed a bucket boundary — vacuous")
+  }
+
+  test("bucketedSessionize: sparse buckets, exact-gap ties and carries match the window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // crafted seconds, gap = 8 s, bucket W = 5 s:
+    //  - user k: a session spans b0→b1→b2 without a split (deltas ≤ 5),
+    //    then a 19 s gap lands the split FOUR buckets later (b6) — the
+    //    carry must reach across empty buckets;
+    //  - user m: delta EXACTLY the gap (8 s) across a bucket boundary —
+    //    strictly-greater semantics must keep one session, then 9 s
+    //    splits;
+    //  - user s: single event — one session, id 0;
+    //  - user k's tie pair (same ts) resolves by event_id on both plans.
+    val W = 5000000L // 5 s in micros
+    val gap = 8L
+    val raw = Seq(
+      (1L, "k", 0L), (2L, "k", 1L), (3L, "k", 1L), (4L, "k", 4L),
+      (5L, "k", 6L), (6L, "k", 11L), (7L, "k", 30L),
+      (8L, "m", 0L), (9L, "m", 8L), (10L, "m", 17L),
+      (11L, "s", 42L))
+    val ev = raw.toDF("event_id", "key", "sec")
+      .select(col("event_id"), col("key"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"))
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("event_id"))
+    val plain = ev
+      .withColumn("session_id", sum(
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byKey).cast("long") > gap, 1L)
+          .otherwise(lit(0L))).over(byKey))
+      .groupBy(col("key"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime / 1000L, r.getTimestamp(4).getTime / 1000L))
+      .sortBy(t => (t._1, t._2))
+    val bucketed = SkewOps.bucketedSessionize(ev, "key", gap, W)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime / 1000L, r.getTimestamp(4).getTime / 1000L))
+      .sortBy(t => (t._1, t._2))
+    assert(bucketed.toSeq == plain.toSeq)
+    // pin the intended answers so both plans are checked against intent:
+    val byKeySid = bucketed.map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    assert(byKeySid(("k", 0L)) == ((6L, 0L, 11L)),
+      s"cross-bucket session: ${byKeySid(("k", 0L))}")
+    assert(byKeySid(("k", 1L)) == ((1L, 30L, 30L)),
+      s"split after empty buckets: ${byKeySid(("k", 1L))}")
+    assert(byKeySid(("m", 0L)) == ((2L, 0L, 8L)),
+      s"delta == gap must NOT split: ${byKeySid(("m", 0L))}")
+    assert(byKeySid(("m", 1L)) == ((1L, 17L, 17L)))
+    assert(byKeySid(("s", 0L)) == ((1L, 42L, 42L)))
+  }
+
   test("salted paths stay exact on the GenSkew hot-key shape") {
     // the salted mitigation must keep bit-exact results ON the data shape
     // it exists for — half the events collapsed onto the head user
