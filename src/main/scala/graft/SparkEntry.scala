@@ -697,10 +697,22 @@ object SparkEntry {
 
   /** One k-means update CTE: per-cluster exact-decimal component sums
     * (mirrors Similarity.kmeansCentroids' update step).
+    *
+    * The double → DECIMAL(38,10) input cast routes through VARCHAR in
+    * every update CTE (here, the fine/PQ twins, and the mixture-weight
+    * oracle): Spark's Cast quantizes the double's SHORTEST-DECIMAL
+    * representation half-up, DuckDB's direct cast quantizes its exact
+    * binary digits — the two disagree by 1e-10 exactly when a component
+    * sits on a 10dp half-boundary, and one such component at sf5 moved a
+    * PQ codebook mean by enough to flip a 9dp-rounded distance that sat
+    * 1.2e-13 from ITS half-boundary (q_embed_pq, one row in 100k).
+    * DuckDB prints doubles in shortest form, so VARCHAR→DECIMAL
+    * reproduces Spark's quantization; non-boundary components are
+    * unchanged by construction.
     */
   private def kmUpdateCte(name: String, assigned: String): String =
     s"""$name AS (SELECT cid, list(cx ORDER BY pos) AS centroid FROM (
-          SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS cx
+          SELECT cid, pos, CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS cx
           FROM (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x
                 FROM $assigned)
           GROUP BY cid, pos)
@@ -726,7 +738,7 @@ object SparkEntry {
   private def kmFineUpdateCte(name: String, assigned: String): String =
     s"""$name AS (SELECT ccid, fcid, list(cx ORDER BY pos) AS centroid FROM (
           SELECT ccid, fcid, pos,
-                 CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS cx
+                 CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS cx
           FROM (SELECT ccid, fcid, generate_subscripts(v, 1) AS pos,
                        unnest(v) AS x
                 FROM $assigned)
@@ -789,8 +801,22 @@ object SparkEntry {
   /** Squared L2 via the dot identity (mirrors Similarity.l2sq: three
     * list_reduce folds, rounded at 9 dp before any argmin).
     */
+  /** 9dp rounding routed through DECIMAL(28,14) — Spark's Round on a
+    * double rounds its SHORTEST-DECIMAL representation half-up, while
+    * DuckDB's round(DOUBLE, 9) takes a numeric path; the two disagree by
+    * 1 ulp of the 9th decimal exactly when the double sits on a 9dp
+    * half-boundary (measured: one vector in 100 k at sf5 — the
+    * per-subspace distance 0.5838734615). Casting to DECIMAL(28,14)
+    * first recovers the shortest-decimal digits (the double is ~1e-16
+    * from them, never near a 14dp boundary), and the decimal round is
+    * half-up — Spark's semantics, boundary included. Non-boundary values
+    * are unchanged by construction.
+    */
+  private def round9ViaDecimal(x: String): String =
+    s"""CAST(round(CAST(($x) AS DECIMAL(28,14)), 9) AS DOUBLE)"""
+
   private def pqL2Sql(a: String, b: String): String =
-    s"""round(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}, 9)"""
+    round9ViaDecimal(s"${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)}")
 
   /** One PQ assignment CTE: nearest code per (vector, subspace) from the
     * `books` codebooks (mirrors Similarity.pqAssign's min-of-struct
@@ -814,7 +840,7 @@ object SparkEntry {
   private def pqUpdateCte(name: String, assigned: String): String =
     s"""$name AS (SELECT m, code, list(cx ORDER BY pos) AS cb FROM (
           SELECT m, code, pos,
-                 CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+                 CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) / count(*)
                    AS cx
           FROM (SELECT m, code, generate_subscripts(sv, 1) AS pos,
                        unnest(sv) AS x
@@ -1672,7 +1698,7 @@ object SparkEntry {
          WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          px AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM c),
          csum AS (SELECT label, pos,
-                         CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS cx
+                         CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS cx
                   FROM px GROUP BY label, pos),
          cent AS (SELECT label AS c_label, list(cx ORDER BY pos) AS centroid
                   FROM csum GROUP BY label),
@@ -1752,15 +1778,17 @@ object SparkEntry {
     // seed → one Lloyd refinement with exact-decimal means → reassign;
     // squared L2 via the dot identity rounded at 9dp before every argmin,
     // error = left-fold of per-subspace distances in subspace order
+    // err as an exact DECIMAL(20,9) sum of the 9dp-rounded subspace
+    // distances (the pqSearch discipline) — a double fold + round(…, 9)
+    // left one sf5 vector on a boundary where the engines' round()
+    // disagrees by 1 ulp of the 9th decimal
     "q_embed_pq" -> s"""
          WITH $pqTrainCtes,
          ${pqAssignCte("a2", "u1", ", d")},
          g AS (SELECT vec_id, list(code ORDER BY m) AS codes,
-                      list(d ORDER BY m) AS ds
+                      CAST(sum(CAST(d AS DECIMAL(20,9))) AS DOUBLE) AS err
                FROM a2 GROUP BY vec_id)
-         SELECT vec_id, array_to_string(codes, ',') AS codes,
-                round(list_reduce(list_concat([0.0], ds), (a, b) -> a + b), 9)
-                  AS err
+         SELECT vec_id, array_to_string(codes, ',') AS codes, err
          FROM g ORDER BY vec_id""",
     // ADC search over the PQ codes (mirrors Similarity.pqSearch): per-query
     // distance tables against the codebooks, approximate distance = the
@@ -2534,7 +2562,7 @@ object SparkEntry {
            FROM documents WHERE regexp_matches(source, 'src[0-9]+')
            GROUP BY source),
          tot AS (SELECT sum(n_docs)::BIGINT AS n_total,
-                        CAST(sum(CAST(w AS DECIMAL(38,10))) AS DOUBLE)
+                        CAST(sum(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE)
                           AS w_sum
                  FROM src),
          rates AS (
@@ -4271,24 +4299,29 @@ object SparkEntry {
     // induced-subgraph common neighbors + integer-cleared Jaccard
     // (mirrors GraphOps.nodeSimilarity; edge CTEs shared with the
     // triangle/bfs oracles' co-purchase build)
+    // every shared CTE is MATERIALIZED: DuckDB's default inlining
+    // re-derives the co-purchase edge set once per reference and at sf5
+    // the re-planned wedge join spilled past the disk (the stepwise
+    // sizes are tiny: 193k edges, 603k wedge pairs, 3 s materialized) —
+    // an evaluation hint, zero semantics change
     "q_graph_jaccard" -> {
       import graft.ops.GraphOps.{SimMaxDeg, SimTopK, TriMinSupport}
       s"""
          WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         prs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
+         prs AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb, count(*) AS supp
                  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
                  GROUP BY 1, 2),
-         base AS (SELECT pa, pb FROM prs WHERE supp >= $TriMinSupport),
-         sym AS (SELECT pa AS node, pb AS nbr FROM base
+         base AS MATERIALIZED (SELECT pa, pb FROM prs WHERE supp >= $TriMinSupport),
+         sym AS MATERIALIZED (SELECT pa AS node, pb AS nbr FROM base
                  UNION ALL SELECT pb, pa FROM base),
-         keep AS (SELECT node FROM sym GROUP BY node
+         keep AS MATERIALIZED (SELECT node FROM sym GROUP BY node
                   HAVING count(*) <= $SimMaxDeg),
-         se AS (SELECT s.node, s.nbr FROM sym s
+         se AS MATERIALIZED (SELECT s.node, s.nbr FROM sym s
                 JOIN keep k1 ON s.node = k1.node
                 JOIN keep k2 ON s.nbr = k2.node),
-         sdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         sdeg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
                   FROM se GROUP BY node),
-         it AS (SELECT l.node AS a, r.node AS b,
+         it AS MATERIALIZED (SELECT l.node AS a, r.node AS b,
                        CAST(count(*) AS BIGINT) AS inter
                 FROM se l JOIN se r
                   ON l.nbr = r.nbr AND l.node < r.node

@@ -784,14 +784,22 @@ object Similarity {
     val sub = if (cache) sub0.cache() else sub0
     pqAssign(sub, pqTrain(sub), keepSv = false)
       .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("code"), col("d"))))
-        .as("mc"))
+      // err: the M-way sum of the 9dp-rounded per-subspace distances runs
+      // as a DECIMAL(20,9) aggregate, the pqSearch discipline — a double
+      // fold + round(…, 9) put one vector in 100k at sf5 on a rounding
+      // boundary where the two engines' round() of the SAME double
+      // disagree by 1 ulp of the 9th decimal; a 9dp-rounded double casts
+      // to DECIMAL(20,9) exactly (it sits ~2^-30 from the true decimal,
+      // never near the half-boundary), the decimal sum is exact, and no
+      // second rounding exists to disagree on
+      .agg(
+        array_sort(collect_list(struct(col("m"), col("code")))).as("mc"),
+        sum(col("d").cast("decimal(20,9)")).as("errd"))
       .select(col("vec_id"),
         concat_ws(",",
           transform(col("mc"), e => e.getField("code").cast("string")))
           .as("codes"),
-        round(aggregate(transform(col("mc"), e => e.getField("d")),
-          lit(0.0), (acc, x) => acc + x), 9).as("err"))
+        col("errd").cast("double").as("err"))
       .orderBy("vec_id")
   }
 
