@@ -127,6 +127,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashSketch _),
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_simhash64_pairs" -> (Dedup.simhash64Pairs _),
+    "q_dedup_simhash64_wide" -> (Dedup.simhash64PairsWide _),
     "q_dedup_components" -> (Dedup.nearDupComponents _),
     "q_dedup_report" -> (Dedup.dedupReport _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
@@ -1501,6 +1502,19 @@ object SparkEntry {
     // form over the wider fingerprint, two-halves encoding per the shared
     // simhash64SkCtes
     "q_dedup_simhash64_pairs" -> s"""
+         WITH $simhash64SkCtes
+         SELECT a_id, b_id, hamming FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.sh_hi, b.sh_hi)) +
+                       bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+           FROM sk64 a JOIN sk64 b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         WHERE hamming <= ${Dedup.Simhash64MaxHamming} ORDER BY a_id, b_id""",
+    // the wide-key banding setting (blocks=6) has the IDENTICAL output
+    // contract — combination banding is recall-exact at any block count —
+    // so it shares the naive all-pairs oracle verbatim; a differential
+    // failure here would mean the banding (not the pairing semantics)
+    // broke
+    "q_dedup_simhash64_wide" -> s"""
          WITH $simhash64SkCtes
          SELECT a_id, b_id, hamming FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,

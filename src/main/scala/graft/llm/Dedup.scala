@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{table => t}
 import TextHash._
@@ -373,17 +373,58 @@ object Dedup {
   /** Max Hamming distance for a SimHash near-dup pair. */
   val SimhashMaxHamming = 6
 
-  /** Pigeonhole band layout for Hamming ≤ 6 over 32 bits: 7 disjoint chunks
-    * (widths 5,5,5,5,4,4,4 — one more chunk than the distance bound). Two
-    * sketches within distance 6 differ in at most 6 chunks, so they AGREE on
-    * at least one — every qualifying pair is found by some band equi-join
-    * (recall 1.0, no approximation).
+  /** Band plan for the 32-bit tier: the degenerate blocks = maxHamming+1
+    * pigeonhole (7 one-block keys of 4–5 bits over 32 bits). RETAINED AS
+    * THE DOCUMENTED SATURATION SETTING: 16–32 values per key means the
+    * within-bucket verify grows n²/2^w almost immediately (measured
+    * 28–31.6× runtime at 5× data, 1.82× under a 70%-hot language —
+    * SCALE.md). The operator is now an instance of [[BandPlan]]; the
+    * plan itself is what [[BandPlan.blocksForCorpus]] would only pick
+    * for corpora under ~2⁵⁻ᵐ docs per language — every real consumer
+    * rides the 64-bit tier.
     */
-  private val SimhashBands: Seq[(Int, Int, Int)] = {
-    val widths = Seq(5, 5, 5, 5, 4, 4, 4)
-    require(widths.length == SimhashMaxHamming + 1 && widths.sum == 32)
-    widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex
-      .map { case ((off, w), i) => (i, off, w) }
+  private val Simhash32Plan = BandPlan(32, SimhashMaxHamming + 1, SimhashMaxHamming)
+
+  /** Exact Hamming-≤-h near-dup pairs over a per-doc fingerprint, banded
+    * by [[BandPlan]] combination keys — the one pairing kernel both
+    * SimHash tiers instantiate.
+    *
+    * `sk` must carry (doc_id, lang, sh); candidates come from combination
+    * -key equi-joins within a language (never an all-pairs join), and a
+    * pair agreeing on several combinations survives exactly once WITHOUT
+    * a distinct shuffle: both fingerprints ride in the joined row, so
+    * "this is the FIRST agreeing combination" is a row-local bitwise
+    * predicate. Every step shuffles only (doc_id, lang, sh, key) rows —
+    * `keysPerDoc × n` join input against Σ c² ≈ n²/2^keyBits verify
+    * work; [[BandPlan]] documents the trade.
+    */
+  private def bandedHammingPairs(sk: DataFrame, plan: BandPlan): DataFrame = {
+    val bands = sk.select(col("doc_id"), col("lang"), col("sh"),
+      explode(array(plan.combos.indices.map { i =>
+        struct(lit(i).as("band_idx"),
+          plan.keyCol(col("sh").cast("long"), i).as("key"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("lang"), col("sh"),
+        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+    val comboEq = plan.combos.indices.map { i =>
+      (i, plan.keyCol(col("a.sh").cast("long"), i) ===
+        plan.keyCol(col("b.sh").cast("long"), i))
+    }
+    val firstAgreeingBand = comboEq.foldRight(lit(-1): Column) {
+      case ((i, eq), rest) => when(eq, lit(i)).otherwise(rest)
+    }
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.key") === col("b.key") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band_idx") === firstAgreeingBand)
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        // XOR on the fingerprint's NATIVE type: a 32-bit sketch must
+        // popcount 32 bits, not a sign-extended long's 64
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= plan.maxHamming)
   }
 
   /** SimHash near-dup pairs: 32-bit sketch per doc, kept when Hamming
@@ -404,69 +445,70 @@ object Dedup {
     * [[nearDupComponents]] that re-shuffle the pairs anyway; sorting n·k
     * candidate pairs just to feed a hash join is pure waste at scale.
     */
-  private[graft] def simhashPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashPairsUnsorted(s: SparkSession, dir: String): DataFrame =
     // cache: the sketch aggregation is the expensive part; both sides of
     // the band self-join must read it, not recompute it
-    val sk = simhashTable(s, dir).cache()
-    val bands = sk.select(col("doc_id"), col("lang"), col("sh"),
-      explode(array(SimhashBands.map { case (i, off, w) =>
-        struct(lit(i).as("band_idx"),
-          shiftright(col("sh"), off).bitwiseAND(lit((1 << w) - 1)).as("key"))
-      }: _*)).as("bd"))
-      .select(col("doc_id"), col("lang"), col("sh"),
-        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
-    // a pair can agree on several chunks → several bands would emit it.
-    // Dedup WITHOUT a distinct shuffle over the whole candidate set: both
-    // sketches ride in the joined row, so "this is the FIRST agreeing
-    // band" is a row-local bitwise predicate — each qualifying pair
-    // survives exactly once, at the lowest agreeing band index
-    val chunkEq = SimhashBands.map { case (i, off, w) =>
-      (i, shiftright(col("a.sh"), off).bitwiseAND(lit((1 << w) - 1)) ===
-        shiftright(col("b.sh"), off).bitwiseAND(lit((1 << w) - 1)))
-    }
-    val firstAgreeingBand = chunkEq.foldRight(lit(-1): org.apache.spark.sql.Column) {
-      case ((i, eq), rest) => when(eq, lit(i)).otherwise(rest)
-    }
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.key") === col("b.key") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.band_idx") === firstAgreeingBand)
-      .select(
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
-  }
+    bandedHammingPairs(simhashTable(s, dir).cache(), Simhash32Plan)
 
   /** Max Hamming distance for the 64-bit tier — the standard operating
     * point at the wider fingerprint (4 bands × 16 bits).
     */
   val Simhash64MaxHamming = 3
 
-  private val Simhash64Bands: Seq[(Int, Int, Int)] = {
-    val widths = Seq(16, 16, 16, 16)
-    require(widths.length == Simhash64MaxHamming + 1 && widths.sum == 64)
-    widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex
-      .map { case ((off, w), i) => (i, off, w) }
-  }
+  /** Default block count for the 64-bit tier — the degenerate pigeonhole
+    * (4 one-block 16-bit keys), right for corpora to ~10⁶ docs/language
+    * per the n/2^keyBits occupancy bound; [[simhash64PairsAt]] takes the
+    * block count explicitly and [[BandPlan.blocksForCorpus]] picks it
+    * from corpus size (a 10⁸-doc language wants blocks=6: 20 keys of
+    * 32 bits).
+    */
+  val Simhash64Blocks = 4
+
+  /** Block count for the WIDE-KEY 64-bit setting declared as
+    * `q_dedup_simhash64_wide`: C(6,3)=20 combination keys of 31–33 bits —
+    * the same recall-1.0 contract and output as blocks=4, with the
+    * bucket-saturation horizon pushed out 2¹⁶ per key at a 5× explode
+    * constant. This is the scale setting a ≥10⁷-doc language runs.
+    */
+  val Simhash64WideBlocks = 6
 
   /** 64-bit SimHash near-dup pairs — [[simhashPairs]] at the wider
     * fingerprint ([[graft.functions.Simhash64Sketch]]), Hamming ≤
-    * [[Simhash64MaxHamming]] within a language, candidates from the same
-    * first-agreeing-band pigeonhole chain over 4 bands of 16 bits.
+    * [[Simhash64MaxHamming]] within a language, candidates from
+    * [[bandedHammingPairs]] at the default [[Simhash64Blocks]]
+    * (4 one-block keys of 16 bits).
     *
     * This is the operator answer to the round-11 sf5 growth finding: the
     * 32-bit tier's band buckets take only 16–32 distinct values, so its
     * within-bucket verify saturates at n²/2^w while pair OUTPUT stays
     * linear (measured 31.6× runtime / 4.56× rows at 5× data). Here a
     * band key has 65 536 values — same recall-1.0 pigeonhole guarantee,
-    * same plan shape, the saturation point pushed out 2¹¹ per band.
-    * (The asymptote is the published fixed-width-fingerprint trade; the
+    * same plan shape, the saturation point pushed out 2¹¹ per band —
+    * and past THAT horizon the block count is a knob, not a rewrite:
+    * [[simhash64PairsAt]] with [[BandPlan.blocksForCorpus]]-chosen
+    * blocks widens keys to 2⁵⁵ values before the fixed 64-bit
+    * fingerprint itself runs out (the published trade; the
     * unbounded-scale family members are the content-keyed LSH chains.)
     */
   def simhash64Pairs(s: SparkSession, dir: String): DataFrame =
     simhash64PairsUnsorted(s, dir).orderBy("a_id", "b_id")
+
+  /** [[simhash64Pairs]] at an explicit block count — the parameterized
+    * operator surface. Output is IDENTICAL at any block count (the
+    * combination-banding recall proof is exact); only the
+    * keys-per-doc / bucket-occupancy trade moves, so one oracle serves
+    * every setting and a width change can never be a semantics change.
+    */
+  def simhash64PairsAt(s: SparkSession, dir: String, blocks: Int): DataFrame =
+    simhash64PairsUnsortedAt(s, dir, blocks).orderBy("a_id", "b_id")
+
+  /** The wide-key setting ([[Simhash64WideBlocks]]) as a declared query:
+    * same rows as `q_dedup_simhash64_pairs`, saturation horizon 2¹⁶
+    * further out — the measured answer to "what does this tier do at the
+    * next corpus decade" (SCALE.md width table).
+    */
+  def simhash64PairsWide(s: SparkSession, dir: String): DataFrame =
+    simhash64PairsAt(s, dir, Simhash64WideBlocks)
 
   /** [[simhash64Pairs]] without the final global sort — the pair source
     * the closure family ([[nearDupComponents]], [[dedupCanonical]] and
@@ -474,36 +516,17 @@ object Dedup {
     * anyway, so a pre-sort is pure waste (same contract as
     * [[simhashPairsUnsorted]] on the 32-bit tier).
     */
-  private[graft] def simhash64PairsUnsorted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhash64PairsUnsorted(s: SparkSession, dir: String): DataFrame =
+    simhash64PairsUnsortedAt(s, dir, Simhash64Blocks)
+
+  private[graft] def simhash64PairsUnsortedAt(
+      s: SparkSession, dir: String, blocks: Int): DataFrame = {
     val sk = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.functions.Simhash64Sketch(tokens(col("text"))).as("sh"))
       .filter(col("sh").isNotNull)
       .cache()
-    val bands = sk.select(col("doc_id"), col("lang"), col("sh"),
-      explode(array(Simhash64Bands.map { case (i, off, w) =>
-        struct(lit(i).as("band_idx"),
-          shiftright(col("sh"), off).bitwiseAND(lit((1L << w) - 1)).as("key"))
-      }: _*)).as("bd"))
-      .select(col("doc_id"), col("lang"), col("sh"),
-        col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
-    val chunkEq = Simhash64Bands.map { case (i, off, w) =>
-      (i, shiftright(col("a.sh"), off).bitwiseAND(lit((1L << w) - 1)) ===
-        shiftright(col("b.sh"), off).bitwiseAND(lit((1L << w) - 1)))
-    }
-    val firstAgreeingBand = chunkEq.foldRight(lit(-1): org.apache.spark.sql.Column) {
-      case ((i, eq), rest) => when(eq, lit(i)).otherwise(rest)
-    }
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.key") === col("b.key") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.band_idx") === firstAgreeingBand)
-      .select(
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= Simhash64MaxHamming)
+    bandedHammingPairs(sk, BandPlan(64, blocks, Simhash64MaxHamming))
   }
 
   /** Per-doc SimHash sketch (the sketch itself, for oracle-pinning the
