@@ -812,6 +812,19 @@ object SparkEntry {
     * from them, never near a 14dp boundary), and the decimal round is
     * half-up — Spark's semantics, boundary included. Non-boundary values
     * are unchanged by construction.
+    *
+    * RESIDUAL WINDOW (heuristic, not an exact equivalence): a distance
+    * whose exact binary value lies within ~1e-15 of a 14dp half-boundary,
+    * or whose shortest repr carries >14 fractional digits while ALSO
+    * sitting on a 9dp half-boundary, can still diverge by 1 ulp of the
+    * 9th decimal — an ORACLE-side differential flake, never a wrong
+    * engine result (Spark's side is Round(double, 9) either way). Width:
+    * DECIMAL(28,14) overflows at |x| ≥ 1e14; the inputs here are PQ/L2
+    * distances over unit-scale embeddings (≤ ~1e3 at any SF in tree), so
+    * the 14 integer digits are 11 orders of headroom. If a future caller
+    * feeds unbounded magnitudes, route through VARCHAR like the
+    * sum casts above (shortest-repr quantization, no width limit on the
+    * integer part at DECIMAL(38,x) ranges we use).
     */
   private def round9ViaDecimal(x: String): String =
     s"""CAST(round(CAST(($x) AS DECIMAL(28,14)), 9) AS DOUBLE)"""

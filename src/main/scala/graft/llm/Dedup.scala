@@ -398,14 +398,17 @@ object Dedup {
     * `keysPerDoc × n` join input against Σ c² ≈ n²/2^keyBits verify
     * work; [[BandPlan]] documents the trade.
     */
-  private def bandedHammingPairs(sk: DataFrame, plan: BandPlan): DataFrame = {
-    val bands = sk.select(col("doc_id"), col("lang"), col("sh"),
+  private def bandKeys(sk: DataFrame, plan: BandPlan): DataFrame =
+    sk.select(col("doc_id"), col("lang"), col("sh"),
       explode(array(plan.combos.indices.map { i =>
         struct(lit(i).as("band_idx"),
           plan.keyCol(col("sh").cast("long"), i).as("key"))
       }: _*)).as("bd"))
       .select(col("doc_id"), col("lang"), col("sh"),
         col("bd.band_idx").as("band_idx"), col("bd.key").as("key"))
+
+  private def bandedHammingPairs(sk: DataFrame, plan: BandPlan): DataFrame = {
+    val bands = bandKeys(sk, plan)
     val comboEq = plan.combos.indices.map { i =>
       (i, plan.keyCol(col("a.sh").cast("long"), i) ===
         plan.keyCol(col("b.sh").cast("long"), i))
@@ -528,6 +531,34 @@ object Dedup {
       .cache()
     bandedHammingPairs(sk, BandPlan(64, blocks, Simhash64MaxHamming))
   }
+
+  /** Verify-workload diagnostic for the width bench: Σ_bucket C(c,2) over
+    * a plan's (band_idx, key, lang) buckets — the EXACT number of
+    * within-bucket comparisons the banded self-join performs, i.e. the
+    * quantity the n²/2^keyBits saturation arithmetic bounds. Returned
+    * analytically (one groupBy-count + sum), so the saturation curve can
+    * be read without paying the join it predicts.
+    */
+  private[graft] def simhash64BandComparisons(
+      s: SparkSession, dir: String, blocks: Int): Long = {
+    val sk = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Simhash64Sketch(tokens(col("text"))).as("sh"))
+      .filter(col("sh").isNotNull)
+    bandKeys(sk, BandPlan(64, blocks, Simhash64MaxHamming))
+      .groupBy(col("band_idx"), col("key"), col("lang")).count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+      .head().getLong(0)
+  }
+
+  /** [[simhash64BandComparisons]] for the 32-bit tier's degenerate plan —
+    * the saturated baseline column of the width table.
+    */
+  private[graft] def simhash32BandComparisons(s: SparkSession, dir: String): Long =
+    bandKeys(simhashTable(s, dir), Simhash32Plan)
+      .groupBy(col("band_idx"), col("key"), col("lang")).count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+      .head().getLong(0)
 
   /** Per-doc SimHash sketch (the sketch itself, for oracle-pinning the
     * bit-vote arithmetic independent of the pairing policy).

@@ -1151,9 +1151,20 @@ object Similarity {
     * measured crossover: fine budgets ≤ [[CoarseRouteMinK]] run with a
     * single coarse cell ([[coarseCount]] = 1), which skips the coarse
     * Lloyd chain entirely (routing to one cell is centroid-independent)
-    * and leaves exactly the flat global-rank-seeded Lloyd — the cheap
+    * and leaves the flat global-rank-seeded Lloyd — the cheap
     * regime below the crossover, the two-level exponent above it, one
-    * code path and one oracle replay for both. Flat Lloyd at
+    * code path and one oracle replay for both. NOT a pure cost
+    * equivalence at small n: the kc = 1 cell's fine budget is
+    * max(1, n/target) — the per-CELL sizing rule, applied uniformly at
+    * every level — where the pre-r12 flat form sized the whole corpus
+    * through pairClusterK's max(KmeansK, n/target), so a corpus under
+    * KmeansK·target vectors now clusters coarser (n = 500 → 2 effective
+    * clusters, not KmeansK) and which near-twins/negatives the pair
+    * scan surfaces shifts with it. Deliberate: one sizing rule for
+    * every cell at every scale is what lets a single oracle replay both
+    * regimes (the oracle inlines the same gate and the same div), and
+    * the small-n regime is the one where callers wanting finer granularity
+    * can afford the flat form outright. Flat Lloyd at
     * the scaled k = n/[[PairClusterTarget]] makes every assignment round
     * n·k = n²/target dot products (the measured n^1.5-at-the-balanced-
     * point term: 9.57× at 5× data). Above the gate:

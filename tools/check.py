@@ -43,8 +43,37 @@ def frame_rows(df):
     return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
+def quantization_sentinel(con):
+    """Pin the DuckDB decimal-quantization behaviors the oracle SQL leans
+    on (ADVICE r12): (a) VARCHAR->DECIMAL rounds the shortest decimal repr
+    HALF-UP (the sum casts' route to Spark's Cast semantics), (b)
+    round(DECIMAL(28,14), 9) is half-up at the boundary (round9ViaDecimal),
+    (c) doubles print in shortest form. Both (a) and (b) are
+    version-sensitive (double formatting changed across DuckDB releases) —
+    an engine upgrade that shifts any of them must fail HERE with a named
+    cause, not as a mystery 1-ulp diff in some sf5 PQ row.
+    """
+    checks = [
+        ("SELECT CAST(CAST(1.5e-10 AS VARCHAR) AS DECIMAL(38,10))",
+         "2E-10", "varchar->decimal half-up at the 10dp boundary"),
+        ("SELECT CAST(round(CAST(0.1234567895::DOUBLE AS DECIMAL(28,14)), 9) "
+         "AS DOUBLE)", "0.12345679", "decimal(28,14) round-9 half-up"),
+        ("SELECT CAST(0.1234567895::DOUBLE AS VARCHAR)",
+         "0.1234567895", "shortest-form double printing"),
+    ]
+    for sql, want, what in checks:
+        got = str(con.execute(sql).fetchone()[0])
+        assert got == want, (
+            f"DuckDB {duckdb.__version__} quantization sentinel failed "
+            f"({what}): {sql!r} -> {got!r}, expected {want!r}. The decimal "
+            "oracle routes are calibrated to this behavior — recalibrate "
+            "SparkEntry's round9ViaDecimal/VARCHAR casts before trusting "
+            "any differential result.")
+
+
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    quantization_sentinel(con)
     import os
     threads = os.environ.get("GRAFT_CHECK_THREADS")
     if threads:
@@ -152,6 +181,8 @@ def main(sf_dir, out_dir, json_out=None):
                    spark_rows=len(g), oracle_rows=len(e))
     print(f"=== {failures} failures / {len(declared)} queries")
     if json_out:
+        records["_meta"] = {"duckdb_version": duckdb.__version__,
+                            "sf_dir": sf_dir}
         with open(json_out, "w") as f:
             json.dump(records, f, indent=1, sort_keys=True)
     return 1 if failures else 0
