@@ -454,14 +454,38 @@ object SparkEntry {
                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sh_lo
                 FROM hw64)"""
 
-  /** The naive all-pairs 64-bit near-dup pair CTE over `sk64` — the pair
-    * graph every closure-family oracle shares (named `pairs` to slot into
-    * the existing edges/reach chain).
+  /** The 64-bit near-dup pair CTE over `sk64` — the pair graph every
+    * closure-family oracle shares (named `pairs` to slot into the
+    * existing edges/reach chain).
+    *
+    * LOSSLESS banded candidate generation (the b6008e9 inverted-index
+    * pattern, applied to the closure preamble per the r12 ask): a pair
+    * within Hamming ≤ 3 of a 64-bit fingerprint agrees on at least one
+    * of 4 disjoint 16-bit bands (pigeonhole — 4 bands, ≤ 3 differing
+    * bits), so candidates from band equi-joins plus the EXACT Hamming
+    * verify produce the identical relation to the all-pairs form at a
+    * fraction of the cost (the sf5 components replay was 396 CPU-min of
+    * all-pairs; banding is the same asymptotic cut the engine takes, but
+    * the verify here stays an independent substrate: DuckDB SQL over the
+    * two-halves encoding, DISTINCT instead of the engine's row-local
+    * first-agreeing-band dedup, no shared code). The recall-1.0 argument
+    * is the same theorem both sides rely on; the all-pairs form remains
+    * in tree as `q_dedup_simhash64_pairs`'s oracle, so the banded
+    * preamble itself stays differentially covered every round.
     */
   private lazy val simhash64PairsCte: String = s"""
+         bnd64 AS (
+           SELECT doc_id, lang, sh_hi, sh_lo, b.i AS band_idx,
+                  CASE b.i WHEN 0 THEN sh_lo & 65535
+                           WHEN 1 THEN (sh_lo >> 16) & 65535
+                           WHEN 2 THEN sh_hi & 65535
+                           ELSE (sh_hi >> 16) & 65535 END AS bkey
+           FROM sk64, range(0, 4) b(i)),
          pairs AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sk64 a JOIN sk64 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bnd64 a JOIN bnd64 b
+             ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+            AND a.lang = b.lang AND a.doc_id < b.doc_id
            WHERE bit_count(xor(a.sh_hi, b.sh_hi))
                + bit_count(xor(a.sh_lo, b.sh_lo))
                <= ${graft.llm.Dedup.Simhash64MaxHamming})"""

@@ -1036,9 +1036,32 @@ object Similarity {
     * vectors. The corpus floats are touched only by the query-side
     * projections and the final shortlist join — never the full index scan.
     */
+  /** The IVF routing table alone — each query's `probes` nearest
+    * centroids as (q_id, probe_cid), the same 9dp-rounded cosine argmax
+    * [[ivfPqProbe]] prunes the index scan with. Public so the
+    * recall-curve harness ([[graft.BenchRecall]]) can decompose measured
+    * recall into the routing term (coverage of the exact top-k by probed
+    * clusters — monotone in `probes` since probed sets are nested) and
+    * the shortlist/quantization term, without re-deriving the argmax.
+    */
+  def ivfRouting(s: SparkSession, dir: String, cents: DataFrame,
+      probes: Int): DataFrame = {
+    val queries = corpus(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+    queries.join(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        round(cosPre(dot(col("qv"), col("centroid")), col("nq"), col("cnorm")), 9)
+          .as("ccos"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= probes)
+      .select(col("q_id"), col("cid").as("probe_cid"))
+  }
+
   def ivfPqProbe(s: SparkSession, dir: String, cents: DataFrame,
       books: DataFrame, index: DataFrame,
-      probes: Int = Probes): DataFrame = {
+      probes: Int = Probes,
+      shortlistPer: Int = PqRerankCandidates): DataFrame = {
     val c = corpus(s, dir)
     // query-side frames derive ONCE from the NQueries raw vectors —
     // O(queries·M) rows, the per-request work a serving tier always pays
@@ -1046,14 +1069,7 @@ object Similarity {
     val sub = pqSubvectors(qc)
     val queries = qc
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
-    val routed = queries.join(broadcast(cents))
-      .select(col("q_id"), col("cid"),
-        round(cosPre(dot(col("qv"), col("centroid")), col("nq"), col("cnorm")), 9)
-          .as("ccos"))
-      .withColumn("crk", row_number().over(wq))
-      .filter(col("crk") <= probes)
-      .select(col("q_id"), col("cid").as("probe_cid"))
+    val routed = ivfRouting(s, dir, cents, probes)
     // sub is query-only here (built from qc) — no re-filter needed
     val tables = sub
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
@@ -1070,7 +1086,7 @@ object Similarity {
       .agg(sum(col("d").cast("decimal(20,9)")).as("dsum"))
       .select(col("q_id"), col("vec_id"), col("dsum").cast("double").as("adist"))
       .withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= PqRerankCandidates)
+      .filter(col("ark") <= shortlistPer)
       .select(col("q_id"), col("vec_id"), col("adist"))
     val wf = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(shortlist), Seq("vec_id"))
