@@ -117,10 +117,20 @@ object BenchStreaming {
     xs.grouped(n).toSeq
   }
 
-  /** Run every twin at `sfDir`; returns (name → result | failure). */
+  /** Run every twin at `sfDir` (or the `SPARK_GRAFT_STREAM_ONLY` csv
+    * subset — the per-twin iteration loop, and the big-tier escape hatch:
+    * a 10 M-event replay of all 23 twins is hours, of the five relational
+    * twins minutes); returns (name → result | failure). Inputs and frozen
+    * artifacts are built lazily so a subset run pays only for what its
+    * twins replay.
+    */
   def run(s: SparkSession, sfDir: String): Seq[(String, Either[String, TwinResult])] = {
     import s.implicits._
     implicit val sq: SQLContext = s.sqlContext
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def selected(name: String): Boolean = only.isEmpty || only(name)
 
     // ---- the replayed inputs (event-time order — the stream shape) ----
     val events = Tables.table(s, sfDir, "events")
@@ -133,11 +143,11 @@ object BenchStreaming {
       .toSeq
     val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val evChunks = chunked(events)
-    val docs = Tables.table(s, sfDir, "documents")
+    lazy val docs = Tables.table(s, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    val vecs = Tables.table(s, sfDir, "embeddings")
+    lazy val vecs = Tables.table(s, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -168,17 +178,27 @@ object BenchStreaming {
       "bpe" -> (() => graft.llm.TextAnalysis.encodedVocab(s, sfDir).cache()),
       "minhash" -> (() => graft.llm.Dedup.minhashIndex(
         Tables.table(s, sfDir, "documents").select(col("doc_id"), col("text"))).cache()))
-    val art = artifacts.map { case (k, f) => k -> f() }.toMap
-    val (semCents0, semBase0) = graft.llm.Similarity.semDedupIndex(s, sfDir)
-    val semCents = semCents0.cache()
-    val semBase = semBase0.cache()
-    // materialize every artifact OUTSIDE the timed replays
-    (art.values ++ Seq(semCents, semBase)).foreach(_.count())
+    // only the artifacts whose twins are selected get built (and
+    // materialized OUTSIDE the timed replays)
+    val artTwin = Map("anomaly" -> "anomaly_probe", "drift" -> "drift_counts",
+      "mixtemp" -> "mix_temperature", "bm25" -> "bm25_probe",
+      "bpe" -> "bpe_tokenize", "minhash" -> "incremental_dedup")
+    val art = artifacts.filter { case (k, _) => selected(artTwin(k)) }
+      .map { case (k, f) => k -> f() }.toMap
+    val needSem = selected("semdedup_probe")
+    val (semCents, semBase) =
+      if (!needSem) (null: DataFrame, null: DataFrame)
+      else {
+        val (c0, b0) = graft.llm.Similarity.semDedupIndex(s, sfDir)
+        (c0.cache(), b0.cache())
+      }
+    val pinned = art.values ++ (if (needSem) Seq(semCents, semBase) else Nil)
+    pinned.foreach(_.count())
 
     // staged work items with the declared corruption moduli (the error
     // channel's real input shape), capped to keep the driver feed small
     val ordersSchema = Tables.table(s, sfDir, "orders").schema
-    val staged = Tables.table(s, sfDir, "orders")
+    lazy val staged = Tables.table(s, sfDir, "orders")
       .orderBy("o_orderkey").limit(50000)
       .select(col("o_orderkey").as("k"), to_json(struct(col("*"))).as("c"))
       .select(
@@ -191,7 +211,7 @@ object BenchStreaming {
           r.getString(1))).toSeq
 
     // standing bm25 query workload replicated into a stream-sized feed
-    val bm25Rows = (0 until 500).flatMap(i =>
+    lazy val bm25Rows = (0 until 500).flatMap(i =>
       graft.llm.TextAnalysis.Bm25Queries.flatMap { case (q, ts) =>
         ts.map(t => (q + i * 100, t)) })
 
@@ -285,7 +305,8 @@ object BenchStreaming {
         views.size + clicks.size - 1,
         "watermark evicts: buffered rows < total input")))
 
-    val results = twins.map { case (name, f) =>
+    val results = twins.filter { case (name, _) => selected(name) }
+      .map { case (name, f) =>
       val r = try Right(f()) catch {
         case e: Throwable =>
           System.err.println(s"[bench-streaming] $name failed: ${e.getMessage}")
@@ -300,7 +321,7 @@ object BenchStreaming {
       // state dies with q.stop().
       name -> r
     }
-    (art.values ++ Seq(semCents, semBase)).foreach(_.unpersist())
+    pinned.foreach(_.unpersist())
     results
   }
 
