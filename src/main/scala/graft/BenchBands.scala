@@ -69,9 +69,13 @@ object BenchBands {
           graft.llm.Dedup.simhash64PairsUnsortedAt(spark, dir, b),
           graft.llm.Dedup.simhash64BandComparisons(spark, dir, b))
       }
-      record("w32_b7",
-        graft.llm.Dedup.simhashPairsUnsorted(spark, dir),
-        graft.llm.Dedup.simhash32BandComparisons(spark, dir))
+      // the saturated 32-bit baseline column — skippable for tiers where
+      // its n²/2^w wall is already measured and would dominate the run
+      // (SPARK_GRAFT_BAND_W32=0)
+      if (sys.env.getOrElse("SPARK_GRAFT_BAND_W32", "1") != "0")
+        record("w32_b7",
+          graft.llm.Dedup.simhashPairsUnsorted(spark, dir),
+          graft.llm.Dedup.simhash32BandComparisons(spark, dir))
       val body = settings.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       s""""$dir":{$body}"""
     }
