@@ -74,6 +74,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("band_idx"), "candidates must come from band equi-joins")
   }
 
+  test("wide-band simhash64 joins on combination keys, dedups row-locally") {
+    val p = plan("q_dedup_simhash64_wide")
+    assert(p.contains("band_idx"), "candidates must come from band equi-joins")
+    // the 20-key explode must not be followed by a distinct over the
+    // candidate pairs — the first-agreeing-combination predicate dedups
+    // row-locally at any block count, exactly like the degenerate plans
+    assert(!p.toLowerCase.contains("hashaggregate(keys=[a_id"),
+      s"pair dedup regressed to a distinct over the candidate set:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "wide banding must never fall back to a cross join")
+  }
+
   test("ngram join is prefix-filtered (DF-ranked postings feed the self-join)") {
     val p = plan("q_dedup_ngram")
     assert(p.contains("row_number"), "prefix ranking missing")
