@@ -185,10 +185,14 @@ object GenScale {
     // token prefixes) leaves common-word byte shingles colliding across
     // variants, planting quadratic near-dup structure the measurement
     // exists to rule out. Largest honest replicated tier from sf0.1:
-    // 52 copies ≈ sf5.
+    // 52 copies ≈ sf5. PAST 52 copies use graft.GenText — the token-level
+    // remap into per-variant disjoint synthetic wordlists (and
+    // signed-permutation embeddings), which has no per-char-bijection cap;
+    // this rotation construction stays for tiers where byte-level text
+    // identity with the source matters (same tokens, same hashes).
     require(copies >= 1 && copies <= 52,
       s"copies=$copies: the 52-letter rotation ring supports at most " +
-        "52 distinct variants")
+        "52 distinct variants (use graft.GenText past that)")
 
     // key-domain offsets derived from the ACTUAL source maxima (one
     // order-of-magnitude headroom), not hardcoded to sf0.1's ranges — so
