@@ -128,6 +128,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "q_dedup_simhash64_pairs" -> (Dedup.simhash64Pairs _),
     "q_dedup_simhash64_wide" -> (Dedup.simhash64PairsWide _),
+    "q_dedup_simhash64_auto" -> (Dedup.simhash64PairsAuto _),
     "q_dedup_components" -> (Dedup.nearDupComponents _),
     "q_dedup_report" -> (Dedup.dedupReport _),
     "q_embed_topk" -> (Similarity.bruteForceTopK _),
@@ -1552,6 +1553,17 @@ object SparkEntry {
     // failure here would mean the banding (not the pairing semantics)
     // broke
     "q_dedup_simhash64_wide" -> s"""
+         WITH $simhash64SkCtes
+         SELECT a_id, b_id, hamming FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.sh_hi, b.sh_hi)) +
+                       bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+           FROM sk64 a JOIN sk64 b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         WHERE hamming <= ${Dedup.Simhash64MaxHamming} ORDER BY a_id, b_id""",
+    // the corpus-sized adaptive form — same width-invariant output, same
+    // all-pairs oracle; a chooser bug could only surface as a plan-shape
+    // regression (PlanSpec), never as a row difference
+    "q_dedup_simhash64_auto" -> s"""
          WITH $simhash64SkCtes
          SELECT a_id, b_id, hamming FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -513,6 +513,23 @@ object Dedup {
   def simhash64PairsWide(s: SparkSession, dir: String): DataFrame =
     simhash64PairsAt(s, dir, Simhash64WideBlocks)
 
+  /** [[simhash64Pairs]] with the block count CHOSEN FROM THE CORPUS —
+    * [[BandPlan.blocksForCorpus]] over the document count (one
+    * metadata-cheap parquet footer count at plan time, the same sizing
+    * discipline as the pair scanners' resolvePairK). The total count
+    * upper-bounds every per-language population, so the choice errs
+    * toward wider keys — the safe direction: recall is width-invariant
+    * (exact at any setting, one oracle), only the explode constant is
+    * spent. This is the deployment form: the fixed-blocks variants are
+    * its pinned instances (b=4 the small-corpus regime,
+    * b=6 = what this chooses at ~10⁸ docs).
+    */
+  def simhash64PairsAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "documents").count()
+    simhash64PairsAt(s, dir,
+      BandPlan.blocksForCorpus(64, Simhash64MaxHamming, math.max(n, 1)))
+  }
+
   /** [[simhash64Pairs]] without the final global sort — the pair source
     * the closure family ([[nearDupComponents]], [[dedupCanonical]] and
     * their consumers) rides; they re-shuffle the pairs into the fixpoint

@@ -108,6 +108,14 @@ class BandPlanSpec extends AnyFunSuite {
     assert(pairs(Dedup.Simhash64WideBlocks) === base)
   }
 
+  test("the adaptive form equals the fixed forms on the fixture") {
+    val auto = Dedup.simhash64PairsAuto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fixed = Dedup.simhash64PairsAt(spark, sf, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto === fixed)
+  }
+
   test("blocksForCorpus widens with corpus size and respects the key budget") {
     // small corpora: the degenerate plan's 16-bit keys already cover it
     assert(BandPlan.blocksForCorpus(64, 3, 1000L) === 4)
