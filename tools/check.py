@@ -89,8 +89,13 @@ def main(sf_dir, out_dir, json_out=None):
                 resume_ok.add(ln[5:].split(":")[0].strip())
     for t in TABLES:
         # driver testdata tables are single parquet FILES; Spark-written
-        # tiers (GenScale/GenSkew output) are part-file DIRECTORIES
+        # tiers (GenScale/GenSkew output) are part-file DIRECTORIES;
+        # text-only tiers (GenText output) hold just documents/embeddings —
+        # register what exists, and a query touching a missing table fails
+        # as oracle_sql_error rather than blocking the whole tier
         path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
