@@ -243,6 +243,8 @@ object SparkEntry {
     "q_a7d_scd2" -> (graft.ops.ChangeOps.scd2History _),
     "q_pack_sequences" -> (Curation.packSequences _),
     "q_sample_stratified" -> (Curation.stratifiedSample _),
+    "q_dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
+    "q_dsir_select" -> ((s, dir) => Curation.dsirSelect(s, dir)),
     "q_epoch_shuffle" -> (Curation.epochShuffle _),
     "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -322,6 +324,45 @@ object SparkEntry {
   /** 32-bit md5-prefix hash (mirrors TextHash.md5Long). */
   private def hexIntSql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** DSIR shared CTEs (mirrors Curation.dsirBucketCounts/dsirRatios/
+    * dsirWeights): hashed unigram+bigram feature counts per (doc, bucket),
+    * the add-one-smoothed quantized ratio table, and the per-document
+    * weight sums for the raw pool. ONE string feeds both q_dsir queries so
+    * the selection provably ranks the weights relation, not a re-derivation.
+    */
+  private lazy val dsirCtes: String = {
+    import graft.llm.Curation.{DsirBuckets, DsirProbScale, DsirRatioScale,
+      DsirTargetSource}
+    s"""tk AS (SELECT doc_id, source = '$DsirTargetSource' AS is_target,
+                      string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+        fe AS (SELECT doc_id, is_target,
+                      unnest(list_concat(
+                        list_transform(toks, tw -> 'u:' || tw),
+                        list_transform(range(1, len(toks)),
+                          i -> 'b:' || toks[i] || ' ' || toks[i + 1]))) AS f
+               FROM tk),
+        fb AS (SELECT doc_id, is_target,
+                      ${hexIntSql("'dsir:' || f")} % $DsirBuckets AS bucket,
+                      count(*)::BIGINT AS cnt
+               FROM fe GROUP BY 1, 2, 3),
+        tcx AS (SELECT bucket, sum(cnt)::BIGINT AS tc
+                FROM fb WHERE is_target GROUP BY 1),
+        rcx AS (SELECT bucket, sum(cnt)::BIGINT AS rc
+                FROM fb WHERE NOT is_target GROUP BY 1),
+        tot AS (SELECT sum(CASE WHEN is_target THEN cnt ELSE 0 END)::BIGINT AS t_tot,
+                       sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END)::BIGINT AS r_tot
+                FROM fb),
+        ratio AS (SELECT rcx.bucket,
+                         ($DsirRatioScale * (($DsirProbScale * (coalesce(tcx.tc, 0) + 1)) // (tot.t_tot + $DsirBuckets) + 1))
+                           // (($DsirProbScale * (rcx.rc + 1)) // (tot.r_tot + $DsirBuckets) + 1) AS ratio
+                  FROM rcx LEFT JOIN tcx ON rcx.bucket = tcx.bucket, tot),
+        w AS (SELECT fb.doc_id, sum(fb.cnt)::BIGINT AS n_feats,
+                     sum(fb.cnt * ratio.ratio)::BIGINT AS weight
+              FROM fb JOIN ratio USING (bucket)
+              WHERE NOT fb.is_target GROUP BY 1)"""
+  }
 
   /** The BM25 oracle — ONE string shared by `q_bm25` (in-query retrieval)
     * and `q_bm25_indexed` (the prebuilt-index probe): the two shapes must
@@ -2606,6 +2647,23 @@ object SparkEntry {
                   regexp_replace(raw, '${Curation.EmailPattern}', '<EMAIL>', 'g'),
                   '${Curation.PhonePattern}', '<PHONE>', 'g') AS redacted
          FROM raw ORDER BY c_custkey""",
+    // DSIR importance resampling (mirrors Curation.dsirWeights /
+    // dsirSelect): hashed unigram+bigram bucket counts -> add-one-smoothed
+    // quantized ratio table -> per-document exact-integer weight sum.
+    // Every division is `//`-floor on non-negative BIGINTs, matching the
+    // Spark side's `div` term for term.
+    "q_dsir_weights" -> s"""
+         WITH $dsirCtes
+         SELECT doc_id, n_feats, weight, weight // n_feats AS avg_ratio
+         FROM w ORDER BY doc_id""",
+    "q_dsir_select" -> s"""
+         WITH $dsirCtes,
+         topw AS (SELECT doc_id, weight, weight // n_feats AS avg_ratio
+                  FROM w ORDER BY avg_ratio DESC, doc_id
+                  LIMIT ${Curation.DsirQuota})
+         SELECT d.doc_id, d.lang, d.source, topw.weight, topw.avg_ratio
+         FROM documents d JOIN topw ON d.doc_id = topw.doc_id
+         ORDER BY topw.avg_ratio DESC, d.doc_id""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,
                 CAST(${hexIntSql("'mix:' || doc_id")} % 100 AS INT) AS bucket,

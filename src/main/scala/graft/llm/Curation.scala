@@ -519,4 +519,138 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---- DSIR-style importance resampling ---------------------------------
+
+  /** Hashed-feature bucket count for [[dsirWeights]] — the DSIR paper
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") buckets hashed n-grams into a fixed-width feature space
+    * (10k there); 1024 here, a knob. The bucket tables the estimator fits
+    * are O(buckets) regardless of corpus size, so they broadcast at any
+    * scale.
+    */
+  val DsirBuckets = 1024L
+
+  /** The trusted target domain: documents from this source play the small
+    * curated corpus (the paper's "target distribution") that the rest of
+    * the pool — the raw distribution — is scored against.
+    */
+  val DsirTargetSource = "src0"
+
+  /** Quantization constants: bucket probabilities are floored to an
+    * integer ×1e9 grid, per-bucket likelihood ratios to ×1e6. Clearing
+    * the paper's log-probability arithmetic to exact int64 floor-division
+    * keeps every weight bit-reproducible by the differential oracle (no
+    * libm, no double rounding). Exactness bounds: `1e9·(cnt+1)` and the
+    * per-document weight sum must stay inside int64 — true through every
+    * benchmark tier (≤1e17 at sf10-text); at a genuine 100 TB the O(1024)
+    * ratio table would be fit driver-side in log space instead, the
+    * per-document scoring pass unchanged.
+    */
+  val DsirProbScale = 1000000000L
+
+  /** Ratio-grid width (see [[DsirProbScale]]). */
+  val DsirRatioScale = 1000000L
+
+  /** Selection quota for [[dsirSelect]]. */
+  val DsirQuota = 200
+
+  /** The hashed feature stream of one document: unigrams (`u:w`) and
+    * adjacent-pair bigrams (`b:a b`), zipped-slice form (the
+    * [[TextAnalysis]] bigram construction — O(n), never indexed
+    * element_at). Row-local, codegen'd.
+    */
+  private def dsirFeatures(toksC: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(
+      transform(toksC, w => concat(lit("u:"), w)),
+      zip_with(
+        slice(toksC, lit(1), size(toksC) - 1),
+        slice(toksC, lit(2), size(toksC) - 1),
+        (a, b) => concat(lit("b:"), a, lit(" "), b)))
+
+  /** Per-(document, bucket) hashed-feature counts with the target flag —
+    * the one corpus text scan every DSIR query shares. One explode
+    * (2n−1 features per n-token document, linear) into one map-side-
+    * combined aggregation keyed (doc_id, bucket); nothing downstream
+    * touches text again.
+    */
+  private[graft] def dsirBucketCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("source") === DsirTargetSource).as("is_target"),
+        explode(dsirFeatures(tokens(col("text")))).as("f"))
+      .select(col("doc_id"), col("is_target"),
+        (md5Long(concat(lit("dsir:"), col("f"))) % DsirBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The fitted per-bucket importance ratio table: add-one-smoothed
+    * target probability over raw probability, both on the
+    * [[DsirProbScale]] grid, the ratio on the [[DsirRatioScale]] grid.
+    * O([[DsirBuckets]]) rows from two O(buckets) aggregations of the
+    * shared scan — it BROADCASTS onto the scoring pass at any corpus
+    * size. All `div` floor-division on non-negative int64s (exact; the
+    * `+1` on each quantized probability keeps the divisor nonzero even
+    * for a bucket the target corpus never hits).
+    */
+  private[graft] def dsirRatios(fb: DataFrame): DataFrame = {
+    val tc = fb.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("tc"))
+    val rc = fb.filter(!col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("rc"))
+    val scal = fb.agg(
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_tot"),
+      sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("r_tot"))
+    rc.join(tc, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(scal))
+      .selectExpr("bucket",
+        s"""(($DsirRatioScale * (($DsirProbScale * (coalesce(tc, CAST(0 AS BIGINT)) + 1)) div (t_tot + $DsirBuckets) + 1))
+             div (($DsirProbScale * (rc + 1)) div (r_tot + $DsirBuckets) + 1)) AS ratio""")
+  }
+
+  /** DSIR importance weights for every raw-pool document: `weight` is
+    * Σ over the document's hashed features of that bucket's importance
+    * ratio (the paper's log-sum cleared to an exact integer ratio-sum),
+    * `avg_ratio` the length-normalized floor mean — the resampling key.
+    *
+    * Scale shape: ONE text scan (the shared bucket-count aggregation,
+    * cached for its two consumers: the ratio fit and the scoring pass);
+    * the ratio table broadcasts; the per-document sum is the only other
+    * shuffle, keyed doc_id. Nothing is all-pairs, nothing collects.
+    */
+  def dsirWeights(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val fbPlan = dsirBucketCounts(s, dir)
+    val fb = if (cache) fbPlan.cache() else fbPlan
+    fb.filter(!col("is_target"))
+      .join(broadcast(dsirRatios(fb)), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_feats"),
+        sum(col("cnt") * col("ratio")).cast("bigint").as("weight"))
+      .selectExpr("doc_id", "n_feats", "weight",
+        "weight div n_feats AS avg_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** DSIR selection: the [[DsirQuota]] raw-pool documents whose hashed
+    * n-gram distribution best matches the target domain, by descending
+    * length-normalized importance (doc_id tiebreak — fully deterministic,
+    * the paper's Gumbel resampling replaced by top-quota for oracle
+    * reproducibility). The top-K is an ordered limit over the weights
+    * frame (TakeOrderedAndProject — per-partition heaps, never a global
+    * sort), and only the K winners join back for their labels, as a
+    * broadcast.
+    */
+  def dsirSelect(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val top = dsirWeights(s, dir, cache)
+      .orderBy(col("avg_ratio").desc, col("doc_id"))
+      .limit(DsirQuota)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(top), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("weight"), col("avg_ratio"))
+      .orderBy(col("avg_ratio").desc, col("doc_id"))
+  }
+
 }
