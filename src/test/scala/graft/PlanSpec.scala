@@ -1029,4 +1029,17 @@ class PlanSpec extends AnyFunSuite {
         s"$q: the pre-encode fan-out must partition by doc_id:\n$p")
     }
   }
+
+  test("dsir: ratio table broadcasts, selection is an ordered limit") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject(limit=200"),
+      s"selection must be a per-partition-heap top-k, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the ratio and label joins must broadcast, never sort-merge:\n$p")
+    // the corpus text scan happens once, into the cached bucket counts;
+    // fit (tc/rc/totals) and score all read the cache, never text again
+    val w = plan("q_dsir_weights")
+    assert("InMemoryTableScan".r.findAllIn(w).length >= 4,
+      s"fit + score must reuse the cached bucket counts:\n$w")
+  }
 }
