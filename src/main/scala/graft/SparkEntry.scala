@@ -143,6 +143,7 @@ object SparkEntry {
     "q_retrieve_rrf" -> ((s, dir) => Similarity.rrfFusion(s, dir)),
     "q_retrieve_maxsim" -> (Similarity.maxSimLate _),
     "q_embed_ivfpq" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
+    "q_ann_eval" -> ((s, dir) => Similarity.annEval(s, dir)),
     "q_ivm_ivfpq" -> ((s, dir) => Similarity.ivfPqIncremental(s, dir)),
     "q_embed_quantize" -> (Similarity.quantizedCorpus _),
     "q_embed_neardup" -> (Similarity.embedNearDup _),
@@ -942,6 +943,63 @@ object SparkEntry {
          ${pqAssignCte("a1", "b0", ", sv")},
          ${pqUpdateCte("u1", "a1")}"""
   }
+
+  /** The full IVFPQ retrieval chain (mirrors Similarity.ivfPqSearch):
+    * PQ training, k-means routing, ADC scoring, exact re-rank — ending in
+    * `annres(q_id, rk, vec_id, cos, adist)` (and exposing `c`/`qv0` for
+    * consumers). ONE string shared by the declared search query and the
+    * retrieval-quality eval, so the eval provably grades the declared
+    * retrieval, not a re-derivation.
+    */
+  private lazy val ivfpqChainCtes: String = s"""
+         $pqTrainCtes,
+         ${pqAssignCte("codes", "u1", "")},
+         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
+                WHERE vec_id < ${Similarity.KmeansK}),
+         ${kmAssignCte("ka1", "s0")},
+         ${kmUpdateCte("ks1", "ka1")},
+         ${kmAssignCte("ka2", "ks1")},
+         ${kmUpdateCte("ks2", "ka2")},
+         ${kmAssignCte("members", "ks2")},
+         qv0 AS (SELECT vec_id AS q_id, v AS qv FROM c
+                 WHERE vec_id < ${Similarity.NQueries}),
+         routed AS (SELECT q_id, cid AS probe_cid FROM (
+             SELECT qv0.q_id, ks2.cid,
+                    row_number() OVER (PARTITION BY qv0.q_id
+                      ORDER BY ${cosSql("qv0.qv", "ks2.centroid")} DESC,
+                               ks2.cid) AS crk
+             FROM qv0, ks2)
+           WHERE crk <= ${Similarity.Probes}),
+         q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+               WHERE vec_id < ${Similarity.NQueries}),
+         tbl AS (SELECT q_id, u1.m, u1.code, ${pqL2Sql("q.qsv", "u1.cb")} AS d
+                 FROM q JOIN u1 ON q.m = u1.m),
+         probed AS (SELECT r.q_id, mem.vec_id
+                    FROM routed r JOIN members mem
+                      ON mem.cid = r.probe_cid AND mem.vec_id <> r.q_id),
+         sc AS (SELECT p.q_id, p.vec_id,
+                       CAST(sum(CAST(tbl.d AS DECIMAL(20,9))) AS DOUBLE) AS adist
+                FROM probed p
+                JOIN codes ON codes.vec_id = p.vec_id
+                JOIN tbl ON tbl.q_id = p.q_id AND tbl.m = codes.m
+                        AND tbl.code = codes.code
+                GROUP BY p.q_id, p.vec_id),
+         shortlist AS (SELECT q_id, vec_id, adist FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY adist ASC, vec_id ASC) AS ark
+             FROM sc)
+           WHERE ark <= ${Similarity.PqRerankCandidates}),
+         re AS (SELECT s.q_id, s.vec_id, s.adist,
+                       ${cosSql("qb.v", "cb.v")} AS cos
+                FROM shortlist s
+                JOIN c cb ON cb.vec_id = s.vec_id
+                JOIN c qb ON qb.vec_id = s.q_id),
+         annres AS (SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos, adist
+                    FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, vec_id ASC) AS rk
+             FROM re)
+           WHERE rk <= ${Similarity.PqTopK})"""
 
   /** Vocabulary + adjacent-char-pair CTEs (mirror TextAnalysis.vocabTable /
     * pairWeights) — shared by the BPE pair-count and merge oracles.
@@ -1952,53 +2010,35 @@ object SparkEntry {
     // q_embed_pq_search ADC scan, then the exact re-rank on the shortlist;
     // the PQ chain's corpus CTE `c` feeds the k-means macros too
     "q_embed_ivfpq" -> s"""
-         WITH $pqTrainCtes,
-         ${pqAssignCte("codes", "u1", "")},
-         s0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid FROM c
-                WHERE vec_id < ${Similarity.KmeansK}),
-         ${kmAssignCte("ka1", "s0")},
-         ${kmUpdateCte("ks1", "ka1")},
-         ${kmAssignCte("ka2", "ks1")},
-         ${kmUpdateCte("ks2", "ka2")},
-         ${kmAssignCte("members", "ks2")},
-         qv0 AS (SELECT vec_id AS q_id, v AS qv FROM c
-                 WHERE vec_id < ${Similarity.NQueries}),
-         routed AS (SELECT q_id, cid AS probe_cid FROM (
-             SELECT qv0.q_id, ks2.cid,
-                    row_number() OVER (PARTITION BY qv0.q_id
-                      ORDER BY ${cosSql("qv0.qv", "ks2.centroid")} DESC,
-                               ks2.cid) AS crk
-             FROM qv0, ks2)
-           WHERE crk <= ${Similarity.Probes}),
-         q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
-               WHERE vec_id < ${Similarity.NQueries}),
-         tbl AS (SELECT q_id, u1.m, u1.code, ${pqL2Sql("q.qsv", "u1.cb")} AS d
-                 FROM q JOIN u1 ON q.m = u1.m),
-         probed AS (SELECT r.q_id, mem.vec_id
-                    FROM routed r JOIN members mem
-                      ON mem.cid = r.probe_cid AND mem.vec_id <> r.q_id),
-         sc AS (SELECT p.q_id, p.vec_id,
-                       CAST(sum(CAST(tbl.d AS DECIMAL(20,9))) AS DOUBLE) AS adist
-                FROM probed p
-                JOIN codes ON codes.vec_id = p.vec_id
-                JOIN tbl ON tbl.q_id = p.q_id AND tbl.m = codes.m
-                        AND tbl.code = codes.code
-                GROUP BY p.q_id, p.vec_id),
-         shortlist AS (SELECT q_id, vec_id, adist FROM (
+         WITH $ivfpqChainCtes
+         SELECT q_id, rk, vec_id, cos, adist FROM annres
+         ORDER BY q_id, rk""",
+    // retrieval-quality eval (mirrors Similarity.annEval): the IVFPQ
+    // chain's annres vs an exact brute-force top-k over the SAME qv0
+    // query set; recall@k and MRR cleared to exact x1e6 integers
+    "q_ann_eval" -> s"""
+         WITH $ivfpqChainCtes,
+         exscored AS (SELECT qv0.q_id, c.vec_id,
+                             ${cosSql("qv0.qv", "c.v")} AS cos
+                      FROM c, qv0 WHERE c.vec_id <> qv0.q_id),
+         exact3 AS (SELECT q_id, vec_id, CAST(rk AS BIGINT) AS ex_rk FROM (
              SELECT *, row_number() OVER (PARTITION BY q_id
-                         ORDER BY adist ASC, vec_id ASC) AS ark
-             FROM sc)
-           WHERE ark <= ${Similarity.PqRerankCandidates}),
-         re AS (SELECT s.q_id, s.vec_id, s.adist,
-                       ${cosSql("qb.v", "cb.v")} AS cos
-                FROM shortlist s
-                JOIN c cb ON cb.vec_id = s.vec_id
-                JOIN c qb ON qb.vec_id = s.q_id)
-         SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos, adist FROM (
-           SELECT *, row_number() OVER (PARTITION BY q_id
-                       ORDER BY cos DESC, vec_id ASC) AS rk
-           FROM re)
-         WHERE rk <= ${Similarity.PqTopK} ORDER BY q_id, rk""",
+                         ORDER BY cos DESC, vec_id) AS rk
+             FROM exscored)
+           WHERE rk <= ${Similarity.PqTopK}),
+         hits AS (SELECT e.q_id, count(*)::BIGINT AS n_hits,
+                         min(CASE WHEN e.ex_rk = 1
+                                  THEN CAST(a.rk AS BIGINT) END) AS top1_ann_rk
+                  FROM exact3 e JOIN annres a
+                    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+                  GROUP BY e.q_id)
+         SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+                (1000000 * coalesce(h.n_hits, 0)) // ${Similarity.PqTopK}
+                  AS recall_x1e6,
+                coalesce(1000000 // h.top1_ann_rk, 0) AS mrr_x1e6
+         FROM (SELECT DISTINCT q_id FROM exact3) q
+         LEFT JOIN hits h ON q.q_id = h.q_id
+         ORDER BY q.q_id""",
     // incremental IVFPQ maintenance (mirrors Similarity.ivfPqIncremental):
     // centroids and codebooks train on the BASE corpus only (vec_id %
     // IncrementModulus <> 0 — note the seeds therefore come from base

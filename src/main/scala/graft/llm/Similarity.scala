@@ -935,6 +935,41 @@ object Similarity {
     ivfPqProbe(s, dir, cents, books, index, probes)
   }
 
+  /** Retrieval-quality EVALUATION of the IVFPQ index against exact
+    * search — the monitoring query a serving pipeline runs after every
+    * index build/merge: per query, recall@k (|ANN ∩ exact| over the
+    * top-[[PqTopK]]) and MRR of the true nearest neighbor, both cleared
+    * to exact ×1e6 integers (counts and ranks are integers; no float
+    * enters the metric, so the differential oracle pins it bit-exactly).
+    *
+    * Scale shape: the metric join touches only the two top-k relations
+    * (NQueries·k rows — trivial); the cost is the two retrieval passes
+    * themselves, each already scale-shaped ([[ivfPqSearch]]'s routed
+    * probe, [[bruteForceTopK]]'s broadcast-queries scan). The exact pass
+    * is the ground-truth price of an eval — at 100 TB the query SAMPLE
+    * (NQueries) is the knob, never the corpus side.
+    */
+  def annEval(s: SparkSession, dir: String): DataFrame = {
+    val ann = ivfPqSearch(s, dir)
+      .select(col("q_id"), col("rk").cast("bigint").as("ann_rk"),
+        col("vec_id"))
+    val exact = bruteForceTopK(s, dir).filter(col("rk") <= PqTopK)
+      .select(col("q_id"), col("rk").cast("bigint").as("ex_rk"),
+        col("vec_id"))
+    val hits = exact.join(ann, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(when(col("ex_rk") === 1, col("ann_rk"))).as("top1_ann_rk"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .selectExpr("q_id",
+        "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits",
+        s"(1000000 * coalesce(n_hits, CAST(0 AS BIGINT))) div $PqTopK" +
+          " AS recall_x1e6",
+        "coalesce(1000000 div top1_ann_rk, CAST(0 AS BIGINT)) AS mrr_x1e6")
+      .orderBy("q_id")
+  }
+
   /** The BUILD half alone — the classic persisted IVFPQ artifact triple
     * (the bench's build/probe split freezes exactly these): learned
     * centroids, per-subspace codebooks, and the `(vec_id, cid, m, code)`

@@ -87,4 +87,29 @@ class RecallCurveSpec extends AnyFunSuite {
       "recall at the default operating point collapsed")
     spark.catalog.clearCache()
   }
+
+  test("annEval agrees with an independent set recompute of both metrics") {
+    val truthByQ = Similarity.bruteForceTopK(spark, dir)
+      .filter(col("rk") <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val annByQ = Similarity.ivfPqSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Similarity.annEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == truthByQ.keySet, "one eval row per query")
+    truthByQ.foreach { case (qid, truth) =>
+      val truthSet = truth.map(_._3).toSet
+      val annList = annByQ.getOrElse(qid, Array.empty)
+      val hits = annList.count(a => truthSet.contains(a._3)).toLong
+      val top1 = truth.find(_._2 == 1).map(_._3).get
+      val mrr = annList.find(_._3 == top1)
+        .map(a => 1000000L / a._2).getOrElse(0L)
+      assert(got(qid) == ((hits, 1000000L * hits / k, mrr)),
+        s"q$qid: eval row ${got(qid)} != recomputed ($hits, $mrr)")
+    }
+    spark.catalog.clearCache()
+  }
 }
