@@ -225,6 +225,14 @@ object GraftCatalog {
     // round-10 continuation: the multi-frame (animated GIF) tier
     graft.ops.MultimodalOps.mmVideo(spark, sfDir)
       .createOrReplaceTempView("video_frame_stats")
+    // round-13 continuation: DSIR selection + retrieval-quality eval —
+    // lazy plans under the cache=false view-mount contract
+    graft.llm.Curation.dsirWeights(spark, sfDir, cache = false)
+      .createOrReplaceTempView("dsir_weights")
+    graft.llm.Curation.dsirSelect(spark, sfDir, cache = false)
+      .createOrReplaceTempView("dsir_selected")
+    graft.llm.Similarity.annEval(spark, sfDir, cache = false)
+      .createOrReplaceTempView("ann_eval")
     registerFunctions(spark)
   }
 

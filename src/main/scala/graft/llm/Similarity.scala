@@ -949,8 +949,9 @@ object Similarity {
     * is the ground-truth price of an eval — at 100 TB the query SAMPLE
     * (NQueries) is the knob, never the corpus side.
     */
-  def annEval(s: SparkSession, dir: String): DataFrame = {
-    val ann = ivfPqSearch(s, dir)
+  def annEval(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val ann = ivfPqSearch(s, dir, cache = cache)
       .select(col("q_id"), col("rk").cast("bigint").as("ann_rk"),
         col("vec_id"))
     val exact = bruteForceTopK(s, dir).filter(col("rk") <= PqTopK)

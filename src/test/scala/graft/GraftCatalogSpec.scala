@@ -72,6 +72,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       "curated corpus must be a subset of the decontaminated keeps")
     assert(curated.getLong(3) > 0)
     assert(curated.getLong(4) > 0 && curated.getLong(5) > 0)
+    // round-13 continuation views: DSIR + retrieval eval compose in SQL
+    val dsir = spark.sql(
+      """SELECT (SELECT count(*) FROM dsir_weights) AS scored,
+                (SELECT count(*) FROM dsir_selected) AS picked,
+                (SELECT count(*) FROM ann_eval
+                 WHERE recall_x1e6 BETWEEN 0 AND 1000000) AS evaled,
+                (SELECT count(*) FROM ann_eval) AS evaln""").head()
+    assert(dsir.getLong(0) > 0 && dsir.getLong(1) > 0)
+    assert(dsir.getLong(1) <= dsir.getLong(0),
+      "selection must be a subset of the scored pool")
+    assert(dsir.getLong(2) == dsir.getLong(3),
+      "every eval row's recall must be a valid fraction")
     // the KMV aggregate resolves from SQL and matches exact distinct when
     // the group has fewer distinct hashes than k
     val kmv = spark.sql("""
