@@ -233,6 +233,8 @@ object GraftCatalog {
       .createOrReplaceTempView("dsir_selected")
     graft.llm.Similarity.annEval(spark, sfDir, cache = false)
       .createOrReplaceTempView("ann_eval")
+    graft.llm.Curation.textDrift(spark, sfDir, cache = false)
+      .createOrReplaceTempView("text_drift")
     registerFunctions(spark)
   }
 

@@ -246,6 +246,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Curation.stratifiedSample _),
     "q_dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
     "q_dsir_select" -> ((s, dir) => Curation.dsirSelect(s, dir)),
+    "q_text_drift" -> ((s, dir) => Curation.textDrift(s, dir)),
     "q_epoch_shuffle" -> (Curation.epochShuffle _),
     "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -332,10 +333,13 @@ object SparkEntry {
     * weight sums for the raw pool. ONE string feeds both q_dsir queries so
     * the selection provably ranks the weights relation, not a re-derivation.
     */
-  private lazy val dsirCtes: String = {
-    import graft.llm.Curation.{DsirBuckets, DsirProbScale, DsirRatioScale,
-      DsirTargetSource}
-    s"""tk AS (SELECT doc_id, source = '$DsirTargetSource' AS is_target,
+  /** The hashed-feature (doc, bucket) count CTEs with a caller-chosen
+    * population flag (mirrors Curation.featureBucketCounts) — shared by
+    * the DSIR and text-drift oracles.
+    */
+  private def featureBucketCtes(flagSql: String): String = {
+    import graft.llm.Curation.DsirBuckets
+    s"""tk AS (SELECT doc_id, $flagSql AS is_target,
                       string_split_regex(text, '\\s+') AS toks
                FROM documents),
         fe AS (SELECT doc_id, is_target,
@@ -347,7 +351,13 @@ object SparkEntry {
         fb AS (SELECT doc_id, is_target,
                       ${hexIntSql("'dsir:' || f")} % $DsirBuckets AS bucket,
                       count(*)::BIGINT AS cnt
-               FROM fe GROUP BY 1, 2, 3),
+               FROM fe GROUP BY 1, 2, 3)"""
+  }
+
+  private lazy val dsirCtes: String = {
+    import graft.llm.Curation.{DsirBuckets, DsirProbScale, DsirRatioScale,
+      DsirTargetSource}
+    s"""${featureBucketCtes(s"source = '$DsirTargetSource'")},
         tcx AS (SELECT bucket, sum(cnt)::BIGINT AS tc
                 FROM fb WHERE is_target GROUP BY 1),
         rcx AS (SELECT bucket, sum(cnt)::BIGINT AS rc
@@ -2704,6 +2714,34 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source, topw.weight, topw.avg_ratio
          FROM documents d JOIN topw ON d.doc_id = topw.doc_id
          ORDER BY topw.avg_ratio DESC, d.doc_id""",
+    // text-corpus drift monitor (mirrors Curation.textDrift): new-batch
+    // vs base hashed-feature distributions on the exact x1e9 grid
+    "q_text_drift" -> s"""
+         WITH ${featureBucketCtes(
+           s"doc_id % ${graft.llm.Dedup.IncrementModulus} = 0")},
+         nb AS (SELECT bucket, sum(cnt)::BIGINT AS n_base
+                FROM fb WHERE NOT is_target GROUP BY 1),
+         nn AS (SELECT bucket, sum(cnt)::BIGINT AS n_new
+                FROM fb WHERE is_target GROUP BY 1),
+         tot AS (SELECT sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END)::BIGINT
+                          AS base_tot,
+                        sum(CASE WHEN is_target THEN cnt ELSE 0 END)::BIGINT
+                          AS new_tot
+                 FROM fb),
+         j AS (SELECT coalesce(nb.bucket, nn.bucket) AS bucket,
+                      coalesce(n_base, 0) AS n_base,
+                      coalesce(n_new, 0) AS n_new
+               FROM nb FULL OUTER JOIN nn ON nb.bucket = nn.bucket),
+         p AS (SELECT bucket, n_base, n_new,
+                      (${graft.llm.Curation.DsirProbScale} * n_base) // base_tot
+                        AS pb_x1e9,
+                      (${graft.llm.Curation.DsirProbScale} * n_new) // new_tot
+                        AS pn_x1e9
+               FROM j, tot)
+         SELECT bucket, n_base, n_new, pb_x1e9, pn_x1e9,
+                abs(pn_x1e9 - pb_x1e9) AS drift_x1e9
+         FROM p ORDER BY drift_x1e9 DESC, bucket
+         LIMIT ${graft.llm.Curation.DriftTopK}""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,
                 CAST(${hexIntSql("'mix:' || doc_id")} % 100 AS INT) AS bucket,

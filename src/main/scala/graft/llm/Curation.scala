@@ -568,21 +568,25 @@ object Curation {
         slice(toksC, lit(2), size(toksC) - 1),
         (a, b) => concat(lit("b:"), a, lit(" "), b)))
 
-  /** Per-(document, bucket) hashed-feature counts with the target flag —
-    * the one corpus text scan every DSIR query shares. One explode
-    * (2n−1 features per n-token document, linear) into one map-side-
-    * combined aggregation keyed (doc_id, bucket); nothing downstream
-    * touches text again.
+  /** Per-(document, bucket) hashed-feature counts with a caller-chosen
+    * population flag — the one corpus text scan the DSIR and text-drift
+    * queries share. One explode (2n−1 features per n-token document,
+    * linear) into one map-side-combined aggregation keyed (doc_id,
+    * bucket); nothing downstream touches text again.
     */
-  private[graft] def dsirBucketCounts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def featureBucketCounts(s: SparkSession, dir: String,
+      flag: org.apache.spark.sql.Column): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        (col("source") === DsirTargetSource).as("is_target"),
+      .select(col("doc_id"), flag.as("is_target"),
         explode(dsirFeatures(tokens(col("text")))).as("f"))
       .select(col("doc_id"), col("is_target"),
         (md5Long(concat(lit("dsir:"), col("f"))) % DsirBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("is_target"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[featureBucketCounts]] with DSIR's trusted-source flag. */
+  private[graft] def dsirBucketCounts(s: SparkSession, dir: String): DataFrame =
+    featureBucketCounts(s, dir, col("source") === DsirTargetSource)
 
   /** The fitted per-bucket importance ratio table: add-one-smoothed
     * target probability over raw probability, both on the
@@ -651,6 +655,52 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"),
         col("weight"), col("avg_ratio"))
       .orderBy(col("avg_ratio").desc, col("doc_id"))
+  }
+
+  /** Buckets reported by [[textDrift]]. */
+  val DriftTopK = 50
+
+  /** Text-corpus distribution drift — the text twin of the relational
+    * `q_dq_drift` monitor: the hashed-feature distribution of the NEW
+    * BATCH (every [[graft.llm.Dedup.IncrementModulus]]-th doc_id, the
+    * library's standing new-batch convention) against the BASE corpus.
+    * Per bucket: both counts, both probabilities on the exact
+    * [[DsirProbScale]] integer grid, and the absolute probability gap;
+    * the report is the [[DriftTopK]] most drifted buckets. A pipeline
+    * alerts on this before a shifted crawl batch poisons the mixture.
+    *
+    * Scale shape: ONE text scan into the shared (doc, bucket)
+    * aggregation ([[featureBucketCounts]], cached for its three
+    * consumers); everything downstream is O([[DsirBuckets]]) rows —
+    * the full-outer bucket join, the scalar totals, and the ordered
+    * limit are all constant-size regardless of corpus size.
+    */
+  def textDrift(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val fbPlan = featureBucketCounts(s, dir,
+      col("doc_id") % graft.llm.Dedup.IncrementModulus === 0)
+    val fb = if (cache) fbPlan.cache() else fbPlan
+    val base = fb.filter(!col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("n_base"))
+    val nw = fb.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("n_new"))
+    val scal = fb.agg(
+      sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("base_tot"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("new_tot"))
+    base.join(nw, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(scal))
+      .selectExpr("bucket",
+        "coalesce(n_base, CAST(0 AS BIGINT)) AS n_base",
+        "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new",
+        s"($DsirProbScale * coalesce(n_base, CAST(0 AS BIGINT))) div base_tot"
+          + " AS pb_x1e9",
+        s"($DsirProbScale * coalesce(n_new, CAST(0 AS BIGINT))) div new_tot"
+          + " AS pn_x1e9")
+      .selectExpr("bucket", "n_base", "n_new", "pb_x1e9", "pn_x1e9",
+        "abs(pn_x1e9 - pb_x1e9) AS drift_x1e9")
+      .orderBy(col("drift_x1e9").desc, col("bucket"))
+      .limit(DriftTopK)
+      .orderBy(col("drift_x1e9").desc, col("bucket"))
   }
 
 }

@@ -109,4 +109,42 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the declared order is the ranking order
     assert(got == got.sortBy { case (id, avg) => (-avg, id) })
   }
+
+  test("textDrift quantized probabilities match a pure-Scala recompute") {
+    val mod = graft.llm.Dedup.IncrementModulus
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var bCnt = Map.empty[Long, Long].withDefaultValue(0L)
+    var nCnt = Map.empty[Long, Long].withDefaultValue(0L)
+    docs.foreach { case (id, text) =>
+      feats(text).foreach { f =>
+        val b = md5Long("dsir:" + f) % Curation.DsirBuckets
+        if (id % mod == 0) nCnt = nCnt.updated(b, nCnt(b) + 1)
+        else bCnt = bCnt.updated(b, bCnt(b) + 1)
+      }
+    }
+    val (bTot, nTot) = (bCnt.values.sum, nCnt.values.sum)
+    val out = Curation.textDrift(spark, dir).collect()
+    assert(out.length <= Curation.DriftTopK)
+    out.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == bCnt(b) && r.getLong(2) == nCnt(b),
+        s"bucket $b counts")
+      val pb = Curation.DsirProbScale * bCnt(b) / bTot
+      val pn = Curation.DsirProbScale * nCnt(b) / nTot
+      assert(r.getLong(3) == pb && r.getLong(4) == pn &&
+        r.getLong(5) == math.abs(pn - pb), s"bucket $b probabilities")
+    }
+    // the report is genuinely the top slice: nothing outside it drifts
+    // harder than its floor
+    val floor = out.map(_.getLong(5)).min
+    val allBuckets = (bCnt.keySet ++ nCnt.keySet).toSeq
+    val reported = out.map(_.getLong(0)).toSet
+    allBuckets.filterNot(reported).foreach { b =>
+      val d = math.abs(Curation.DsirProbScale * nCnt(b) / nTot -
+        Curation.DsirProbScale * bCnt(b) / bTot)
+      assert(d <= floor, s"unreported bucket $b drifts $d > floor $floor")
+    }
+  }
 }
