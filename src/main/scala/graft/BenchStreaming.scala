@@ -177,12 +177,14 @@ object BenchStreaming {
       "bm25" -> (() => graft.llm.TextAnalysis.bm25Index(s, sfDir).cache()),
       "bpe" -> (() => graft.llm.TextAnalysis.encodedVocab(s, sfDir).cache()),
       "minhash" -> (() => graft.llm.Dedup.minhashIndex(
-        Tables.table(s, sfDir, "documents").select(col("doc_id"), col("text"))).cache()))
+        Tables.table(s, sfDir, "documents").select(col("doc_id"), col("text"))).cache()),
+      "driftprobs" -> (() => graft.llm.Curation.driftBaseProbs(s, sfDir).cache()))
     // only the artifacts whose twins are selected get built (and
     // materialized OUTSIDE the timed replays)
     val artTwin = Map("anomaly" -> "anomaly_probe", "drift" -> "drift_counts",
       "mixtemp" -> "mix_temperature", "bm25" -> "bm25_probe",
-      "bpe" -> "bpe_tokenize", "minhash" -> "incremental_dedup")
+      "bpe" -> "bpe_tokenize", "minhash" -> "incremental_dedup",
+      "driftprobs" -> "text_drift_probe")
     val art = artifacts.filter { case (k, _) => selected(artTwin(k)) }
       .map { case (k, f) => k -> f() }.toMap
     val needSem = selected("semdedup_probe")
@@ -290,6 +292,10 @@ object BenchStreaming {
         Seq("doc_id", "text"),
         df => StreamOps.incrementalDedupStream(df, art("minhash")),
         0L, "stateless frozen-band-index probe")),
+      "text_drift_probe" -> (() => measure(chunked(docs.map(d => (d._1, d._2))),
+        Seq("doc_id", "text"),
+        df => StreamOps.textDriftStream(df, art("driftprobs")),
+        0L, "stateless frozen-distribution probe (map literal, no join)")),
       "interval_join" -> (() => measure2(
         chunked(views), Seq("event_id", "user_id", "ts"),
         chunked(clicks), Seq("event_id", "user_id", "ts"),

@@ -559,7 +559,7 @@ object Curation {
     * [[TextAnalysis]] bigram construction — O(n), never indexed
     * element_at). Row-local, codegen'd.
     */
-  private def dsirFeatures(toksC: org.apache.spark.sql.Column)
+  private[graft] def dsirFeatures(toksC: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     concat(
       transform(toksC, w => concat(lit("u:"), w)),
@@ -701,6 +701,25 @@ object Curation {
       .orderBy(col("drift_x1e9").desc, col("bucket"))
       .limit(DriftTopK)
       .orderBy(col("drift_x1e9").desc, col("bucket"))
+  }
+
+  /** The persisted fit artifact
+    * [[graft.streaming.StreamOps.textDriftStream]] probes: the BASE
+    * corpus's bucket probabilities on the [[DsirProbScale]] grid — the
+    * same quantization as [[textDrift]]'s `pb_x1e9` column. One corpus
+    * scan into O([[DsirBuckets]]) rows (cached: the aggregate feeds both
+    * its own total and the projection — 1024 rows, not a corpus pin).
+    */
+  def driftBaseProbs(s: SparkSession, dir: String): DataFrame = {
+    val base = featureBucketCounts(s, dir,
+      col("doc_id") % graft.llm.Dedup.IncrementModulus === 0)
+      .filter(!col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("n_base"))
+      .cache()
+    val scal = base.agg(sum(col("n_base")).as("base_tot"))
+    base.crossJoin(broadcast(scal))
+      .selectExpr("bucket", "n_base",
+        s"($DsirProbScale * n_base) div base_tot AS pb_x1e9")
   }
 
 }

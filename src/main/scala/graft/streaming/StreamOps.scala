@@ -531,6 +531,43 @@ object StreamOps {
       .select(col("query_id"), col("term"), col("doc_id"),
         graft.llm.TextAnalysis.bm25TermScore.as("s9"))
 
+  /** Streaming form of [[graft.llm.Curation.textDrift]] — the live
+    * corpus-drift monitor: each incoming document probes the FROZEN base
+    * bucket probabilities ([[graft.llm.Curation.driftBaseProbs]], the
+    * persisted fit artifact a deployment refreshes on the batch cadence)
+    * entirely ROW-LOCALLY: the O(DsirBuckets) table rides along as one
+    * map literal (the semDedup centroid-literal pattern — 1024 entries,
+    * never a join), and the document's hashed features fold to its
+    * typicality mass plus its count of buckets the base corpus never
+    * produced. Pure append, zero state, zero joins — admission at scan
+    * speed; a spike of low-typicality / high-unseen documents IS the
+    * drift alarm. The corpus-LEVEL report (per-bucket distribution vs
+    * base) needs the stream's own totals — a second aggregation level —
+    * so it stays a downstream batch fold over these rows, the same split
+    * as the bpe/bm25 probes; the spec pins the row values against the
+    * batch quantization.
+    */
+  def textDriftStream(docs: DataFrame, baseProbs: DataFrame): DataFrame = {
+    import graft.llm.Curation.{DsirBuckets, dsirFeatures}
+    import graft.llm.TextHash.{md5Long, tokens}
+    val pb = typedLit(baseProbs.select(col("bucket"), col("pb_x1e9"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val buckets = transform(dsirFeatures(tokens(col("text"))),
+      f => md5Long(concat(lit("dsir:"), f)) % DsirBuckets)
+    docs
+      .select(col("doc_id"), buckets.as("bks"))
+      .select(col("doc_id"),
+        size(col("bks")).cast("bigint").as("n_feats"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(pb, b), lit(0L)))
+          .as("typ_sum"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + when(element_at(pb, b).isNull, lit(1L))
+            .otherwise(lit(0L))).as("n_unseen"))
+      .selectExpr("doc_id", "n_feats", "typ_sum",
+        "typ_sum div n_feats AS typicality_x1e9", "n_unseen")
+  }
+
   /** Streaming form of [[graft.ops.AnalyticsOps.anomalyMad]] — the live
     * anomaly monitor: incoming events probe the FROZEN per-type
     * (median, MAD) statistics table ([[graft.ops.AnalyticsOps.madStats]],

@@ -1053,6 +1053,61 @@ class StreamOpsSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("textDriftStream probes the frozen base distribution row-locally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val probs = graft.llm.Curation.driftBaseProbs(spark, dir).cache()
+    val probMap = probs.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // delta: one real base document (typical) and one alien-vocabulary
+    // document (every feature lands in some bucket, but its tokens are
+    // new — low typicality is the expected verdict, not a drop)
+    val planted = Tables.table(spark, dir, "documents")
+      .orderBy("doc_id").limit(1).collect().head.getAs[String]("text")
+    val delta = Seq((2000001L, planted),
+      (2000002L, "zxq wvu tsr qpo nml kji hgf edc"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(delta)
+    val q = StreamOps.textDriftStream(
+        mem.toDF.toDF("doc_id", "text"), probs)
+      .writeStream.format("memory").queryName("textdrift")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("textdrift").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 2)
+    // pure-Scala recompute from the artifact map for both documents
+    delta.foreach { case (id, text) =>
+      val toks = text.split("\\s+", -1).toSeq
+      val fs = toks.map("u:" + _) ++
+        toks.zip(toks.drop(1)).map { case (a, b) => s"b:$a $b" }
+      val bks = fs.map { f =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(("dsir:" + f).getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16) %
+          graft.llm.Curation.DsirBuckets
+      }
+      val typSum = bks.map(b => probMap.getOrElse(b, 0L)).sum
+      val unseen = bks.count(b => !probMap.contains(b)).toLong
+      assert(got(id) == ((fs.length.toLong, typSum,
+        typSum / fs.length, unseen)), s"doc $id: ${got(id)}")
+    }
+    // the batch run of the same operator agrees row-for-row
+    val batch = StreamOps.textDriftStream(delta.toDF("doc_id", "text"), probs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == batch, "stream and batch forms diverge")
+    // the planted base doc must read as more typical than the alien one
+    assert(got(2000001L)._3 > got(2000002L)._3,
+      "a verbatim base document must out-score alien vocabulary")
+    probs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("funnelStream advances stages across micro-batches like the batch build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
