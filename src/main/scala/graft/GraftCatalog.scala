@@ -235,6 +235,18 @@ object GraftCatalog {
       .createOrReplaceTempView("ann_eval")
     graft.llm.Curation.textDrift(spark, sfDir, cache = false)
       .createOrReplaceTempView("text_drift")
+    // round-13 continuation: duplicated-substring family + prototype
+    // pruning — all lazy plans; k pinned on the prune for the same
+    // no-eager-jobs reason as the semdedup mount
+    graft.llm.Dedup.substrRanges(spark, sfDir)
+      .createOrReplaceTempView("substr_ranges")
+    graft.llm.Dedup.substrTrim(spark, sfDir)
+      .createOrReplaceTempView("substr_trimmed")
+    graft.llm.Dedup.substrStats(spark, sfDir)
+      .createOrReplaceTempView("substr_stats")
+    graft.llm.Similarity.prototypePrune(spark, sfDir, cache = false,
+      k = Some(graft.llm.Similarity.KmeansK))
+      .createOrReplaceTempView("prototype_prune")
     registerFunctions(spark)
   }
 

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_embed_ivf2" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_embed_hardneg" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
+    "q_prototype_prune" -> ((s, dir) => Similarity.prototypePrune(s, dir)),
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
@@ -235,6 +236,9 @@ object SparkEntry {
     "q_source_mix" -> (Curation.sourceMix _),
     "q_source_mix_temp" -> ((s, dir) => Curation.sourceMixTemperature(s, dir)),
     "q_dedup_spans" -> (Dedup.spanDedup _),
+    "q_dedup_substr_ranges" -> (Dedup.substrRanges _),
+    "q_dedup_substr_trim" -> (Dedup.substrTrim _),
+    "q_dedup_substr_stats" -> (Dedup.substrStats _),
     "q_sketch_distinct" -> (Sketches.kmvDistinct _),
     "q_sketch_hll" -> (Sketches.hllDistinct _),
     "q_sketch_cms" -> (Sketches.cmsTermFreq _),
@@ -582,6 +586,47 @@ object SparkEntry {
                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                           ELSE [''] END AS grams
               FROM tk)"""
+
+  /** Sliding-gram duplicated-substring replay shared by the three
+    * q_dedup_substr_* oracles (mirrors Dedup.substrIslands): every
+    * [[graft.llm.Dedup.SubstrK]]-token gram keyed by full md5 hex, a
+    * window pass marks every occurrence of a corpus-repeated gram except
+    * its global first (count + row_number — the set Spark's
+    * count/min-struct aggregate marks), covered ranges merge into maximal
+    * islands via the gaps-and-islands running max. Ends in
+    * `rg`(doc_id, isl, start_tok, end_tok); `tk` stays visible for the
+    * trim/stats consumers.
+    */
+  private lazy val substrCtes: String = {
+    val k = graft.llm.Dedup.SubstrK
+    s"""tk AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+        occ AS (SELECT doc_id, i - 1 AS p,
+                       md5(array_to_string(toks[i : i + ${k - 1}], ' ')) AS gh
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - $k + 2)) AS i
+                      FROM tk WHERE len(toks) >= $k)),
+        gd AS (SELECT doc_id, p, gh,
+                      count(*) OVER (PARTITION BY gh) AS cnt,
+                      row_number() OVER (PARTITION BY gh
+                                         ORDER BY doc_id, p) AS rn
+               FROM occ),
+        mk AS (SELECT doc_id, p AS s, p + ${k - 1} AS e
+               FROM gd WHERE cnt > 1 AND rn > 1),
+        il AS (SELECT doc_id, s, e,
+                      sum(CASE WHEN pe IS NULL OR s > pe + 1
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS isl
+               FROM (SELECT doc_id, s, e,
+                            max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pe
+                     FROM mk) mkp),
+        rg AS (SELECT doc_id, isl, CAST(min(s) AS INT) AS start_tok,
+                      CAST(max(e) AS INT) AS end_tok
+               FROM il GROUP BY doc_id, isl)"""
+  }
 
   /** Exact-int Jaccard between two gram lists (mirrors TextHash.jaccard). */
   private def jaccardSql(a: String, b: String): String =
@@ -1946,6 +1991,34 @@ object SparkEntry {
          SELECT vec_id, cid, b_id AS neg_id, cos AS neg_cos
          FROM ranked WHERE rk = 1
          ORDER BY vec_id""",
+    // prototype-based pruning (mirrors Similarity.prototypePrune): same
+    // two-level cluster chain, per-cluster exact-decimal centroid sums
+    // (the VARCHAR-routed quantization, see kmUpdateCte), 9dp cosine
+    // prototypicality, drop the top PrunePct% of every cluster (ties to
+    // the smaller vec_id)
+    "q_prototype_prune" -> s"""
+         WITH $hierMembersCtes,
+         pc AS (SELECT cid, list(cx ORDER BY pos) AS centroid FROM (
+                  SELECT cid, pos,
+                         CAST(sum(CAST(CAST(x AS VARCHAR)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS cx
+                  FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+                               unnest(v) AS x
+                        FROM members)
+                  GROUP BY cid, pos)
+                GROUP BY cid),
+         sz AS (SELECT cid, count(*) AS cnt FROM members GROUP BY cid),
+         sc AS (SELECT m.vec_id, m.cid,
+                       ${cosSql("m.v", "p.centroid")} AS proto
+                FROM members m JOIN pc p ON m.cid = p.cid),
+         rk AS (SELECT vec_id, cid, proto,
+                       row_number() OVER (PARTITION BY cid
+                         ORDER BY proto DESC, vec_id) AS rk
+                FROM sc)
+         SELECT r.vec_id, r.cid, r.proto,
+                (r.rk > (s.cnt * ${Similarity.PrunePct}) // 100) AS keep
+         FROM rk r JOIN sz s ON r.cid = s.cid
+         ORDER BY r.vec_id""",
     // product quantization (mirrors Similarity.pqQuantize): per-subspace
     // seed → one Lloyd refinement with exact-decimal means → reassign;
     // squared L2 via the dot identity rounded at 9dp before every argmin,
@@ -2800,6 +2873,47 @@ object SparkEntry {
                 coalesce(r.clean_text, '') AS clean_text
          FROM tk t LEFT JOIN reb r ON t.doc_id = r.doc_id
          ORDER BY t.doc_id""",
+    // maximal duplicated token ranges (mirrors Dedup.substrRanges): the
+    // shared substring replay, one row per island
+    "q_dedup_substr_ranges" -> s"""
+         WITH $substrCtes
+         SELECT doc_id, start_tok, end_tok,
+                CAST(end_tok - start_tok + 1 AS INT) AS len_toks
+         FROM rg ORDER BY doc_id, start_tok""",
+    // duplicated-range trim (mirrors Dedup.substrTrim): positions outside
+    // every island survive; reassembly in token order
+    "q_dedup_substr_trim" -> s"""
+         WITH $substrCtes,
+         px AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i,
+                       unnest(toks) AS tok
+                FROM tk),
+         keep AS (SELECT p.doc_id, p.i, p.tok FROM px p
+                  WHERE NOT EXISTS (SELECT 1 FROM rg r
+                                    WHERE r.doc_id = p.doc_id
+                                      AND p.i BETWEEN r.start_tok
+                                        AND r.end_tok)),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY i) AS clean_text
+                 FROM keep GROUP BY doc_id)
+         SELECT t.doc_id, CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM tk t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         ORDER BY t.doc_id""",
+    // per-language duplication profile (mirrors Dedup.substrStats)
+    "q_dedup_substr_stats" -> s"""
+         WITH $substrCtes,
+         dt AS (SELECT doc_id, count(*) AS n_ranges,
+                       sum(end_tok - start_tok + 1) AS dup_toks
+                FROM rg GROUP BY doc_id)
+         SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(d.dup_toks) AS BIGINT) AS docs_affected,
+                CAST(sum(coalesce(d.n_ranges, 0)) AS BIGINT) AS n_ranges,
+                CAST(sum(coalesce(d.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+                CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
+                (CAST(sum(coalesce(d.dup_toks, 0)) AS BIGINT) * 1000000)
+                  // CAST(sum(len(t.toks)) AS BIGINT) AS dup_rate_ppm
+         FROM tk t LEFT JOIN dt d ON t.doc_id = d.doc_id
+         GROUP BY t.lang ORDER BY t.lang""",
     // KMV sketch reproduced value-for-value: k smallest distinct 32-bit
     // md5 hashes per group + the estimate they imply (mirrors
     // Sketches.kmvDistinct / functions.KMinValues)

@@ -883,4 +883,141 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Seed width (tokens) for the duplicated-SUBSTRING detector — SLIDING
+    * k-grams, unlike [[SpanTokens]]'s tiled spans: a duplicated run is
+    * found at every alignment, so maximal duplicated regions are exact
+    * for any duplicate of length ≥ [[SubstrK]] tokens (the Lee et al.
+    * 2022 "deduplicating training data" granularity, sized to this
+    * corpus's ~50-token documents the way their 50-token threshold is
+    * sized to web documents).
+    */
+  val SubstrK = 10
+
+  /** Sliding [[SubstrK]]-gram occurrences: (doc_id, p, gh) where gh is
+    * the full 128-bit md5 hex of the space-joined gram — the same
+    * fixed-width-digest shuffle discipline as media dedup (16-byte keys
+    * move, ~60-byte gram text never does), and collision-free in
+    * practice at any corpus size, which an engine-truncated 32/64-bit
+    * key is not at 10¹⁰ grams. Docs shorter than the seed emit nothing
+    * (they cannot contain a duplicated k-gram). The Generate is the
+    * projection barrier that keeps the tokenization evaluated once per
+    * row (the spanDedup discipline).
+    */
+  private def substrOccurrences(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= SubstrK,
+          transform(sequence(lit(0), size(col("toks")) - SubstrK),
+            p => md5(array_join(slice(col("toks"), p + 1, lit(SubstrK)), " "))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "p", "gh")
+
+  /** Maximal duplicated token ranges per document (exact substring dedup,
+    * Lee et al. 2022, k-gram seeded): a position is duplicated when some
+    * corpus-repeated [[SubstrK]]-gram covering it occurs at that site and
+    * the site is NOT the gram's globally first occurrence (first by
+    * (doc_id, p) — one copy of every duplicated substring survives, the
+    * spanDedup convention). Covered positions merge into maximal islands:
+    * (doc_id, start_tok, end_tok), token indices 0-based inclusive.
+    *
+    * Scale shape: gram stats are ONE digest-keyed aggregation with full
+    * map-side combine (partial count + partial min-struct — a boilerplate
+    * gram occurring 10⁶ times costs its reducer one row per upstream
+    * partition; min over a struct plans as SortAggregate, the pinned
+    * `assign` shape); the occurrence→duplicated-gram attach re-explodes
+    * the corpus (row-local scan work, cheaper than materializing n gram
+    * rows) and joins it to the aggregated duplicated-gram table — which
+    * is bounded by the number of DISTINCT repeated grams, so it
+    * broadcasts through moderate scale and costs one more digest-keyed
+    * shuffle beyond it; island merging is two windows and an aggregation
+    * all partitioned by doc_id — bounded by document length, never
+    * corpus-sized. Nothing here is quadratic: marked rows ARE the
+    * answer's support, and the shuffles carry digests + positions only.
+    */
+  private[graft] def substrIslands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = substrOccurrences(t(s, dir, "documents"))
+    val dup = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("first.doc_id").as("fd"), col("first.p").as("fp"))
+    val marked = occ.join(dup, Seq("gh"))
+      .filter(!(col("doc_id") === col("fd") && col("p") === col("fp")))
+      .select(col("doc_id"), col("p").as("s"),
+        (col("p") + lit(SubstrK - 1)).as("e"))
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    marked
+      .withColumn("pe", max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pe").isNull || col("s") > col("pe") + 1, 1L).otherwise(0L))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).cast("int").as("start_tok"),
+        max(col("e")).cast("int").as("end_tok"))
+  }
+
+  /** Duplicated-substring ranges as a flat report: one row per maximal
+    * duplicated island, `[start_tok, end_tok]` 0-based inclusive.
+    */
+  def substrRanges(s: SparkSession, dir: String): DataFrame =
+    substrIslands(s, dir)
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("len_toks"))
+      .orderBy("doc_id", "start_tok")
+
+  /** Corpus with every duplicated range cut out (the surviving copy is
+    * each gram's global first occurrence, which stays unmarked): per doc,
+    * the kept token count and the reassembled text. The cut itself is
+    * row-local — each document meets its own (few) ranges through one
+    * left join, then a filter-by-index lambda; no second corpus shuffle.
+    */
+  def substrTrim(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val cuts = substrIslands(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("cuts"))
+    docs.join(cuts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        filter(
+          transform(col("toks"), (tk, i) => struct(i.as("i"), tk.as("tk"))),
+          x => !exists(
+            coalesce(col("cuts"),
+              array().cast("array<struct<start_tok:int,end_tok:int>>")),
+            r => x("i") >= r("start_tok") && x("i") <= r("end_tok")))
+          .as("kept"))
+      .select(col("doc_id"), size(col("kept")).as("n_kept"),
+        array_join(transform(col("kept"), x => x("tk")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language duplication profile of the substring detector: how much
+    * of each language's token mass sits inside duplicated ranges — the
+    * corpus-health dashboard a curation run reads before deciding whether
+    * substring-level trimming is worth a pass.
+    */
+  def substrStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_toks"))
+    val cover = substrIslands(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("end_tok") - col("start_tok") + 1).as("dup_toks"),
+        count(lit(1)).as("n_ranges"))
+    docs.join(cover, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_toks")).as("docs_affected"),
+        sum(coalesce(col("n_ranges"), lit(0L))).as("n_ranges"),
+        sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"),
+        sum(col("n_toks").cast("long")).as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("docs_affected"),
+        col("n_ranges"), col("dup_tokens"), col("total_tokens"),
+        expr("(dup_tokens * 1000000) div total_tokens").as("dup_rate_ppm"))
+      .orderBy("lang")
+  }
 }

@@ -1360,6 +1360,64 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Percent of each cluster dropped by [[prototypePrune]] — the "easy
+    * example" fraction. Sorscher et al. report keep-hard as the right
+    * policy when data is abundant (the 100 TB regime this engine
+    * targets); the keep fraction is the knob a smaller-data run would
+    * flip.
+    */
+  val PrunePct = 30
+
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws" — the SSL-prototypes metric): cluster the corpus with
+    * the same two-level membership the pair scanners ride, score every
+    * vector by its 9dp-rounded cosine to its OWN cluster's centroid
+    * direction (the exact-decimal component-sum direction — cosine is
+    * scale-invariant, so the sum IS the mean direction, the
+    * kmeansCentroids discipline), and drop the most prototypical
+    * [[PrunePct]]% of every cluster (ties to the smaller vec_id): what
+    * survives is the hard, informative tail the paper keeps when data is
+    * abundant.
+    *
+    * Scale shape: ONE corpus shuffle on cid feeds the centroid-sum
+    * aggregation, the centroid attach (an equi-join on the same key —
+    * the exchange is reused), and the per-cluster rank window; cluster
+    * sizes are held near [[PairClusterTarget]] by the scaled fine budget,
+    * so every window partition is ~250 rows regardless of corpus size.
+    * Nothing quadratic anywhere: this is semDedup's cluster machinery
+    * with an O(n) scoring pass instead of the O(n·target) pair scan.
+    */
+  def prototypePrune(s: SparkSession, dir: String,
+      cache: Boolean = true, k: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(s, dir)
+    val members0 = hierMembers(c, resolvePairK(c, k), cache)
+    val members = if (cache) members0.cache() else members0
+    val cents = members
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("x").cast("decimal(38,10)")).as("sx"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sx").cast("double").as("cx"))))
+        .as("ps"))
+      .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("centroid"))
+      .withColumn("cnorm", norm(col("centroid")))
+    val sizes = members.groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+      .select(col("cid"), expr(s"(cnt * $PrunePct) div 100").as("ndrop"))
+    val scored = members.join(cents, Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        round(cosPre(dot(col("v"), col("centroid")), col("nv"), col("cnorm")), 9)
+          .as("proto"))
+    val byProto = Window.partitionBy(col("cid"))
+      .orderBy(col("proto").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(byProto))
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("proto"),
+        (col("rk") > col("ndrop")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Int8-quantized corpus with per-vector reconstruction error — the
     * storage path for embeddings at scale (4× smaller before ANN
     * indexing). One native pass per row ([[graft.functions.QuantizeInt8]]);
