@@ -1042,4 +1042,36 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(w).length >= 4,
       s"fit + score must reuse the cached bucket counts:\n$w")
   }
+
+  test("substring dedup: gram stats combine map-side, islands stay per-doc") {
+    val p = plan("q_dedup_substr_ranges")
+    // a boilerplate gram with 10^6 occurrences must cost its reducer one
+    // row per upstream partition — the digest aggregate needs partials
+    assert(p.contains("partial_min(struct(doc_id") &&
+      p.contains("partial_count"),
+      s"gram-stat aggregate lost its map-side combine:\n${p.take(1500)}")
+    // island merging must partition by doc_id, never sort the corpus whole
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"island windows must partition by doc_id:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no data-sized cartesian anywhere in the substring family:\n${p.take(1500)}")
+    // tokenization evaluates once below each Generate (occurrence side is
+    // deliberately recomputed rather than materialized — two scans total)
+    assert("split\\(text".r.findAllIn(p).length <= 2,
+      "split(text) must stay materialized below the explodes")
+  }
+
+  test("prototype prune: one scoring pass on cid, no pair scan") {
+    val p = plan("q_prototype_prune")
+    // centroid component sums combine map-side (decimal partial_sum)
+    assert(p.contains("partial_sum(cast(x"),
+      s"centroid sums lost their map-side combine:\n${p.take(1500)}")
+    // the prototypicality rank runs per cluster — (cid, proto) window,
+    // ~PairClusterTarget rows per partition at any corpus size
+    assert("windowspecdefinition\\(cid#\\d+, proto#".r
+      .findFirstIn(p).isDefined,
+      s"rank window must partition by cid:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the prune chain:\n${p.take(1500)}")
+  }
 }
