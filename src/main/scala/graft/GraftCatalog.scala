@@ -247,6 +247,13 @@ object GraftCatalog {
     graft.llm.Similarity.prototypePrune(spark, sfDir, cache = false,
       k = Some(graft.llm.Similarity.KmeansK))
       .createOrReplaceTempView("prototype_prune")
+    // round-13 continuation: CCNet LM-perplexity filter — lazy plans
+    graft.llm.Curation.lmScore(spark, sfDir)
+      .createOrReplaceTempView("lm_scores")
+    graft.llm.Curation.lmBuckets(spark, sfDir)
+      .createOrReplaceTempView("lm_buckets")
+    graft.llm.Curation.lmProfile(spark, sfDir)
+      .createOrReplaceTempView("lm_profile")
     registerFunctions(spark)
   }
 

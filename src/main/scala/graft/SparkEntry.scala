@@ -251,6 +251,9 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
     "q_dsir_select" -> ((s, dir) => Curation.dsirSelect(s, dir)),
     "q_text_drift" -> ((s, dir) => Curation.textDrift(s, dir)),
+    "q_lm_score" -> ((s, dir) => Curation.lmScore(s, dir)),
+    "q_lm_buckets" -> ((s, dir) => Curation.lmBuckets(s, dir)),
+    "q_lm_profile" -> ((s, dir) => Curation.lmProfile(s, dir)),
     "q_epoch_shuffle" -> (Curation.epochShuffle _),
     "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -377,6 +380,60 @@ object SparkEntry {
                      sum(fb.cnt * ratio.ratio)::BIGINT AS weight
               FROM fb JOIN ratio USING (bucket)
               WHERE NOT fb.is_target GROUP BY 1)"""
+  }
+
+  /** LM-perplexity shared CTEs (mirrors Curation.lmScore): per-language
+    * add-one-smoothed bigram model fitted on the trusted slice, pool
+    * documents scored by exact-integer floor-log2 bit counts. ONE string
+    * feeds all three q_lm queries so the buckets provably tercile the
+    * scores relation and the profile aggregates the buckets relation.
+    * Every division is `//`-floor on non-negative BIGINTs and the
+    * floor-log2 is the binary-string length in BOTH engines (bin()).
+    */
+  private lazy val lmCtes: String = {
+    import graft.llm.Curation.{DsirTargetSource, LmQBits, LmMantissa}
+    s"""tk AS (SELECT doc_id, lang, source,
+                      string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+        bgx AS (SELECT doc_id, lang, source,
+                       unnest(list_transform(range(1, len(toks)),
+                         i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+                FROM tk WHERE len(toks) >= 2),
+        bgc AS (SELECT doc_id, lang, source, p.w1 AS w1, p.w2 AS w2
+                FROM bgx),
+        c12 AS (SELECT lang, w1, w2, count(*)::BIGINT AS c12
+                FROM bgc WHERE source = '$DsirTargetSource' GROUP BY 1, 2, 3),
+        c1x AS (SELECT lang, w1, count(*)::BIGINT AS c1
+                FROM bgc WHERE source = '$DsirTargetSource' GROUP BY 1, 2),
+        vx AS (SELECT lang, count(DISTINCT w)::BIGINT AS v
+               FROM (SELECT lang, unnest(toks) AS w FROM tk
+                     WHERE source = '$DsirTargetSource') GROUP BY 1),
+        rat AS (SELECT bgc.doc_id, bgc.lang,
+                       ((coalesce(c1x.c1, 0) + vx.v + 1) * ${1L << LmQBits})
+                         // (coalesce(c12.c12, 0) + 1) AS ratio
+                FROM bgc
+                JOIN vx ON bgc.lang = vx.lang
+                LEFT JOIN c12 ON bgc.lang = c12.lang AND bgc.w1 = c12.w1
+                             AND bgc.w2 = c12.w2
+                LEFT JOIN c1x ON bgc.lang = c1x.lang AND bgc.w1 = c1x.w1
+                WHERE bgc.source <> '$DsirTargetSource'),
+        bits AS (SELECT doc_id, lang,
+                        (length(bin(ratio)) - 1 - $LmQBits) * $LmMantissa
+                          + (ratio * $LmMantissa)
+                            // (1::BIGINT << (length(bin(ratio)) - 1))
+                          - $LmMantissa AS bits_q8
+                 FROM rat),
+        lmscore AS (SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+                           sum(bits_q8)::BIGINT AS sum_bits_q8,
+                           (sum(bits_q8)::BIGINT * 1000) // count(*)::BIGINT
+                             AS ce_milli_q8
+                    FROM bits GROUP BY 1, 2),
+        lmbucket AS (SELECT doc_id, lang, ce_milli_q8,
+                            CASE ntile(3) OVER (PARTITION BY lang
+                                ORDER BY ce_milli_q8, doc_id)
+                              WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                              ELSE 'tail' END AS bucket
+                     FROM lmscore)"""
   }
 
   /** The BM25 oracle — ONE string shared by `q_bm25` (in-query retrieval)
@@ -2815,6 +2872,25 @@ object SparkEntry {
                 abs(pn_x1e9 - pb_x1e9) AS drift_x1e9
          FROM p ORDER BY drift_x1e9 DESC, bucket
          LIMIT ${graft.llm.Curation.DriftTopK}""",
+    // CCNet LM-perplexity filter (mirrors Curation.lmScore/lmBuckets/
+    // lmProfile): per-language bigram model on the trusted slice, exact
+    // integer floor-log2 bit counts, per-language terciles.
+    "q_lm_score" -> s"""
+         WITH $lmCtes
+         SELECT doc_id, lang, n_bigrams, sum_bits_q8, ce_milli_q8
+         FROM lmscore ORDER BY doc_id""",
+    "q_lm_buckets" -> s"""
+         WITH $lmCtes
+         SELECT doc_id, lang, ce_milli_q8, bucket
+         FROM lmbucket ORDER BY doc_id""",
+    "q_lm_profile" -> s"""
+         WITH $lmCtes,
+         tsz AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM tk)
+         SELECT b.lang, b.bucket, count(*)::BIGINT AS n_docs,
+                sum(tsz.n_toks)::BIGINT AS tot_tokens,
+                min(b.ce_milli_q8) AS min_ce, max(b.ce_milli_q8) AS max_ce
+         FROM lmbucket b JOIN tsz USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,
                 CAST(${hexIntSql("'mix:' || doc_id")} % 100 AS INT) AS bucket,

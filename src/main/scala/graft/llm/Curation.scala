@@ -722,4 +722,143 @@ object Curation {
         s"($DsirProbScale * n_base) div base_tot AS pb_x1e9")
   }
 
+  // ------------------------------------------------------------------
+  // N-gram language-model perplexity filter (CCNet, Wenzek et al. 2020)
+  // ------------------------------------------------------------------
+
+  /** Probability-ratio grid for the LM scorer: 2^[[LmQBits]] (so the
+    * floor-log2 of a gridded ratio is ≥ [[LmQBits]] and the per-token
+    * bit count is exactly non-negative).
+    */
+  val LmQBits = 20
+
+  /** Mantissa width for the log2 linear interpolation: bit counts are
+    * reported in 1/256-bit units (`*_q8` columns).
+    */
+  val LmMantissa = 256L
+
+  /** CCNet-style bigram language model + per-document cross-entropy, all
+    * arithmetic on exact integer grids (the DSIR discipline — no libm, no
+    * doubles anywhere): per language, an add-one-smoothed bigram model is
+    * fitted on the TRUSTED slice (`source = `[[DsirTargetSource]]`, the
+    * same convention DSIR uses for its target domain — CCNet's Wikipedia
+    * role), and every raw-pool document is scored by its average
+    * per-bigram "surprise" in 1/256-bit units.
+    *
+    * Per scored bigram (w1, w2) of language L:
+    * `p = (c12+1) / (c1+V+1)` where c12/c1 are the trusted slice's bigram
+    * and bigram-left counts and V the trusted vocabulary size (the +1
+    * widens add-one smoothing to an OOV outcome, and guarantees
+    * num ≤ den). Its bit count is `-log2 p`, computed EXACTLY as integers:
+    * `ratio = (den << LmQBits) div num`, `b = floor_log2(ratio)` (the
+    * binary-string length, identical in Spark and DuckDB `bin()`), and a
+    * linear mantissa `frac = (ratio * 256) div 2^b - 256` — monotone in
+    * the true ratio, reproducible bit-for-bit by the differential oracle.
+    * Int64 bounds: `den << 20` needs den < 2^43 (trusted-slice bigrams —
+    * holds through every tier at ~10^12 trusted tokens), `ratio * 256`
+    * another 8 bits of the same headroom.
+    *
+    * Output: one row per raw-pool document with ≥ 2 tokens whose language
+    * has a trusted slice to model (CCNet's "no LM for this language"
+    * documents are unscoreable by construction): doc_id, lang, n_bigrams,
+    * sum_bits_q8, and `ce_milli_q8 = (sum * 1000) div n` — cross-entropy
+    * in milli-(1/256-bit) units, the bucketing key.
+    *
+    * Scale shape: the model is THREE map-side-combined aggregations over
+    * the trusted slice's bigram stream (c12 keyed on a 16-byte digest of
+    * `lang:w1 w2`, c1 on `lang:w1`, V one distinct-count per language) —
+    * all bounded by the TRUSTED corpus, which is small relative to the
+    * pool (the CCNet regime: Wikipedia vs Common Crawl), so the model
+    * tables broadcast onto the scoring pass through moderate scale and
+    * degrade to digest-keyed shuffle joins beyond it, never anything
+    * all-pairs. The pool is scanned ONCE, exploded linearly into bigrams
+    * (grams travel as digests + the doc_id), and reduced by one
+    * doc_id-keyed aggregation. Nothing collects; nothing is quadratic.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokens(col("text")).as("toks"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("lang"), lit(":"), col("p.w1"), lit(" "),
+          col("p.w2"))).as("bgh"),
+        md5(concat(col("lang"), lit(":"), col("p.w1"))).as("lkh"))
+    val trusted = tk.filter(col("source") === DsirTargetSource)
+    val tbg = bigrams(trusted)
+    val c12 = tbg.groupBy(col("bgh")).agg(count(lit(1)).as("c12"))
+    val c1 = tbg.groupBy(col("lkh")).agg(count(lit(1)).as("c1"))
+    val vx = trusted
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
+    bigrams(tk.filter(col("source") =!= DsirTargetSource))
+      .join(broadcast(vx), Seq("lang"))
+      .join(c12, Seq("bgh"), "left_outer")
+      .join(c1, Seq("lkh"), "left_outer")
+      .selectExpr("doc_id", "lang",
+        "coalesce(c12, CAST(0 AS BIGINT)) + 1 AS num",
+        "coalesce(c1, CAST(0 AS BIGINT)) + v + 1 AS den")
+      .selectExpr("doc_id", "lang",
+        s"(den * ${1L << LmQBits}) div num AS ratio")
+      .selectExpr("doc_id", "lang", "ratio",
+        "length(bin(ratio)) - 1 AS b")
+      .selectExpr("doc_id", "lang",
+        s"(b - $LmQBits) * $LmMantissa" +
+          s" + (ratio * $LmMantissa) div shiftleft(CAST(1 AS BIGINT), b)" +
+          s" - $LmMantissa AS bits_q8")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits_q8")).as("sum_bits_q8"))
+      .selectExpr("doc_id", "lang", "n_bigrams", "sum_bits_q8",
+        "(sum_bits_q8 * 1000) div n_bigrams AS ce_milli_q8")
+      .orderBy("doc_id")
+  }
+
+  /** CCNet's head/middle/tail bucketing: every scored document labeled by
+    * its language's cross-entropy TERCILE (ntile(3) ordered by
+    * (ce_milli_q8, doc_id) — the tiebreak makes the boundary assignment
+    * deterministic, replacing CCNet's sampled cutoffs for oracle
+    * reproducibility). head = best fit to the trusted domain.
+    *
+    * Scale: one window over the SCORES frame, partitioned by language —
+    * rows are (doc_id, ce) pairs, so even a 10^10-document language sorts
+    * small fixed-width tuples, and the corpus text is never re-read.
+    */
+  def lmBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ce_milli_q8"), col("doc_id"))
+    lmScore(s, dir)
+      .withColumn("nt", ntile(3).over(w))
+      .selectExpr("doc_id", "lang", "ce_milli_q8",
+        "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+          + " AS bucket")
+      .orderBy("doc_id")
+  }
+
+  /** The curation dashboard over [[lmBuckets]]: per (language, bucket),
+    * document and token mass plus the bucket's cross-entropy range — what
+    * a pipeline reads to pick its keep set (CCNet trains on head+middle)
+    * and to size the result before committing to it.
+    */
+  def lmProfile(s: SparkSession, dir: String): DataFrame = {
+    val toksz = t(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long")
+        .as("n_toks"))
+    lmBuckets(s, dir)
+      .join(toksz, Seq("doc_id"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tot_tokens"),
+        min(col("ce_milli_q8")).as("min_ce"),
+        max(col("ce_milli_q8")).as("max_ce"))
+      .orderBy("lang", "bucket")
+  }
+
 }

@@ -1061,6 +1061,29 @@ class PlanSpec extends AnyFunSuite {
       "split(text) must stay materialized below the explodes")
   }
 
+  test("lm scorer: model aggs combine map-side, nothing cartesian") {
+    val p = plan("q_lm_score")
+    // c12/c1 model counts are digest-keyed aggregates with partials — a
+    // trusted-corpus bigram occurring 10^6 times costs its reducer one
+    // row per upstream partition
+    assert(p.contains("partial_count"),
+      s"model-count aggregates lost their map-side combine:\n${p.take(1500)}")
+    // model tables are trusted-corpus-bounded: at fixture scale they must
+    // broadcast onto the pool scoring pass, never sort-merge it
+    assert(!p.contains("SortMergeJoin"),
+      s"model joins must broadcast at this scale:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the LM chain:\n${p.take(1500)}")
+  }
+
+  test("lm buckets: the tercile window partitions by lang over scores only") {
+    val p = plan("q_lm_buckets")
+    assert(p.contains("windowspecdefinition(lang#"),
+      s"tercile window must partition by language:\n${p.take(1500)}")
+    assert(p.contains("ntile(3)"),
+      s"bucketing must be the rank function, not a join:\n${p.take(1500)}")
+  }
+
   test("prototype prune: one scoring pass on cid, no pair scan") {
     val p = plan("q_prototype_prune")
     // centroid component sums combine map-side (decimal partial_sum)
