@@ -147,6 +147,10 @@ object BenchStreaming {
       .select(col("doc_id"), col("text"), col("source"))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    lazy val docsLang = Tables.table(s, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     lazy val vecs = Tables.table(s, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy("vec_id").collect()
@@ -178,13 +182,17 @@ object BenchStreaming {
       "bpe" -> (() => graft.llm.TextAnalysis.encodedVocab(s, sfDir).cache()),
       "minhash" -> (() => graft.llm.Dedup.minhashIndex(
         Tables.table(s, sfDir, "documents").select(col("doc_id"), col("text"))).cache()),
-      "driftprobs" -> (() => graft.llm.Curation.driftBaseProbs(s, sfDir).cache()))
+      "driftprobs" -> (() => graft.llm.Curation.driftBaseProbs(s, sfDir).cache()),
+      "lmc12" -> (() => graft.llm.Curation.lmModel(s, sfDir)._1.cache()),
+      "lmc1" -> (() => graft.llm.Curation.lmModel(s, sfDir)._2.cache()),
+      "lmvx" -> (() => graft.llm.Curation.lmModel(s, sfDir)._3.cache()))
     // only the artifacts whose twins are selected get built (and
     // materialized OUTSIDE the timed replays)
     val artTwin = Map("anomaly" -> "anomaly_probe", "drift" -> "drift_counts",
       "mixtemp" -> "mix_temperature", "bm25" -> "bm25_probe",
       "bpe" -> "bpe_tokenize", "minhash" -> "incremental_dedup",
-      "driftprobs" -> "text_drift_probe")
+      "driftprobs" -> "text_drift_probe",
+      "lmc12" -> "lm_probe", "lmc1" -> "lm_probe", "lmvx" -> "lm_probe")
     val art = artifacts.filter { case (k, _) => selected(artTwin(k)) }
       .map { case (k, f) => k -> f() }.toMap
     val needSem = selected("semdedup_probe")
@@ -296,6 +304,11 @@ object BenchStreaming {
         Seq("doc_id", "text"),
         df => StreamOps.textDriftStream(df, art("driftprobs")),
         0L, "stateless frozen-distribution probe (map literal, no join)")),
+      "lm_probe" -> (() => measure(chunked(docsLang),
+        Seq("doc_id", "lang", "text"),
+        df => StreamOps.lmScoreStream(df, art("lmc12"), art("lmc1"),
+          art("lmvx")),
+        0L, "stateless frozen-LM probe (three broadcast joins)")),
       "interval_join" -> (() => measure2(
         chunked(views), Seq("event_id", "user_id", "ts"),
         chunked(clicks), Seq("event_id", "user_id", "ts"),

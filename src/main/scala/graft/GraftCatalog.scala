@@ -254,6 +254,8 @@ object GraftCatalog {
       .createOrReplaceTempView("lm_buckets")
     graft.llm.Curation.lmProfile(spark, sfDir)
       .createOrReplaceTempView("lm_profile")
+    graft.llm.Curation.tokenBudgetSelect(spark, sfDir)
+      .createOrReplaceTempView("lm_budget_selected")
     registerFunctions(spark)
   }
 

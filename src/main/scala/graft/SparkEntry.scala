@@ -254,6 +254,7 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) => Curation.lmScore(s, dir)),
     "q_lm_buckets" -> ((s, dir) => Curation.lmBuckets(s, dir)),
     "q_lm_profile" -> ((s, dir) => Curation.lmProfile(s, dir)),
+    "q_token_budget" -> ((s, dir) => Curation.tokenBudgetSelect(s, dir)),
     "q_epoch_shuffle" -> (Curation.epochShuffle _),
     "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -2891,6 +2892,21 @@ object SparkEntry {
                 min(b.ce_milli_q8) AS min_ce, max(b.ce_milli_q8) AS max_ce
          FROM lmbucket b JOIN tsz USING (doc_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // budget-filled selection (mirrors Curation.tokenBudgetSelect): per
+    // language, best-first documents until the token budget is covered
+    "q_token_budget" -> s"""
+         WITH $lmCtes,
+         tsz AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM tk),
+         cum AS (SELECT s.doc_id, s.lang, s.ce_milli_q8, tsz.n_toks,
+                        coalesce(sum(tsz.n_toks) OVER (PARTITION BY s.lang
+                          ORDER BY s.ce_milli_q8, s.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS cum_before
+                 FROM lmscore s JOIN tsz ON s.doc_id = tsz.doc_id)
+         SELECT doc_id, lang, ce_milli_q8, n_toks,
+                cum_before + n_toks AS cum_tokens
+         FROM cum WHERE cum_before < ${Curation.LmTokenBudget}
+         ORDER BY doc_id""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,
                 CAST(${hexIntSql("'mix:' || doc_id")} % 100 AS INT) AS bucket,

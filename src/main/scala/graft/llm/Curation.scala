@@ -775,43 +775,70 @@ object Curation {
     * (grams travel as digests + the doc_id), and reduced by one
     * doc_id-keyed aggregation. Nothing collects; nothing is quadratic.
     */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val tk = t(s, dir, "documents")
+  /** The digest-keyed bigram stream of a (doc_id, lang, toks) frame —
+    * shared by the batch scorer's fit and score sides and the streaming
+    * probe (one definition of the keys, so the frozen model and the live
+    * lookups can never drift apart).
+    */
+  private[graft] def lmBigrams(df: DataFrame): DataFrame = df
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), col("lang"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    .select(col("doc_id"), col("lang"),
+      md5(concat(col("lang"), lit(":"), col("p.w1"), lit(" "),
+        col("p.w2"))).as("bgh"),
+      md5(concat(col("lang"), lit(":"), col("p.w1"))).as("lkh"))
+
+  /** The (doc_id, lang, source, toks) scan the LM chain starts from. */
+  private[graft] def lmTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         tokens(col("text")).as("toks"))
-    def bigrams(df: DataFrame): DataFrame = df
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("lang"),
-        md5(concat(col("lang"), lit(":"), col("p.w1"), lit(" "),
-          col("p.w2"))).as("bgh"),
-        md5(concat(col("lang"), lit(":"), col("p.w1"))).as("lkh"))
-    val trusted = tk.filter(col("source") === DsirTargetSource)
-    val tbg = bigrams(trusted)
-    val c12 = tbg.groupBy(col("bgh")).agg(count(lit(1)).as("c12"))
-    val c1 = tbg.groupBy(col("lkh")).agg(count(lit(1)).as("c1"))
-    val vx = trusted
-      .select(col("lang"), explode(col("toks")).as("w"))
-      .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
-    bigrams(tk.filter(col("source") =!= DsirTargetSource))
+
+  /** The frozen LM model — the three fit artifacts a deployment persists
+    * and the streaming probe rides: (bigram counts keyed on the bgh
+    * digest, bigram-left counts keyed on lkh, per-language vocabulary
+    * sizes). All bounded by the TRUSTED corpus.
+    */
+  private[graft] def lmModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val trusted = lmTokens(s, dir).filter(col("source") === DsirTargetSource)
+    val tbg = lmBigrams(trusted)
+    (tbg.groupBy(col("bgh")).agg(count(lit(1)).as("c12")),
+      tbg.groupBy(col("lkh")).agg(count(lit(1)).as("c1")),
+      trusted.select(col("lang"), explode(col("toks")).as("w"))
+        .groupBy(col("lang")).agg(countDistinct(col("w")).as("v")))
+  }
+
+  /** The row-local exact bit-count pipeline over a joined frame carrying
+    * (doc_id, lang, nullable c12, nullable c1, v): smoothing, the gridded
+    * ratio, floor-log2 + mantissa → bits_q8. ONE definition for the batch
+    * scorer and the streaming probe.
+    */
+  private[graft] def lmBitsFrom(joined: DataFrame): DataFrame = joined
+    .selectExpr("doc_id", "lang",
+      "coalesce(c12, CAST(0 AS BIGINT)) + 1 AS num",
+      "coalesce(c1, CAST(0 AS BIGINT)) + v + 1 AS den")
+    .selectExpr("doc_id", "lang",
+      s"(den * ${1L << LmQBits}) div num AS ratio")
+    .selectExpr("doc_id", "lang", "ratio",
+      "length(bin(ratio)) - 1 AS b")
+    .selectExpr("doc_id", "lang",
+      s"(b - $LmQBits) * $LmMantissa" +
+        s" + (ratio * $LmMantissa) div shiftleft(CAST(1 AS BIGINT), b)" +
+        s" - $LmMantissa AS bits_q8")
+
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val (c12, c1, vx) = lmModel(s, dir)
+    val pool = lmBigrams(
+      lmTokens(s, dir).filter(col("source") =!= DsirTargetSource))
+    lmBitsFrom(pool
       .join(broadcast(vx), Seq("lang"))
       .join(c12, Seq("bgh"), "left_outer")
-      .join(c1, Seq("lkh"), "left_outer")
-      .selectExpr("doc_id", "lang",
-        "coalesce(c12, CAST(0 AS BIGINT)) + 1 AS num",
-        "coalesce(c1, CAST(0 AS BIGINT)) + v + 1 AS den")
-      .selectExpr("doc_id", "lang",
-        s"(den * ${1L << LmQBits}) div num AS ratio")
-      .selectExpr("doc_id", "lang", "ratio",
-        "length(bin(ratio)) - 1 AS b")
-      .selectExpr("doc_id", "lang",
-        s"(b - $LmQBits) * $LmMantissa" +
-          s" + (ratio * $LmMantissa) div shiftleft(CAST(1 AS BIGINT), b)" +
-          s" - $LmMantissa AS bits_q8")
+      .join(c1, Seq("lkh"), "left_outer"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("bits_q8")).as("sum_bits_q8"))
@@ -839,6 +866,43 @@ object Curation {
       .selectExpr("doc_id", "lang", "ce_milli_q8",
         "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
           + " AS bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language token budget for [[tokenBudgetSelect]] — the corpus
+    * spec a mixture plan hands the selector ("this many tokens of each
+    * language"), a constant so the oracle can replay the fill.
+    */
+  val LmTokenBudget = 2000L
+
+  /** Budget-filled selection over the LM scores — the step that turns
+    * the scorer into a corpus: per language, walk documents from best
+    * (lowest cross-entropy) to worst and keep them until the language's
+    * token budget is filled. A document is kept when the token mass
+    * BEFORE it is still under [[LmTokenBudget]] (so the budget is always
+    * reached when the pool allows, overshooting by at most one document
+    * — the deterministic replacement for sampled quota fills).
+    *
+    * Scale shape: one doc_id-keyed join of two linear frames (scores ×
+    * token counts), then one per-language running-sum window over
+    * (ce, doc_id) — small fixed-width rows, the [[lmBuckets]] argument;
+    * the kept set is budget-bounded, so everything downstream of the
+    * filter is O(budget · languages) regardless of corpus size.
+    */
+  def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksz = t(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long")
+        .as("n_toks"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ce_milli_q8"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lmScore(s, dir)
+      .join(toksz, Seq("doc_id"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .filter(col("cum_before") < LmTokenBudget)
+      .select(col("doc_id"), col("lang"), col("ce_milli_q8"), col("n_toks"),
+        (col("cum_before") + col("n_toks")).as("cum_tokens"))
       .orderBy("doc_id")
   }
 

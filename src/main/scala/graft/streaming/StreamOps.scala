@@ -568,6 +568,31 @@ object StreamOps {
         "typ_sum div n_feats AS typicality_x1e9", "n_unseen")
   }
 
+  /** Streaming form of [[graft.llm.Curation.lmScore]] — the live
+    * quality-admission probe: each incoming (doc_id, lang, text) probes
+    * the FROZEN per-language bigram model ([[graft.llm.Curation.lmModel]]
+    * — the persisted fit artifacts a deployment refreshes on the batch
+    * cadence) via stateless stream-static broadcast joins on the digest
+    * keys, emitting one exact bits_q8 row per bigram in append mode —
+    * the same smoothing/grid/floor-log2 arithmetic as the batch scorer
+    * ([[graft.llm.Curation.lmBitsFrom]], one shared definition).
+    *
+    * The per-DOCUMENT cross-entropy is a sum on a non-time key —
+    * stateful in a stream — so it stays a downstream batch fold, the
+    * bpe/bm25-probe split; the spec pins the fold equal to the batch
+    * [[graft.llm.Curation.lmScore]] rows. Documents of a language the
+    * model never fitted emit no row (the membership-join drop-unknown
+    * contract, CCNet's "no LM for this language").
+    */
+  def lmScoreStream(docs: DataFrame, c12: DataFrame, c1: DataFrame,
+      vx: DataFrame): DataFrame =
+    graft.llm.Curation.lmBitsFrom(
+      graft.llm.Curation.lmBigrams(docs.select(col("doc_id"), col("lang"),
+          graft.llm.TextHash.tokens(col("text")).as("toks")))
+        .join(broadcast(vx), Seq("lang"))
+        .join(broadcast(c12), Seq("bgh"), "left_outer")
+        .join(broadcast(c1), Seq("lkh"), "left_outer"))
+
   /** Streaming form of [[graft.ops.AnalyticsOps.anomalyMad]] — the live
     * anomaly monitor: incoming events probe the FROZEN per-type
     * (median, MAD) statistics table ([[graft.ops.AnalyticsOps.madStats]],

@@ -109,6 +109,30 @@ class LmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenBudgetSelect fills each language's budget best-first") {
+    val toksz = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1).length.toLong))
+      .toMap
+    val got = Curation.tokenBudgetSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // replay the fill in pure Scala from the already-verified scores
+    val exp = expected.toSeq
+      .map { case (id, (lang, _, _, ce)) => (id, lang, ce, toksz(id)) }
+      .groupBy(_._2).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._1))
+        val cums = ordered.scanLeft(0L)(_ + _._4)
+        ordered.zip(cums).takeWhile(_._2 < Curation.LmTokenBudget)
+          .map { case ((id, lang, ce, nt), cb) => (id, lang, ce, nt, cb + nt) }
+      }.toSet
+    assert(got.toSet == exp)
+    // every language reaches its budget (the fixture pool is ample)
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.map(_._4).sum >= Curation.LmTokenBudget, s"$lang underfilled")
+    }
+  }
+
   test("lmProfile aggregates the buckets relation exactly") {
     val buckets = Curation.lmBuckets(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))

@@ -1108,6 +1108,44 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("lmScoreStream folds to the batch lmScore rows over the frozen model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (c12, c1, vx) = graft.llm.Curation.lmModel(spark, dir)
+    val mc12 = c12.cache(); val mc1 = c1.cache(); val mvx = vx.cache()
+    mc12.count(); mc1.count(); mvx.count()
+    // stream the raw pool (what the batch scorer scores), split over two
+    // micro-batches to exercise the stateless probe across triggers
+    val pool = Tables.table(spark, dir, "documents")
+      .filter(col("source") =!= graft.llm.Curation.DsirTargetSource)
+      .select("doc_id", "lang", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(pool.take(pool.size / 2))
+    mem.addData(pool.drop(pool.size / 2))
+    val q = StreamOps.lmScoreStream(
+        mem.toDF.toDF("doc_id", "lang", "text"), mc12, mc1, mvx)
+      .writeStream.format("memory").queryName("lmprobe")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the downstream fold: per-document sum/count/floor-average
+    val folded = spark.table("lmprobe")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("bits_q8")).as("sb"))
+      .selectExpr("doc_id", "lang", "n", "sb", "(sb * 1000) div n AS ce")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.llm.Curation.lmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(folded == batch, "stream fold and batch scorer diverge")
+    spark.catalog.clearCache()
+  }
+
   test("funnelStream advances stages across micro-batches like the batch build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
