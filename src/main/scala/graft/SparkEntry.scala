@@ -393,20 +393,20 @@ object SparkEntry {
     */
   private lazy val lmCtes: String = {
     import graft.llm.Curation.{DsirTargetSource, LmQBits, LmMantissa}
-    s"""tk AS (SELECT doc_id, lang, source,
+    s"""tk AS MATERIALIZED (SELECT doc_id, lang, source,
                       string_split_regex(text, '\\s+') AS toks
                FROM documents),
         bgx AS (SELECT doc_id, lang, source,
                        unnest(list_transform(range(1, len(toks)),
                          i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
                 FROM tk WHERE len(toks) >= 2),
-        bgc AS (SELECT doc_id, lang, source, p.w1 AS w1, p.w2 AS w2
+        bgc AS MATERIALIZED (SELECT doc_id, lang, source, p.w1 AS w1, p.w2 AS w2
                 FROM bgx),
-        c12 AS (SELECT lang, w1, w2, count(*)::BIGINT AS c12
+        c12 AS MATERIALIZED (SELECT lang, w1, w2, count(*)::BIGINT AS c12
                 FROM bgc WHERE source = '$DsirTargetSource' GROUP BY 1, 2, 3),
-        c1x AS (SELECT lang, w1, count(*)::BIGINT AS c1
+        c1x AS MATERIALIZED (SELECT lang, w1, count(*)::BIGINT AS c1
                 FROM bgc WHERE source = '$DsirTargetSource' GROUP BY 1, 2),
-        vx AS (SELECT lang, count(DISTINCT w)::BIGINT AS v
+        vx AS MATERIALIZED (SELECT lang, count(DISTINCT w)::BIGINT AS v
                FROM (SELECT lang, unnest(toks) AS w FROM tk
                      WHERE source = '$DsirTargetSource') GROUP BY 1),
         rat AS (SELECT bgc.doc_id, bgc.lang,
@@ -424,7 +424,7 @@ object SparkEntry {
                             // (1::BIGINT << (length(bin(ratio)) - 1))
                           - $LmMantissa AS bits_q8
                  FROM rat),
-        lmscore AS (SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+        lmscore AS MATERIALIZED (SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
                            sum(bits_q8)::BIGINT AS sum_bits_q8,
                            (sum(bits_q8)::BIGINT * 1000) // count(*)::BIGINT
                              AS ce_milli_q8
@@ -657,9 +657,9 @@ object SparkEntry {
     */
   private lazy val substrCtes: String = {
     val k = graft.llm.Dedup.SubstrK
-    s"""tk AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+    s"""tk AS MATERIALIZED (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
                FROM documents),
-        occ AS (SELECT doc_id, i - 1 AS p,
+        occ AS MATERIALIZED (SELECT doc_id, i - 1 AS p,
                        md5(array_to_string(toks[i : i + ${k - 1}], ' ')) AS gh
                 FROM (SELECT doc_id, toks,
                              unnest(range(1, len(toks) - $k + 2)) AS i
@@ -681,7 +681,7 @@ object SparkEntry {
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING) AS pe
                      FROM mk) mkp),
-        rg AS (SELECT doc_id, isl, CAST(min(s) AS INT) AS start_tok,
+        rg AS MATERIALIZED (SELECT doc_id, isl, CAST(min(s) AS INT) AS start_tok,
                       CAST(max(e) AS INT) AS end_tok
                FROM il GROUP BY doc_id, isl)"""
   }
