@@ -256,6 +256,8 @@ object GraftCatalog {
       .createOrReplaceTempView("lm_profile")
     graft.llm.Curation.tokenBudgetSelect(spark, sfDir)
       .createOrReplaceTempView("lm_budget_selected")
+    graft.llm.Curation.pipelineQuality(spark, sfDir)
+      .createOrReplaceTempView("quality_pipeline")
     registerFunctions(spark)
   }
 

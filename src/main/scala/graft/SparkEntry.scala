@@ -255,6 +255,7 @@ object SparkEntry {
     "q_lm_buckets" -> ((s, dir) => Curation.lmBuckets(s, dir)),
     "q_lm_profile" -> ((s, dir) => Curation.lmProfile(s, dir)),
     "q_token_budget" -> ((s, dir) => Curation.tokenBudgetSelect(s, dir)),
+    "q_pipeline_quality" -> ((s, dir) => Curation.pipelineQuality(s, dir)),
     "q_epoch_shuffle" -> (Curation.epochShuffle _),
     "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -2906,6 +2907,37 @@ object SparkEntry {
          SELECT doc_id, lang, ce_milli_q8, n_toks,
                 cum_before + n_toks AS cum_tokens
          FROM cum WHERE cum_before < ${Curation.LmTokenBudget}
+         ORDER BY doc_id""",
+    // composed quality pipeline (mirrors Curation.pipelineQuality):
+    // decontaminate -> LM tercile keep -> budget fill, each stage the
+    // SAME CTE text its standalone oracle uses (lmCtes; sh rebuilt from
+    // the LM chain's tk so decontaminateCtes applies verbatim)
+    "q_pipeline_quality" -> s"""
+         WITH $lmCtes,
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' '
+                                        || toks[i+2]))
+                            ELSE [''] END AS grams
+                FROM tk), $decontaminateCtes,
+         adm AS (SELECT b.doc_id, b.lang, b.ce_milli_q8, tsz.n_toks
+                 FROM lmbucket b
+                 JOIN (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM tk) tsz
+                   ON b.doc_id = tsz.doc_id
+                 JOIN corpus c ON b.doc_id = c.doc_id
+                 LEFT JOIN hits h ON b.doc_id = h.doc_id
+                 WHERE b.bucket <> 'tail' AND coalesce(h.n_hits, 0) = 0),
+         fill AS (SELECT doc_id, lang, ce_milli_q8, n_toks,
+                         coalesce(sum(n_toks) OVER (PARTITION BY lang
+                           ORDER BY ce_milli_q8, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS cum_before
+                  FROM adm)
+         SELECT doc_id, lang, ce_milli_q8, n_toks,
+                cum_before + n_toks AS cum_tokens
+         FROM fill WHERE cum_before < ${Curation.LmTokenBudget}
          ORDER BY doc_id""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,

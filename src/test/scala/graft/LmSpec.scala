@@ -133,6 +133,33 @@ class LmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pipelineQuality composes its three declared stages exactly") {
+    val clean = Curation.decontaminate(spark, dir)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val nonTail = Curation.lmBuckets(spark, dir)
+      .filter(col("bucket") =!= "tail").collect().map(_.getLong(0)).toSet
+    val toksz = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+", -1).length.toLong))
+      .toMap
+    val admitted = expected.filter { case (id, _) =>
+      clean(id) && nonTail(id) }
+    val exp = admitted.toSeq
+      .map { case (id, (lang, _, _, ce)) => (id, lang, ce, toksz(id)) }
+      .groupBy(_._2).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._1))
+        val cums = ordered.scanLeft(0L)(_ + _._4)
+        ordered.zip(cums).takeWhile(_._2 < Curation.LmTokenBudget)
+          .map { case ((id, lang, ce, nt), cb) => (id, lang, ce, nt, cb + nt) }
+      }.toSet
+    val got = Curation.pipelineQuality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == exp)
+    // composition is strictly tighter than the plain budget fill's pool
+    assert(got.map(_._1).forall(id => clean(id) && nonTail(id)))
+  }
+
   test("lmProfile aggregates the buckets relation exactly") {
     val buckets = Curation.lmBuckets(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
