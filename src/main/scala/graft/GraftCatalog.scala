@@ -258,6 +258,18 @@ object GraftCatalog {
       .createOrReplaceTempView("lm_budget_selected")
     graft.llm.Curation.pipelineQuality(spark, sfDir)
       .createOrReplaceTempView("quality_pipeline")
+    // round-13 continuation: excess-surprise / novelty / balanced-sample /
+    // semantic-decon selection tier — lazy plans under the same
+    // cache=false view-mount contract
+    graft.llm.Curation.lmExcess(spark, sfDir, cache = false)
+      .createOrReplaceTempView("lm_excess_selected")
+    graft.llm.Curation.ngramNovelty(spark, sfDir)
+      .createOrReplaceTempView("ngram_novelty")
+    graft.llm.Similarity.diversitySample(spark, sfDir, cache = false,
+      k = Some(graft.llm.Similarity.KmeansK))
+      .createOrReplaceTempView("diversity_sample")
+    graft.llm.Similarity.semanticDecontaminate(spark, sfDir)
+      .createOrReplaceTempView("semantic_decon")
     registerFunctions(spark)
   }
 

@@ -137,6 +137,8 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_embed_hardneg" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_prototype_prune" -> ((s, dir) => Similarity.prototypePrune(s, dir)),
+    "q_diversity_sample" -> ((s, dir) => Similarity.diversitySample(s, dir)),
+    "q_semantic_decon" -> ((s, dir) => Similarity.semanticDecontaminate(s, dir)),
     "q_embed_pq" -> ((s, dir) => Similarity.pqQuantize(s, dir)),
     "q_embed_pq_search" -> ((s, dir) => Similarity.pqSearch(s, dir)),
     "q_embed_pq_rerank" -> ((s, dir) => Similarity.pqSearchRerank(s, dir)),
@@ -256,6 +258,8 @@ object SparkEntry {
     "q_lm_profile" -> ((s, dir) => Curation.lmProfile(s, dir)),
     "q_token_budget" -> ((s, dir) => Curation.tokenBudgetSelect(s, dir)),
     "q_pipeline_quality" -> ((s, dir) => Curation.pipelineQuality(s, dir)),
+    "q_lm_excess" -> ((s, dir) => Curation.lmExcess(s, dir)),
+    "q_ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(s, dir)),
     "q_epoch_shuffle" -> (Curation.epochShuffle _),
     "q_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     "q_text_repetition" -> (TextAnalysis.repetition _),
@@ -392,6 +396,26 @@ object SparkEntry {
     * Every division is `//`-floor on non-negative BIGINTs and the
     * floor-log2 is the binary-string length in BOTH engines (bin()).
     */
+  /** The gridded smoothing ratio over nullable count columns — the `rat`
+    * CTE's arithmetic as a helper, shared with the q_lm_excess oracle's
+    * two-model scoring (mirrors Curation.lmBitsExpr's num/den/ratio).
+    */
+  private def lmRatioSql(c12c: String, c1c: String, vc: String): String = {
+    import graft.llm.Curation.LmQBits
+    s"""((coalesce($c1c, 0) + $vc + 1) * ${1L << LmQBits})
+          // (coalesce($c12c, 0) + 1)"""
+  }
+
+  /** Exact integer bit count of a gridded ratio (floor-log2 via bin()
+    * length + linear mantissa — the `bits` CTE's arithmetic as a helper).
+    */
+  private def lmBitsSql(r: String): String = {
+    import graft.llm.Curation.{LmQBits, LmMantissa}
+    s"""((length(bin($r)) - 1 - $LmQBits) * $LmMantissa
+          + (($r) * $LmMantissa) // (1::BIGINT << (length(bin($r)) - 1))
+          - $LmMantissa)"""
+  }
+
   private lazy val lmCtes: String = {
     import graft.llm.Curation.{DsirTargetSource, LmQBits, LmMantissa}
     s"""tk AS MATERIALIZED (SELECT doc_id, lang, source,
@@ -636,10 +660,10 @@ object SparkEntry {
 
   /** Tokenized + shingled documents CTE (mirrors TextHash.{tokens,shingles3}). */
   private val shingledCte: String =
-    """tk AS (SELECT doc_id, lang, n_chars,
+    """tk AS (SELECT doc_id, lang, source, n_chars,
                      string_split_regex(text, '\s+') AS toks
               FROM documents),
-       sh AS (SELECT doc_id, lang, n_chars,
+       sh AS (SELECT doc_id, lang, source, n_chars,
                      CASE WHEN len(toks) >= 3
                           THEN list_distinct(list_transform(range(1, len(toks) - 1),
                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
@@ -2078,6 +2102,33 @@ object SparkEntry {
                 (r.rk > (s.cnt * ${Similarity.PrunePct}) // 100) AS keep
          FROM rk r JOIN sz s ON r.cid = s.cid
          ORDER BY r.vec_id""",
+    // cluster-balanced diversity sampling (mirrors Similarity
+    // .diversitySample): same two-level membership, per-cluster md5 rank,
+    // at most DiversityQuota survivors per fine cluster
+    "q_diversity_sample" -> s"""
+         WITH $hierMembersCtes,
+         rk AS (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY cid
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         AS rk
+                FROM members)
+         SELECT vec_id, cid, CAST(rk AS INT) AS rk
+         FROM rk WHERE rk <= ${Similarity.DiversityQuota}
+         ORDER BY vec_id""",
+    // semantic decontamination (mirrors Similarity.semanticDecontaminate):
+    // candidate generation is the SHARED embedScoredCtes relation — max
+    // 9dp cosine per non-eval vector against the eval set, ties to the
+    // smallest eval id, keep below the SemDedup threshold
+    "q_semantic_decon" -> s"""
+         WITH $embedScoredCtes,
+         px AS (SELECT vec_id, cos, q_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, q_id ASC) AS rk
+                FROM scored WHERE vec_id >= ${Similarity.NQueries})
+         SELECT p.vec_id, c.label, p.cos AS eval_cos, p.q_id AS eval_id,
+                (p.cos < ${Similarity.SemDedupThreshold}) AS keep
+         FROM px p JOIN c ON p.vec_id = c.vec_id
+         WHERE p.rk = 1 ORDER BY p.vec_id""",
     // product quantization (mirrors Similarity.pqQuantize): per-subspace
     // seed → one Lloyd refinement with exact-decimal means → reassign;
     // squared L2 via the dot identity rounded at 9dp before every argmin,
@@ -2939,6 +2990,70 @@ object SparkEntry {
                 cum_before + n_toks AS cum_tokens
          FROM fill WHERE cum_before < ${Curation.LmTokenBudget}
          ORDER BY doc_id""",
+    // RHO-style excess-surprise selection (mirrors Curation.lmExcess): the
+    // SAME pool bigram stream scored under the trusted model (lmCtes'
+    // c12/c1x/vx — ce_ref is lmscore's ce row for row) AND a pool-fitted
+    // model (c12p/c1p/vp over the identical bgc slice); both bit counts on
+    // the identical integer grid, top-quota by excess
+    "q_lm_excess" -> s"""
+         WITH $lmCtes,
+         c12p AS MATERIALIZED (SELECT lang, w1, w2, count(*)::BIGINT AS c12p
+                 FROM bgc WHERE source <> '${Curation.DsirTargetSource}'
+                 GROUP BY 1, 2, 3),
+         c1p AS MATERIALIZED (SELECT lang, w1, count(*)::BIGINT AS c1p
+                FROM bgc WHERE source <> '${Curation.DsirTargetSource}'
+                GROUP BY 1, 2),
+         vp AS MATERIALIZED (SELECT lang, count(DISTINCT w)::BIGINT AS vp
+               FROM (SELECT lang, unnest(toks) AS w FROM tk
+                     WHERE source <> '${Curation.DsirTargetSource}')
+               GROUP BY 1),
+         ratx AS (SELECT bgc.doc_id, bgc.lang,
+                    ${lmRatioSql("c12.c12", "c1x.c1", "vx.v")} AS rr,
+                    ${lmRatioSql("c12p.c12p", "c1p.c1p", "vp.vp")} AS rs
+                  FROM bgc
+                  JOIN vx ON bgc.lang = vx.lang
+                  JOIN vp ON bgc.lang = vp.lang
+                  LEFT JOIN c12 ON bgc.lang = c12.lang AND bgc.w1 = c12.w1
+                               AND bgc.w2 = c12.w2
+                  LEFT JOIN c1x ON bgc.lang = c1x.lang AND bgc.w1 = c1x.w1
+                  LEFT JOIN c12p ON bgc.lang = c12p.lang AND bgc.w1 = c12p.w1
+                                AND bgc.w2 = c12p.w2
+                  LEFT JOIN c1p ON bgc.lang = c1p.lang AND bgc.w1 = c1p.w1
+                  WHERE bgc.source <> '${Curation.DsirTargetSource}'),
+         bitsx AS (SELECT doc_id, lang,
+                     ${lmBitsSql("rr")} AS br, ${lmBitsSql("rs")} AS bs
+                   FROM ratx),
+         ex AS (SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+                       (sum(br)::BIGINT * 1000) // count(*)::BIGINT
+                         AS ce_ref_milli_q8,
+                       (sum(bs)::BIGINT * 1000) // count(*)::BIGINT
+                         AS ce_self_milli_q8
+                FROM bitsx GROUP BY 1, 2)
+         SELECT doc_id, lang, n_bigrams, ce_ref_milli_q8, ce_self_milli_q8,
+                ce_self_milli_q8 - ce_ref_milli_q8 AS excess_milli_q8
+         FROM ex
+         ORDER BY excess_milli_q8 DESC, doc_id
+         LIMIT ${Curation.LmExcessQuota}""",
+    // n-gram novelty vs the trusted slice (mirrors Curation.ngramNovelty):
+    // distinct-shingle membership probe on the shared shingle definition,
+    // ratio on the exact x1e6 grid
+    "q_ngram_novelty" -> s"""
+         WITH $shingledCte,
+         ref AS (SELECT DISTINCT gram
+                 FROM (SELECT unnest(grams) AS gram FROM sh
+                       WHERE source = '${Curation.DsirTargetSource}')
+                 WHERE gram <> ''),
+         pg AS (SELECT doc_id, lang, unnest(grams) AS gram FROM sh
+                WHERE source <> '${Curation.DsirTargetSource}'),
+         nv AS (SELECT pg.doc_id, pg.lang, count(*)::BIGINT AS n_grams,
+                       sum(CASE WHEN ref.gram IS NOT NULL
+                                THEN 1 ELSE 0 END)::BIGINT AS n_known
+                FROM pg LEFT JOIN ref ON pg.gram = ref.gram
+                WHERE pg.gram <> ''
+                GROUP BY 1, 2)
+         SELECT doc_id, lang, n_grams, n_known,
+                ((n_grams - n_known) * 1000000) // n_grams AS novelty_x1e6
+         FROM nv ORDER BY doc_id""",
     "q_source_mix" -> s"""
          SELECT doc_id, source,
                 CAST(${hexIntSql("'mix:' || doc_id")} % 100 AS INT) AS bucket,

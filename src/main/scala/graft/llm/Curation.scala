@@ -961,4 +961,136 @@ object Curation {
       .orderBy("lang", "bucket")
   }
 
+  // ------------------------------------------------------------------
+  // Excess-surprise selection (RHO-loss, Mindermann et al. 2022) and
+  // n-gram novelty — the two-model / reference-set scoring tier
+  // ------------------------------------------------------------------
+
+  /** Documents kept by [[lmExcess]] — the selection quota, a constant so
+    * the oracle can replay the ordered fill.
+    */
+  val LmExcessQuota = 200
+
+  /** The exact integer bit-count expression over nullable count columns —
+    * the [[lmBitsFrom]] arithmetic as a SQL string, parameterized so
+    * [[lmExcess]] can score ONE bigram stream under TWO models in a
+    * single projection (same smoothing, same grid, same floor-log2 +
+    * linear mantissa; column-for-column the batch scorer's math).
+    */
+  private[graft] def lmBitsExpr(c12c: String, c1c: String,
+      vc: String): String = {
+    val num = s"(coalesce($c12c, CAST(0 AS BIGINT)) + 1)"
+    val den = s"(coalesce($c1c, CAST(0 AS BIGINT)) + $vc + 1)"
+    val ratio = s"(($den * ${1L << LmQBits}) div $num)"
+    val b = s"(length(bin($ratio)) - 1)"
+    s"(($b - $LmQBits) * $LmMantissa" +
+      s" + ($ratio * $LmMantissa) div shiftleft(CAST(1 AS BIGINT), $b)" +
+      s" - $LmMantissa)"
+  }
+
+  /** RHO-style excess-surprise selection (Mindermann et al. 2022's
+    * reducible-holdout-loss rule at document granularity, the two bigram
+    * models standing in for the training/reference pair): every raw-pool
+    * document is scored under (a) the TRUSTED-slice model — the reference
+    * that knows the target domain — and (b) a model fitted on the POOL
+    * itself — the "already learned" estimate. `excess = ce_self − ce_ref`
+    * is high exactly when the pool models a document poorly but the
+    * reference models it well: learnable, in-domain, not yet represented
+    * — the documents worth adding. Noise scores high under BOTH models
+    * and cancels; boilerplate the pool already saturates scores low
+    * under the self model. The [[LmExcessQuota]] highest-excess documents
+    * are kept (doc_id tiebreak — deterministic, the oracle-replayable
+    * stand-in for the paper's per-batch top-k).
+    *
+    * Both scores ride the [[lmBitsFrom]] exact integer grid — `ce_ref`
+    * here equals [[lmScore]]'s `ce_milli_q8` row for row (pinned in
+    * LmExcessSpec), so the excess column is grounded in the already-
+    * decided scorer rather than a parallel reimplementation.
+    *
+    * Scale shape: ONE pool scan explodes to the bigram stream (cached —
+    * the pool model's two count aggregations and the scoring join all
+    * read it); the reference model is trusted-corpus-bounded and
+    * broadcasts as before; the POOL model is pool-sized, so its c12/c1
+    * tables join back digest-keyed (shuffle joins — never anything
+    * all-pairs, and the join keys are the 16-byte digests the stream
+    * already carries). The selection is an ordered limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort).
+    */
+  def lmExcess(s: SparkSession, dir: String,
+      cache: Boolean = true): DataFrame = {
+    val (c12r, c1r, vr) = lmModel(s, dir)
+    val pool = lmTokens(s, dir).filter(col("source") =!= DsirTargetSource)
+    val pbgPlan = lmBigrams(pool)
+    val pbg = if (cache) pbgPlan.cache() else pbgPlan
+    val c12s = pbg.groupBy(col("bgh")).agg(count(lit(1)).as("c12s"))
+    val c1s = pbg.groupBy(col("lkh")).agg(count(lit(1)).as("c1s"))
+    val vs = pool.select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("vs"))
+    pbg
+      .join(broadcast(vr.withColumnRenamed("v", "vr")), Seq("lang"))
+      .join(broadcast(vs), Seq("lang"))
+      .join(c12r.withColumnRenamed("c12", "c12r"), Seq("bgh"), "left_outer")
+      .join(c1r.withColumnRenamed("c1", "c1r"), Seq("lkh"), "left_outer")
+      .join(c12s, Seq("bgh"), "left_outer")
+      .join(c1s, Seq("lkh"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        expr(lmBitsExpr("c12r", "c1r", "vr")).as("bits_ref"),
+        expr(lmBitsExpr("c12s", "c1s", "vs")).as("bits_self"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits_ref")).as("sum_ref"),
+        sum(col("bits_self")).as("sum_self"))
+      .selectExpr("doc_id", "lang", "n_bigrams",
+        "(sum_ref * 1000) div n_bigrams AS ce_ref_milli_q8",
+        "(sum_self * 1000) div n_bigrams AS ce_self_milli_q8",
+        "(sum_self * 1000) div n_bigrams" +
+          " - (sum_ref * 1000) div n_bigrams AS excess_milli_q8")
+      .orderBy(col("excess_milli_q8").desc, col("doc_id"))
+      .limit(LmExcessQuota)
+      .orderBy(col("excess_milli_q8").desc, col("doc_id"))
+  }
+
+  /** N-gram novelty scoring (the memorization-risk / freshness metric a
+    * pipeline reads before adding a crawl batch): for every raw-pool
+    * document, the fraction of its DISTINCT word 3-gram shingles that do
+    * not occur anywhere in the trusted reference slice — `novelty_x1e6`
+    * on the exact ×1e6 integer grid. 0 = every shingle already known
+    * (memorized/boilerplate relative to the reference), 1e6 = entirely
+    * novel text. The graded counterpart of [[decontaminate]]'s boolean
+    * overlap verdict, against the trusted slice rather than the
+    * benchmark set.
+    *
+    * Documents too short to form a 3-gram (the `""` fallback shingle,
+    * excluded on both sides as in [[decontaminate]]) are unscoreable by
+    * construction and absent from the output.
+    *
+    * Scale shape: one scan of each side; the reference's distinct
+    * shingle set is trusted-corpus-bounded and broadcasts (beyond the
+    * broadcast budget the membership probe becomes a digest-keyed
+    * shuffle join of two linear frames — never all-pairs); the per-doc
+    * ratio is one doc_id-keyed aggregation. Shingles are distinct within
+    * a document by construction, so the posting-join count IS the
+    * distinct known-gram count.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        shingles3(tokens(col("text"))).as("grams"))
+    val ref = sh.filter(col("source") === DsirTargetSource)
+      .select(explode(col("grams")).as("gram"))
+      .filter(col("gram") =!= "")
+      .distinct()
+      .withColumn("known", lit(1L))
+    sh.filter(col("source") =!= DsirTargetSource)
+      .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+      .filter(col("gram") =!= "")
+      .join(broadcast(ref), Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .selectExpr("doc_id", "lang", "n_grams", "n_known",
+        "((n_grams - n_known) * 1000000) div n_grams AS novelty_x1e6")
+      .orderBy("doc_id")
+  }
+
 }

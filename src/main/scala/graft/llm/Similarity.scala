@@ -1418,6 +1418,82 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Vectors kept per fine cluster by [[diversitySample]]. */
+  val DiversityQuota = 25
+
+  /** Cluster-balanced diversity sampling (the inverse-propensity
+    * flattening used to de-bias web-scale corpora toward coverage): at
+    * most [[DiversityQuota]] vectors from EVERY fine cluster of the
+    * two-level k-means membership, chosen uniformly within the cluster
+    * by md5(vec_id) rank (deterministic on every run and engine — no RNG
+    * state, the [[graft.llm.Curation.sourceMix]] discipline). Dense
+    * regions are capped at the quota while sparse clusters survive
+    * whole, so the sample's cluster-coverage is flat where the corpus
+    * is arbitrarily peaked — the complement of [[prototypePrune]]'s
+    * redundancy drop on the same membership (one clustering definition,
+    * two curation rules).
+    *
+    * Scale shape: the membership chain is [[hierMembers]]'s n·√k work;
+    * the sampling adds ONE window over (cid, md5, vec_id) — small
+    * fixed-width rows, text and vectors never re-sorted — and the output
+    * is bounded by quota × clusters ≈ n·quota/target regardless of how
+    * the corpus skews.
+    */
+  def diversitySample(s: SparkSession, dir: String,
+      cache: Boolean = true, k: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(s, dir)
+    val members = hierMembers(c, resolvePairK(c, k), cache)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    members
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DiversityQuota)
+      .select(col("vec_id"), col("cid"), col("rk").cast("int").as("rk"))
+      .orderBy("vec_id")
+  }
+
+  /** Semantic decontamination (the embedding-space twin of
+    * [[graft.llm.Curation.decontaminate]]'s n-gram rule): every corpus
+    * vector outside the held-out set is scored by its maximum 9dp cosine
+    * against the eval vectors (the first [[NQueries]] vec_ids — the
+    * standing query-set convention), and kept only when that maximum
+    * stays below [[SemDedupThreshold]] — a paraphrased benchmark item
+    * that shares no 3-gram still lands inside the threshold ball and is
+    * caught here. Emits the nearest eval id and the max cosine (ties to
+    * the smallest eval id), so a curation run can audit WHY a document
+    * was dropped.
+    *
+    * Scale shape: the eval set is benchmark-sized (fixed, tiny) and
+    * broadcasts; the corpus streams ONCE through a broadcast
+    * nested-loop join + struct-max argmax — linear in the corpus,
+    * map-side-combined, nothing shuffles but (vec_id, 1-struct) rows.
+    * The corpus side never materializes pairs: the max folds per
+    * partition. (At an eval set too large to broadcast, the same
+    * verdict rides the IVF route — bound each corpus vector's
+    * candidates to its probed cells — but the exhaustive form IS the
+    * contract here: decontamination must not miss by routing.)
+    */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val evals = broadcast(c.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("e_id"), col("v").as("ev"),
+        col("nv").as("ne")))
+    c.filter(col("vec_id") >= NQueries)
+      .crossJoin(evals)
+      .select(col("vec_id"), col("label"),
+        struct(
+          round(cosPre(dot(col("v"), col("ev")), col("nv"), col("ne")), 9)
+            .as("cos"),
+          (-col("e_id")).as("nid"), col("e_id")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.cos").as("eval_cos"), col("best.e_id").as("eval_id"),
+        (col("best.cos") < SemDedupThreshold).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Int8-quantized corpus with per-vector reconstruction error — the
     * storage path for embeddings at scale (4× smaller before ANN
     * indexing). One native pass per row ([[graft.functions.QuantizeInt8]]);

@@ -1097,4 +1097,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian in the prune chain:\n${p.take(1500)}")
   }
+
+  test("lm excess: one cached bigram stream, ordered-limit selection") {
+    val p = plan("q_lm_excess")
+    import graft.llm.Curation
+    // the selection is a per-partition-heap top-k, never a global sort
+    assert(p.contains(s"TakeOrderedAndProject(limit=${Curation.LmExcessQuota}"),
+      s"quota selection must be TakeOrderedAndProject:\n${p.take(1500)}")
+    // the pool bigram stream explodes ONCE into the cache; the pool
+    // model's two count aggregations and the scoring join all re-read it
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"pool-model fit + scoring must reuse the cached bigram stream:\n${p.take(1500)}")
+    assert(p.contains("partial_count"),
+      s"model-count aggregates lost their map-side combine:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing all-pairs in the two-model chain:\n${p.take(1500)}")
+  }
+
+  test("ngram novelty: reference set broadcasts onto one posting probe") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("SortMergeJoin"),
+      s"the trusted-set membership probe must broadcast at this scale:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the novelty chain:\n${p.take(1500)}")
+    // the per-doc ratio aggregate combines map-side
+    assert(p.contains("partial_count"),
+      s"per-doc aggregate lost its map-side combine:\n${p.take(1500)}")
+  }
+
+  test("diversity sample: per-cluster rank window, quota filter pushed " +
+      "below the output sort") {
+    val p = plan("q_diversity_sample")
+    assert("windowspecdefinition\\(cid#\\d+".r.findFirstIn(p).isDefined,
+      s"sampling rank must partition by cid:\n${p.take(1500)}")
+    // the quota cut is a plain filter on the rank — the window sorts
+    // (cid, md5, vec_id) tuples, never vectors or text
+    assert(p.contains("rk#"),
+      s"rank column missing:\n${p.take(1500)}")
+  }
+
+  test("semantic decon: eval set broadcasts, argmax folds map-side") {
+    val p = plan("q_semantic_decon")
+    // the eval set rides a broadcast nested-loop join — the corpus
+    // streams once, pairs never materialize past the partial max
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval set must broadcast onto the corpus stream:\n${p.take(1500)}")
+    assert(p.contains("partial_max(cand"),
+      s"the per-vector argmax must fold map-side:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing may shuffle-join the corpus against the eval set:\n${p.take(1500)}")
+  }
 }
