@@ -185,14 +185,16 @@ object BenchStreaming {
       "driftprobs" -> (() => graft.llm.Curation.driftBaseProbs(s, sfDir).cache()),
       "lmc12" -> (() => graft.llm.Curation.lmModel(s, sfDir)._1.cache()),
       "lmc1" -> (() => graft.llm.Curation.lmModel(s, sfDir)._2.cache()),
-      "lmvx" -> (() => graft.llm.Curation.lmModel(s, sfDir)._3.cache()))
+      "lmvx" -> (() => graft.llm.Curation.lmModel(s, sfDir)._3.cache()),
+      "noveltyref" -> (() => graft.llm.Curation.noveltyRef(s, sfDir).cache()))
     // only the artifacts whose twins are selected get built (and
     // materialized OUTSIDE the timed replays)
     val artTwin = Map("anomaly" -> "anomaly_probe", "drift" -> "drift_counts",
       "mixtemp" -> "mix_temperature", "bm25" -> "bm25_probe",
       "bpe" -> "bpe_tokenize", "minhash" -> "incremental_dedup",
       "driftprobs" -> "text_drift_probe",
-      "lmc12" -> "lm_probe", "lmc1" -> "lm_probe", "lmvx" -> "lm_probe")
+      "lmc12" -> "lm_probe", "lmc1" -> "lm_probe", "lmvx" -> "lm_probe",
+      "noveltyref" -> "novelty_probe")
     val art = artifacts.filter { case (k, _) => selected(artTwin(k)) }
       .map { case (k, f) => k -> f() }.toMap
     val needSem = selected("semdedup_probe")
@@ -309,6 +311,10 @@ object BenchStreaming {
         df => StreamOps.lmScoreStream(df, art("lmc12"), art("lmc1"),
           art("lmvx")),
         0L, "stateless frozen-LM probe (three broadcast joins)")),
+      "novelty_probe" -> (() => measure(chunked(docsLang),
+        Seq("doc_id", "lang", "text"),
+        df => StreamOps.noveltyStream(df, art("noveltyref")),
+        0L, "stateless frozen-reference membership probe")),
       "interval_join" -> (() => measure2(
         chunked(views), Seq("event_id", "user_id", "ts"),
         chunked(clicks), Seq("event_id", "user_id", "ts"),

@@ -1072,15 +1072,25 @@ object Curation {
     * a document by construction, so the posting-join count IS the
     * distinct known-gram count.
     */
+  /** The frozen reference artifact [[ngramNovelty]] probes and
+    * [[graft.streaming.StreamOps.noveltyStream]] rides: the trusted
+    * slice's DISTINCT shingle set with the membership marker — ONE
+    * definition, so the batch scorer and the live probe can never
+    * diverge on what "known" means.
+    */
+  def noveltyRef(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source") === DsirTargetSource)
+      .select(explode(shingles3(tokens(col("text")))).as("gram"))
+      .filter(col("gram") =!= "")
+      .distinct()
+      .withColumn("known", lit(1L))
+
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         shingles3(tokens(col("text"))).as("grams"))
-    val ref = sh.filter(col("source") === DsirTargetSource)
-      .select(explode(col("grams")).as("gram"))
-      .filter(col("gram") =!= "")
-      .distinct()
-      .withColumn("known", lit(1L))
+    val ref = noveltyRef(s, dir)
     sh.filter(col("source") =!= DsirTargetSource)
       .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
       .filter(col("gram") =!= "")

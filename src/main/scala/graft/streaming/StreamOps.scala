@@ -593,6 +593,31 @@ object StreamOps {
         .join(broadcast(c12), Seq("bgh"), "left_outer")
         .join(broadcast(c1), Seq("lkh"), "left_outer"))
 
+  /** Streaming form of [[graft.llm.Curation.ngramNovelty]] — the live
+    * freshness probe a crawl-admission pipeline runs before a batch is
+    * committed: each incoming (doc_id, lang, text) explodes to its
+    * distinct word 3-gram shingles and probes the FROZEN trusted
+    * reference set ([[graft.llm.Curation.noveltyRef]], the persisted
+    * artifact a deployment refreshes on the batch cadence) via ONE
+    * stateless stream-static broadcast left join, emitting one
+    * (doc_id, lang, known) row per shingle in append mode — the shingle
+    * definition and the membership marker are the batch scorer's own
+    * (one definition site each), so the downstream per-document ratio
+    * fold is pinned equal to [[graft.llm.Curation.ngramNovelty]] in the
+    * spec. The per-document ratio itself is a sum on a non-time key —
+    * stateful in a stream — so it stays a downstream batch fold, the
+    * bpe/bm25/lm-probe split.
+    */
+  def noveltyStream(docs: DataFrame, ref: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.llm.TextHash.shingles3(
+          graft.llm.TextHash.tokens(col("text")))).as("gram"))
+      .filter(col("gram") =!= "")
+      .join(broadcast(ref), Seq("gram"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("known"), lit(0L)).as("known"))
+
   /** Streaming form of [[graft.ops.AnalyticsOps.anomalyMad]] — the live
     * anomaly monitor: incoming events probe the FROZEN per-type
     * (median, MAD) statistics table ([[graft.ops.AnalyticsOps.madStats]],

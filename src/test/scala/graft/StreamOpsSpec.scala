@@ -1146,6 +1146,46 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("noveltyStream folds to the batch ngramNovelty rows over the " +
+      "frozen reference set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ref = graft.llm.Curation.noveltyRef(spark, dir).cache()
+    ref.count()
+    // stream the raw pool (what the batch scorer scores), split over two
+    // micro-batches to exercise the stateless probe across triggers
+    val pool = Tables.table(spark, dir, "documents")
+      .filter(col("source") =!= graft.llm.Curation.DsirTargetSource)
+      .select("doc_id", "lang", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(pool.take(pool.size / 2))
+    mem.addData(pool.drop(pool.size / 2))
+    val q = StreamOps.noveltyStream(
+        mem.toDF.toDF("doc_id", "lang", "text"), ref)
+      .writeStream.format("memory").queryName("noveltyprobe")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the downstream fold: per-document count / known-sum / floor-ratio
+    val folded = spark.table("noveltyprobe")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("known")).as("n_known"))
+      .selectExpr("doc_id", "lang", "n_grams", "n_known",
+        "((n_grams - n_known) * 1000000) div n_grams AS novelty_x1e6")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.llm.Curation.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(folded == batch, "stream fold and batch scorer diverge")
+    ref.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("funnelStream advances stages across micro-batches like the batch build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
