@@ -102,6 +102,7 @@ object Bench {
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    def numOrNull(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -126,6 +127,15 @@ object Bench {
         if (ok) Some(elapsed) else None
       }
       val good = runs.flatten
+      // one compact line per query AS IT COMPLETES (driver contract,
+      // round-13 verdict item 2): the full per-query map below is tens of
+      // KB and falls outside the driver's bounded stdout capture, so
+      // PERF_r{12,13}.json recorded per_query = {}. A whole-stdout parser
+      // recovers the map from these lines; a tail capture still gets the
+      // compact total. Median + min, same statistics as the big line.
+      println(f"""{"q":"$name","sec":${numOrNull(
+        good.headOption.map(_ => median(good)))},"min":${numOrNull(
+        good.minOption)}}""")
       (name, good.headOption.map(_ => median(good)), good.minOption, runs)
     }
     // ---- index-family build/probe split (BenchSplits) ----
@@ -178,6 +188,10 @@ object Bench {
           if (ok) Some(elapsed) else None
         }
         val good = runs.flatten
+        // same one-line-per-query contract as the main phase
+        println(f"""{"q":"probe:$q","sec":${numOrNull(
+          good.headOption.map(_ => median(good)))},"min":${numOrNull(
+          good.minOption)}}""")
         (q, good.headOption.map(_ => median(good)), good.minOption,
           runs.count(_.isEmpty))
       }
@@ -192,7 +206,6 @@ object Bench {
     }
     rmTree(new java.io.File(frozenDir))
 
-    def numOrNull(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
     val qs = results.map { case (k, p50, _, _) => "\"" + k + "\":" + numOrNull(p50) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, mn, _) => "\"" + k + "\":" + numOrNull(mn) }
