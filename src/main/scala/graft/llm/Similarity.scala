@@ -483,18 +483,34 @@ object Similarity {
 
   /** Assign every corpus vector to its nearest centroid by cosine (rounded
     * to 9 dp BEFORE the argmax, ties to the smallest cid — deterministic in
-    * any engine). Centroids ride in broadcast: the corpus never shuffles.
-    *
-    * The argmax is a `max` over a lexicographic struct (max ccos, then
-    * smallest cid via the negated tiebreak field) — the same winner a
-    * `row_number` window over (ccos DESC, cid) picks. Spark plans a
-    * SortAggregate for complex-typed max, but with MAP-SIDE PARTIALS: the
-    * local sort runs over each partition's k-per-vector candidates and the
-    * shuffle carries ONE row per vector — versus the window's global
-    * shuffle-and-sort of all k × corpus rows. PlanSpec pins the
-    * `partial_max` shape.
+    * any engine). The centroid TABLE rides in one broadcast row (an
+    * O(k)-size collect_list array) and the argmax is the native
+    * [[graft.functions.NearestCentroid]] loop — a scan-side projection:
+    * zero exchanges, zero candidate fan-out, and the vector payload never
+    * leaves its scan partition. The superseded aggregation form (broadcast
+    * join fanning each vector to k candidate structs, collapsed by a
+    * map-side-partial struct max — one Exchange per assignment, per Lloyd
+    * round) is kept as [[assignAgg]], the executable spec NearestSpec pins
+    * the native loop bit-identical against.
     */
-  private def assign(c: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centsArr(cents)))
+      .select(col("vec_id"), col("v"), col("nv"),
+        graft.functions.NearestCentroid(col("v"), col("nv"), col("cs"))
+          .as("cid"))
+
+  /** The centroid table as one array row: (cid, centroid, cnorm) structs. */
+  private def centsArr(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(
+      struct(col("cid").cast("int").as("cid"), col("centroid"), col("cnorm")))
+      .as("cs"))
+
+  /** The superseded aggregation-form assignment — the executable
+    * specification of [[assign]]'s semantics (NearestSpec pins the native
+    * expression bit-identical against this on fixture and adversarial
+    * corpora).
+    */
+  private[graft] def assignAgg(c: DataFrame, cents: DataFrame): DataFrame =
     c.join(broadcast(cents))
       .select(col("vec_id"),
         struct(
@@ -613,7 +629,7 @@ object Similarity {
     *    dense 0-based ids with k ≤ KmeansK the two regimes coincide,
     *    which is why the fixture differentials can't tell them apart.
     */
-  private def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK,
+  private[graft] def kmeansCentroidsOf(c: DataFrame, k: Int = KmeansK,
       rankSeed: Boolean = false, iters: Int = KmeansIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var cents =
@@ -693,7 +709,7 @@ object Similarity {
     * extra per-vector columns to ride along (e.g. the IVF cluster id for
     * the fused index build).
     */
-  private def pqSubvectors(c: DataFrame,
+  private[graft] def pqSubvectors(c: DataFrame,
       carry: Seq[String] = Nil): DataFrame =
     c.select(col("vec_id") +: carry.map(col) :+ posexplode(
       transform(sequence(lit(0), lit(PqM - 1)),
@@ -709,7 +725,29 @@ object Similarity {
     * (d, code) and not a 64-byte dead payload (sv can never influence
     * the min — code is unique per candidate).
     */
-  private def pqAssign(sub: DataFrame, books: DataFrame,
+  private[graft] def pqAssign(sub: DataFrame, books: DataFrame,
+      keepSv: Boolean, carry: Seq[String] = Nil): DataFrame = {
+    // the codebook of each subspace rides in one broadcast array row and
+    // the argmin is the native NearestCode loop — a scan-side projection
+    // (the assign/assignAgg evolution; NearestSpec pins it against
+    // pqAssignAgg). keepSv no longer changes what moves: nothing shuffles,
+    // and the winner's sv IS the row's own sv (every candidate of a
+    // (vector, subspace) shares the probe subvector).
+    val bm = books.groupBy(col("m"))
+      .agg(collect_list(struct(col("code").cast("int").as("code"), col("cb")))
+        .as("bs"))
+    val out = Seq(col("vec_id"), col("m"), col("best.code").as("code"),
+      col("best.d").as("d")) ++ carry.map(col) ++
+      (if (keepSv) Seq(col("sv")) else Nil)
+    sub.join(broadcast(bm), Seq("m"))
+      .withColumn("best", graft.functions.NearestCode(col("sv"), col("bs")))
+      .select(out: _*)
+  }
+
+  /** The superseded aggregation-form code assignment — the executable
+    * specification of [[pqAssign]]'s semantics (NearestSpec).
+    */
+  private[graft] def pqAssignAgg(sub: DataFrame, books: DataFrame,
       keepSv: Boolean, carry: Seq[String] = Nil): DataFrame = {
     val cand = Seq(l2sq(col("sv"), col("cb")).as("d"), col("code")) ++
       (if (keepSv) Seq(col("sv")) else Nil)
@@ -730,7 +768,7 @@ object Similarity {
     * Lloyd refinement (assign → exact-decimal component means). Returns
     * the refined codebooks (m, code, cb).
     */
-  private def pqTrain(sub: DataFrame): DataFrame = {
+  private[graft] def pqTrain(sub: DataFrame): DataFrame = {
     val seed = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sv").as("cb"))
@@ -1186,7 +1224,20 @@ object Similarity {
     * the ccid equi-join bounding every vector's candidate set to its
     * cell's √k̄ centroids instead of all k).
     */
-  private def assignFine(cm: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignFine(cm: DataFrame, cents: DataFrame): DataFrame =
+    cm.join(broadcast(cents.groupBy(col("ccid"))
+        .agg(collect_list(struct(col("fcid").cast("int").as("cid"),
+          col("centroid"), col("cnorm"))).as("cs"))),
+        Seq("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        graft.functions.NearestCentroid(col("v"), col("nv"), col("cs"))
+          .as("fcid"),
+        col("v"), col("nv"))
+
+  /** The superseded aggregation-form fine assignment — the executable
+    * specification of [[assignFine]]'s semantics (NearestSpec).
+    */
+  private[graft] def assignFineAgg(cm: DataFrame, cents: DataFrame): DataFrame =
     cm.join(broadcast(cents), Seq("ccid"))
       .select(col("vec_id"), col("ccid"),
         struct(

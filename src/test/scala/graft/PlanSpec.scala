@@ -134,13 +134,17 @@ class PlanSpec extends AnyFunSuite {
       "df should reuse the cached tf, not re-derive from documents")
   }
 
-  test("k-means assignment aggregates with map-side partials, not a window") {
+  test("k-means assignment is a row-local native argmax, not a shuffle") {
     val p = plan("q_embed_ivf2")
-    // the corpus-side argmax must be an aggregation with partial_max (the
-    // shuffle carries one row per vector), never a row_number window over
-    // k x corpus rows; the only windows left rank the tiny query set
-    assert(p.contains("partial_max(cand"),
-      s"map-side partial argmax missing:\n${p.take(1200)}")
+    // the corpus-side argmax must be the native nearest_centroid loop over
+    // the broadcast centroid array (a scan-side projection — zero
+    // exchanges, zero candidate fan-out), never a partial_max aggregation
+    // or a row_number window over k x corpus rows; the only windows left
+    // rank the tiny query set
+    assert(p.contains("nearest_centroid"),
+      s"native nearest_centroid argmax missing:\n${p.take(1200)}")
+    assert(!p.contains("partial_max(cand"),
+      s"assignment fell back to the aggregation form:\n${p.take(1200)}")
   }
 
   // ---- round-3 guards ------------------------------------------------------
