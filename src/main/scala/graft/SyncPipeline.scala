@@ -116,7 +116,16 @@ object SyncPipeline {
     * on it), so the plan is two broadcast joins + one distinct shuffle of
     * two small string columns.
     */
-  def memberEdges(s: SparkSession, dir: String): DataFrame = {
+  def memberEdges(s: SparkSession, dir: String): DataFrame =
+    memberEdgesUnsorted(s, dir).orderBy("owner_name", "org_name")
+
+  /** [[memberEdges]] without the presentation sort — the graph operators
+    * ([[graft.ops.GraphOps.pageRank]]) consume the edge SET and impose
+    * their own output order; riding the sorted form would execute a
+    * rangepartitioning exchange + sort whose ordering every downstream
+    * aggregation immediately destroys.
+    */
+  private[graft] def memberEdgesUnsorted(s: SparkSession, dir: String): DataFrame = {
     val users = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
     t(s, dir, "orders")
       .join(broadcast(users), col("o_custkey") === col("c_custkey"), "left_outer")
@@ -127,7 +136,6 @@ object SyncPipeline {
         coalesce(col("n_name"), lit("Unknown organization")).as("org_name"),
         lit("editor").as("role"))
       .distinct()
-      .orderBy("owner_name", "org_name")
   }
 
   /** K1: the gather stage's queue sink (odgovlt.py:362-366) — each published

@@ -99,12 +99,46 @@ object GraphOps {
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     coPurchasePairs(s, dir).select(col("pa"), col("pb"))
 
+  /** Both directions of an (a, b [, carry...]) edge list in ONE pass: a
+    * two-struct explode instead of the self-union every operator here used
+    * to spell. The union form duplicates the entire upstream subtree —
+    * column pruning pushes the two reversed projections into the branches,
+    * so not even the exchange is reused, and the lineitem self-join behind
+    * [[coPurchasePairs]] executed TWICE per graph query (measured at sf1:
+    * both 6M-row shuffle + 12M-row pair-join stages appear twice in every
+    * run). The explode is row-local on the aggregated pair list; consumers
+    * are aggregations/joins, so the interleaved row order is immaterial.
+    */
+  private def bothDirections(df: DataFrame, a: String, b: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val fwd = struct(col(a).as("src") +: col(b).as("dst") +: carry.map(col): _*)
+    val rev = struct(col(b).as("src") +: col(a).as("dst") +: carry.map(col): _*)
+    df.select(explode(array(fwd, rev)).as("e")).select(col("e.*"))
+  }
+
+  /** Pinned keyed repartition for a frame an iterative loop will read
+    * every round: the symmetric edge lists are BYTE-small after the
+    * support prune, so AQE coalesces the aggregation feeding them to 1-2
+    * partitions — and a checkpoint/cache taken there serializes every
+    * later round's per-row work onto those few cores. The explicit
+    * partition count pins the session's shuffle parallelism (the
+    * deployment knob — scale-adaptive, not a local constant) against the
+    * coalesce, and keying by the loop's join column lets rounds reuse the
+    * partitioning instead of re-exchanging the edges every round.
+    */
+  private def loopPartitioned(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(s, dir)
-    val deg = edges.select(col("pa").as("v"))
-      .union(edges.select(col("pb").as("v")))
+    // endpoint explode, not a self-union of projections (the
+    // bothDirections rationale: one evaluation of the pair subtree)
+    val deg = edges.select(explode(array(col("pa"), col("pb"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val rk = deg.select(col("v"), (col("deg") * TriRankStride + col("v")).as("rk"))
+    // three consumers (both wedge sides + the closing semi-join): cache the
+    // O(edges) oriented list so the pair aggregation + degree join run once
     val oriented = edges
       .join(rk.select(col("v").as("pa"), col("rk").as("rka")), "pa")
       .join(rk.select(col("v").as("pb"), col("rk").as("rkb")), "pb")
@@ -112,6 +146,7 @@ object GraphOps {
         when(col("rka") < col("rkb"), col("pa")).otherwise(col("pb")).as("src"),
         when(col("rka") < col("rkb"), col("pb")).otherwise(col("pa")).as("dst"),
         greatest(col("rka"), col("rkb")).as("dstk"))
+      .cache()
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dstk") < col("e2.dstk"))
@@ -165,9 +200,8 @@ object GraphOps {
 
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPurchasePairs(s, dir)
-    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("supp").as("w"))
-      .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("supp").as("w")))
-      .cache()
+      .select(col("pa"), col("pb"), col("supp").as("w"))
+    val sym = bothDirections(pairs, "pa", "pb", Seq("w")).cache()
     var lab = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -211,12 +245,12 @@ object GraphOps {
 
   def pageRank(s: SparkSession, dir: String, iters: Int = PrIters,
       cache: Boolean = true): DataFrame = {
-    val m = SyncPipeline.memberEdges(s, dir)
-      .select(concat(lit("u:"), col("owner_name")).as("src"),
-        concat(lit("g:"), col("org_name")).as("dst"))
+    val m = SyncPipeline.memberEdgesUnsorted(s, dir)
+      .select(concat(lit("u:"), col("owner_name")).as("u"),
+        concat(lit("g:"), col("org_name")).as("g"))
     // distinct (owner, org) pairs in disjoint name spaces: the two
-    // directions can never collide, so the symmetric union stays dup-free
-    val edges = m.union(m.select(col("dst").as("src"), col("src").as("dst")))
+    // directions can never collide, so the symmetric form stays dup-free
+    val edges = bothDirections(m, "u", "g")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg0 = edges.join(deg, "src")
     val edgesDeg = if (cache) edgesDeg0.cache() else edgesDeg0
@@ -283,8 +317,7 @@ object GraphOps {
   def kCore(s: SparkSession, dir: String, k: Int = KCoreK,
       rounds: Int = KCoreRounds): DataFrame = {
     val base = coPurchaseEdges(s, dir)
-    var e = base.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(base.select(col("pb").as("src"), col("pa").as("dst")))
+    var e = loopPartitioned(bothDirections(base, "pa", "pb"), "src")
       .localCheckpoint(true)
     // convergence probe: peeling only ever SHRINKS the edge set, and a
     // round that drops no edge dropped no node — every later round is the
@@ -342,9 +375,7 @@ object GraphOps {
 
   def bfs(s: SparkSession, dir: String, rounds: Int = BfsRounds): DataFrame = {
     val base = coPurchaseEdges(s, dir)
-    val e = base.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(base.select(col("pb").as("src"), col("pa").as("dst")))
-      .cache()
+    val e = loopPartitioned(bothDirections(base, "pa", "pb"), "src").cache()
     var dist = e.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -403,8 +434,7 @@ object GraphOps {
     */
   def nodeSimilarity(s: SparkSession, dir: String): DataFrame = {
     val base = coPurchaseEdges(s, dir)
-    val sym = base.select(col("pa").as("node"), col("pb").as("nbr"))
-      .union(base.select(col("pb").as("node"), col("pa").as("nbr")))
+    val sym = bothDirections(base, "pa", "pb").toDF("node", "nbr")
     val keep = sym.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= SimMaxDeg).select(col("node"))
     val se = sym
