@@ -895,14 +895,15 @@ object Dedup {
   val SubstrK = 10
 
   /** Sliding [[SubstrK]]-gram occurrences: (doc_id, p, gh) where gh is
-    * the full 128-bit md5 hex of the space-joined gram — the same
-    * fixed-width-digest shuffle discipline as media dedup (16-byte keys
-    * move, ~60-byte gram text never does), and collision-free in
-    * practice at any corpus size, which an engine-truncated 32/64-bit
-    * key is not at 10¹⁰ grams. Docs shorter than the seed emit nothing
-    * (they cannot contain a duplicated k-gram). The Generate is the
-    * projection barrier that keeps the tokenization evaluated once per
-    * row (the spanDedup discipline).
+    * the full 128-bit md5 of the space-joined gram as BINARY(16) — the
+    * same fixed-width-digest shuffle discipline as media dedup (16-byte
+    * keys move, ~60-byte gram text never does; the unhex halves what the
+    * hex-string form shuffled, guide §2.3 narrower types), and
+    * collision-free in practice at any corpus size, which an
+    * engine-truncated 32/64-bit key is not at 10¹⁰ grams. Docs shorter
+    * than the seed emit nothing (they cannot contain a duplicated
+    * k-gram). The Generate is the projection barrier that keeps the
+    * tokenization evaluated once per row (the spanDedup discipline).
     */
   private def substrOccurrences(docs: DataFrame): DataFrame =
     docs
@@ -910,8 +911,8 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         when(size(col("toks")) >= SubstrK,
           transform(sequence(lit(0), size(col("toks")) - SubstrK),
-            p => md5(array_join(slice(col("toks"), p + 1, lit(SubstrK)), " "))))
-          .otherwise(array().cast("array<string>"))))
+            p => unhex(md5(array_join(slice(col("toks"), p + 1, lit(SubstrK)), " ")))))
+          .otherwise(array().cast("array<binary>"))))
       .toDF("doc_id", "p", "gh")
 
   /** Maximal duplicated token ranges per document (exact substring dedup,
@@ -925,20 +926,22 @@ object Dedup {
     * Scale shape: gram stats are ONE digest-keyed aggregation with full
     * map-side combine (partial count + partial min-struct — a boilerplate
     * gram occurring 10⁶ times costs its reducer one row per upstream
-    * partition; min over a struct plans as SortAggregate, the pinned
-    * `assign` shape); the occurrence→duplicated-gram attach re-explodes
-    * the corpus (row-local scan work, cheaper than materializing n gram
-    * rows) and joins it to the aggregated duplicated-gram table — which
-    * is bounded by the number of DISTINCT repeated grams, so it
-    * broadcasts through moderate scale and costs one more digest-keyed
-    * shuffle beyond it; island merging is two windows and an aggregation
+    * partition; min over a struct plans as SortAggregate); the
+    * occurrence table is CACHED for its two consumers (the gram stats and
+    * the duplicated-gram attach): the round-13 form re-exploded the
+    * corpus for the attach instead, and the second tokenize+md5 pass was
+    * the dominant stage (measured at sf1: ranges 8.2 → 4.6 s, stats
+    * 6.0 → 3.8 s from the cache alone; at a scale where the gram table
+    * outgrows storage memory the cache spills columnar, still cheaper
+    * than re-hashing the corpus); island merging is two windows and an
+    * aggregation
     * all partitioned by doc_id — bounded by document length, never
     * corpus-sized. Nothing here is quadratic: marked rows ARE the
     * answer's support, and the shuffles carry digests + positions only.
     */
   private[graft] def substrIslands(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occ = substrOccurrences(t(s, dir, "documents"))
+    val occ = substrOccurrences(t(s, dir, "documents")).cache()
     val dup = occ.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("p"))).as("first"))
